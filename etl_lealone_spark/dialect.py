@@ -1,0 +1,184 @@
+"""Reference-dialect (H2-ish) → Spark SQL rewriter (SURVEY.md §3).
+
+The reference accepts several non-ANSI forms (lealone-sql/.../Parser.java);
+this module normalizes them to Spark SQL text before handing to Catalyst:
+
+- FROM-first queries: ``FROM t SELECT a, b`` (SelectTest.java:92)
+- ``SELECT TOP n ...`` (Parser.java:1596)
+- ``SYSTEM_RANGE(a, b[, step])`` table (RangeTable.java:24-29)
+- ``GROUP_CONCAT(x [ORDER BY o] [SEPARATOR s])`` (Aggregate.java:61)
+- ``CSVREAD('file')`` in FROM (Function.java:352)
+- ``@var`` session variables (Variable.java:20)
+- ``ROWNUM`` pseudo-column (Rownum.java:21)
+- ``//`` line comments (H2 accepts them)
+- no-op statements: transactions, FOR UPDATE (documented shims)
+
+Rewrites are token-aware regex transforms — enough for the reference's
+test-suite grammar; genuinely ambiguous SQL should use the DataFrame API.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING, Optional
+
+if TYPE_CHECKING:
+    from .session import EngineSession
+
+_WS = r"\s+"
+
+# statements that are no-ops on an immutable-snapshot engine
+NOOP_STATEMENTS = re.compile(
+    r"^\s*(BEGIN|COMMIT|ROLLBACK|SAVEPOINT\s+\w+|CHECKPOINT|SET\s+AUTOCOMMIT.*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _strip_line_comments(sql: str) -> str:
+    return re.sub(r"//[^\n]*", "", sql)
+
+
+def _rewrite_from_first(sql: str) -> str:
+    """``FROM t SELECT cols ...`` → ``SELECT cols FROM t ...``."""
+    m = re.match(
+        r"^\s*FROM\s+(?P<from>.+?)\s+SELECT\s+(?P<select>.+)$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return sql
+    select_part = m.group("select")
+    # split projection from trailing clauses (WHERE/GROUP/ORDER/LIMIT/...)
+    tail_match = re.search(
+        r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET|UNION|EXCEPT|INTERSECT)\b",
+        select_part,
+        re.IGNORECASE,
+    )
+    if tail_match:
+        proj = select_part[: tail_match.start()].rstrip()
+        tail = select_part[tail_match.start() :]
+        return f"SELECT {proj} FROM {m.group('from')} {tail}"
+    return f"SELECT {select_part} FROM {m.group('from')}"
+
+
+def _rewrite_top(sql: str) -> str:
+    """``SELECT TOP n ...`` → ``SELECT ... LIMIT n`` (Parser.java:1596)."""
+    m = re.match(
+        r"^(\s*SELECT)\s+TOP\s+(\d+)\s+(.*)$", sql, re.IGNORECASE | re.DOTALL
+    )
+    if not m:
+        return sql
+    return f"{m.group(1)} {m.group(3)} LIMIT {m.group(2)}"
+
+
+def _rewrite_system_range(sql: str) -> str:
+    """SYSTEM_RANGE(a,b[,step]) → range(a, b+1 [, step]) table function.
+
+    The reference's SYSTEM_RANGE is inclusive of both endpoints
+    (RangeTable.java:24-29); Spark's range(start, end) is end-exclusive.
+    The generated column X matches the reference's column name.
+    """
+
+    def repl(m: re.Match) -> str:
+        a, b = m.group(1).strip(), m.group(2).strip()
+        step = m.group(3)
+        if step:
+            return (
+                f"(SELECT id AS X FROM range({a}, ({b}) + 1, {step.strip()}))"
+            )
+        return f"(SELECT id AS X FROM range({a}, ({b}) + 1))"
+
+    return re.sub(
+        r"SYSTEM_RANGE\s*\(\s*([^,()]+)\s*,\s*([^,()]+?)\s*(?:,\s*([^,()]+?)\s*)?\)",
+        repl,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _rewrite_group_concat(sql: str) -> str:
+    """GROUP_CONCAT(x [ORDER BY o] [SEPARATOR s]) →
+    array_join(array_sort-or-collect, sep) (Aggregate.java:61,358-395)."""
+
+    def repl(m: re.Match) -> str:
+        distinct = m.group("distinct") or ""
+        expr = m.group("expr").strip()
+        order = m.group("order")
+        sep = m.group("sep") or "','"
+        inner = f"collect_list({distinct}{expr})"
+        if order:
+            inner = f"array_sort({inner})"
+        return f"array_join({inner}, {sep})"
+
+    return re.sub(
+        r"GROUP_CONCAT\s*\(\s*(?P<distinct>DISTINCT\s+)?(?P<expr>[^()]+?)"
+        r"(?:\s+ORDER\s+BY\s+(?P<order>[^()]+?))?"
+        r"(?:\s+SEPARATOR\s+(?P<sep>'[^']*'))?\s*\)",
+        repl,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _rewrite_csvread(sql: str) -> str:
+    """CSVREAD('path') in FROM → read via temp-view registration is the
+    API path; in SQL we map to Spark's csv.`path` syntax."""
+    return re.sub(
+        r"CSVREAD\s*\(\s*'([^']+)'\s*\)",
+        r"csv.`\1`",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _rewrite_rownum(sql: str) -> str:
+    """ROWNUM / ROWNUM() → row_number() over a pinned deterministic order.
+
+    The reference numbers rows in scan order (Rownum.java:21-31,
+    StatementBase.getCurrentRowNumber); our documented semantics pin
+    monotonically-increasing order of the underlying scan.
+    """
+    return re.sub(
+        r"\bROWNUM\s*(\(\s*\))?",
+        "(row_number() OVER (ORDER BY monotonically_increasing_id()))",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _substitute_variables(sql: str, session: Optional["EngineSession"]) -> str:
+    """@var → literal value from the session shell (Variable.java:20)."""
+    if session is None:
+        return sql
+
+    def repl(m: re.Match) -> str:
+        val = session.get_variable(m.group(1))
+        if val is None:
+            return "NULL"
+        if isinstance(val, str):
+            escaped = val.replace("'", "''")
+            return f"'{escaped}'"
+        return str(val)
+
+    return re.sub(r"@(\w+)", repl, sql)
+
+
+def _strip_for_update(sql: str) -> str:
+    """FOR UPDATE is a lock hint — meaningless on snapshots; strip it."""
+    return re.sub(r"\s+FOR\s+UPDATE\s*$", "", sql, flags=re.IGNORECASE)
+
+
+def rewrite(sql: str, session: Optional["EngineSession"] = None) -> str:
+    """Normalize reference-dialect SQL to Spark SQL."""
+    sql = _strip_line_comments(sql)
+    if NOOP_STATEMENTS.match(sql):
+        return "SELECT 'ok' AS status"  # transaction shims: harmless no-op
+    sql = _substitute_variables(sql, session)
+    sql = _rewrite_from_first(sql)
+    sql = _rewrite_top(sql)
+    sql = _rewrite_system_range(sql)
+    sql = _rewrite_group_concat(sql)
+    sql = _rewrite_csvread(sql)
+    sql = _rewrite_rownum(sql)
+    sql = _strip_for_update(sql)
+    return sql

@@ -1,0 +1,359 @@
+"""Deduplication operators for large-scale document corpora.
+
+Extension surface required by BASELINE.json beyond the reference's own
+inventory: exact dedup, MinHash+LSH near-dup, SimHash near-dup, and
+n-gram Jaccard verification. All are composed from JVM-side built-ins
+(no Python UDFs in the hot path) and are shuffle-bounded:
+
+- exact:   one hash-aggregate shuffle on a 16-byte digest.
+- MinHash: per-row signature computation (map-only) → explode to
+  (band, band_hash) → ONE shuffle to bucket candidates → pair join →
+  per-pair verification. No O(n²) stage anywhere; the only quadratic
+  term is within a single LSH bucket, which the band width controls.
+- SimHash: per-row 64-bit fingerprint (map-only) → pigeonhole block join
+  (hamming ≤ k pairs must share one of k+1 exact blocks) → bit_count
+  verification.
+
+At 100 TB the corpus does not fit a broadcast, so every join here is a
+shuffle join on a compact key (8-16 bytes); signatures are computed in a
+single pass over the text column with whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# normalization + shingling (shared)
+# ---------------------------------------------------------------------------
+def normalized_text(col: Column) -> Column:
+    """Lowercase, collapse non-alphanumerics to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def words(col: Column) -> Column:
+    return F.split(normalized_text(col), " ")
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column, as an array<string>.
+
+    Documents shorter than k words contribute their full normalized text
+    as a single shingle so they still participate in dedup.
+    """
+    ws = words(col)
+    return F.when(
+        F.size(ws) < k, F.array(normalized_text(col))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(k)]
+                ),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = False
+) -> DataFrame:
+    """Exact duplicate clusters: group on a content digest, keep min id.
+
+    Returns (keep_id, n_dupes) per distinct content. One shuffle on the
+    md5 digest (16 bytes — far cheaper than shuffling the documents).
+    """
+    content = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        df.select(F.md5(content).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def _parallelize_for_compute(df: DataFrame, key: str) -> DataFrame:
+    """Repartition before a compute-heavy map stage.
+
+    A 100 MB parquet file arrives as ONE partition; signature computation
+    is CPU-bound per row, so without this the whole corpus funnels through
+    one core. Cost: one shuffle of the raw text — amortized by the 30-100×
+    parallel speedup of the signature stage. At cluster scale the input
+    would already be many splits, and this becomes a cheap no-op-ish
+    rebalance keyed for the later self-join.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(target, key)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, mh0..mhN) min-hash signature table.
+
+    Explode-then-aggregate shape: shingles are computed ONCE per document
+    (explode), each shingle row gets num_hashes xxhash64 values in a single
+    projection, and a hash-aggregate takes per-hash minima. Fully
+    partition-parallel with one shuffle on the doc id; avoids the
+    nested-expression form whose per-row cost multiplies the shingling by
+    num_hashes (Catalyst's projection collapse re-expands shared
+    subexpressions).
+    """
+    exploded = _parallelize_for_compute(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col))).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH, verified by exact Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    Plan shape: explode-agg signatures → explode to ``bands`` rows/doc →
+    shuffle on (band, band_hash) → within-bucket self-join on 8-byte keys →
+    exact-Jaccard verification joining back to a shingle-array table.
+    No O(n²) stage; the only quadratic term is within an LSH bucket.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # verification: join candidate pairs back to per-doc shingle arrays
+    sh = _parallelize_for_compute(df, id_col).select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    paired = (
+        cand.join(a, F.col("id_a") == F.col("a.id"))
+        .join(b, F.col("id_b") == F.col("b.id"))
+        .select("id_a", "id_b", F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        paired.filter((inter / union) >= threshold)
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+    )
+
+
+def minhash_dedup_keep_ids(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Docs surviving near-dedup: drop any doc near-identical to a
+    smaller-id doc (standard greedy LSH dedup)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, threshold=threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (blocked) — exact similarity inside cheap blocks
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs_blocked(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Column | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-3-gram Jaccard over pairs sharing a blocking key.
+
+    Blocking bounds the quadratic pair space (classic entity-resolution
+    blocking); default block = (lang, n_chars div 100) for the documents
+    table. Returns (id_a, id_b, jaccard) with jaccard rounded to 6dp for
+    cross-engine hash stability.
+    """
+    block = (
+        block_cols
+        if block_cols is not None
+        else F.struct(F.col("lang"), (F.col("n_chars") / 100).cast("int"))
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        block.alias("blk"),
+        word_shingles(F.col(text_col)).alias("sh"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    inter = F.size(F.array_intersect("l.sh", "r.sh")).cast("double")
+    union = (F.size("l.sh") + F.size("r.sh")).cast("double") - inter
+    return (
+        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
+        .filter((inter / union) >= threshold)  # filter pre-rounding (oracle parity)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash of the word multiset of a text column (single-row
+    expression form — use :func:`simhash_fingerprints` for corpora; this
+    form recomputes the token array per bit and is only sensible for
+    tests / tiny inputs)."""
+    token_hashes = F.transform(words(col), lambda t: F.xxhash64(t))
+
+    def _bit_vote(i: int):
+        def vote(acc: Column, h: Column) -> Column:
+            return acc + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return vote
+
+    fp = F.lit(0).cast("long")
+    for i in range(64):  # unrolled: shift amounts must be literals
+        vote = F.aggregate(token_hashes, F.lit(0), _bit_vote(i))
+        fp = fp.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return fp
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, fp) SimHash table via explode-aggregate — the corpus-scale form.
+
+    Tokens are exploded once; each token row contributes 64 ±1 votes in a
+    single projection; a hash-aggregate sums votes per doc and assembles
+    the fingerprint. One shuffle on the doc id, fully partition-parallel.
+    """
+    exploded = (
+        _parallelize_for_compute(df, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(words(F.col(text_col))).alias("tok"),
+        )
+        .select("id", F.xxhash64("tok").alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = exploded.groupBy("id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select("id", fp.alias("fp"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into
+    ``max_hamming+1`` blocks; any pair within distance k agrees exactly on
+    at least one block → join per block on the exact block value (one
+    shuffle on a small int key), then verify with bit_count(xor).
+    """
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    fp = simhash_fingerprints(df, text_col, id_col)
+    mask = (1 << width) - 1
+    blocked = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftrightunsigned("fp", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for b in range(nblocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "fp", "bb.block", "bb.block_val")
+    l, r = blocked.alias("l"), blocked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,130 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with a typed metadata struct
+(modality, mime, width/height/duration, …) — the columnar pattern for
+multimodal training data. The Spark-side plumbing (schemas, batch
+iteration via mapInPandas, partition sizing) is real and tested; the
+actual codec work is stubbed because no image/audio libraries exist in
+this container — each stub either raises NotImplementedError (strict
+mode) or produces a deterministic fake (plumbing-test mode).
+
+Scale notes: decode/feature-extract runs as mapInPandas over Arrow
+batches — per-partition streaming, no shuffle; partition size should be
+tuned so a batch of decoded frames fits executor memory
+(spark.sql.files.maxPartitionBytes down-tuned for media tables).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META, True),
+    ]
+)
+
+
+def synthesize_media_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Build a media-shaped table from the documents table: payload =
+    utf-8 bytes of the text (an opaque blob as far as the pipeline is
+    concerned), metadata derived deterministically."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/fake").alias("mime"),
+            (F.length(F.col(text_col)) % 640 + 32).cast("int").alias("width"),
+            (F.length(F.col(text_col)) % 480 + 32).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> list[float]:
+    """Deterministic stand-in for an image decoder: 8 'pixel statistics'
+    derived from payload bytes. Replace with PIL/torchvision in prod."""
+    if payload is None:
+        return [0.0] * 8
+    n = len(payload)
+    s = sum(payload[:256])
+    return [
+        float(n),
+        float(s % 997),
+        float(width),
+        float(height),
+        float(payload[0] if n else 0),
+        float(payload[-1] if n else 0),
+        float(s % 31),
+        float(n % 13),
+    ]
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow-batched).
+
+    ``strict=True`` raises NotImplementedError — the marker that a real
+    codec must be plugged in; ``strict=False`` runs the deterministic
+    fake so the distributed plumbing (batching, schema, partitioning) is
+    exercised end to end.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "media decode requires an image/audio codec; not available "
+                "in this environment — plug a decoder into extract_features()"
+            )
+        for pdf in it:
+            feats = [
+                _fake_decode(p, m["width"], m["height"])
+                for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": feats}
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000, strict: bool = False) -> DataFrame:
+    """Video frame sampling stub: emits (media_id, frame_idx, frame_bytes)
+    rows. Deterministic fake: one 'frame' per metadata duration bucket."""
+    if strict:
+        raise NotImplementedError("frame sampling requires a video codec")
+    n_frames = F.coalesce(
+        (F.col("meta.duration_ms") / every_ms).cast("int"), F.lit(1)
+    )
+    return media.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias(
+            "frame_idx"
+        ),
+        F.col("payload").alias("frame_bytes"),
+    )

@@ -1,0 +1,153 @@
+"""Text analysis operators for training-data pipelines.
+
+BASELINE.json extension surface: language-ID, quality scoring, token
+counting, document fingerprinting. All pure JVM expression trees
+(replace/length/split/md5), no Python in the hot path — each is a
+map-only column computation, shuffle-free at any scale.
+
+Cross-engine note: heuristics avoid engine-specific regex classes; counts
+use the replace-length trick (count(s, sub) = (len(s) - len(replace(s,
+sub, ''))) / len(sub)) which is bit-identical everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny stopword marker sets per language — matched as ' word ' substrings.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "que", "los", "es"],
+}
+
+EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "it", "that", "for", "on"]
+
+
+def substr_count(col: Column, sub: str) -> Column:
+    """Occurrences of ``sub`` in col — replace-length trick, engine-neutral."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(sub), F.lit(""))))
+        / len(sub)
+    ).cast("int")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, "[ \\t\\n]+"))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: words + digits + punctuation runs.
+
+    A cheap stand-in for a BPE tokenizer: splits letter runs longer than 4
+    chars into ceil(len/4) pieces (BPE's ~4-chars-per-token heuristic) and
+    counts punctuation as single tokens.
+    """
+    ws = F.split(F.trim(col), "[ \\t\\n]+")
+    return F.aggregate(
+        ws,
+        F.lit(0),
+        lambda acc, w: acc + F.greatest(F.ceil(F.length(w) / 4.0).cast("int"), F.lit(1)),
+    )
+
+
+def lang_markers_score(col: Column, lang: str) -> Column:
+    """Marker-word hit count for one language over a padded lowercase text."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    score = F.lit(0)
+    for wrd in LANG_MARKERS[lang]:
+        score = score + substr_count(padded, f" {wrd} ")
+    return score
+
+
+def language_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of per-language marker counts.
+
+    Deterministic tie-break by language code order; 'und' when no marker
+    hits at all.
+    """
+    scores = [(lang, lang_markers_score(col, lang)) for lang in sorted(LANG_MARKERS)]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # reversed so the FIRST language in sort order wins ties
+    for lang, s in reversed(scores):
+        result = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(
+            result
+        )
+    return result
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-signal columns used by corpus filtering pipelines.
+
+    Signals follow the public Gopher/C4-style rules: length, mean word
+    length, punctuation-terminated-ness, stopword ratio, digit ratio.
+    """
+    c = F.col(text_col)
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    n_tokens = token_count(c)
+    stop_hits = F.lit(0)
+    for wrd in EN_STOPWORDS:
+        stop_hits = stop_hits + substr_count(padded, f" {wrd} ")
+    n_digits = F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, "[.,!?;:]", ""))
+    return (
+        df.withColumn("n_chars_m", F.length(c))
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "mean_word_len",
+            F.round(
+                F.length(F.regexp_replace(c, "[ \\t\\n]", "")).cast("double")
+                / F.greatest(n_tokens, F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(stop_hits.cast("double") / F.greatest(n_tokens, F.lit(1)), 6),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.round(
+                n_digits.cast("double") / F.greatest(F.length(c), F.lit(1)), 6
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(
+                n_punct.cast("double") / F.greatest(F.length(c), F.lit(1)), 6
+            ),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0-1 quality score from :func:`quality_features` signals."""
+    feats = quality_features(df, text_col)
+    score = (
+        F.when(F.col("n_tokens").between(10, 100000), 0.25).otherwise(0.0)
+        + F.when(F.col("mean_word_len").between(3, 12), 0.25).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") >= 0.05, 0.25).otherwise(0.0)
+        + F.when(F.col("digit_ratio") <= 0.2, 0.25).otherwise(0.0)
+    )
+    return feats.withColumn("quality_score", F.round(score, 2))
+
+
+def fingerprint(col: Column, prefix_chars: int = 64) -> Column:
+    """Deterministic document fingerprint: md5 over the normalized prefix
+    plus a coarse length bucket — a cheap rolling-hash stand-in that two
+    engines can reproduce byte-for-byte."""
+    normalized = F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+    return F.md5(
+        F.concat(
+            F.substring(normalized, 1, prefix_chars),
+            F.lit("|"),
+            F.floor(F.length(normalized) / 32).cast("int").cast("string"),
+        )
+    )

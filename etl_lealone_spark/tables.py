@@ -1,0 +1,70 @@
+"""Table loading & registration for the driver-generated test data.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet each under
+/root/testdata/sf{0.001,0.01,0.1}/.
+
+Scale notes: loading is a lazy parquet scan — column pruning and filter
+pushdown happen in Catalyst, so registering all ten views costs nothing
+until an action runs. At cluster scale the same code reads a partitioned
+table directory; nothing here assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at ANY scale factor (they grow
+# sublinearly or are fixed-size in TPC-H-like generators).
+BROADCASTABLE = {"region", "nation", "supplier"}
+
+
+# Columns written as parquet TIMESTAMP(NANOS): Spark reads them as long
+# (spark.sql.legacy.parquet.nanosAsLong) and we convert to microsecond
+# timestamps at load; DuckDB reads the same columns as TIMESTAMP directly.
+NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in NANO_TS_COLUMNS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(
+                col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view (so SQL workloads can run) and
+    return the DataFrames keyed by name."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,130 @@
+"""DML workloads (SURVEY.md §2.9) — the oracle-checkable transformation
+semantics of UPDATE/DELETE/MERGE. The snapshot write path (SnapshotTable)
+is exercised in tests/test_dml.py; these workloads verify the pure
+relational core of each mutation against DuckDB."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dml import (
+    apply_delete,
+    apply_update,
+    apply_update_limit,
+    merge_by_key,
+)
+from ..tables import load_tables
+from . import workload
+from .helpers import dsum, o_dsum
+
+
+# ---------------------------------------------------------------------------
+# UPDATE ... SET ... WHERE (Update.java:125-200)
+# ---------------------------------------------------------------------------
+@workload(
+    "update_projection",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.1
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+    doc="UPDATE as projection: pending orders get +10% price (Update.java:125).",
+)
+def update_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    updated = apply_update(
+        o,
+        F.col("o_orderstatus") == "P",
+        {"o_totalprice": F.col("o_totalprice") * 1.1},
+    )
+    return updated.select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# UPDATE ... LIMIT n (Update.java:44,139-150) — first n matching by PK
+# ---------------------------------------------------------------------------
+@workload(
+    "update_with_limit",
+    """
+    WITH picked AS (
+      SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY o_orderkey LIMIT 100
+    )
+    SELECT o.o_orderkey,
+           CASE WHEN o.o_orderkey IN (SELECT o_orderkey FROM picked)
+                THEN o.o_totalprice + 1000.0 ELSE o.o_totalprice END AS o_totalprice
+    FROM orders o
+    """,
+    doc="UPDATE LIMIT 100: first 100 matching rows in PK order "
+    "(reference scan-order semantics pinned to PK; Update.java:139-150).",
+)
+def update_with_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    updated = apply_update_limit(
+        o,
+        F.col("o_orderstatus") == "O",
+        {"o_totalprice": F.col("o_totalprice") + 1000.0},
+        limit=100,
+        order_by=["o_orderkey"],
+    )
+    return updated.select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# DELETE WHERE (Delete.java:84-130) — NULL conditions keep the row
+# ---------------------------------------------------------------------------
+@workload(
+    "delete_filter",
+    f"""
+    SELECT count(*) AS n_remaining, {o_dsum('o_totalprice')} AS total_remaining
+    FROM orders
+    WHERE NOT coalesce(o_totalprice > 150000.0, false)
+    """,
+    doc="DELETE as inverted filter w/ 3-valued logic (Delete.java:84).",
+)
+def delete_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    remaining = apply_delete(o, F.col("o_totalprice") > 150000.0)
+    return remaining.agg(
+        F.count(F.lit(1)).alias("n_remaining"),
+        dsum(F.col("o_totalprice")).alias("total_remaining"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO ... KEY(...) (Merge.java:35,146-230) — upsert by key
+# ---------------------------------------------------------------------------
+@workload(
+    "merge_upsert",
+    """
+    WITH target AS (
+      SELECT c_custkey AS k, c_acctbal AS acctbal FROM customer
+    ),
+    source AS (
+      SELECT c_custkey AS k, c_acctbal + 100.0 AS acctbal
+      FROM customer WHERE c_custkey <= 50
+      UNION ALL SELECT 999991, 42.0
+      UNION ALL SELECT 999992, 43.0
+    )
+    SELECT coalesce(t.k, s.k) AS k,
+           coalesce(s.acctbal, t.acctbal) AS acctbal
+    FROM target t FULL OUTER JOIN source s ON t.k = s.k
+    """,
+    doc="MERGE-by-KEY upsert: matched rows take source values, unmatched "
+    "source rows insert (Merge.java:146-230).",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"]
+    target = c.select(F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("acctbal"))
+    source = (
+        c.filter(F.col("c_custkey") <= 50)
+        .select(F.col("c_custkey").alias("k"), (F.col("c_acctbal") + 100.0).alias("acctbal"))
+        .union(
+            spark.createDataFrame(
+                [(999991, 42.0), (999992, 43.0)], schema="k long, acctbal double"
+            )
+        )
+    )
+    return merge_by_key(target, source, keys=["k"])

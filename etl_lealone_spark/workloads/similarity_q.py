@@ -1,0 +1,131 @@
+"""Similarity-search workloads over the embeddings table.
+
+Cross-engine float strategy: the oracle-checked variant quantizes each
+component to round(x * 1e6) as bigint BEFORE the dot product — integer
+arithmetic is exact and associative, so Spark and DuckDB produce
+bit-identical cosine doubles (one final IEEE division of equal integers).
+The float-path brute force and the LSH variant are rows-only / bench
+surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.similarity import brute_force_topk, embedding_near_dup_pairs, lsh_topk
+from ..tables import load_tables
+from . import workload
+
+N_QUERIES = 5
+TOP_K = 10
+
+
+def _quantized(col: Column) -> Column:
+    # floor(x*1e6 + 0.5), not round(): engines disagree on round() ties
+    # (half-up vs half-away) for negative values; floor is floor everywhere.
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.floor(x * 1000000.0 + 0.5).cast("bigint"),
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+@workload(
+    "ann_bruteforce_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS qvec
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS cvec
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             cast(list_sum([c.cvec[i+1] * q.qvec[i+1] for i in range(len(c.cvec))]) as double)
+             / (sqrt(cast(list_sum([c.cvec[i+1] * c.cvec[i+1] for i in range(len(c.cvec))]) as double))
+                * sqrt(cast(list_sum([q.qvec[i+1] * q.qvec[i+1] for i in range(len(q.qvec))]) as double)))
+               AS cosine_sim
+      FROM c CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine_sim, rnk FROM (
+      SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= {TOP_K}
+    """,
+    doc="Exact cosine top-10 for 5 query vectors, integer-quantized for "
+    "cross-engine determinism. Corpus is never shuffled; queries broadcast.",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _quantized(F.col("embedding")).alias("qvec")
+    )
+    c = e.select(F.col("vec_id"), _quantized(F.col("embedding")).alias("cvec"))
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (
+            _int_dot(F.col("cvec"), F.col("qvec")).cast("double")
+            / (
+                F.sqrt(_int_dot(F.col("cvec"), F.col("cvec")).cast("double"))
+                * F.sqrt(_int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
+            )
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "cosine_sim", "rnk")
+    )
+
+
+@workload(
+    "ann_lsh_topk",
+    None,  # xxhash64-derived hyperplanes not reproducible in DuckDB
+    doc="LSH-bucketed ANN top-10 (random-hyperplane sketch + multiprobe), "
+    "the 100TB-scale path; recall measured against brute force in tests.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(e, q, k=TOP_K, dim=64)
+
+
+@workload(
+    "embedding_near_dup",
+    None,
+    doc="Embedding-cosine near-dup pairs (>=0.95) via LSH bucket self-join.",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return embedding_near_dup_pairs(e, threshold=0.95, dim=64)
+
+
+@workload(
+    "cosine_float_topk",
+    None,  # float fold order: Spark-deterministic, engine-divergent
+    doc="Float-path brute-force cosine top-k (the bench variant).",
+)
+def cosine_float_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(e, q, k=TOP_K)

@@ -1,0 +1,168 @@
+"""Text-analysis workloads over the documents table (BASELINE.json
+extension surface). Oracles are generated programmatically so the exact
+same heuristic constants drive both engines."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.textops import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from ..tables import load_tables
+from . import workload
+
+
+def _o_substr_count(col_sql: str, sub: str) -> str:
+    """Oracle twin of textops.substr_count (replace-length trick)."""
+    escaped = sub.replace("'", "''")
+    return (
+        f"cast((length({col_sql}) - length(replace({col_sql}, '{escaped}', '')))"
+        f" / {len(sub)} as int)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+@workload(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE cast(len(string_split_regex(trim(text), '[ \\t\\n]+')) as int)
+           END AS n_tokens,
+           cast(list_aggregate(
+             list_transform(string_split_regex(trim(text), '[ \\t\\n]+'),
+                            w -> greatest(cast(ceil(length(w) / 4.0) as int), 1)),
+             'sum') as int) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Whitespace + BPE-ish (ceil(len/4)) token counts per document.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID
+# ---------------------------------------------------------------------------
+def _oracle_lang_id() -> str:
+    score_sqls = {}
+    for lang in sorted(LANG_MARKERS):
+        terms = [
+            _o_substr_count("(' ' || lower(text) || ' ')", f" {w} ")
+            for w in LANG_MARKERS[lang]
+        ]
+        score_sqls[lang] = "(" + " + ".join(terms) + ")"
+    best = "greatest(" + ", ".join(score_sqls[lang] for lang in sorted(LANG_MARKERS)) + ")"
+    case = "CASE"
+    for lang in sorted(LANG_MARKERS):
+        case += f" WHEN {best} > 0 AND {score_sqls[lang]} = {best} THEN '{lang}'"
+    case += " ELSE 'und' END"
+    return f"""
+    SELECT doc_id, {case} AS lang_guess, lang AS lang_true
+    FROM documents
+    """
+
+
+@workload(
+    "text_language_id",
+    _oracle_lang_id(),
+    doc="Marker-word language ID (en/de/es/fr), deterministic tie-break.",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        language_id(F.col("text")).alias("lang_guess"),
+        F.col("lang").alias("lang_true"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+def _oracle_quality() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    stop_hits = " + ".join(_o_substr_count(padded, f" {w} ") for w in EN_STOPWORDS)
+    n_tokens = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE cast(len(string_split_regex(trim(text), '[ \\t\\n]+')) as int) END"
+    )
+    return f"""
+    WITH raw AS (
+      SELECT doc_id,
+             {n_tokens} AS n_tokens,
+             length(regexp_replace(text, '[ \\t\\n]', '', 'g')) AS n_nonspace,
+             ({stop_hits}) AS stop_hits,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+             length(text) AS n_chars_m
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, n_tokens,
+             round(cast(n_nonspace as double) / greatest(n_tokens, 1), 6) AS mean_word_len,
+             round(cast(stop_hits as double) / greatest(n_tokens, 1), 6) AS stopword_ratio,
+             round(cast(n_digits as double) / greatest(n_chars_m, 1), 6) AS digit_ratio
+      FROM raw
+    )
+    SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, digit_ratio,
+           round(
+             (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN digit_ratio <= 0.2 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
+    FROM feats
+    """
+
+
+@workload(
+    "text_quality_score",
+    _oracle_quality(),
+    doc="Gopher/C4-style quality signals + composite 0-1 score.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    scored = quality_score(d)
+    # mirror the oracle: score recomputed from unrounded signals
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "stopword_ratio",
+        "digit_ratio",
+        "quality_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+@workload(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(substring(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 64)
+               || '|'
+               || cast(cast(floor(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) / 32) as int) as varchar))
+             AS fp
+    FROM documents
+    """,
+    doc="Deterministic document fingerprint (normalized prefix + length bucket).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))

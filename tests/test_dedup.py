@@ -1,0 +1,87 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_lealone_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_keep_ids,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs_blocked,
+    simhash64,
+    simhash_pairs,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind the tall green hills and the river flows gently to the sea"
+)
+NEAR = BASE.replace("green", "blue")  # one-word change → high jaccard
+FAR = (
+    "completely different content about database engines and distributed "
+    "query processing with columnar storage and vectorized execution"
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, BASE, "en", "web", len(BASE)),
+        (2, BASE, "en", "web", len(BASE)),  # exact dup of 1
+        (3, NEAR, "en", "web", len(NEAR)),  # near dup of 1
+        (4, FAR, "en", "web", len(FAR)),
+        (5, "tiny", "en", "web", 4),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "t string")
+    got = df.select(word_shingles(F.col("t")).alias("s")).collect()
+    assert got[0]["s"] == ["a b c", "b c d"]
+    assert got[1]["s"] == ["x y"]  # short doc → whole text as one shingle
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs)
+    rows = {r["keep_id"]: r["n_dupes"] for r in out.collect()}
+    assert rows[1] == 2  # docs 1,2 collapse
+    assert rows[3] == 1 and rows[4] == 1 and rows[5] == 1
+
+
+def test_minhash_pairs_finds_near_dup(docs):
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # exact dup always caught
+    assert (1, 3) in got or (2, 3) in got  # near dup caught
+    assert all({a, b} != {1, 4} and {a, b} != {4, 5} for a, b in got)
+
+
+def test_minhash_dedup_keep_ids(docs):
+    kept = {r["doc_id"] for r in minhash_dedup_keep_ids(docs, threshold=0.5).collect()}
+    assert 1 in kept  # smallest id of the dup cluster survives
+    assert 2 not in kept
+    assert 4 in kept and 5 in kept
+
+
+def test_simhash_deterministic_and_near(spark, docs):
+    fp = docs.select("doc_id", simhash64(F.col("text")).alias("fp")).collect()
+    fps = {r["doc_id"]: r["fp"] for r in fp}
+    assert fps[1] == fps[2]  # identical text → identical fingerprint
+    # near-dup within a few bits, far doc... just sanity: fp is a long
+    assert isinstance(fps[1], int)
+    pairs = simhash_pairs(docs, max_hamming=10).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(1, 2)] == 0
+
+
+def test_ngram_jaccard_blocked(docs):
+    out = ngram_jaccard_pairs_blocked(docs, threshold=0.4).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.4 <= got[(1, 3)] < 1.0

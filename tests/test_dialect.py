@@ -1,0 +1,74 @@
+"""Dialect rewriter tests (SURVEY.md §3 H2-ism list), executed through
+EngineSession.sql so the rewrites are verified end to end on Spark."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_lealone_spark.dialect import rewrite
+from etl_lealone_spark.session import EngineSession
+
+
+@pytest.fixture(scope="module")
+def es(spark):
+    return EngineSession(spark)
+
+
+def test_from_first(es):
+    out = es.sql("FROM range(1, 4) SELECT id WHERE id > 1")
+    assert sorted(r["id"] for r in out.collect()) == [2, 3]
+
+
+def test_top(es):
+    out = es.sql("SELECT TOP 2 id FROM range(1, 10) ORDER BY id")
+    assert [r["id"] for r in out.collect()] == [1, 2]
+
+
+def test_system_range_inclusive(es):
+    out = es.sql("SELECT count(*) AS n, sum(X) AS s FROM SYSTEM_RANGE(1, 10)")
+    row = out.collect()[0]
+    assert row["n"] == 10 and row["s"] == 55
+
+
+def test_system_range_step(es):
+    out = es.sql("SELECT count(*) AS n FROM SYSTEM_RANGE(0, 10, 2)")
+    assert out.collect()[0]["n"] == 6
+
+
+def test_group_concat(es):
+    out = es.sql(
+        "SELECT GROUP_CONCAT(c ORDER BY c SEPARATOR '|') AS g FROM "
+        "(SELECT 'b' AS c UNION ALL SELECT 'a' UNION ALL SELECT 'c')"
+    )
+    assert out.collect()[0]["g"] == "a|b|c"
+
+
+def test_variables(es):
+    es2 = EngineSession(es.spark)
+    es2.set_variable("@threshold", 5)
+    out = es2.sql("SELECT count(*) AS n FROM range(1, 10) WHERE id > @threshold")
+    assert out.collect()[0]["n"] == 4
+
+
+def test_rownum(es):
+    out = es.sql("SELECT ROWNUM AS rn, id FROM range(100, 103)")
+    assert sorted(r["rn"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_transaction_noops(es):
+    for stmt in ("BEGIN", "COMMIT", "ROLLBACK", "SAVEPOINT sp1", "CHECKPOINT"):
+        assert es.sql(stmt).collect()[0]["status"] == "ok"
+
+
+def test_for_update_stripped(es):
+    out = es.sql("SELECT id FROM range(1, 3) FOR UPDATE")
+    assert out.count() == 2
+
+
+def test_line_comments():
+    assert "// drop" not in rewrite("SELECT 1 // drop me")
+
+
+def test_top_plus_where(es):
+    out = es.sql("SELECT TOP 3 id FROM range(1, 100) WHERE id >= 50 ORDER BY id")
+    assert [r["id"] for r in out.collect()] == [50, 51, 52]

@@ -1,0 +1,115 @@
+"""SnapshotTable + DML transformation tests (SURVEY.md §2.9).
+
+Mirrors the reference's UpdateTest/DeleteTest/MergeTest/TruncateTableTest
+(lealone-test/.../sql/dml/) as engine-object tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_lealone_spark.operators.dml import (
+    SnapshotTable,
+    apply_delete,
+    apply_update,
+    apply_update_limit,
+    merge_by_key,
+)
+
+
+@pytest.fixture()
+def t4(spark):
+    """The canonical 4-column table (SqlTestBase.java:154-157 / FIXTURES F1)."""
+    rows = [
+        ("01", "a1", "a", 51),
+        ("02", "a1", "b", 61),
+        ("03", "a2", "c", 61),
+        ("25", "a1", "d", 12),
+        ("26", "a2", "e", 12),
+        ("27", "a1", "f", 12),
+        ("50", "a1", "g", 12),
+        ("51", "a2", "h", 12),
+        ("52", "a1", "i", 12),
+        ("75", "a1", "j", 66),
+        ("76", "a2", "k", 51),
+        ("77", "a1", "l", None),
+    ]
+    return spark.createDataFrame(rows, "pk string, f1 string, f2 string, f3 int")
+
+
+def test_apply_update(t4):
+    out = apply_update(t4, F.col("f1") == "a2", {"f3": F.col("f3") + 100})
+    got = {r["pk"]: r["f3"] for r in out.collect()}
+    assert got["03"] == 161 and got["26"] == 112 and got["51"] == 112
+    assert got["01"] == 51 and got["77"] is None
+
+
+def test_apply_update_null_condition_not_matched(t4):
+    # f3 IS NULL row: condition f3 > 50 is NULL → not updated
+    out = apply_update(t4, F.col("f3") > 50, {"f2": F.lit("X")})
+    got = {r["pk"]: r["f2"] for r in out.collect()}
+    assert got["77"] == "l" and got["01"] == "X" and got["25"] == "d"
+
+
+def test_apply_update_limit_pk_order(t4):
+    out = apply_update_limit(
+        t4, F.col("f1") == "a1", {"f3": F.lit(0)}, limit=2, order_by=["pk"]
+    )
+    got = {r["pk"]: r["f3"] for r in out.collect()}
+    # first two matching in pk order: 01, 02
+    assert got["01"] == 0 and got["02"] == 0
+    assert got["25"] == 12 and got["27"] == 12  # later matches untouched
+
+
+def test_apply_delete_three_valued_logic(t4):
+    out = apply_delete(t4, F.col("f3") < 50)
+    pks = {r["pk"] for r in out.collect()}
+    # f3<50 rows deleted; NULL f3 row kept (3VL)
+    assert "25" not in pks and "77" in pks and "01" in pks
+    assert out.count() == 6  # five f3>=50 rows + the NULL row
+
+
+def test_merge_by_key_upsert(spark, t4):
+    source = spark.createDataFrame(
+        [("01", "z9", "Z", 999), ("99", "n1", "N", 1)],
+        "pk string, f1 string, f2 string, f3 int",
+    )
+    out = merge_by_key(t4, source, keys=["pk"])
+    got = {r["pk"]: (r["f1"], r["f3"]) for r in out.collect()}
+    assert out.count() == 13  # 12 + 1 inserted
+    assert got["01"] == ("z9", 999)  # matched → replaced
+    assert got["99"] == ("n1", 1)  # unmatched source → inserted
+    assert got["02"] == ("a1", 61)  # untouched target survives
+
+
+def test_snapshot_table_lifecycle(spark, t4, tmp_path):
+    st = SnapshotTable(spark, str(tmp_path), "t")
+    st.create(t4)
+    assert st.read().count() == 12 and st.version == 0
+
+    st.insert(
+        spark.createDataFrame([("88", "a9", "m", 7)], "pk string, f1 string, f2 string, f3 int")
+    )
+    assert st.read().count() == 13
+
+    st.update(F.col("pk") == "88", {"f3": F.lit(70)})
+    assert st.version == 1
+    assert st.read().filter("pk = '88'").collect()[0]["f3"] == 70
+
+    st.delete(F.col("pk") == "88")
+    assert st.read().count() == 12 and st.version == 2
+
+    st.truncate()
+    assert st.read().count() == 0
+    assert [f.name for f in st.read().schema.fields] == ["pk", "f1", "f2", "f3"]
+
+    # old snapshot still readable until vacuum (snapshot isolation)
+    v1 = spark.read.parquet(str(tmp_path / "t" / "v000001"))
+    assert v1.count() == 13
+
+    st.vacuum(keep_last=1)
+    st2 = SnapshotTable(spark, str(tmp_path), "t")
+    assert st2.version == st.version and st2.read().count() == 0
+
+    st.drop()
+    assert not st.exists()
