@@ -1,0 +1,585 @@
+"""Engine catalog + SQL statement router (SURVEY.md §2.9, §3).
+
+The reference executes ~50 DDL statement types plus INSERT/UPDATE/DELETE/
+MERGE through its parser (lealone-sql/.../ddl/, dml/); this module is the
+Spark-native statement surface: a :class:`Catalog` of snapshot-versioned
+parquet tables plus a router that turns statement text into DataFrame
+operations. SELECT text goes through the dialect rewriter to Spark SQL.
+
+Supported statements (reference file cites):
+- CREATE TABLE / DROP TABLE / TRUNCATE TABLE (CreateTable.java,
+  DropTable.java, TruncateTable.java)
+- INSERT VALUES / INSERT SELECT (Insert.java:33,127)
+- UPDATE ... SET ... [WHERE] (Update.java:125-200)
+- DELETE FROM ... [WHERE] (Delete.java:84-130)
+- MERGE INTO t [(cols)] KEY(cols) VALUES ... / SELECT (Merge.java:35)
+- CREATE [OR REPLACE] VIEW / DROP VIEW (CreateView.java)
+- CREATE INDEX / DROP INDEX — metadata-only (CreateIndex.java; an LSM/
+  BTree index has no meaning over parquet + Catalyst, recorded for
+  introspection)
+- CREATE SEQUENCE / DROP SEQUENCE (CreateSequence.java)
+- EXPLAIN <query> (Explain.java:30)
+- SET name value (dml/Set.java)
+- CALL <expr> (Call.java:23)
+- SCRIPT (dump DDL; Script.java) — returns the DDL as rows
+
+Everything here is driver-side metadata + Spark jobs; no OLTP machinery.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dml import SnapshotTable, merge_by_key
+
+if TYPE_CHECKING:
+    from .session import EngineSession
+
+# H2/reference type name → Spark SQL type (SURVEY.md §1.2 mapping table)
+TYPE_MAP = {
+    "int": "int", "integer": "int", "mediumint": "int", "int4": "int",
+    "signed": "int",
+    "long": "bigint", "bigint": "bigint", "int8": "bigint",
+    "identity": "bigint", "serial": "bigint",
+    "tinyint": "tinyint", "smallint": "smallint", "int2": "smallint",
+    "year": "smallint",
+    "double": "double", "float": "double", "float8": "double",
+    "real": "float", "float4": "float",
+    "decimal": "decimal(18,2)", "numeric": "decimal(18,2)", "dec": "decimal(18,2)",
+    "number": "decimal(18,2)",
+    "boolean": "boolean", "bool": "boolean", "bit": "boolean",
+    "varchar": "string", "char": "string", "character": "string",
+    "varchar2": "string", "nvarchar": "string", "nvarchar2": "string",
+    "varchar_casesensitive": "string", "varchar_ignorecase": "string",
+    "longvarchar": "string", "clob": "string", "text": "string",
+    "ntext": "string", "nclob": "string", "string": "string",
+    "uuid": "string",
+    "binary": "binary", "varbinary": "binary", "blob": "binary",
+    "bytea": "binary", "raw": "binary", "longvarbinary": "binary",
+    "other": "binary",
+    "date": "date", "time": "string",  # no Spark TimeType → 'HH:mm:ss' strings
+    "timestamp": "timestamp", "datetime": "timestamp", "smalldatetime": "timestamp",
+    "array": "array<string>",
+}
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+@dataclass
+class IndexMeta:
+    name: str
+    table: str
+    columns: list[str]
+    unique: bool = False
+
+
+@dataclass
+class Catalog:
+    """Schema-object registry: tables (snapshot-backed), views, indexes,
+    sequences metadata (sequences themselves live on EngineSession)."""
+
+    spark: SparkSession
+    warehouse: str
+    tables: dict[str, SnapshotTable] = field(default_factory=dict)
+    table_ddl: dict[str, str] = field(default_factory=dict)
+    views: dict[str, str] = field(default_factory=dict)
+    indexes: dict[str, IndexMeta] = field(default_factory=dict)
+
+    def table(self, name: str) -> SnapshotTable:
+        key = name.lower()
+        if key not in self.tables:
+            raise KeyError(f"table not found: {name}")
+        return self.tables[key]
+
+    def refresh_view(self, name: str) -> None:
+        """Re-register the temp view over the table's CURRENT snapshot so
+        subsequent SELECTs observe the mutation. Dependent SQL views are
+        re-resolved too (a Spark temp view freezes its plan at creation,
+        so stored definitions must be replayed in creation order)."""
+        key = name.lower()
+        self.tables[key].read().createOrReplaceTempView(key)
+        for vname, vquery in self.views.items():
+            self.spark.sql(vquery).createOrReplaceTempView(vname)
+
+
+def _parse_columns(cols_sql: str) -> tuple[str, list[str]]:
+    """'(a int primary key, b varchar(10) not null, ...)' →
+    (spark schema DDL, primary-key column list)."""
+    parts: list[str] = []
+    depth = 0
+    cur = []
+    for ch in cols_sql:
+        if ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+
+    fields, pks = [], []
+    for p in parts:
+        m = re.match(
+            rf"({_IDENT})\s+({_IDENT})(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?(?P<rest>.*)$",
+            p.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            # table-level PRIMARY KEY (...) constraint
+            pk = re.match(
+                r"PRIMARY\s+KEY\s*\(([^)]*)\)", p.strip(), re.IGNORECASE
+            )
+            if pk:
+                pks.extend(c.strip().lower() for c in pk.group(1).split(","))
+                continue
+            if re.match(r"(CONSTRAINT|FOREIGN|UNIQUE|CHECK|KEY)\b", p.strip(), re.IGNORECASE):
+                continue  # constraints: metadata-only
+            raise ValueError(f"cannot parse column definition: {p!r}")
+        name, typ = m.group(1), m.group(2).lower()
+        args = (m.group(3) or "").strip()
+        rest = m.group("rest") or ""
+        if typ in ("decimal", "numeric", "dec", "number") and args:
+            spark_type = f"decimal{args}"
+        else:
+            spark_type = TYPE_MAP.get(typ, "string")
+        fields.append(f"{name} {spark_type}")
+        if re.search(r"PRIMARY\s+KEY", rest, re.IGNORECASE):
+            pks.append(name.lower())
+    return ", ".join(fields), pks
+
+
+class StatementRouter:
+    """Routes a SQL statement to catalog DDL, snapshot DML, or Spark SQL."""
+
+    def __init__(self, session: "EngineSession", catalog: Catalog):
+        self.session = session
+        self.catalog = catalog
+        self.spark = session.spark
+
+    # -- entry ----------------------------------------------------------
+    def execute(self, sql: str) -> DataFrame:
+        s = sql.strip().rstrip(";").strip()
+        head = s.split(None, 1)[0].upper() if s else ""
+        handler = {
+            "CREATE": self._create,
+            "DROP": self._drop,
+            "INSERT": self._insert,
+            "UPDATE": self._update,
+            "DELETE": self._delete,
+            "MERGE": self._merge,
+            "TRUNCATE": self._truncate,
+            "EXPLAIN": self._explain,
+            "SET": self._set,
+            "CALL": self._call,
+            "SCRIPT": self._script,
+            "ANALYZE": self._analyze,
+        }.get(head)
+        if handler:
+            return handler(s)
+        # SELECT / WITH / VALUES / FROM-first → dialect → Spark SQL
+        from .dialect import rewrite
+
+        return self.spark.sql(rewrite(s, session=self.session))
+
+    def _ok(self, msg: str = "ok") -> DataFrame:
+        return self.spark.createDataFrame([(msg,)], "status string")
+
+    # -- DDL -------------------------------------------------------------
+    def _create(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"CREATE\s+(?:CACHED\s+|MEMORY\s+|TEMP(?:ORARY)?\s+)?TABLE\s+"
+            rf"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})\s*\((?P<cols>.*)\)\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name = m.group("name").lower()
+            if name in self.catalog.tables:
+                if re.search(r"IF\s+NOT\s+EXISTS", s, re.IGNORECASE):
+                    return self._ok("exists")
+                raise ValueError(f"table already exists: {name}")
+            schema_ddl, pks = _parse_columns(m.group("cols"))
+            st = SnapshotTable(self.spark, self.catalog.warehouse, name)
+            empty = self.spark.createDataFrame([], schema_ddl)
+            st.create(empty)
+            self.catalog.tables[name] = st
+            self.catalog.table_ddl[name] = s
+            if pks:
+                self.catalog.indexes[f"__pk_{name}"] = IndexMeta(
+                    f"__pk_{name}", name, pks, unique=True
+                )
+            self.catalog.refresh_view(name)
+            return self._ok(f"created table {name}")
+
+        m = re.match(
+            rf"CREATE\s+(?P<or_replace>OR\s+REPLACE\s+)?(?:FORCE\s+)?VIEW\s+"
+            rf"(?P<name>{_IDENT})\s*(?:\([^)]*\)\s*)?AS\s+(?P<query>.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            from .dialect import rewrite
+
+            name = m.group("name").lower()
+            if name in self.catalog.views and not m.group("or_replace"):
+                raise ValueError(f"view already exists: {name}")
+            q = rewrite(m.group("query"), session=self.session)
+            self.spark.sql(q).createOrReplaceTempView(name)
+            self.catalog.views[name] = q
+            return self._ok(f"created view {name}")
+
+        m = re.match(
+            rf"CREATE\s+(?P<unique>UNIQUE\s+)?(?:HASH\s+)?INDEX\s+"
+            rf"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})\s+ON\s+"
+            rf"(?P<table>{_IDENT})\s*\((?P<cols>[^)]*)\)\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            # indexes are metadata-only: Catalyst + parquet stats subsume
+            # BTree access paths (SURVEY.md §2.1)
+            name = m.group("name").lower()
+            self.catalog.indexes[name] = IndexMeta(
+                name,
+                m.group("table").lower(),
+                [c.strip().lower() for c in m.group("cols").split(",")],
+                unique=bool(m.group("unique")),
+            )
+            return self._ok(f"created index {name} (metadata only)")
+
+        m = re.match(
+            rf"CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})"
+            rf"(?:\s+START\s+WITH\s+(?P<start>-?\d+))?"
+            rf"(?:\s+INCREMENT\s+BY\s+(?P<inc>-?\d+))?"
+            rf"(?:\s+CACHE\s+(?P<cache>\d+))?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            self.session.create_sequence(
+                m.group("name"),
+                start=int(m.group("start") or 1),
+                increment=int(m.group("inc") or 1),
+                cache=int(m.group("cache") or 32),
+            )
+            return self._ok(f"created sequence {m.group('name').lower()}")
+
+        raise ValueError(f"unsupported CREATE statement: {s[:80]}")
+
+    def _drop(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"DROP\s+(?P<kind>TABLE|VIEW|INDEX|SEQUENCE)\s+"
+            rf"(?:IF\s+EXISTS\s+)?(?P<name>{_IDENT})\s*(CASCADE|RESTRICT)?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"unsupported DROP statement: {s[:80]}")
+        kind, name = m.group("kind").upper(), m.group("name").lower()
+        if_exists = re.search(r"IF\s+EXISTS", s, re.IGNORECASE)
+        if kind == "TABLE":
+            if name not in self.catalog.tables:
+                if if_exists:
+                    return self._ok("absent")
+                raise KeyError(f"table not found: {name}")
+            self.catalog.tables.pop(name).drop()
+            self.catalog.table_ddl.pop(name, None)
+            self.spark.catalog.dropTempView(name)
+        elif kind == "VIEW":
+            if self.catalog.views.pop(name, None) is None and not if_exists:
+                raise KeyError(f"view not found: {name}")
+            self.spark.catalog.dropTempView(name)
+        elif kind == "INDEX":
+            if self.catalog.indexes.pop(name, None) is None and not if_exists:
+                raise KeyError(f"index not found: {name}")
+        elif kind == "SEQUENCE":
+            if self.session.sequences.pop(name, None) is None and not if_exists:
+                raise KeyError(f"sequence not found: {name}")
+        return self._ok(f"dropped {kind.lower()} {name}")
+
+    # -- DML -------------------------------------------------------------
+    def _insert(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"INSERT\s+INTO\s+(?P<name>{_IDENT})\s*"
+            rf"(?:\((?P<cols>[^)]*)\)\s*)?(?P<rest>VALUES\s*.+|SELECT\s+.+|\(\s*SELECT\s+.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse INSERT: {s[:80]}")
+        name = m.group("name").lower()
+        st = self.catalog.table(name)
+        target_cols = [f.name for f in st.read().schema.fields]
+        rest = m.group("rest").strip()
+        cols = (
+            [c.strip().lower() for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else target_cols
+        )
+        from .dialect import rewrite
+
+        if rest.upper().startswith("VALUES"):
+            src = self.spark.sql(
+                f"SELECT * FROM ({rewrite(rest, session=self.session)}) "
+                f"AS t({', '.join(cols)})"
+            )
+        else:
+            src = self.spark.sql(rewrite(rest.strip("()"), session=self.session)).toDF(
+                *cols
+            )
+        # align to target schema: missing columns → NULL, order normalized
+        target_schema = dict(st.read().dtypes)
+        aligned = src.select(
+            *[
+                (F.col(c) if c in src.columns else F.lit(None))
+                .cast(target_schema[c])
+                .alias(c)
+                for c in target_cols
+            ]
+        )
+        st.insert(aligned)
+        self.catalog.refresh_view(name)
+        return self._ok(f"inserted into {name}")
+
+    def _update(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"UPDATE\s+(?P<name>{_IDENT})\s+SET\s+(?P<sets>.+?)"
+            rf"(?:\s+WHERE\s+(?P<where>.+?))?(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse UPDATE: {s[:80]}")
+        name = m.group("name").lower()
+        st = self.catalog.table(name)
+        assignments = {}
+        for part in self._split_top_level(m.group("sets")):
+            k, v = part.split("=", 1)
+            assignments[k.strip().lower()] = F.expr(v.strip())
+        cond = F.expr(m.group("where")) if m.group("where") else F.lit(True)
+        if m.group("limit"):
+            from .operators.dml import apply_update_limit
+
+            pk = self._pk_of(name)
+            st.write(
+                apply_update_limit(
+                    st.read(), cond, assignments, int(m.group("limit")), pk
+                )
+            )
+        else:
+            st.update(cond, assignments)
+        self.catalog.refresh_view(name)
+        return self._ok(f"updated {name}")
+
+    def _delete(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"DELETE\s+FROM\s+(?P<name>{_IDENT})"
+            rf"(?:\s+WHERE\s+(?P<where>.+?))?(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse DELETE: {s[:80]}")
+        name = m.group("name").lower()
+        st = self.catalog.table(name)
+        cond = F.expr(m.group("where")) if m.group("where") else F.lit(True)
+        if m.group("limit"):
+            # DELETE LIMIT: first n matching rows in PK order (Delete.java:34)
+            pk = self._pk_of(name)
+            df = st.read()
+            picked = (
+                df.filter(cond.isNotNull() & cond)
+                .select(*pk)
+                .orderBy(*pk)
+                .limit(int(m.group("limit")))
+                .withColumn("__del", F.lit(True))
+            )
+            remaining = (
+                df.join(F.broadcast(picked), on=pk, how="left")
+                .filter(F.col("__del").isNull())
+                .drop("__del")
+            )
+            st.write(remaining)
+        else:
+            st.delete(cond)
+        self.catalog.refresh_view(name)
+        return self._ok(f"deleted from {name}")
+
+    def _merge(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"MERGE\s+INTO\s+(?P<name>{_IDENT})\s*"
+            rf"(?:\((?P<cols>[^)]*)\)\s*)?KEY\s*\((?P<keys>[^)]*)\)\s*"
+            rf"(?P<rest>VALUES\s*.+|SELECT\s+.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse MERGE (expected KEY(...) form): {s[:80]}")
+        name = m.group("name").lower()
+        st = self.catalog.table(name)
+        target_cols = [f.name for f in st.read().schema.fields]
+        cols = (
+            [c.strip().lower() for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else target_cols
+        )
+        keys = [k.strip().lower() for k in m.group("keys").split(",")]
+        rest = m.group("rest").strip()
+        from .dialect import rewrite
+
+        if rest.upper().startswith("VALUES"):
+            src = self.spark.sql(
+                f"SELECT * FROM ({rewrite(rest, session=self.session)}) "
+                f"AS t({', '.join(cols)})"
+            )
+        else:
+            src = self.spark.sql(rewrite(rest, session=self.session)).toDF(*cols)
+        target_schema = dict(st.read().dtypes)
+        aligned = src.select(
+            *[
+                (F.col(c) if c in src.columns else F.lit(None))
+                .cast(target_schema[c])
+                .alias(c)
+                for c in target_cols
+            ]
+        )
+        # partial-row source (cols ⊂ target): keep target values for
+        # unspecified columns by coalescing after the key join
+        if set(cols) < set(target_cols):
+            existing = st.read()
+            sdf = aligned.select(
+                *[F.col(c).alias(f"__n_{c}") for c in target_cols]
+            )
+            cond = None
+            for k in keys:
+                c = existing[k] == sdf[f"__n_{k}"]
+                cond = c if cond is None else cond & c
+            joined = sdf.join(existing, cond, "left")
+            aligned = joined.select(
+                *[
+                    (
+                        F.col(f"__n_{c}")
+                        if c in cols or c in keys
+                        else F.coalesce(existing[c], F.col(f"__n_{c}"))
+                    ).alias(c)
+                    for c in target_cols
+                ]
+            )
+        st.write(merge_by_key(st.read(), aligned, keys))
+        self.catalog.refresh_view(name)
+        return self._ok(f"merged into {name}")
+
+    def _truncate(self, s: str) -> DataFrame:
+        m = re.match(rf"TRUNCATE\s+TABLE\s+(?P<name>{_IDENT})\s*$", s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"cannot parse TRUNCATE: {s[:80]}")
+        name = m.group("name").lower()
+        self.catalog.table(name).truncate()
+        self.catalog.refresh_view(name)
+        return self._ok(f"truncated {name}")
+
+    # -- utility ---------------------------------------------------------
+    def _explain(self, s: str) -> DataFrame:
+        from .dialect import rewrite
+
+        body = s.split(None, 1)[1]
+        if body.upper().startswith("ANALYZE"):
+            body = body.split(None, 1)[1]
+        df = self.spark.sql(rewrite(body, session=self.session))
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        return self.spark.createDataFrame(
+            [(line,) for line in plan.splitlines()], "plan string"
+        )
+
+    def _set(self, s: str) -> DataFrame:
+        m = re.match(rf"SET\s+(?P<name>@?{_IDENT})\s*=?\s*(?P<val>.+)$", s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"cannot parse SET: {s[:80]}")
+        name, val = m.group("name"), m.group("val").strip().strip("'")
+        if name.startswith("@"):
+            self.session.set_variable(name, self._coerce(val))
+        else:
+            self.session.set_setting(name, self._coerce(val))
+        return self._ok(f"set {name}")
+
+    def _call(self, s: str) -> DataFrame:
+        from .dialect import rewrite
+
+        expr = s.split(None, 1)[1]
+        return self.spark.sql(rewrite(f"SELECT {expr} AS result", session=self.session))
+
+    def _script(self, s: str) -> DataFrame:
+        ddl = [(d,) for d in self.catalog.table_ddl.values()]
+        ddl += [(f"CREATE VIEW {v} AS {q}",) for v, q in self.catalog.views.items()]
+        if not ddl:
+            ddl = [("-- empty catalog",)]
+        return self.spark.createDataFrame(ddl, "script string")
+
+    def _analyze(self, s: str) -> DataFrame:
+        # ANALYZE → selectivity stats per column (Analyze.java semantics)
+        m = re.match(rf"ANALYZE(?:\s+TABLE)?\s+(?P<name>{_IDENT})", s, re.IGNORECASE)
+        if not m:
+            return self._ok("analyzed")
+        name = m.group("name").lower()
+        df = self.catalog.table(name).read()
+        total = df.count() or 1
+        aggs = [
+            F.round(100.0 * F.approx_count_distinct(c) / F.lit(total), 0)
+            .cast("int")
+            .alias(c)
+            for c in df.columns
+        ]
+        return df.agg(*aggs)
+
+    @staticmethod
+    def _coerce(val: str):
+        for cast in (int, float):
+            try:
+                return cast(val)
+            except ValueError:
+                continue
+        if val.upper() in ("TRUE", "FALSE"):
+            return val.upper() == "TRUE"
+        return val
+
+    @staticmethod
+    def _split_top_level(s: str) -> list[str]:
+        parts, depth, cur, in_str = [], 0, [], False
+        for ch in s:
+            if ch == "'":
+                in_str = not in_str
+            if not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append("".join(cur))
+                    cur = []
+                    continue
+            cur.append(ch)
+        if cur:
+            parts.append("".join(cur))
+        return [p.strip() for p in parts if p.strip()]
+
+    def _pk_of(self, name: str) -> list[str]:
+        meta = self.catalog.indexes.get(f"__pk_{name}")
+        if meta:
+            return meta.columns
+        # no declared PK: fall back to all columns (deterministic order)
+        return [f.name for f in self.catalog.table(name).read().schema.fields]

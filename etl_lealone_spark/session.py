@@ -114,13 +114,25 @@ class EngineSession:
     PREPARE ddl/PrepareProcedure.java) without any OLTP machinery.
     """
 
-    def __init__(self, spark: Optional[SparkSession] = None) -> None:
+    def __init__(
+        self,
+        spark: Optional[SparkSession] = None,
+        warehouse: Optional[str] = None,
+    ) -> None:
         self.spark = spark or build_spark()
         self.settings: dict[str, Any] = {}
         self.variables: dict[str, Any] = {}
         self.sequences: dict[str, Sequence] = {}
         self.prepared: dict[str, str] = {}
         self._stmt_counter = itertools.count(1)
+        from .catalog import Catalog, StatementRouter
+
+        self.warehouse = warehouse or os.path.join(
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/etl_lealone_warehouse"),
+            f"s{os.getpid()}",
+        )
+        self.catalog = Catalog(self.spark, self.warehouse)
+        self._router = StatementRouter(self, self.catalog)
 
     # --- settings (SET name value) ------------------------------------
     def set_setting(self, name: str, value: Any) -> None:
@@ -157,10 +169,10 @@ class EngineSession:
 
     # --- SQL entry -------------------------------------------------
     def sql(self, sql: str, args: Optional[dict[str, Any]] = None) -> DataFrame:
-        """Run SQL through the dialect normalizer then Spark SQL."""
-        from .dialect import rewrite
-
-        rewritten = rewrite(sql, session=self)
+        """Run a statement: DDL/DML route to the catalog + snapshot
+        tables; queries go through the dialect normalizer to Spark SQL."""
         if args:
-            return self.spark.sql(rewritten, args=args)
-        return self.spark.sql(rewritten)
+            from .dialect import rewrite
+
+            return self.spark.sql(rewrite(sql, session=self), args=args)
+        return self._router.execute(sql)

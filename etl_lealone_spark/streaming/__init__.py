@@ -1,0 +1,21 @@
+"""Structured Streaming carriers (SURVEY.md §2.12).
+
+The reference has no stream processing; these are the engine's extension
+surface for incremental pipelines (BASELINE.json): streaming ingest with
+watermarked windowed aggregation, streaming exact dedup, and a stateful
+sessionizer.
+"""
+
+from .ingest import (
+    sessionize_stream,
+    streaming_dedup,
+    streaming_tumbling_agg,
+    stream_from_parquet_dir,
+)
+
+__all__ = [
+    "stream_from_parquet_dir",
+    "streaming_tumbling_agg",
+    "streaming_dedup",
+    "sessionize_stream",
+]

@@ -1,0 +1,110 @@
+"""Structured Streaming pipelines.
+
+Batch operators in this engine have streaming twins here; each takes a
+streaming DataFrame (``readStream``) and returns the transformed
+streaming DataFrame for the caller to sink (memory sink in tests,
+kafka/files in production).
+
+Scale notes: watermarks bound state; ``dropDuplicates`` state is keyed by
+the 16-byte digest + watermark window; session windows use Spark's
+built-in ``session_window`` (state per active session, closed by
+watermark). All state lives in the executor state store — at cluster
+scale back it with RocksDB (spark.sql.streaming.stateStore.providerClass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_from_parquet_dir(
+    spark: SparkSession, path: str, schema: T.StructType = EVENTS_SCHEMA
+) -> DataFrame:
+    """File-source stream over a parquet directory (one file per
+    micro-batch in tests via maxFilesPerTrigger)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def streaming_tumbling_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum per event_type — the
+    streaming twin of the ``events_tumbling_agg`` batch workload."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    watermark_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop any doc whose content digest was seen
+    before (state = one 16-byte key per distinct doc; bound it with a
+    watermark column when the stream has event time)."""
+    hashed = docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    if watermark_col:
+        hashed = hashed.withWatermark(watermark_col, watermark)
+        return hashed.dropDuplicates(["content_hash", watermark_col])
+    return hashed.dropDuplicates(["content_hash"])
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user via the built-in session_window — the
+    streaming twin of the ``events_sessionize`` batch workload."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

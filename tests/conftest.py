@@ -5,7 +5,15 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(_TESTS_DIR)
+sys.path.insert(0, _REPO_ROOT)
+
+# Python workers must be able to import test modules (classes defined in
+# tests are pickled by reference, e.g. UDAF protocol classes).
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (_REPO_ROOT, _TESTS_DIR, os.environ.get("PYTHONPATH")) if p
+)
 
 from etl_lealone_spark.session import build_spark  # noqa: E402
 

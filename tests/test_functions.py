@@ -1,0 +1,159 @@
+"""Function catalog tests — mirrors the reference's four FunctionTest
+suites (lealone-test/.../sql/function/{Numeric,String,DateAndTime,
+System}FunctionTest.java) as value asserts through the engine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_lealone_spark.functions import FUNCTIONS, call, register_udfs
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+# --- math ------------------------------------------------------------------
+def test_math_functions(spark):
+    assert one(spark, call("ABS", F.lit(-5))) == 5
+    assert one(spark, call("CEILING", F.lit(1.2))) == 2
+    assert one(spark, call("FLOOR", F.lit(1.8))) == 1
+    assert one(spark, call("MOD", F.lit(-7), F.lit(3))) == -1  # dividend sign
+    assert one(spark, call("POWER", F.lit(2.0), F.lit(10))) == 1024.0
+    assert one(spark, call("SIGN", F.lit(-3.5))) == -1.0
+    assert abs(one(spark, call("LOG", F.lit(2.718281828459045))) - 1.0) < 1e-12
+    assert abs(one(spark, call("LOG10", F.lit(1000.0))) - 3.0) < 1e-12
+    assert abs(one(spark, call("COT", F.lit(1.0))) - 0.6420926159343306) < 1e-12
+    assert one(spark, call("BITAND", F.lit(12), F.lit(10))) == 8
+    assert one(spark, call("BITOR", F.lit(12), F.lit(10))) == 14
+    assert one(spark, call("BITXOR", F.lit(12), F.lit(10))) == 6
+    assert one(spark, call("ZERO")) == 0
+    assert abs(one(spark, call("PI")) - 3.141592653589793) < 1e-15
+
+
+def test_truncate_toward_zero(spark):
+    assert one(spark, call("TRUNCATE", F.lit(3.789), 2)) == 3.78
+    assert one(spark, call("TRUNCATE", F.lit(-3.789), 2)) == -3.78  # NOT floor
+    assert one(spark, call("TRUNC", F.lit(99.99))) == 99.0
+
+
+def test_roundmagic(spark):
+    assert one(spark, call("ROUNDMAGIC", F.lit(1e-11))) == 0.0
+    assert one(spark, call("ROUNDMAGIC", F.lit(0.30000000000000004))) == 0.3
+
+
+def test_hash(spark):
+    got = one(spark, call("HASH", F.lit("SHA256"), F.lit("hello")))
+    assert got == "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824"
+
+
+# --- string ----------------------------------------------------------------
+def test_string_functions(spark):
+    assert one(spark, call("ASCII", F.lit("Abc"))) == 65
+    assert one(spark, call("BIT_LENGTH", F.lit("ab"))) == 16
+    assert one(spark, call("CHAR", F.lit(65))) == "A"
+    assert one(spark, call("CONCAT", F.lit("a"), F.lit("b"), F.lit("c"))) == "abc"
+    assert one(spark, call("INSERT", F.lit("abcdef"), 2, 3, F.lit("XY"))) == "aXYef"
+    assert one(spark, call("INSTR", F.lit("hello"), "ll")) == 3
+    assert one(spark, call("LOCATE", "l", F.lit("hello"), 4)) == 4
+    assert one(spark, call("REPEAT", F.lit("ab"), 3)) == "ababab"
+    assert one(spark, call("SPACE", 3)) == "   "
+    assert one(spark, call("SOUNDEX", F.lit("Robert"))) == "R163"
+    assert one(spark, call("HEXTORAW", F.lit("61"))) == b"a"
+    assert one(spark, call("RAWTOHEX", F.lit("a"))) in ("61", "0061")
+    assert one(spark, call("STRINGTOUTF8", F.lit("hi"))) == b"hi"
+    assert one(spark, call("UTF8TOSTRING", F.lit(b"hi"))) == "hi"
+    assert one(spark, call("SUBSTR", F.lit("abcdef"), 2, 3)) == "bcd"
+    assert one(spark, call("SUBSTR", F.lit("abcdef"), F.lit(4))) == "def"
+
+
+# --- date/time -------------------------------------------------------------
+def test_date_functions(spark):
+    ts = F.lit("2024-03-15 10:30:45").cast("timestamp")
+    assert one(spark, call("YEAR", ts)) == 2024
+    assert one(spark, call("QUARTER", ts)) == 1
+    assert one(spark, call("DAYNAME", ts)) == "Friday"
+    assert one(spark, call("MONTHNAME", ts)) == "March"
+    assert one(spark, call("DAY_OF_WEEK", ts)) == 6  # 1=Sunday → Friday=6
+
+    got = one(spark, F.date_format(call("DATEADD", "day", F.lit(10), ts), "yyyy-MM-dd"))
+    assert got == "2024-03-25"
+    got = one(spark, F.date_format(call("DATEADD", "MONTH", F.lit(-1), ts), "yyyy-MM-dd"))
+    assert got == "2024-02-15"
+    got = one(
+        spark,
+        call(
+            "DATEDIFF", "day", ts, F.lit("2024-04-15 00:00:00").cast("timestamp")
+        ),
+    )
+    assert got == 30
+    assert (
+        one(spark, F.date_format(call("PARSEDATETIME", F.lit("15/03/2024"), "dd/MM/yyyy"), "yyyy-MM-dd"))
+        == "2024-03-15"
+    )
+
+
+def test_extract_via_name(spark):
+    df = spark.sql("SELECT timestamp'2024-03-15 10:30:45' AS t")
+    got = df.select(call("EXTRACT", "hour", "t").alias("v")).collect()[0]["v"]
+    assert got == 10
+
+
+# --- conditional / conversion ---------------------------------------------
+def test_conditional_functions(spark):
+    assert one(spark, call("IFNULL", F.lit(None), F.lit(7))) == 7
+    assert one(spark, call("CASEWHEN", F.lit(True), F.lit("y"), F.lit("n"))) == "y"
+    assert one(spark, call("NVL2", F.lit("x"), F.lit(1), F.lit(2))) == 1
+    assert one(spark, call("NVL2", F.lit(None), F.lit(1), F.lit(2))) == 2
+    assert one(spark, call("NULLIF", F.lit(3), F.lit(3))) is None
+    assert one(spark, call("DECODE", F.lit(2), 1, "one", 2, "two", "other")) == "two"
+    assert one(spark, call("DECODE", F.lit(9), 1, "one", 2, "two", "other")) == "other"
+    assert one(spark, call("DECODE", F.lit(None), None, "isnull", "other")) == "isnull"
+    assert one(spark, call("GREATEST", F.lit(1), F.lit(5), F.lit(3))) == 5
+    assert one(spark, call("CONVERT", F.lit("42"), "int")) == 42
+
+
+def test_array_functions(spark):
+    arr = F.array(F.lit(10), F.lit(20), F.lit(30))
+    assert one(spark, call("ARRAY_GET", arr, 1)) == 10  # 1-based (H2 parity)
+    assert one(spark, call("ARRAY_LENGTH", arr)) == 3
+    assert one(spark, call("ARRAY_CONTAINS", arr, 20)) is True
+
+
+def test_unsupported_raises(spark):
+    with pytest.raises(NotImplementedError, match="cipher"):
+        call("ENCRYPT", F.lit("AES"), F.lit(b"k"), F.lit(b"v"))
+    with pytest.raises(KeyError, match="unknown function"):
+        call("NO_SUCH_FN")
+
+
+def test_catalog_size():
+    # the reference registers ~130 names; our callable surface + documented
+    # unsupported list must cover that order of magnitude
+    from etl_lealone_spark.functions.registry import UNSUPPORTED
+
+    assert len(FUNCTIONS) >= 110
+    assert len(FUNCTIONS) + len(UNSUPPORTED) >= 125
+
+
+# --- python UDF re-registrations ------------------------------------------
+def test_python_udfs(spark):
+    register_udfs(spark)
+    row = spark.sql(
+        """SELECT DIFFERENCE('Robert', 'Rupert') AS d,
+                  STRINGENCODE('a\tb') AS enc,
+                  STRINGDECODE('a\\\\tb') AS dec,
+                  XMLATTR('id', 'a<b') AS xa,
+                  XMLNODE('p', XMLATTR('id', 'x'), 'body') AS xn,
+                  XMLTEXT('1 < 2') AS xt,
+                  XMLCOMMENT('note') AS xc
+        """
+    ).collect()[0]
+    assert row["d"] == 4
+    assert row["enc"] == "a\\tb"
+    assert row["dec"] == "a\tb"
+    assert row["xa"] == ' id="a&lt;b"'
+    assert row["xn"] == '<p id="x">body</p>'
+    assert row["xt"] == "1 &lt; 2"
+    assert row["xc"] == "<!-- note -->"

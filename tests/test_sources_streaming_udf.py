@@ -1,0 +1,188 @@
+"""Sources (CSV, INFORMATION_SCHEMA), streaming carriers, UDF/UDAF
+adapter tests."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_lealone_spark.functions.udf_adapter import AggregateFunction, UdfRegistry
+from etl_lealone_spark.session import EngineSession
+from etl_lealone_spark.sources import csvread, csvwrite, information_schema
+from etl_lealone_spark.streaming import (
+    sessionize_stream,
+    stream_from_parquet_dir,
+    streaming_dedup,
+    streaming_tumbling_agg,
+)
+
+
+# --- CSV (CSVREAD/CSVWRITE, Function.java:352-353) --------------------------
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x")], "id int, s string, n string"
+    )
+    out = str(tmp_path / "out_csv")
+    csvwrite(df, out, field_separator=";", null_string="NULL", single_file=True)
+    back = csvread(spark, out, field_separator=";", null_string="NULL")
+    rows = {r["id"]: (r["s"], r["n"]) for r in back.collect()}
+    assert rows == {"1": ("a", None), "2": ("b", "x")}  # all VARCHAR, like the reference
+
+
+def test_csvread_column_override(spark, tmp_path):
+    p = str(tmp_path / "h.csv")
+    with open(p, "w") as f:
+        f.write("x,y\n1,2\n")
+    df = csvread(spark, p, columns=["a", "b"])
+    assert df.columns == ["a", "b"]
+
+
+# --- INFORMATION_SCHEMA (MetaTable.java:68) ---------------------------------
+def test_information_schema(spark, tmp_path):
+    es = EngineSession(spark, warehouse=str(tmp_path))
+    es.sql("CREATE TABLE its (id int PRIMARY KEY, name varchar(10))")
+    es.sql("CREATE INDEX idx_n ON its(name)")
+    es.sql("CREATE SEQUENCE sq START WITH 5")
+    es.sql("SET FOO bar")
+    info = information_schema(es)
+    tabs = {r["table_name"] for r in info["information_schema_tables"].collect()}
+    assert "its" in tabs
+    cols = [
+        (r["column_name"], r["data_type"])
+        for r in info["information_schema_columns"]
+        .filter("table_name = 'its'")
+        .orderBy("ordinal_position")
+        .collect()
+    ]
+    assert cols == [("id", "int"), ("name", "string")]
+    idx = {r["index_name"] for r in info["information_schema_indexes"].collect()}
+    assert "idx_n" in idx and "__pk_its" in idx
+    # queryable through SQL too
+    assert (
+        es.sql("SELECT count(*) FROM information_schema_sequences").collect()[0][0]
+        == 1
+    )
+
+
+# --- UDF adapter (CREATE ALIAS, §2.13) --------------------------------------
+def test_create_alias_row_udf(spark):
+    reg = UdfRegistry(spark)
+    reg.create_alias("MY_REV", lambda s: s[::-1] if s else None, "string")
+    assert (
+        spark.sql("SELECT MY_REV('abc') AS r").collect()[0]["r"] == "cba"
+    )
+
+
+def test_create_alias_pandas_udf(spark):
+    reg = UdfRegistry(spark)
+    reg.create_alias(
+        "PLUS_TEN", lambda s: s + 10, "long", vectorized=True
+    )
+    got = spark.range(3).selectExpr("PLUS_TEN(id) AS v").collect()
+    assert [r["v"] for r in got] == [10, 11, 12]
+
+
+# --- UDAF adapter (CREATE AGGREGATE 4-method protocol) ----------------------
+class Median(AggregateFunction):
+    """Sample aggregate exercising the reference protocol
+    (api/AggregateFunction.java:16-50)."""
+
+    def init(self):
+        self.values = []
+
+    def get_type(self, arg_types):
+        return "double"
+
+    def add(self, value):
+        if value is not None:
+            self.values.append(float(value))
+
+    def get_result(self):
+        if not self.values:
+            return None
+        s = sorted(self.values)
+        n = len(s)
+        mid = n // 2
+        return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+
+def test_create_aggregate_grouped(spark):
+    reg = UdfRegistry(spark)
+    reg.create_aggregate("MEDIAN", Median)
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("a", 5.0), ("b", 2.0), ("b", 4.0)],
+        "k string, v double",
+    )
+    got = {
+        r["k"]: r["median"]
+        for r in reg.apply_aggregate("MEDIAN", df, "v", group_by=["k"]).collect()
+    }
+    assert got == {"a": 5.0, "b": 3.0}
+
+
+def test_create_aggregate_global(spark):
+    reg = UdfRegistry(spark)
+    reg.create_aggregate("MEDIAN", Median)
+    df = spark.createDataFrame([(x,) for x in [3.0, 1.0, 2.0]], "v double")
+    assert reg.apply_aggregate("MEDIAN", df, "v").collect()[0]["median"] == 2.0
+
+
+# --- streaming --------------------------------------------------------------
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Copy the events table into a dir the file-source can tail."""
+    from etl_lealone_spark.tables import load_table
+
+    d = tmp_path_factory.mktemp("events_stream")
+    # load_table converts the nanos-long ts to a real timestamp column
+    load_table(spark, sf_dir, "events").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(str(d / "in"))
+    return str(d / "in")
+
+
+def _run_to_completion(stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streaming_tumbling_agg_matches_batch(spark, events_stream_dir, tables):
+    stream = stream_from_parquet_dir(spark, events_stream_dir)
+    _run_to_completion(
+        streaming_tumbling_agg(stream), "stream_agg", mode="complete"
+    )
+    got = spark.sql("SELECT sum(n) AS total FROM stream_agg").collect()[0]["total"]
+    assert got == tables["events"].count()
+
+
+def test_streaming_dedup(spark, events_stream_dir):
+    docs = stream_from_parquet_dir(
+        spark,
+        events_stream_dir,
+    ).selectExpr("event_id AS doc_id", "props AS text")
+    _run_to_completion(streaming_dedup(docs), "stream_dedup")
+    n_distinct = (
+        spark.sql("SELECT count(DISTINCT text) AS n FROM stream_dedup")
+        .collect()[0]["n"]
+    )
+    total = spark.sql("SELECT count(*) AS n FROM stream_dedup").collect()[0]["n"]
+    assert total == n_distinct  # every surviving doc is unique content
+
+
+def test_sessionize_stream(spark, events_stream_dir):
+    stream = stream_from_parquet_dir(spark, events_stream_dir)
+    _run_to_completion(sessionize_stream(stream), "stream_sessions")
+    rows = spark.sql(
+        "SELECT count(*) AS n FROM stream_sessions WHERE session_end < session_start"
+    ).collect()
+    assert rows[0]["n"] == 0
+    assert spark.sql("SELECT count(*) AS n FROM stream_sessions").collect()[0]["n"] > 0
