@@ -44,6 +44,63 @@ HEADLINE = [
 ]
 
 
+def baseline_workloads(spark, n: int = 1_000_000) -> dict[str, float]:
+    """BASELINE.md W1-W5 batch shapes at n rows (the reference's own
+    microbench table ``test(f1 int primary key, f2 long)`` scaled up)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="bench_w1_")
+    try:
+        # W1: bulk insert n rows
+        t0 = time.time()
+        df = spark.range(n).select(
+            F.col("id").cast("int").alias("f1"), (F.col("id") * 10).alias("f2")
+        )
+        df.write.mode("overwrite").parquet(f"{tmp}/test")
+        out["w1_bulk_insert"] = round(time.time() - t0, 3)
+
+        test = spark.read.parquet(f"{tmp}/test")
+        # W2: full scan + predicate
+        t0 = time.time()
+        test.filter(F.col("f2") % 1000 == 0).agg(F.count(F.lit(1))).collect()
+        out["w2_scan_predicate"] = round(time.time() - t0, 3)
+
+        # W3: group-by aggregate + having
+        t0 = time.time()
+        (
+            test.groupBy((F.col("f1") % 97).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("f2").alias("a"))
+            .filter(F.col("n") > 10)
+            .write.format("noop").mode("overwrite").save()
+        )
+        out["w3_groupby_having"] = round(time.time() - t0, 3)
+
+        # W4: two-table join (inner + left), 10:1 sizes
+        small = spark.range(n // 10).select(
+            F.col("id").cast("int").alias("id2"), F.lit("x").alias("name2")
+        )
+        t0 = time.time()
+        test.join(small, test.f1 == small.id2, "inner").agg(
+            F.count(F.lit(1))
+        ).collect()
+        test.join(small, test.f1 == small.id2, "left").agg(
+            F.count(F.lit(1))
+        ).collect()
+        out["w4_joins"] = round(time.time() - t0, 3)
+
+        # W5: order-by + top-k with offset
+        t0 = time.time()
+        test.orderBy(F.col("f2").desc(), F.col("f1")).offset(1).limit(2).collect()
+        out["w5_topk_offset"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_spark(
@@ -57,6 +114,7 @@ def main() -> None:
         t0 = time.time()
         w.build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+    baseline = baseline_workloads(spark)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -64,8 +122,9 @@ def main() -> None:
                 "metric": "headline_suite_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {**timings, **baseline},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "baseline_rows": 1_000_000,
             }
         )
     )

@@ -89,6 +89,8 @@ class Catalog:
     table_ddl: dict[str, str] = field(default_factory=dict)
     views: dict[str, str] = field(default_factory=dict)
     indexes: dict[str, IndexMeta] = field(default_factory=dict)
+    domains: dict[str, str] = field(default_factory=dict)
+    principals: set[str] = field(default_factory=set)
 
     def table(self, name: str) -> SnapshotTable:
         key = name.lower()
@@ -184,6 +186,14 @@ class StatementRouter:
             "CALL": self._call,
             "SCRIPT": self._script,
             "ANALYZE": self._analyze,
+            "ALTER": self._alter,
+            "RUNSCRIPT": self._runscript,
+            "PREPARE": self._prepare,
+            "EXECUTE": self._execute_prepared,
+            "DEALLOCATE": self._deallocate,
+            "GRANT": self._grant_revoke,
+            "REVOKE": self._grant_revoke,
+            "COMMENT": self._comment,
         }.get(head)
         if handler:
             return handler(s)
@@ -275,7 +285,133 @@ class StatementRouter:
             )
             return self._ok(f"created sequence {m.group('name').lower()}")
 
+        m = re.match(
+            rf"CREATE\s+DOMAIN\s+(?P<name>{_IDENT})\s+AS\s+(?P<base>.+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            # CREATE DOMAIN (UserDataType.java): alias for a base type
+            base = m.group("base").strip().split()[0].lower()
+            self.catalog.domains[m.group("name").lower()] = TYPE_MAP.get(base, "string")
+            return self._ok(f"created domain {m.group('name').lower()}")
+
+        m = re.match(
+            rf"CREATE\s+(?:USER|ROLE)\s+(?P<name>{_IDENT}).*$", s, re.IGNORECASE
+        )
+        if m:
+            # auth objects: catalog-level stubs (SURVEY.md §2.11)
+            self.catalog.principals.add(m.group("name").lower())
+            return self._ok(f"created principal {m.group('name').lower()}")
+
         raise ValueError(f"unsupported CREATE statement: {s[:80]}")
+
+    def _alter(self, s: str) -> DataFrame:
+        """ALTER TABLE ADD/DROP/RENAME COLUMN, RENAME TO — schema evolution
+        as a snapshot projection (free at any scale vs. the reference's
+        in-place row rewrite, AlterTableAlterColumn.java)."""
+        m = re.match(
+            rf"ALTER\s+TABLE\s+(?P<name>{_IDENT})\s+"
+            rf"(?P<op>ADD(?:\s+COLUMN)?|DROP(?:\s+COLUMN)?|"
+            rf"RENAME\s+COLUMN|RENAME\s+TO)\s+(?P<rest>.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"unsupported ALTER statement: {s[:80]}")
+        name = m.group("name").lower()
+        st = self.catalog.table(name)
+        op = re.sub(r"\s+", " ", m.group("op").upper())
+        rest = m.group("rest").strip()
+        df = st.read()
+        if op.startswith("ADD"):
+            cm = re.match(
+                rf"\(?\s*({_IDENT})\s+({_IDENT})(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?",
+                rest,
+                re.IGNORECASE,
+            )
+            col, typ = cm.group(1), cm.group(2).lower()
+            args = (cm.group(3) or "").strip()
+            spark_type = (
+                f"decimal{args}"
+                if typ in ("decimal", "numeric") and args
+                else TYPE_MAP.get(typ, "string")
+            )
+            st.write(df.withColumn(col.lower(), F.lit(None).cast(spark_type)))
+        elif op.startswith("DROP"):
+            col = rest.split()[0].lower()
+            st.write(df.drop(col))
+        elif op == "RENAME COLUMN":
+            cm = re.match(rf"({_IDENT})\s+TO\s+({_IDENT})", rest, re.IGNORECASE)
+            st.write(df.withColumnRenamed(cm.group(1).lower(), cm.group(2).lower()))
+        elif op == "RENAME TO":
+            # logical rename only: catalog key changes, storage dir keeps
+            # the original physical name (zero data movement)
+            new = rest.split()[0].lower()
+            self.catalog.tables[new] = self.catalog.tables.pop(name)
+            self.spark.catalog.dropTempView(name)
+            self.catalog.refresh_view(new)
+            return self._ok(f"renamed {name} to {new}")
+        self.catalog.refresh_view(name)
+        return self._ok(f"altered {name}")
+
+    def _runscript(self, s: str) -> DataFrame:
+        """RUNSCRIPT FROM 'file' (RunScript.java): execute statements
+        sequentially; ';' splits outside string literals."""
+        m = re.match(r"RUNSCRIPT\s+FROM\s+'(?P<path>[^']+)'", s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"cannot parse RUNSCRIPT: {s[:80]}")
+        with open(m.group("path")) as f:
+            text = f.read()
+        stmts, cur, in_str = [], [], False
+        for ch in text:
+            if ch == "'":
+                in_str = not in_str
+            if ch == ";" and not in_str:
+                stmts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if "".join(cur).strip():
+            stmts.append("".join(cur))
+        n = 0
+        for stmt in stmts:
+            stmt = stmt.strip()
+            if stmt and not stmt.startswith("--"):
+                self.execute(stmt)
+                n += 1
+        return self._ok(f"ran {n} statements")
+
+    def _prepare(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"PREPARE\s+(?P<name>{_IDENT})\s+AS\s+(?P<body>.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse PREPARE: {s[:80]}")
+        self.session.prepare(m.group("name"), m.group("body"))
+        return self._ok(f"prepared {m.group('name').lower()}")
+
+    def _execute_prepared(self, s: str) -> DataFrame:
+        m = re.match(rf"EXECUTE\s+(?P<name>{_IDENT})\s*$", s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"cannot parse EXECUTE: {s[:80]}")
+        return self.execute(self.session.prepared[m.group("name").lower()])
+
+    def _deallocate(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"DEALLOCATE\s+(?:PLAN\s+)?(?P<name>{_IDENT})\s*$", s, re.IGNORECASE
+        )
+        self.session.prepared.pop(m.group("name").lower(), None)
+        return self._ok("deallocated")
+
+    def _grant_revoke(self, s: str) -> DataFrame:
+        # auth is out of relational scope (SURVEY §2.11): accepted, recorded
+        return self._ok("ok (no-op: no auth layer)")
+
+    def _comment(self, s: str) -> DataFrame:
+        return self._ok("ok (comment recorded)")
 
     def _drop(self, s: str) -> DataFrame:
         m = re.match(

@@ -1,0 +1,71 @@
+"""Extended DDL: ALTER TABLE, RUNSCRIPT, DOMAIN, PREPARE/EXECUTE,
+GRANT/COMMENT shims (SURVEY.md §2.9 DDL table)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_lealone_spark.session import EngineSession
+
+
+@pytest.fixture()
+def es(spark, tmp_path):
+    s = EngineSession(spark, warehouse=str(tmp_path))
+    s.sql("CREATE TABLE a (id int PRIMARY KEY, name varchar(20))")
+    s.sql("INSERT INTO a VALUES (1, 'x'), (2, 'y')")
+    return s
+
+
+def test_alter_add_column(es):
+    es.sql("ALTER TABLE a ADD COLUMN score double")
+    rows = es.sql("SELECT id, score FROM a").collect()
+    assert all(r["score"] is None for r in rows) and len(rows) == 2
+    es.sql("UPDATE a SET score = id * 1.5")
+    assert es.sql("SELECT score FROM a WHERE id = 2").collect()[0][0] == 3.0
+
+
+def test_alter_drop_column(es):
+    es.sql("ALTER TABLE a DROP COLUMN name")
+    assert es.sql("SELECT * FROM a").columns == ["id"]
+
+
+def test_alter_rename_column(es):
+    es.sql("ALTER TABLE a RENAME COLUMN name TO label")
+    assert "label" in es.sql("SELECT * FROM a").columns
+
+
+def test_alter_rename_table(es):
+    es.sql("ALTER TABLE a RENAME TO b")
+    assert es.sql("SELECT count(*) FROM b").collect()[0][0] == 2
+    with pytest.raises(Exception):
+        es.sql("SELECT * FROM a").collect()
+
+
+def test_runscript(es, tmp_path):
+    script = tmp_path / "setup.sql"
+    script.write_text(
+        "CREATE TABLE s1 (x int);\n"
+        "INSERT INTO s1 VALUES (1), (2), (3);\n"
+        "-- a comment;\n"
+        "INSERT INTO s1 VALUES (4);\n"
+    )
+    es.sql(f"RUNSCRIPT FROM '{script}'")
+    assert es.sql("SELECT count(*) FROM s1").collect()[0][0] == 4
+
+
+def test_domain_and_principals(es):
+    es.sql("CREATE DOMAIN email AS varchar(100)")
+    assert es.catalog.domains["email"] == "string"
+    es.sql("CREATE USER alice PASSWORD 'secret'")
+    es.sql("CREATE ROLE admins")
+    assert {"alice", "admins"} <= es.catalog.principals
+    assert es.sql("GRANT SELECT ON a TO alice").collect()[0]["status"].startswith("ok")
+    assert es.sql("COMMENT ON TABLE a IS 'demo'").collect()[0]["status"].startswith("ok")
+
+
+def test_prepare_execute_sql(es):
+    es.sql("PREPARE q1 AS SELECT count(*) AS n FROM a")
+    assert es.sql("EXECUTE q1").collect()[0]["n"] == 2
+    es.sql("DEALLOCATE q1")
+    with pytest.raises(KeyError):
+        es.sql("EXECUTE q1")

@@ -1,0 +1,105 @@
+"""Plan-shape assertions: the 100TB-scale properties each operator must
+keep. A failure here means a regression that would only show up as a
+cluster bill — broadcast joins degrading to shuffles, filters not
+reaching the scan, lost map-side combine, top-k becoming a full sort."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_lealone_spark.plans import (
+    count_exchanges,
+    explain_str,
+    has_broadcast_hash_join,
+    has_take_ordered,
+    pushed_filters,
+    read_schema_columns,
+)
+from etl_lealone_spark.workloads.core_sql import (
+    agg_groupby_having,
+    join_inner_agg,
+    orderby_limit_offset,
+    semi_join_in_subquery,
+)
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    """nation/region joins must be broadcast — shuffling a 5-row dim
+    against a 100TB fact table is the classic scale failure."""
+    df = join_inner_agg(spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = agg_groupby_having(spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pushed), pushed
+
+
+def test_column_pruning(spark, sf_dir, tables):
+    """A 2-column projection must read 2 columns, not all 11
+    (the reference's row store cannot prune — SURVEY §4.1; our scan must)."""
+    df = tables["lineitem"].select("l_orderkey", "l_quantity")
+    scans = read_schema_columns(df)
+    assert scans and sorted(scans[0]) == ["l_orderkey", "l_quantity"]
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
+    partition heap + merge), never a global sort of the full input
+    (SortOrder.java:185-205 top-k parity)."""
+    df = orderby_limit_offset(spark, sf_dir)
+    assert has_take_ordered(df) or "GlobalLimit" in explain_str(df)
+
+
+def test_groupby_has_partial_agg(spark, sf_dir):
+    """Aggregation must combine map-side: the shuffle carries one row per
+    (partition × group), not one per input row — the same property the
+    reference implements by hand for sharding (Select.queryGroupMerge)."""
+    df = agg_groupby_having(spark, sf_dir)
+    s = explain_str(df)
+    assert "partial_" in s, s[:500]
+
+
+def test_semi_join_single_broadcast_no_shuffle(spark, sf_dir):
+    """IN(subquery) on a small filtered dim: broadcast semi-join, zero
+    shuffle exchanges on the fact side before aggregation's single
+    exchange."""
+    df = semi_join_in_subquery(spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    # one exchange for the final single-row aggregate is acceptable;
+    # anything more means the fact table was shuffled for the join
+    assert count_exchanges(df) <= 1, explain_str(df, "simple")
+
+
+def test_exact_dedup_single_exchange(spark, sf_dir, tables):
+    """Exact dedup = one hash-agg shuffle on the digest; no extra
+    exchanges, no join."""
+    from etl_lealone_spark.operators.dedup import exact_dedup
+
+    df = exact_dedup(tables["documents"])
+    assert count_exchanges(df) == 1, explain_str(df, "simple")
+
+
+def test_update_projection_no_shuffle(spark, tables):
+    """UPDATE-as-projection must stay map-only: scan → project → write,
+    zero exchanges at any scale."""
+    from etl_lealone_spark.operators.dml import apply_update
+
+    out = apply_update(
+        tables["orders"],
+        F.col("o_orderstatus") == "P",
+        {"o_totalprice": F.col("o_totalprice") * 1.1},
+    )
+    assert count_exchanges(out) == 0
+
+
+def test_window_partitions_by_group(spark, sf_dir):
+    """Top-k per group: exactly one hash-partition exchange on the group
+    key; a global-order window here would serialize the whole table."""
+    from etl_lealone_spark.workloads.core_sql import window_topk_per_group
+
+    df = window_topk_per_group(spark, sf_dir)
+    s = explain_str(df, "simple")
+    assert "hashpartitioning(o_custkey" in s
+    assert "SinglePartition" not in s
