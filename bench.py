@@ -41,6 +41,7 @@ HEADLINE = [
     "text_quality_score",      # quality signals
     "text_token_count",        # tokenization
     "events_sessionize",       # sessionization window
+    "join_seven_tables",       # 7-table join graph
 ]
 
 
@@ -108,6 +109,11 @@ def main() -> None:
         cores=default_parallelism(),
     )
     wl = all_workloads()
+    # warmup: JVM/codegen/parquet-footer caches — not part of any timing
+    from etl_lealone_spark.tables import load_tables
+
+    for df in load_tables(spark, SF_DIR).values():
+        df.limit(1).count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         w = wl[name]

@@ -120,15 +120,66 @@ def _rewrite_group_concat(sql: str) -> str:
     )
 
 
-def _rewrite_csvread(sql: str) -> str:
-    """CSVREAD('path') in FROM → read via temp-view registration is the
-    API path; in SQL we map to Spark's csv.`path` syntax."""
+def _rewrite_csvread(sql: str, session: Optional["EngineSession"]) -> str:
+    """CSVREAD('path') in FROM (Function.java:352).
+
+    With a session: the file is registered as a temp view through the
+    csv source (header applied, reference's all-VARCHAR typing) and the
+    call is replaced by the view name. Without a session: falls back to
+    Spark's schema-inferring ``csv.`path``` table syntax (headers become
+    row one — prefer the session path).
+    """
+
+    def repl(m: re.Match) -> str:
+        path = m.group(1)
+        if session is not None:
+            from .sources.csv_io import csvread
+
+            view = "csvread_" + re.sub(r"[^A-Za-z0-9]", "_", path).strip("_")
+            csvread(session.spark, path).createOrReplaceTempView(view)
+            return view
+        return f"csv.`{path}`"
+
+    return re.sub(r"CSVREAD\s*\(\s*'([^']+)'\s*\)", repl, sql, flags=re.IGNORECASE)
+
+
+def _rewrite_table_constructor(sql: str) -> str:
+    """TABLE(c1 T1=ARRAY[...], c2 T2=ARRAY[...]) table-valued constructor
+    (TableFunction.java:32, FunctionTable.java:33) → inline explode of
+    arrays_zip so positional rows align across columns."""
+
+    def repl(m: re.Match) -> str:
+        cols = []
+        for part in re.split(r",(?![^\[]*\])", m.group(1)):
+            cm = re.match(
+                rf"\s*({_IDENT_RE})\s+\w+(?:\s*\(\s*\d+\s*\))?\s*=\s*"
+                rf"(?:ARRAY\s*)?\[(.*)\]\s*$",
+                part,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not cm:
+                return m.group(0)  # leave unrecognized forms untouched
+            cols.append((cm.group(1), cm.group(2)))
+        if len(cols) == 1:
+            name, vals = cols[0]
+            return f"(SELECT explode(array({vals})) AS {name})"
+        zipped = ", ".join(f"array({vals})" for _, vals in cols)
+        names = ", ".join(f"z.`{i}` AS {name}" for i, (name, _) in enumerate(cols))
+        # arrays_zip names struct fields 0..n-1
+        return (
+            f"(SELECT {names} FROM "
+            f"(SELECT explode(arrays_zip({zipped})) AS z))"
+        )
+
     return re.sub(
-        r"CSVREAD\s*\(\s*'([^']+)'\s*\)",
-        r"csv.`\1`",
+        r"TABLE\s*\(((?:[^()]|\([^()]*\))*)\)",
+        repl,
         sql,
-        flags=re.IGNORECASE,
+        flags=re.IGNORECASE | re.DOTALL,
     )
+
+
+_IDENT_RE = r"[A-Za-z_][A-Za-z0-9_]*"
 
 
 def _rewrite_rownum(sql: str) -> str:
@@ -178,7 +229,8 @@ def rewrite(sql: str, session: Optional["EngineSession"] = None) -> str:
     sql = _rewrite_top(sql)
     sql = _rewrite_system_range(sql)
     sql = _rewrite_group_concat(sql)
-    sql = _rewrite_csvread(sql)
+    sql = _rewrite_csvread(sql, session)
+    sql = _rewrite_table_constructor(sql)
     sql = _rewrite_rownum(sql)
     sql = _strip_for_update(sql)
     return sql

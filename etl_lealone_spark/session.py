@@ -168,11 +168,31 @@ class EngineSession:
         return self.sql(sql, args=params or None)
 
     # --- SQL entry -------------------------------------------------
-    def sql(self, sql: str, args: Optional[dict[str, Any]] = None) -> DataFrame:
+    def sql(self, sql: str, args: Any = None) -> DataFrame:
         """Run a statement: DDL/DML route to the catalog + snapshot
-        tables; queries go through the dialect normalizer to Spark SQL."""
-        if args:
+        tables; queries go through the dialect normalizer to Spark SQL.
+
+        ``args`` supports both named parameters (dict, Spark-native) and
+        the reference's positional ``?`` placeholders (list/tuple —
+        Parameter.java:24), which are rewritten to named params.
+        """
+        if args is not None:
             from .dialect import rewrite
 
+            if isinstance(args, (list, tuple)):
+                named: dict[str, Any] = {}
+                parts = sql.split("?")
+                if len(parts) - 1 != len(args):
+                    raise ValueError(
+                        f"statement has {len(parts) - 1} '?' placeholders "
+                        f"but {len(args)} arguments were given"
+                    )
+                out = []
+                for i, part in enumerate(parts[:-1]):
+                    out.append(part)
+                    out.append(f":p{i}")
+                    named[f"p{i}"] = args[i]
+                out.append(parts[-1])
+                sql, args = "".join(out), named
             return self.spark.sql(rewrite(sql, session=self), args=args)
         return self._router.execute(sql)

@@ -1,0 +1,151 @@
+"""Third core batch: full window-function family (extension), the
+7-table join (the shape that stresses the reference's cost-based join
+order search, Optimizer.java:78-147 — Catalyst + AQE handle it natively),
+and multimodal binary-column metadata."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.multimodal import synthesize_media_table
+from ..tables import load_tables
+from . import workload
+from .helpers import dsum, o_dsum
+
+
+# ---------------------------------------------------------------------------
+# window family: rank/dense_rank/ntile/lag/lead/first/last
+# ---------------------------------------------------------------------------
+@workload(
+    "window_rank_family",
+    """
+    SELECT o_custkey, o_orderkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile,
+           lag(o_orderkey)  OVER w AS prev_key,
+           lead(o_orderkey) OVER w AS next_key,
+           first_value(o_orderkey) OVER w AS first_key
+    FROM orders
+    WHERE o_custkey < 20
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="RANK/DENSE_RANK/NTILE/LAG/LEAD/FIRST_VALUE (window extension; "
+    "reference has no OVER clause, SURVEY §2.5).",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.filter(F.col("o_custkey") < 20).select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7-table join — the reference searches join orders exhaustively up to 7
+# tables (Optimizer.java:23-27); we declare the join graph and let
+# Catalyst (+AQE at runtime) order it.
+# ---------------------------------------------------------------------------
+@workload(
+    "join_seven_tables",
+    f"""
+    SELECT r_name, o_orderpriority,
+           {o_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           count(*) AS n
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size <= 25 AND c_acctbal > 0
+    GROUP BY r_name, o_orderpriority
+    """,
+    doc="7-table join graph (reference: exhaustive join-order search, "
+    "Optimizer.java:78-147; here Catalyst orders it, dims broadcast).",
+)
+def join_seven_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter((F.col("p_size") <= 25) & (F.col("c_acctbal") > 0))
+        .groupBy("r_name", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: binary payload metadata (opaque blob handling)
+# ---------------------------------------------------------------------------
+@workload(
+    "multimodal_metadata",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS payload_bytes,
+           md5(text) AS payload_md5,
+           length(text) % 640 + 32 AS width
+    FROM documents
+    """,
+    doc="Opaque binary columns: payload byte length + content digest + "
+    "derived metadata (multimodal plumbing, BASELINE extension).",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    media = synthesize_media_table(d)
+    return media.select(
+        "media_id",
+        F.octet_length("payload").alias("payload_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.width").alias("width"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: lag-based per-user deltas (change-detection shape)
+# ---------------------------------------------------------------------------
+@workload(
+    "events_lag_delta",
+    """
+    SELECT user_id, event_id,
+           cast(floor(epoch(ts)) as bigint)
+             - cast(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id))) as bigint)
+             AS gap_seconds
+    FROM events
+    WHERE user_id < 10
+    """,
+    doc="Per-user event gaps via LAG — the change-detection window shape.",
+)
+def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.filter(F.col("user_id") < 10).select(
+        "user_id",
+        "event_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_seconds"),
+    )

@@ -1,0 +1,117 @@
+"""ORM fluent API (Model.java parity) + second-batch dialect rewrites
+(CSVREAD in SQL, TABLE() constructor, positional parameters)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_lealone_spark.orm import Model
+from etl_lealone_spark.session import EngineSession
+
+
+@pytest.fixture()
+def es(spark, tmp_path):
+    s = EngineSession(spark, warehouse=str(tmp_path))
+    s.sql("CREATE TABLE customer (id int PRIMARY KEY, name varchar(20), bal double)")
+    s.sql(
+        "INSERT INTO customer VALUES (1,'ann',100.0),(2,'bob',250.0),"
+        "(3,'cat',50.0),(4,'dan',250.0)"
+    )
+    s.sql("CREATE TABLE addr (cust_id int, city varchar(20))")
+    s.sql("INSERT INTO addr VALUES (1,'rome'),(2,'oslo'),(9,'nowhere')")
+    return s
+
+
+# --- ORM (OrmCrudTest / OrmJoinTest shapes) ---------------------------------
+def test_orm_find_list_where_order(es):
+    Customer = Model(es, "customer")
+    rows = (
+        Customer.select("name", "bal")
+        .where(Customer.c.bal >= 100)
+        .order_by("bal", desc=True)
+        .find_list()
+    )
+    assert [r["name"] for r in rows] == ["bob", "dan", "ann"] or [
+        r["name"] for r in rows
+    ] == ["dan", "bob", "ann"]
+
+
+def test_orm_find_one_and_count(es):
+    Customer = Model(es, "customer")
+    assert Customer.where(Customer.c.name == "cat").find_one()["bal"] == 50.0
+    assert Customer.find_count() == 4
+    assert Customer.where(Customer.c.bal > 1000).find_one() is None
+
+
+def test_orm_join(es):
+    Customer = Model(es, "customer")
+    got = (
+        Customer.join("addr", Customer.c.id == F.col("cust_id"), "inner")
+        .select("name", "city")
+        .order_by("name")
+        .find_list()
+    )
+    assert [(r["name"], r["city"]) for r in got] == [("ann", "rome"), ("bob", "oslo")]
+
+
+def test_orm_group_agg(es):
+    Customer = Model(es, "customer")
+    got = {
+        r["bal"]: r["n"]
+        for r in Customer.group_by("bal")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .find_list()
+    }
+    assert got[250.0] == 2
+
+
+def test_orm_crud(es):
+    Customer = Model(es, "customer")
+    Customer.insert(id=5, name="eve", bal=75.0)
+    assert Model(es, "customer").find_count() == 5
+    Customer.update(F.col("id") == 5, bal=80.0)
+    assert Model(es, "customer").where(F.col("id") == 5).find_one()["bal"] == 80.0
+    Customer.delete(F.col("id") == 5)
+    assert Model(es, "customer").find_count() == 4
+
+
+# --- dialect batch 2 --------------------------------------------------------
+def test_csvread_in_sql(es, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("id,name\n1,aa\n2,bb\n")
+    rows = es.sql(f"SELECT * FROM CSVREAD('{p}') ORDER BY id").collect()
+    assert [(r["id"], r["name"]) for r in rows] == [("1", "aa"), ("2", "bb")]
+
+
+def test_table_constructor_single(es):
+    rows = es.sql("SELECT * FROM TABLE(x INT=ARRAY[1, 2, 3]) ORDER BY x").collect()
+    assert [r["x"] for r in rows] == [1, 2, 3]
+
+
+def test_table_constructor_multi(es):
+    rows = es.sql(
+        "SELECT * FROM TABLE(id INT=ARRAY[1,2], nm VARCHAR=ARRAY['a','b']) ORDER BY id"
+    ).collect()
+    assert [(r["id"], r["nm"]) for r in rows] == [(1, "a"), (2, "b")]
+
+
+def test_positional_params(es):
+    rows = es.sql(
+        "SELECT count(*) AS n FROM customer WHERE bal >= ? AND name <> ?",
+        args=[100.0, "ann"],
+    ).collect()
+    assert rows[0]["n"] == 2
+
+
+def test_positional_params_count_mismatch(es):
+    with pytest.raises(ValueError, match="placeholders"):
+        es.sql("SELECT ? AS a, ? AS b", args=[1])
+
+
+def test_named_params(es):
+    rows = es.sql(
+        "SELECT count(*) AS n FROM customer WHERE bal >= :minbal",
+        args={"minbal": 100.0},
+    ).collect()
+    assert rows[0]["n"] == 3
