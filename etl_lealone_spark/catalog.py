@@ -79,6 +79,18 @@ class IndexMeta:
 
 
 @dataclass
+class TableConstraints:
+    """Column semantics beyond the storage schema (reference Column.java:
+    70-81 — defaults, computed columns, CHECK, NOT NULL; enforcement at
+    write time, since parquet itself enforces nothing)."""
+
+    not_null: list[str] = field(default_factory=list)
+    defaults: dict[str, str] = field(default_factory=dict)  # col → SQL expr
+    computed: dict[str, str] = field(default_factory=dict)  # col → SQL expr
+    checks: list[str] = field(default_factory=list)  # SQL boolean exprs
+
+
+@dataclass
 class Catalog:
     """Schema-object registry: tables (snapshot-backed), views, indexes,
     sequences metadata (sequences themselves live on EngineSession)."""
@@ -91,6 +103,7 @@ class Catalog:
     indexes: dict[str, IndexMeta] = field(default_factory=dict)
     domains: dict[str, str] = field(default_factory=dict)
     principals: set[str] = field(default_factory=set)
+    constraints: dict[str, TableConstraints] = field(default_factory=dict)
 
     def table(self, name: str) -> SnapshotTable:
         key = name.lower()
@@ -109,9 +122,9 @@ class Catalog:
             self.spark.sql(vquery).createOrReplaceTempView(vname)
 
 
-def _parse_columns(cols_sql: str) -> tuple[str, list[str]]:
-    """'(a int primary key, b varchar(10) not null, ...)' →
-    (spark schema DDL, primary-key column list)."""
+def _parse_columns(cols_sql: str) -> tuple[str, list[str], "TableConstraints"]:
+    """'(a int primary key, b varchar(10) not null default 5, ...)' →
+    (spark schema DDL, primary-key column list, constraints)."""
     parts: list[str] = []
     depth = 0
     cur = []
@@ -131,6 +144,7 @@ def _parse_columns(cols_sql: str) -> tuple[str, list[str]]:
         parts.append("".join(cur).strip())
 
     fields, pks = [], []
+    cons = TableConstraints()
     for p in parts:
         m = re.match(
             rf"({_IDENT})\s+({_IDENT})(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?(?P<rest>.*)$",
@@ -145,10 +159,15 @@ def _parse_columns(cols_sql: str) -> tuple[str, list[str]]:
             if pk:
                 pks.extend(c.strip().lower() for c in pk.group(1).split(","))
                 continue
-            if re.match(r"(CONSTRAINT|FOREIGN|UNIQUE|CHECK|KEY)\b", p.strip(), re.IGNORECASE):
-                continue  # constraints: metadata-only
+            chk = re.match(r"CHECK\s*\((.*)\)\s*$", p.strip(), re.IGNORECASE | re.DOTALL)
+            if chk:
+                cons.checks.append(chk.group(1))
+                continue
+            if re.match(r"(CONSTRAINT|FOREIGN|UNIQUE|KEY)\b", p.strip(), re.IGNORECASE):
+                continue  # FK/unique-constraint syntax: metadata-only
             raise ValueError(f"cannot parse column definition: {p!r}")
         name, typ = m.group(1), m.group(2).lower()
+        lname = name.lower()
         args = (m.group(3) or "").strip()
         rest = m.group("rest") or ""
         if typ in ("decimal", "numeric", "dec", "number") and args:
@@ -157,8 +176,23 @@ def _parse_columns(cols_sql: str) -> tuple[str, list[str]]:
             spark_type = TYPE_MAP.get(typ, "string")
         fields.append(f"{name} {spark_type}")
         if re.search(r"PRIMARY\s+KEY", rest, re.IGNORECASE):
-            pks.append(name.lower())
-    return ", ".join(fields), pks
+            pks.append(lname)
+            cons.not_null.append(lname)
+        if re.search(r"NOT\s+NULL", rest, re.IGNORECASE):
+            if lname not in cons.not_null:
+                cons.not_null.append(lname)
+        dm = re.search(
+            r"DEFAULT\s+(?P<expr>\([^)]*\)|'[^']*'|[^\s]+)", rest, re.IGNORECASE
+        )
+        if dm:
+            cons.defaults[lname] = dm.group("expr")
+        cm = re.search(r"\bAS\s*\((?P<expr>.*)\)\s*$", rest, re.IGNORECASE | re.DOTALL)
+        if cm:
+            cons.computed[lname] = cm.group("expr")
+        km = re.search(r"CHECK\s*\((?P<expr>[^)]*)\)", rest, re.IGNORECASE)
+        if km:
+            cons.checks.append(km.group("expr"))
+    return ", ".join(fields), pks, cons
 
 
 class StatementRouter:
@@ -219,12 +253,13 @@ class StatementRouter:
                 if re.search(r"IF\s+NOT\s+EXISTS", s, re.IGNORECASE):
                     return self._ok("exists")
                 raise ValueError(f"table already exists: {name}")
-            schema_ddl, pks = _parse_columns(m.group("cols"))
+            schema_ddl, pks, cons = _parse_columns(m.group("cols"))
             st = SnapshotTable(self.spark, self.catalog.warehouse, name)
             empty = self.spark.createDataFrame([], schema_ddl)
             st.create(empty)
             self.catalog.tables[name] = st
             self.catalog.table_ddl[name] = s
+            self.catalog.constraints[name] = cons
             if pks:
                 self.catalog.indexes[f"__pk_{name}"] = IndexMeta(
                     f"__pk_{name}", name, pks, unique=True
@@ -474,19 +509,77 @@ class StatementRouter:
             src = self.spark.sql(rewrite(rest.strip("()"), session=self.session)).toDF(
                 *cols
             )
-        # align to target schema: missing columns → NULL, order normalized
+        # align to target schema: missing columns → DEFAULT expr (falling
+        # back to NULL), computed columns recomputed, order normalized
+        cons = self.catalog.constraints.get(name, TableConstraints())
         target_schema = dict(st.read().dtypes)
+
+        def source_col(c: str):
+            if c in cons.computed:
+                return F.expr(cons.computed[c])
+            if c in src.columns:
+                return F.col(c)
+            if c in cons.defaults:
+                return F.expr(cons.defaults[c])
+            return F.lit(None)
+
         aligned = src.select(
-            *[
-                (F.col(c) if c in src.columns else F.lit(None))
-                .cast(target_schema[c])
-                .alias(c)
-                for c in target_cols
-            ]
+            *[source_col(c).cast(target_schema[c]).alias(c) for c in target_cols]
         )
+        self._validate_write(name, aligned, incoming_only=True)
         st.insert(aligned)
         self.catalog.refresh_view(name)
         return self._ok(f"inserted into {name}")
+
+    def _validate_write(
+        self, name: str, incoming: DataFrame, incoming_only: bool = False
+    ) -> None:
+        """Write-time constraint enforcement (Column.java:71-78 CHECK /
+        NOT NULL; GlobalUniqueIndex.java:33 uniqueness as a group-count
+        validation). One validation job per constrained write."""
+        cons = self.catalog.constraints.get(name)
+        if cons:
+            conds = [F.col(c).isNull() for c in cons.not_null if c in incoming.columns]
+            conds += [
+                ~F.coalesce(F.expr(e), F.lit(False)) for e in cons.checks
+            ]
+            if conds:
+                viol = None
+                for c in conds:
+                    viol = c if viol is None else (viol | c)
+                n_bad = incoming.filter(viol).count()
+                if n_bad:
+                    raise ValueError(
+                        f"constraint violation on {name}: {n_bad} row(s) "
+                        f"fail NOT NULL/CHECK"
+                    )
+        # uniqueness: PK + unique indexes over the post-write table state
+        unique_sets = [
+            m.columns
+            for m in self.catalog.indexes.values()
+            if m.unique and m.table == name
+        ]
+        if unique_sets:
+            st = self.catalog.tables[name]
+            combined = (
+                st.read().select(incoming.columns).unionByName(incoming)
+                if incoming_only and st.exists()
+                else incoming
+            )
+            for cols in unique_sets:
+                if not all(c in combined.columns for c in cols):
+                    continue
+                dup = (
+                    combined.groupBy(*cols)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    raise ValueError(
+                        f"unique constraint violation on {name}({', '.join(cols)})"
+                    )
 
     def _update(self, s: str) -> DataFrame:
         m = re.match(
@@ -508,13 +601,15 @@ class StatementRouter:
             from .operators.dml import apply_update_limit
 
             pk = self._pk_of(name)
-            st.write(
-                apply_update_limit(
-                    st.read(), cond, assignments, int(m.group("limit")), pk
-                )
+            new_df = apply_update_limit(
+                st.read(), cond, assignments, int(m.group("limit")), pk
             )
         else:
-            st.update(cond, assignments)
+            from .operators.dml import apply_update
+
+            new_df = apply_update(st.read(), cond, assignments)
+        self._validate_write(name, new_df)
+        st.write(new_df)
         self.catalog.refresh_view(name)
         return self._ok(f"updated {name}")
 
@@ -612,7 +707,9 @@ class StatementRouter:
                     for c in target_cols
                 ]
             )
-        st.write(merge_by_key(st.read(), aligned, keys))
+        merged = merge_by_key(st.read(), aligned, keys)
+        self._validate_write(name, merged)
+        st.write(merged)
         self.catalog.refresh_view(name)
         return self._ok(f"merged into {name}")
 
