@@ -88,6 +88,7 @@ class TableConstraints:
     defaults: dict[str, str] = field(default_factory=dict)  # col → SQL expr
     computed: dict[str, str] = field(default_factory=dict)  # col → SQL expr
     checks: list[str] = field(default_factory=list)  # SQL boolean exprs
+    identity: list[str] = field(default_factory=list)  # auto-fill columns
 
 
 @dataclass
@@ -175,6 +176,10 @@ def _parse_columns(cols_sql: str) -> tuple[str, list[str], "TableConstraints"]:
         else:
             spark_type = TYPE_MAP.get(typ, "string")
         fields.append(f"{name} {spark_type}")
+        if typ in ("identity", "serial") or re.search(
+            r"AUTO_INCREMENT|IDENTITY", rest, re.IGNORECASE
+        ):
+            cons.identity.append(lname)
         if re.search(r"PRIMARY\s+KEY", rest, re.IGNORECASE):
             pks.append(lname)
             cons.not_null.append(lname)
@@ -339,6 +344,11 @@ class StatementRouter:
             self.catalog.principals.add(m.group("name").lower())
             return self._ok(f"created principal {m.group('name').lower()}")
 
+        if re.match(r"CREATE\s+TRIGGER\b", s, re.IGNORECASE):
+            # triggers have no meaning without OLTP row events (SURVEY
+            # §2.11) — accepted as a no-op so scripts don't break
+            return self._ok("ok (trigger ignored: no row-event runtime)")
+
         raise ValueError(f"unsupported CREATE statement: {s[:80]}")
 
     def _alter(self, s: str) -> DataFrame:
@@ -450,7 +460,7 @@ class StatementRouter:
 
     def _drop(self, s: str) -> DataFrame:
         m = re.match(
-            rf"DROP\s+(?P<kind>TABLE|VIEW|INDEX|SEQUENCE)\s+"
+            rf"DROP\s+(?P<kind>TABLE|VIEW|INDEX|SEQUENCE|TRIGGER)\s+"
             rf"(?:IF\s+EXISTS\s+)?(?P<name>{_IDENT})\s*(CASCADE|RESTRICT)?\s*$",
             s,
             re.IGNORECASE,
@@ -477,6 +487,8 @@ class StatementRouter:
         elif kind == "SEQUENCE":
             if self.session.sequences.pop(name, None) is None and not if_exists:
                 raise KeyError(f"sequence not found: {name}")
+        elif kind == "TRIGGER":
+            pass  # triggers were never registered (no-op surface)
         return self._ok(f"dropped {kind.lower()} {name}")
 
     # -- DML -------------------------------------------------------------
@@ -519,6 +531,15 @@ class StatementRouter:
                 return F.expr(cons.computed[c])
             if c in src.columns:
                 return F.col(c)
+            if c in cons.identity:
+                # IDENTITY auto-fill (Column.java:78): a driver-reserved
+                # block offset + per-row monotonic id — unique without any
+                # executor coordination; gaps allowed (same as reference)
+                seq = self.session.sequences.get(f"__identity_{name}")
+                if seq is None:
+                    seq = self.session.create_sequence(f"__identity_{name}", start=1)
+                offset, _ = seq.next_block(1 << 40)
+                return F.lit(offset) + F.monotonically_increasing_id()
             if c in cons.defaults:
                 return F.expr(cons.defaults[c])
             return F.lit(None)

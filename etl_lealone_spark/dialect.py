@@ -214,6 +214,29 @@ def _substitute_variables(sql: str, session: Optional["EngineSession"]) -> str:
     return re.sub(r"@(\w+)", repl, sql)
 
 
+def _rewrite_sequence_calls(sql: str, session: Optional["EngineSession"]) -> str:
+    """NEXTVAL('seq') / CURRVAL('seq') (SequenceValue.java:22).
+
+    Evaluated driver-side at rewrite time: one NEXTVAL occurrence bumps
+    the sequence once PER STATEMENT (not per row — a documented semantic
+    refinement; per-row distributed sequence values cannot be both gapless
+    and coordination-free, and the reference itself allows gaps).
+    """
+    if session is None:
+        return sql
+
+    def next_repl(m: re.Match) -> str:
+        return str(session.sequence(m.group(1)).next_value())
+
+    def curr_repl(m: re.Match) -> str:
+        seq = session.sequence(m.group(1))
+        return str(seq._next - seq.increment)
+
+    sql = re.sub(r"NEXTVAL\s*\(\s*'(\w+)'\s*\)", next_repl, sql, flags=re.IGNORECASE)
+    sql = re.sub(r"CURRVAL\s*\(\s*'(\w+)'\s*\)", curr_repl, sql, flags=re.IGNORECASE)
+    return sql
+
+
 def _strip_for_update(sql: str) -> str:
     """FOR UPDATE is a lock hint — meaningless on snapshots; strip it."""
     return re.sub(r"\s+FOR\s+UPDATE\s*$", "", sql, flags=re.IGNORECASE)
@@ -231,6 +254,7 @@ def rewrite(sql: str, session: Optional["EngineSession"] = None) -> str:
     sql = _rewrite_group_concat(sql)
     sql = _rewrite_csvread(sql, session)
     sql = _rewrite_table_constructor(sql)
+    sql = _rewrite_sequence_calls(sql, session)
     sql = _rewrite_rownum(sql)
     sql = _strip_for_update(sql)
     return sql

@@ -1,6 +1,6 @@
 """Sources & sinks (SURVEY.md §2.1)."""
 
-from .csv_io import csvread, csvwrite
+from .csv_io import csvread, csvwrite, file_read
 from .info_schema import information_schema
 
-__all__ = ["csvread", "csvwrite", "information_schema"]
+__all__ = ["csvread", "csvwrite", "file_read", "information_schema"]

@@ -49,6 +49,15 @@ def csvread(
     return df
 
 
+def file_read(spark: SparkSession, path: str) -> DataFrame:
+    """FILE_READ('path') (Function.java:365): file contents as a blob.
+
+    Spark's binaryFile source returns (path, modificationTime, length,
+    content) — content is the BLOB column; distributed over files.
+    """
+    return spark.read.format("binaryFile").load(path)
+
+
 def csvwrite(
     df: DataFrame,
     path: str,

@@ -69,3 +69,38 @@ def test_prepare_execute_sql(es):
     es.sql("DEALLOCATE q1")
     with pytest.raises(KeyError):
         es.sql("EXECUTE q1")
+
+
+def test_identity_autofill(es):
+    es.sql("CREATE TABLE ids (id identity PRIMARY KEY, v varchar(5))")
+    es.sql("INSERT INTO ids (v) VALUES ('a'), ('b')")
+    es.sql("INSERT INTO ids (v) VALUES ('c')")
+    rows = es.sql("SELECT id, v FROM ids").collect()
+    got_ids = [r["id"] for r in rows]
+    assert len(set(got_ids)) == 3  # unique across statements
+    assert all(r["id"] is not None for r in rows)
+
+
+def test_nextval_currval(es):
+    es.sql("CREATE SEQUENCE sq2 START WITH 7 INCREMENT BY 3")
+    assert es.sql("SELECT NEXTVAL('sq2') AS v").collect()[0]["v"] == 7
+    assert es.sql("SELECT NEXTVAL('sq2') AS v").collect()[0]["v"] == 10
+    assert es.sql("SELECT CURRVAL('sq2') AS v").collect()[0]["v"] == 10
+
+
+def test_trigger_noop(es):
+    out = es.sql(
+        "CREATE TRIGGER trg AFTER INSERT ON a FOR EACH ROW CALL 'x'"
+    ).collect()[0]["status"]
+    assert "trigger ignored" in out
+    assert es.sql("DROP TRIGGER trg").collect()[0]["status"].startswith("dropped")
+
+
+def test_file_read_source(es, tmp_path):
+    from etl_lealone_spark.sources import file_read
+
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"hello world")
+    df = file_read(es.spark, str(p))
+    row = df.collect()[0]
+    assert row["content"] == b"hello world" and row["length"] == 11
