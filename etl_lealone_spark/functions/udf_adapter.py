@@ -75,6 +75,19 @@ class UdfRegistry:
     def drop_alias(self, name: str) -> None:
         self.aliases.pop(name.upper(), None)
 
+    # -- table-valued (UDTF-ish: UDF returning a result set usable in
+    # FROM — FunctionTable.java:33; CSVREAD registered this way) ---------
+    def create_table_alias(self, name: str, fn: Callable[..., DataFrame]) -> None:
+        """Register a function returning a DataFrame; ``call_table``
+        invokes it and registers the result as a temp view under the
+        alias so SQL can select FROM it."""
+        self.aliases[name.upper()] = fn
+
+    def call_table(self, name: str, *args, **kwargs) -> DataFrame:
+        df = self.aliases[name.upper()](*args, **kwargs)
+        df.createOrReplaceTempView(name.lower())
+        return df
+
     # -- aggregate (CREATE AGGREGATE) -----------------------------------
     def create_aggregate(self, name: str, cls: Type[AggregateFunction]) -> None:
         self.aggregates[name.upper()] = cls

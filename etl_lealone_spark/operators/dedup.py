@@ -172,9 +172,23 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verification: join candidate pairs back to per-doc shingle arrays
-    sh = _parallelize_for_compute(df, id_col).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh")
+    # candidates feed two consumers (needed-ids semi-join + pair join);
+    # checkpoint so the signature+bucket subtree executes once
+    cand = cand.localCheckpoint(eager=False)
+    # verification: join candidate pairs back to per-doc shingle arrays.
+    # Semi-join FIRST so the (expensive) shingle projection runs only for
+    # docs that appear in some candidate pair — typically a tiny fraction
+    # of the corpus. Without this, Catalyst pushes the projection below
+    # the join and shingles everything a second time.
+    needed = (
+        cand.select(F.col("id_a").alias("nid"))
+        .union(cand.select(F.col("id_b").alias("nid")))
+        .distinct()
+    )
+    sh = (
+        _parallelize_for_compute(df, id_col)
+        .join(needed, F.col(id_col) == F.col("nid"), "left_semi")
+        .select(F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh"))
     )
     a, b = sh.alias("a"), sh.alias("b")
     paired = (

@@ -186,3 +186,17 @@ def test_sessionize_stream(spark, events_stream_dir):
     ).collect()
     assert rows[0]["n"] == 0
     assert spark.sql("SELECT count(*) AS n FROM stream_sessions").collect()[0]["n"] > 0
+
+
+def test_create_table_alias_udtf(spark, tables):
+    reg = UdfRegistry(spark)
+
+    def top_docs(n: int):
+        return tables["documents"].orderBy("doc_id").limit(n).select("doc_id", "lang")
+
+    reg.create_table_alias("TOP_DOCS", top_docs)
+    df = reg.call_table("TOP_DOCS", 5)
+    assert df.count() == 5
+    # usable in FROM after registration (UDTF-in-FROM parity,
+    # FunctionTable.java:33)
+    assert spark.sql("SELECT count(*) AS n FROM top_docs").collect()[0]["n"] == 5
