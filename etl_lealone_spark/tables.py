@@ -48,6 +48,9 @@ NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # defensive: the driver may pass a session built without this legacy
+    # conf; it is runtime-settable and required to read TIMESTAMP(NANOS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in NANO_TS_COLUMNS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
