@@ -235,7 +235,13 @@ class StatementRouter:
             "COMMENT": self._comment,
         }.get(head)
         if handler:
-            return handler(s)
+            result = handler(s)
+            if head in (
+                "CREATE", "DROP", "INSERT", "UPDATE", "DELETE", "MERGE",
+                "TRUNCATE", "ALTER", "RUNSCRIPT",
+            ):
+                self.session.invalidate_cache()
+            return result
         # SELECT / WITH / VALUES / FROM-first → dialect → Spark SQL
         from .dialect import rewrite
 

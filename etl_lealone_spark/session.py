@@ -16,6 +16,7 @@ from __future__ import annotations
 import itertools
 import os
 import threading
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
@@ -133,6 +134,12 @@ class EngineSession:
         )
         self.catalog = Catalog(self.spark, self.warehouse)
         self._router = StatementRouter(self, self.catalog)
+        # per-session query result cache (reference: Query.java:308-329 —
+        # last 8 results, invalidated on any data/schema change)
+        self._result_cache: "OrderedDict[str, list]" = OrderedDict()
+        self._cache_generation = 0
+        self.result_cache_size = 8
+        self.result_cache_max_rows = 1024
 
     # --- settings (SET name value) ------------------------------------
     def set_setting(self, name: str, value: Any) -> None:
@@ -196,3 +203,33 @@ class EngineSession:
                 sql, args = "".join(out), named
             return self.spark.sql(rewrite(sql, session=self), args=args)
         return self._router.execute(sql)
+
+    # --- result cache (Query.java:308-329) --------------------------
+    def invalidate_cache(self) -> None:
+        """Called by the router on any DDL/DML (the reference recompiles
+        on schema change, StatementWrapper.recompileIfRequired)."""
+        self._cache_generation += 1
+        self._result_cache.clear()
+
+    def sql_cached(self, sql: str) -> DataFrame:
+        """SELECT with the reference's per-session result cache: the last
+        ``result_cache_size`` query results are replayed without
+        re-execution, as long as no mutation happened since. Results
+        larger than ``result_cache_max_rows`` are never cached (the
+        reference bounds its cache by maxMemoryRows the same way)."""
+        head = sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
+        if head not in ("SELECT", "WITH", "VALUES", "FROM"):
+            return self.sql(sql)  # only queries are cacheable
+        key = " ".join(sql.split())
+        if key in self._result_cache:
+            self._result_cache.move_to_end(key)
+            rows, schema = self._result_cache[key]
+            return self.spark.createDataFrame(rows, schema)
+        df = self.sql(key)
+        rows = df.limit(self.result_cache_max_rows + 1).collect()
+        if len(rows) <= self.result_cache_max_rows:
+            self._result_cache[key] = (rows, df.schema)
+            while len(self._result_cache) > self.result_cache_size:
+                self._result_cache.popitem(last=False)
+            return self.spark.createDataFrame(rows, df.schema)
+        return df

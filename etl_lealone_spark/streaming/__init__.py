@@ -6,7 +6,9 @@ watermarked windowed aggregation, streaming exact dedup, and a stateful
 sessionizer.
 """
 
+from .incremental_dedup import IncrementalDeduper
 from .ingest import (
+    running_user_totals,
     sessionize_stream,
     streaming_dedup,
     streaming_tumbling_agg,
@@ -14,6 +16,8 @@ from .ingest import (
 )
 
 __all__ = [
+    "IncrementalDeduper",
+    "running_user_totals",
     "stream_from_parquet_dir",
     "streaming_tumbling_agg",
     "streaming_dedup",

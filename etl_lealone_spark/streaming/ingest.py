@@ -84,6 +84,42 @@ def streaming_dedup(
     return hashed.dropDuplicates(["content_hash"])
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total maintained in explicit state —
+    the escape hatch for stateful logic the built-in windows can't
+    express (reference has no streaming at all; this is the extension
+    surface's custom-operator pattern).
+
+    Emits one row per user per micro-batch with the cumulative totals.
+    State = (count, total) per user, 16 bytes — millions of users fit one
+    executor's state store.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            (n, total) = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -129,3 +129,52 @@ def cosine_float_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return brute_force_topk(e, q, k=TOP_K)
+
+
+@workload(
+    "embedding_near_dup_blocked",
+    f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           cast(list_sum([a.v[i+1] * b.v[i+1] for i in range(len(a.v))]) as double)
+           / (sqrt(cast(list_sum([a.v[i+1] * a.v[i+1] for i in range(len(a.v))]) as double))
+              * sqrt(cast(list_sum([b.v[i+1] * b.v[i+1] for i in range(len(b.v))]) as double)))
+             AS cosine_sim
+    FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE cast(list_sum([a.v[i+1] * b.v[i+1] for i in range(len(a.v))]) as double)
+          / (sqrt(cast(list_sum([a.v[i+1] * a.v[i+1] for i in range(len(a.v))]) as double))
+             * sqrt(cast(list_sum([b.v[i+1] * b.v[i+1] for i in range(len(b.v))]) as double)))
+          >= 0.6
+    """,
+    doc="Embedding near-dup pairs within label blocks — the exact "
+    "verification kernel of embedding dedup, integer-quantized so both "
+    "engines agree bitwise. Blocking bounds the quadratic pair space.",
+)
+def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.select("vec_id", "label", _quantized(F.col("embedding")).alias("v"))
+    a, b = q.alias("a"), q.alias("b")
+    cos = (
+        _int_dot(F.col("a.v"), F.col("b.v")).cast("double")
+        / (
+            F.sqrt(_int_dot(F.col("a.v"), F.col("a.v")).cast("double"))
+            * F.sqrt(_int_dot(F.col("b.v"), F.col("b.v")).cast("double"))
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.6)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cosine_sim"),
+        )
+    )

@@ -200,3 +200,19 @@ def test_create_table_alias_udtf(spark, tables):
     # usable in FROM after registration (UDTF-in-FROM parity,
     # FunctionTable.java:33)
     assert spark.sql("SELECT count(*) AS n FROM top_docs").collect()[0]["n"] == 5
+
+
+def test_running_user_totals_stateful(spark, events_stream_dir, tables):
+    from etl_lealone_spark.streaming import running_user_totals
+
+    stream = stream_from_parquet_dir(spark, events_stream_dir)
+    _run_to_completion(running_user_totals(stream), "stream_totals", mode="append")
+    # the LAST emitted row per user carries the cumulative count; the
+    # per-user max must equal the batch ground truth
+    got = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM stream_totals GROUP BY user_id"
+    )
+    truth = tables["events"].groupBy("user_id").count()
+    joined = got.join(truth, "user_id")
+    assert joined.filter("n <> count").count() == 0
+    assert joined.count() == truth.count()
