@@ -1,0 +1,99 @@
+"""Join operators Spark lacks natively (SURVEY.md custom-operator list):
+as-of join and an explicit salted join for extreme skew.
+
+Both are compositions of built-in DataFrame ops (no UDFs), per the
+engine's operator preference order.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key group.
+
+    Implementation: the union-and-carry-forward pattern — tag both sides,
+    sort by (key, ts, side) with right rows first on ties, and
+    carry the last non-null right values forward with an ignore-nulls
+    window. ONE shuffle on the key (the window partition); no range
+    explosion, no per-row subquery. This is the standard scalable as-of
+    shape (a merge of both sorted streams), vs. the O(n·m) theta-join
+    a naive BETWEEN predicate would produce.
+
+    ``right`` must be unique per (key, right_ts) — pre-aggregate it if
+    not, or ties make the carried value nondeterministic.
+    """
+    keys = list(on)
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"__rv_{v}") for v in value_cols],
+    )
+    r = right.select(
+        *[
+            F.col(k) if k in right.columns else F.lit(None).alias(k)
+            for k in keys
+        ],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c not in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(v).alias(f"__rv_{v}") for v in value_cols],
+    ).select(*lcols, "__ts", "__is_left", *[f"__rv_{v}" for v in value_cols])
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        *lcols,
+        "__ts",
+        "__is_left",
+        *[
+            F.last(f"__rv_{v}", ignorenulls=True).over(w).alias(f"{v}{suffix}")
+            for v in value_cols
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop("__ts", "__is_left")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with explicit key salting for EXTREME skew.
+
+    AQE's skew-join handles moderate skew by splitting oversized
+    partitions; for pathological keys (one key = 50% of the table) the
+    classic fix is salting: the skewed (left) side gets a random salt in
+    [0, salt), the small (right) side is replicated ``salt`` times, and
+    the join key becomes (key, salt). Shuffle load per reducer drops by
+    ~salt× on the hot key at the cost of replicating the right side.
+    """
+    l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    r = right.join(
+        F.broadcast(
+            left.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = l.join(r, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

@@ -54,6 +54,7 @@ def all_workloads() -> dict[str, Workload]:
     from . import core_sql  # noqa: F401
     from . import core_sql2  # noqa: F401
     from . import core_sql3  # noqa: F401
+    from . import asof_q  # noqa: F401
     from . import core_sql4  # noqa: F401
     from . import json_q  # noqa: F401
     from . import functions_q  # noqa: F401
