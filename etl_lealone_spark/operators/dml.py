@@ -26,7 +26,6 @@ from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def apply_update(
@@ -137,12 +136,26 @@ class SnapshotTable:
     (MVCCTransactionEngine.java). Readers of the old snapshot are never
     disturbed (snapshot isolation); there is no redo log because the
     snapshot write *is* the commit.
+
+    ``partition_by`` enables the 100 TB mutation path: snapshots are laid
+    out hive-style on those columns, and UPDATE/DELETE whose predicate
+    constrains the partition columns rewrite ONLY the affected partitions
+    (see :meth:`update` / :meth:`delete` with ``partition_filter``) —
+    the full-snapshot rewrite cost becomes proportional to the data
+    actually touched.
     """
 
-    def __init__(self, spark: SparkSession, root: str, name: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        partition_by: Optional[Sequence[str]] = None,
+    ):
         self.spark = spark
         self.root = root
         self.name = name
+        self.partition_by = list(partition_by or [])
         self._version = self._latest_version()
 
     # -- snapshot bookkeeping -----------------------------------------
@@ -173,7 +186,59 @@ class SnapshotTable:
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> int:
         new_version = self._version + 1
-        df.write.mode("overwrite").parquet(self._dir(new_version))
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self._dir(new_version))
+        self._version = new_version
+        return new_version
+
+    def _clone_partitions_except(self, new_version: int, touched: DataFrame) -> None:
+        """Hard-link the untouched partition dirs of the current snapshot
+        into the new snapshot (metadata-only on a local FS; a cheap
+        server-side copy/manifest entry on object stores)."""
+        src = self._dir(self._version)
+        dst = self._dir(new_version)
+        os.makedirs(dst, exist_ok=True)
+        touched_dirs = {
+            tuple(r[c] for c in self.partition_by) for r in touched.collect()
+        }
+
+        def walk(cur_src: str, cur_dst: str, depth: int, prefix: tuple):
+            for entry in os.listdir(cur_src):
+                sp = os.path.join(cur_src, entry)
+                if not os.path.isdir(sp) or "=" not in entry:
+                    continue
+                val = entry.split("=", 1)[1]
+                key = prefix + (val,)
+                if depth + 1 == len(self.partition_by):
+                    if key in {tuple(str(v) for v in t) for t in touched_dirs}:
+                        continue  # will be rewritten
+                    os.makedirs(cur_dst, exist_ok=True)
+                    os.symlink(os.path.abspath(sp), os.path.join(cur_dst, entry))
+                else:
+                    walk(sp, os.path.join(cur_dst, entry), depth + 1, key)
+
+        walk(src, dst, 0, ())
+
+    def _pruned_rewrite(self, transform, partition_filter: Column) -> int:
+        """Rewrite ONLY the partitions matching ``partition_filter``:
+        untouched partitions are linked into the new snapshot, touched
+        partitions are read → transformed → written. Cost is O(touched
+        data), not O(table)."""
+        current = self.read()
+        touched_keys = (
+            current.filter(partition_filter).select(*self.partition_by).distinct()
+        )
+        new_version = self._version + 1
+        self._clone_partitions_except(new_version, touched_keys)
+        subset = current.join(
+            F.broadcast(touched_keys), on=self.partition_by, how="left_semi"
+        )
+        transformed = transform(subset)
+        # align column order: partition cols last on disk, schema order in reads
+        writer = transformed.select(current.columns).write.mode("append")
+        writer.partitionBy(*self.partition_by).parquet(self._dir(new_version))
         self._version = new_version
         return new_version
 
@@ -188,10 +253,29 @@ class SnapshotTable:
         rows.write.mode("append").parquet(self._dir(self._version))
         return self._version
 
-    def update(self, condition: Column, assignments: Mapping[str, Column]) -> int:
+    def update(
+        self,
+        condition: Column,
+        assignments: Mapping[str, Column],
+        partition_filter: Optional[Column] = None,
+    ) -> int:
+        """UPDATE; with ``partition_filter`` (a predicate over the
+        partition columns implied by ``condition``) only matching
+        partitions are rewritten."""
+        if partition_filter is not None and self.partition_by:
+            return self._pruned_rewrite(
+                lambda df: apply_update(df, condition, assignments),
+                partition_filter,
+            )
         return self.write(apply_update(self.read(), condition, assignments))
 
-    def delete(self, condition: Column) -> int:
+    def delete(
+        self, condition: Column, partition_filter: Optional[Column] = None
+    ) -> int:
+        if partition_filter is not None and self.partition_by:
+            return self._pruned_rewrite(
+                lambda df: apply_delete(df, condition), partition_filter
+            )
         return self.write(apply_delete(self.read(), condition))
 
     def merge(self, source: DataFrame, keys: Sequence[str]) -> int:
@@ -207,6 +291,21 @@ class SnapshotTable:
         self._version = -1
 
     def vacuum(self, keep_last: int = 1) -> None:
-        """Remove snapshots older than the newest ``keep_last``."""
+        """Remove snapshots older than the newest ``keep_last``.
+
+        Partition-pruned rewrites link untouched partitions of the OLD
+        snapshot into the new one, so a snapshot is only removable when
+        no surviving snapshot links into it."""
+        survivors = range(max(0, self._version - keep_last + 1), self._version + 1)
+        linked_targets: set[str] = set()
+        for v in survivors:
+            for dirpath, dirnames, _ in os.walk(self._dir(v)):
+                for d in list(dirnames):
+                    p = os.path.join(dirpath, d)
+                    if os.path.islink(p):
+                        linked_targets.add(os.path.realpath(p))
         for v in range(0, self._version - keep_last + 1):
+            target = os.path.abspath(self._dir(v))
+            if any(t.startswith(target) for t in linked_targets):
+                continue  # still referenced by a pruned-rewrite snapshot
             shutil.rmtree(self._dir(v), ignore_errors=True)

@@ -9,7 +9,6 @@ from pyspark.sql import functions as F
 
 from ..tables import load_tables
 from . import workload
-from .helpers import o_dsum
 
 
 # ---------------------------------------------------------------------------

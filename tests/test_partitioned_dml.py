@@ -1,0 +1,83 @@
+"""Partition-pruned DML: mutations rewrite only affected partitions —
+the 100 TB mutation path (SCALE.md §DML)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_lealone_spark.operators.dml import SnapshotTable
+
+
+def _table(spark, tmp_path):
+    st = SnapshotTable(spark, str(tmp_path), "pt", partition_by=["dt"])
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01", 1, 10.0),
+            ("2024-01-01", 2, 20.0),
+            ("2024-01-02", 3, 30.0),
+            ("2024-01-03", 4, 40.0),
+        ],
+        "dt string, id int, v double",
+    )
+    st.create(df)
+    return st
+
+
+def test_pruned_update_only_touches_matching_partition(spark, tmp_path):
+    st = _table(spark, tmp_path)
+    st.update(
+        F.col("dt") == "2024-01-01",
+        {"v": F.col("v") + 1},
+        partition_filter=F.col("dt") == "2024-01-01",
+    )
+    got = {r["id"]: r["v"] for r in st.read().collect()}
+    assert got == {1: 11.0, 2: 21.0, 3: 30.0, 4: 40.0}
+    # untouched partitions are links into the previous snapshot, not copies
+    v1 = os.path.join(str(tmp_path), "pt", "v000001")
+    assert os.path.islink(os.path.join(v1, "dt=2024-01-02"))
+    assert os.path.islink(os.path.join(v1, "dt=2024-01-03"))
+    assert not os.path.islink(os.path.join(v1, "dt=2024-01-01"))
+
+
+def test_pruned_delete(spark, tmp_path):
+    st = _table(spark, tmp_path)
+    st.delete(
+        (F.col("dt") == "2024-01-02") & (F.col("id") == 3),
+        partition_filter=F.col("dt") == "2024-01-02",
+    )
+    ids = sorted(r["id"] for r in st.read().collect())
+    assert ids == [1, 2, 4]
+
+
+def test_old_snapshot_still_readable_after_pruned_rewrite(spark, tmp_path):
+    st = _table(spark, tmp_path)
+    st.update(
+        F.col("dt") == "2024-01-01",
+        {"v": F.lit(0.0)},
+        partition_filter=F.col("dt") == "2024-01-01",
+    )
+    v0 = spark.read.parquet(os.path.join(str(tmp_path), "pt", "v000000"))
+    assert {r["v"] for r in v0.filter("dt = '2024-01-01'").collect()} == {10.0, 20.0}
+
+
+def test_vacuum_keeps_linked_snapshots(spark, tmp_path):
+    st = _table(spark, tmp_path)
+    st.update(
+        F.col("dt") == "2024-01-01",
+        {"v": F.lit(0.0)},
+        partition_filter=F.col("dt") == "2024-01-01",
+    )
+    st.vacuum(keep_last=1)
+    # v0 must survive: v1 symlinks into it
+    assert os.path.isdir(os.path.join(str(tmp_path), "pt", "v000000"))
+    assert st.read().count() == 4  # still fully readable
+
+
+def test_full_rewrite_still_works_on_partitioned_table(spark, tmp_path):
+    st = _table(spark, tmp_path)
+    st.update(F.col("id") == 4, {"v": F.lit(99.0)})  # no partition_filter
+    got = {r["id"]: r["v"] for r in st.read().collect()}
+    assert got[4] == 99.0 and got[1] == 10.0
+    assert st.read().count() == 4
