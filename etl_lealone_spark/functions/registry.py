@@ -74,6 +74,57 @@ def _hash(alg, data, iterations=None) -> Column:
     return out
 
 
+def _encrypt(alg, key, data) -> Column:
+    """ENCRYPT('AES', key, data) (Function.java ENCRYPT).
+
+    Mapped to Spark's built-in ``aes_encrypt`` in ECB mode (deterministic,
+    no IV — the reference's block cipher likewise derives no random IV).
+    Key must be 16/24/32 bytes. Only AES is supported; the reference's
+    XTEA/FOG ciphers are not (documented divergence)."""
+    if isinstance(alg, str) and alg.upper() != "AES":
+        raise NotImplementedError(f"ENCRYPT algorithm {alg!r}: only AES")
+    return F.aes_encrypt(_c(data).cast("binary"), _c(key).cast("binary"), F.lit("ECB"))
+
+
+def _decrypt(alg, key, data) -> Column:
+    if isinstance(alg, str) and alg.upper() != "AES":
+        raise NotImplementedError(f"DECRYPT algorithm {alg!r}: only AES")
+    return F.aes_decrypt(_c(data).cast("binary"), _c(key).cast("binary"), F.lit("ECB"))
+
+
+def _py_compress(data: bytes | None) -> bytes | None:
+    """COMPRESS(bytes): zlib-deflate (stdlib). Container format is plain
+    zlib, not the reference's LZF header — EXPAND here reverses it."""
+    import zlib
+
+    return None if data is None else zlib.compress(bytes(data))
+
+
+def _py_expand(data: bytes | None) -> bytes | None:
+    import zlib
+
+    return None if data is None else zlib.decompress(bytes(data))
+
+
+def _py_secure_rand(n: int | None) -> bytes | None:
+    import os
+
+    return None if n is None else os.urandom(int(n))
+
+
+def _compress(data) -> Column:
+    return F.udf(_py_compress, T.BinaryType())(_c(data).cast("binary"))
+
+
+def _expand(data) -> Column:
+    return F.udf(_py_expand, T.BinaryType())(_c(data).cast("binary"))
+
+
+def _secure_rand(n) -> Column:
+    u = F.udf(_py_secure_rand, T.BinaryType()).asNondeterministic()
+    return u(_c(n))
+
+
 def _zero() -> Column:
     return F.lit(0)
 
@@ -190,6 +241,11 @@ FUNCTIONS: dict[str, Callable[..., Column]] = {
     "TRUNCATE": _truncate,
     "TRUNC": _truncate,
     "HASH": _hash,
+    "ENCRYPT": _encrypt,
+    "DECRYPT": _decrypt,
+    "COMPRESS": _compress,
+    "EXPAND": _expand,
+    "SECURE_RAND": _secure_rand,
     "ZERO": _zero,
     "RANDOM_UUID": lambda: F.expr("uuid()"),
     "SYS_GUID": lambda: F.expr("uuid()"),
@@ -323,11 +379,6 @@ def _sql(x) -> str:
 # names the reference registers that have no sensible batch equivalent;
 # call() raises a clear error for them.
 UNSUPPORTED: dict[str, str] = {
-    "ENCRYPT": "no cipher library in this environment; plug in a UDF",
-    "DECRYPT": "no cipher library in this environment; plug in a UDF",
-    "COMPRESS": "no codec exposure at SQL level; use parquet compression",
-    "EXPAND": "no codec exposure at SQL level",
-    "SECURE_RAND": "use RAND(seed); no CSPRNG guarantee in SQL",
     "CANCEL_SESSION": "no session registry in batch engine",
     "DATABASE_PATH": "storage is a warehouse dir, not a db file",
     "DISK_SPACE_USED": "ask the filesystem, not the query engine",
@@ -469,7 +520,13 @@ def register_udfs(spark: SparkSession) -> list[str]:
         ("XMLCOMMENT", _py_xmlcomment, T.StringType()),
         ("XMLCDATA", _py_xmlcdata, T.StringType()),
         ("XMLSTARTDOC", _py_xmlstartdoc, T.StringType()),
+        ("COMPRESS", _py_compress, T.BinaryType()),
+        ("EXPAND", _py_expand, T.BinaryType()),
     ]
     for name, fn, typ in regs:
         spark.udf.register(name, fn, typ)
-    return [r[0] for r in regs]
+    spark.udf.register(
+        "SECURE_RAND",
+        F.udf(_py_secure_rand, T.BinaryType()).asNondeterministic(),
+    )
+    return [r[0] for r in regs] + ["SECURE_RAND"]

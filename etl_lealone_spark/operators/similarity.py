@@ -218,3 +218,128 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+def quantize(col: Column) -> Column:
+    """array<float> → array<bigint>, components ×1e6 floor-rounded.
+
+    Integer arithmetic is exact and associative, so every downstream dot
+    product is bit-identical across engines and partitionings (floor(x+0.5)
+    rather than round(): engines disagree on round() ties for negatives).
+    """
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.floor(x * 1000000.0 + 0.5).cast("bigint"),
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: deterministic coarse quantizer + cluster probe.
+
+    The standard inverted-file trade (FAISS IVF-flat shape) expressed as
+    DataFrame ops, fully deterministic so it is DuckDB-oracle-checkable:
+
+    1. **Centroids** = every ``stride``-th vector (stride = floor(sqrt(n))),
+       so ~sqrt(n) clusters — deterministic stand-in for k-means (which
+       would need order-dependent float averaging).
+    2. **Assignment** (the build phase): each corpus vector joins the
+       broadcast centroid table and keeps its best centroid via a
+       map-side-partial ``max(struct(sim, -cid))`` aggregate — the shuffle
+       carries one row per vector. At 100 TB the assignment is written
+       once, partitioned by ``cid``, so probes become partition-pruned
+       scans instead of full scans.
+    3. **Probe** (the query phase): each query ranks centroids, takes the
+       ``n_probe`` best, and only those clusters' vectors are scored with
+       exact cosine — scan drops from |corpus| to ~n_probe/sqrt(n) of it.
+
+    All vector math is integer-quantized (``quantize``); similarity is one
+    IEEE double division of exact integers. Ties break toward the lower id
+    in every ranking, matching the SQL oracle's ``ORDER BY sim DESC, id``.
+    """
+    import math
+
+    cq = corpus.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("cvec")
+    )
+    n = cq.count()
+    stride = max(1, int(math.floor(math.sqrt(float(n)))))
+
+    cent = cq.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("cvec").alias("centvec"),
+    )
+    cent = cent.withColumn(
+        "cnorm", F.sqrt(int_dot(F.col("centvec"), F.col("centvec")).cast("double"))
+    )
+
+    # build: nearest centroid per vector (partial agg → shuffle is n rows)
+    sim_c = (
+        int_dot(F.col("cvec"), F.col("centvec")).cast("double") / F.col("cnorm")
+    ).alias("sim")
+    assign = (
+        cq.join(F.broadcast(cent))
+        .select("vec_id", "cvec", "cid", sim_c)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("negcid"))).alias("best"),
+            F.first("cvec").alias("cvec"),
+        )
+        .select("vec_id", "cvec", (-F.col("best.negcid")).alias("cid"))
+    )
+
+    # query side: rank centroids, probe the n_probe best
+    q = cq.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("cvec").alias("qvec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    probe = (
+        q.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "cid",
+            (int_dot(F.col("qvec"), F.col("centvec")).cast("double") / F.col("cnorm")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cid")
+    )
+
+    # probe join is broadcast (n_queries × n_probe rows) → map-only fetch
+    cand = assign.join(F.broadcast(probe), on="cid").join(
+        F.broadcast(q), on="query_id"
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        (
+            int_dot(F.col("cvec"), F.col("qvec")).cast("double")
+            / (
+                F.sqrt(int_dot(F.col("cvec"), F.col("cvec")).cast("double"))
+                * F.sqrt(int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
+            )
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rnk")
+    )

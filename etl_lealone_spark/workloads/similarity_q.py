@@ -178,3 +178,65 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cosine_sim"),
         )
     )
+
+
+@workload(
+    "ann_ivf_topk",
+    f"""
+    WITH cq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS cvec
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, cvec AS centvec,
+             sqrt(cast(list_sum([cvec[i+1]*cvec[i+1] for i in range(len(cvec))]) as double)) AS cnorm
+      FROM cq
+      WHERE vec_id % (SELECT greatest(1, cast(floor(sqrt(cast(count(*) as double))) as bigint)) FROM embeddings) = 0
+    ),
+    assign AS (
+      SELECT vec_id, cvec, cid FROM (
+        SELECT c.vec_id, c.cvec, ct.cid,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                 cast(list_sum([c.cvec[i+1]*ct.centvec[i+1] for i in range(len(c.cvec))]) as double) / ct.cnorm DESC,
+                 ct.cid) AS rn
+        FROM cq c CROSS JOIN cent ct
+      ) t WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, cvec AS qvec FROM cq WHERE vec_id < {N_QUERIES}),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, ct.cid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 cast(list_sum([q.qvec[i+1]*ct.centvec[i+1] for i in range(len(q.qvec))]) as double) / ct.cnorm DESC,
+                 ct.cid) AS rn
+        FROM q CROSS JOIN cent ct
+      ) t WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             cast(list_sum([a.cvec[i+1]*q.qvec[i+1] for i in range(len(a.cvec))]) as double)
+             / (sqrt(cast(list_sum([a.cvec[i+1]*a.cvec[i+1] for i in range(len(a.cvec))]) as double))
+                * sqrt(cast(list_sum([q.qvec[i+1]*q.qvec[i+1] for i in range(len(q.qvec))]) as double)))
+               AS cosine_sim
+      FROM probe p
+      JOIN assign a ON a.cid = p.cid
+      JOIN q ON q.query_id = p.query_id
+    )
+    SELECT query_id, vec_id, cosine_sim, rnk FROM (
+      SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= {TOP_K}
+    """,
+    doc="IVF-style ANN: deterministic sqrt(n) coarse quantizer, broadcast "
+    "centroid assignment (map-side partial agg), probe 4 clusters, exact "
+    "integer-quantized cosine re-rank. The FAISS IVF-flat trade as "
+    "DataFrame ops; fully oracle-checked.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return ivf_topk(e, k=TOP_K, n_probe=4, n_queries=N_QUERIES)

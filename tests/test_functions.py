@@ -122,10 +122,30 @@ def test_array_functions(spark):
 
 
 def test_unsupported_raises(spark):
-    with pytest.raises(NotImplementedError, match="cipher"):
-        call("ENCRYPT", F.lit("AES"), F.lit(b"k"), F.lit(b"v"))
+    with pytest.raises(NotImplementedError, match="session registry"):
+        call("CANCEL_SESSION", F.lit(1))
     with pytest.raises(KeyError, match="unknown function"):
         call("NO_SUCH_FN")
+
+
+def test_crypto_compress_functions(spark):
+    # AES round-trip (ECB, deterministic); 16-byte key
+    key = b"0123456789abcdef"
+    ct = one(spark, call("ENCRYPT", "AES", F.lit(key), F.lit(b"secret data")))
+    assert isinstance(ct, (bytes, bytearray)) and bytes(ct) != b"secret data"
+    pt = one(spark, call("DECRYPT", "AES", F.lit(key), F.lit(bytes(ct))))
+    assert bytes(pt) == b"secret data"
+    with pytest.raises(NotImplementedError, match="only AES"):
+        call("ENCRYPT", "XTEA", F.lit(key), F.lit(b"x"))
+    # COMPRESS/EXPAND round-trip via zlib
+    blob = b"aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" * 8
+    comp = one(spark, call("COMPRESS", F.lit(blob)))
+    assert len(comp) < len(blob)
+    back = one(spark, call("EXPAND", F.lit(bytes(comp))))
+    assert bytes(back) == blob
+    # SECURE_RAND returns n random bytes
+    rnd = one(spark, call("SECURE_RAND", F.lit(24)))
+    assert len(rnd) == 24
 
 
 def test_catalog_size():

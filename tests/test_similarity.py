@@ -48,3 +48,19 @@ def test_embedding_near_dup_self_join_shape(tables):
     for r in out.collect():
         assert r["id_a"] < r["id_b"]
         assert r["cosine_sim"] >= 0.99
+
+
+def test_ivf_self_found_and_recall(tables):
+    from etl_lealone_spark.operators.similarity import ivf_topk
+
+    exact = brute_force_topk(tables["embeddings"], _queries(tables), k=10)
+    approx = ivf_topk(tables["embeddings"], k=10, n_probe=4, n_queries=3)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # a query's own cluster is always probed first → self-match guaranteed
+    assert all((q, q) in a for q in (0, 1, 2))
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    # exactly k rows per query, ranks contiguous
+    counts = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] == 10 for r in counts)
