@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_minhash_pairs",     # MinHash LSH near-dup
     "ann_bruteforce_topk",     # exact ANN baseline
     "ann_lsh_topk",            # LSH ANN
+    "ann_ivf_topk",            # IVF ANN (coarse-quantizer scale path)
     "text_quality_score",      # quality signals
     "text_token_count",        # tokenization
     "events_sessionize",       # sessionization window

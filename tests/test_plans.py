@@ -103,3 +103,18 @@ def test_window_partitions_by_group(spark, sf_dir):
     s = explain_str(df, "simple")
     assert "hashpartitioning(o_custkey" in s
     assert "SinglePartition" not in s
+
+
+def test_ivf_broadcasts_centroids_and_probes(spark, sf_dir):
+    """IVF ANN: the centroid table and the probe list must broadcast —
+    shuffling the corpus against sqrt(n) centroids would be the
+    scale failure; only the per-vector partial agg may shuffle."""
+    from etl_lealone_spark.operators.similarity import ivf_topk
+    from etl_lealone_spark.tables import load_tables
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    df = ivf_topk(e, k=5, n_probe=2, n_queries=2)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # assignment must keep map-side partial aggregation
+    assert "partial_max" in plan or "HashAggregate" in plan
