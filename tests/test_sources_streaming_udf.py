@@ -67,6 +67,45 @@ def test_information_schema(spark, tmp_path):
     )
 
 
+def test_information_schema_extended_views(spark, tmp_path):
+    es = EngineSession(spark, warehouse=str(tmp_path))
+    es.sql("CREATE TABLE ise (id int PRIMARY KEY, v int NOT NULL)")
+    es.sql("CREATE VIEW ise_v AS SELECT id FROM ise")
+    es.sql("CREATE DOMAIN money AS decimal(10,2)")
+    es.sql("CREATE USER alice PASSWORD 'x'")
+    info = information_schema(es)
+    assert {r["view_name"] for r in info["information_schema_views"].collect()} == {
+        "ise_v"
+    }
+    assert {r["domain_name"] for r in info["information_schema_domains"].collect()} == {
+        "money"
+    }
+    assert "alice" in {
+        r["principal_name"] for r in info["information_schema_users"].collect()
+    }
+    cons = {
+        (r["constraint_type"], r["definition"])
+        for r in info["information_schema_constraints"]
+        .filter("table_name = 'ise'")
+        .collect()
+    }
+    assert ("NOT NULL", "v") in cons
+    fns = dict(
+        (r["function_name"], r["origin"])
+        for r in info["information_schema_function_aliases"].collect()
+    )
+    assert fns["ABS"] == "BUILTIN" and "CANCEL_SESSION" in fns
+    assert info["information_schema_type_info"].count() > 10
+    assert info["information_schema_catalogs"].count() == 1
+    srow = info["information_schema_sessions"].collect()[0]
+    assert srow["session_id"] == spark.sparkContext.applicationId
+    # all 13 meta views are SQL-queryable
+    assert (
+        es.sql("SELECT count(*) FROM information_schema_type_info").collect()[0][0]
+        > 10
+    )
+
+
 # --- UDF adapter (CREATE ALIAS, §2.13) --------------------------------------
 def test_create_alias_row_udf(spark):
     reg = UdfRegistry(spark)
