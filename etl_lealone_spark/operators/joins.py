@@ -97,3 +97,52 @@ def salted_join(
     )
     out = l.join(r, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str | Sequence[str],
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a managed table hash-bucketed (and sorted) by
+    ``key`` — the co-located join layout.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with ZERO exchanges: each task reads bucket i of both sides and
+    merges locally. At 100 TB this converts every recurring fact⋈fact
+    join on the bucket key from a full two-sided shuffle into a local
+    merge — the single biggest repeated-join saving Spark offers
+    (reference has no equivalent; its sharding co-locates by PK range,
+    lealone-aose BTreeMap page partitioning).
+
+    Bucket count is fixed at write time: pick ~(total size / 128 MB)
+    rounded to a power of two, and keep it identical across tables that
+    join together.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, keys[0], *keys[1:])
+        .sortBy(keys[0], *keys[1:])
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def colocated_join(
+    spark,
+    left_table: str,
+    right_table: str,
+    on: str | Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two bucketed managed tables on their bucket key.
+
+    Plain ``join`` — the zero-shuffle plan comes from the bucketed
+    layout, not special code; asserted by
+    tests/test_plans.py::test_bucketed_join_no_exchange.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return spark.table(left_table).join(spark.table(right_table), keys, how)

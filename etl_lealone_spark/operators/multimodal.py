@@ -113,6 +113,39 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize(
+    media: DataFrame, width: int = 224, height: int = 224, strict: bool = False
+) -> DataFrame:
+    """Image resize via mapInPandas — same media schema out, metadata
+    updated to the target dimensions.
+
+    Deterministic fake (no codec in this container): the payload is
+    truncated/padded to ``width*height // 64`` bytes, a stand-in with the
+    real operator's cost shape (per-row byte work, output size bounded by
+    the target resolution, not the input). Replace the inner loop with
+    PIL/cv2 in prod; the Arrow batching, schema, and partition behavior
+    are what this function actually tests.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError("resize requires an image codec")
+        target = max(1, width * height // 64)
+        for pdf in it:
+            payloads = []
+            for p in pdf["payload"]:
+                b = bytes(p or b"")
+                payloads.append((b * (target // max(len(b), 1) + 1))[:target])
+            metas = [
+                {**m, "width": width, "height": height} for m in pdf["meta"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads, "meta": metas}
+            )
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000, strict: bool = False) -> DataFrame:
     """Video frame sampling stub: emits (media_id, frame_idx, frame_bytes)
     rows. Deterministic fake: one 'frame' per metadata duration bucket."""

@@ -59,6 +59,23 @@ def test_multimodal_strict_raises(tables):
         extract_features(media, strict=True).collect()
 
 
+def test_multimodal_resize(tables):
+    from etl_lealone_spark.operators.multimodal import resize
+
+    media = synthesize_media_table(tables["documents"].limit(10))
+    out = resize(media, width=64, height=64)
+    rows = out.collect()
+    assert len(rows) == 10
+    target = 64 * 64 // 64
+    assert all(len(r["payload"]) == target for r in rows)
+    assert all(
+        r["meta"]["width"] == 64 and r["meta"]["height"] == 64 for r in rows
+    )
+    # schema is unchanged → resize composes with extract_features
+    feats = extract_features(resize(media, width=64, height=64))
+    assert feats.count() == 10
+
+
 def test_frame_sample(tables):
     media = synthesize_media_table(tables["documents"].limit(5))
     frames = frame_sample(media)

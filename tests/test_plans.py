@@ -118,3 +118,37 @@ def test_ivf_broadcasts_centroids_and_probes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # assignment must keep map-side partial aggregation
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_bucketed_join_no_exchange(spark, tables):
+    """Two tables bucketed on the same key must join with ZERO exchanges
+    — the co-located layout is the point of bucketing; a regression here
+    silently reintroduces a two-sided 100TB shuffle."""
+    from etl_lealone_spark.operators.joins import colocated_join, write_bucketed
+
+    orders = tables["orders"].select("o_orderkey", "o_totalprice")
+    lineitem = tables["lineitem"].select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", "o_orderkey", num_buckets=8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        "o_orderkey",
+        num_buckets=8,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        assert count_exchanges(joined) == 0, explain_str(joined)
+        assert joined.count() > 0
+        # agg on the bucket key stays exchange-free too (bucketed grouping)
+        agg = (
+            spark.table("b_lineitem")
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert count_exchanges(agg) == 0, explain_str(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
