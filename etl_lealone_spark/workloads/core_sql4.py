@@ -83,3 +83,83 @@ def view_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM order_summary_vp WHERE total > 500000
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE / GROUPING SETS — extensions beyond ROLLUP (§2.4 note: the
+# reference has no grouping-sets surface at all).
+# ---------------------------------------------------------------------------
+@workload(
+    "cube_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+           {o_dsum('l_quantity')} AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE with GROUPING() disambiguation (extension).",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n"
+    )
+
+
+@workload(
+    "grouping_sets_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS list (extension).",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window — value-based frames are deterministic even with
+# duplicate ORDER BY keys (every peer of the boundary value is included),
+# unlike ROWS frames. Decimal-cast sums keep the frame aggregation exact.
+# ---------------------------------------------------------------------------
+@workload(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           cast(sum(cast(o_totalprice as decimal(18,2)))
+                OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                      RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) as double)
+             AS rolling_total
+    FROM orders
+    """,
+    doc="RANGE BETWEEN n PRECEDING window (value-based frame, extension).",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_total"),
+    )
