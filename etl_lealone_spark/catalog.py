@@ -55,7 +55,11 @@ TYPE_MAP = {
     "boolean": "boolean", "bool": "boolean", "bit": "boolean",
     "varchar": "string", "char": "string", "character": "string",
     "varchar2": "string", "nvarchar": "string", "nvarchar2": "string",
-    "varchar_casesensitive": "string", "varchar_ignorecase": "string",
+    "varchar_casesensitive": "string",
+    # reference STRING_IGNORECASE (Value.java:118): case-insensitive at
+    # every compare site — Spark 4 native collation gives exactly that,
+    # JVM-side (no lower() wrappers needed)
+    "varchar_ignorecase": "string collate UTF8_LCASE",
     "longvarchar": "string", "clob": "string", "text": "string",
     "ntext": "string", "nclob": "string", "string": "string",
     "uuid": "string",

@@ -104,3 +104,28 @@ def test_file_read_source(es, tmp_path):
     df = file_read(es.spark, str(p))
     row = df.collect()[0]
     assert row["content"] == b"hello world" and row["length"] == 11
+
+
+def test_varchar_ignorecase_collation(es):
+    """STRING_IGNORECASE (Value.java:118): case-insensitive at every
+    compare site, via Spark 4 native UTF8_LCASE collation."""
+    es.sql("CREATE TABLE ci (k int PRIMARY KEY, s varchar_ignorecase(20))")
+    es.sql("INSERT INTO ci VALUES (1, 'Apple'), (2, 'APPLE'), (3, 'pear')")
+    # WHERE compares case-insensitively
+    got = es.sql("SELECT k FROM ci WHERE s = 'apple' ORDER BY k").collect()
+    assert [r["k"] for r in got] == [1, 2]
+    # DISTINCT folds case variants
+    assert es.sql("SELECT count(DISTINCT s) c FROM ci").collect()[0]["c"] == 2
+    # GROUP BY too
+    groups = es.sql("SELECT count(*) n FROM ci GROUP BY s ORDER BY n").collect()
+    assert [r["n"] for r in groups] == [1, 2]
+    # join matches across case; a plain-string side needs an explicit
+    # COLLATE (Spark rejects indeterminate mixed-collation comparisons —
+    # stricter than H2's silent coercion, documented divergence)
+    es.sql("CREATE TABLE ci2 (s2 varchar(20))")
+    es.sql("INSERT INTO ci2 VALUES ('aPPle')")
+    n = es.sql(
+        "SELECT count(*) c FROM ci JOIN ci2 "
+        "ON ci.s = collate(ci2.s2, 'UTF8_LCASE')"
+    ).collect()[0]["c"]
+    assert n == 2
