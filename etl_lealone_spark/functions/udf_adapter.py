@@ -88,6 +88,19 @@ class UdfRegistry:
         df.createOrReplaceTempView(name.lower())
         return df
 
+    def create_udtf(self, name: str, cls: type, return_type: str) -> None:
+        """Register a true Python UDTF (Spark 3.5+): a class with an
+        ``eval(self, *args)`` generator yielding output tuples, callable
+        directly in FROM — ``SELECT * FROM name(...)`` — including
+        LATERAL joins against real tables. This is the full-fidelity
+        version of the reference's ResultSet-returning functions
+        (FunctionTable.java:33); ``create_table_alias`` remains the
+        Python-API variant."""
+        key = name.upper()
+        udtf_cls = F.udtf(cls, returnType=return_type)
+        self.spark.udtf.register(key, udtf_cls)
+        self.aliases[key] = cls
+
     # -- aggregate (CREATE AGGREGATE) -----------------------------------
     def create_aggregate(self, name: str, cls: Type[AggregateFunction]) -> None:
         self.aggregates[name.upper()] = cls

@@ -241,6 +241,27 @@ def test_create_table_alias_udtf(spark, tables):
     assert spark.sql("SELECT count(*) AS n FROM top_docs").collect()[0]["n"] == 5
 
 
+def test_python_udtf_in_from(spark):
+    """True Python UDTF (Spark 3.5+): class-based, callable in FROM with
+    arguments — the full-fidelity FunctionTable parity path."""
+    reg = UdfRegistry(spark)
+
+    class SeriesWithSquares:
+        def eval(self, n: int):
+            for i in range(n):
+                yield (i, i * i)
+
+    reg.create_udtf("SERIES_SQ", SeriesWithSquares, "i int, sq int")
+    rows = spark.sql("SELECT * FROM SERIES_SQ(4) ORDER BY i").collect()
+    assert [(r["i"], r["sq"]) for r in rows] == [(0, 0), (1, 1), (2, 4), (3, 9)]
+    # works with a LATERAL join against a real table
+    out = spark.sql(
+        "SELECT t.id, s.sq FROM VALUES (2), (3) AS t(id), "
+        "LATERAL SERIES_SQ(t.id) AS s ORDER BY t.id, s.sq"
+    ).collect()
+    assert len(out) == 5
+
+
 def test_running_user_totals_stateful(spark, events_stream_dir, tables):
     from etl_lealone_spark.streaming import running_user_totals
 
