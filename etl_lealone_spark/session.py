@@ -61,6 +61,12 @@ def build_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # CBO + join reorder: uses ANALYZE-computed stats when present
+        # (our ANALYZE statement maps to COMPUTE STATISTICS); the static
+        # complement to AQE's runtime re-planning — together they replace
+        # the reference's exhaustive/genetic join-order search
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         # testdata parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
         # read as long and convert at load (tables.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
