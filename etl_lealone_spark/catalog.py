@@ -687,6 +687,8 @@ class StatementRouter:
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
+            if re.search(r"\bUSING\b", s, re.IGNORECASE):
+                return self._merge_ansi(s)
             raise ValueError(f"cannot parse MERGE (expected KEY(...) form): {s[:80]}")
         name = m.group("name").lower()
         st = self.catalog.table(name)
@@ -739,6 +741,113 @@ class StatementRouter:
                 ]
             )
         merged = merge_by_key(st.read(), aligned, keys)
+        self._validate_write(name, merged)
+        st.write(merged)
+        self.catalog.refresh_view(name)
+        return self._ok(f"merged into {name}")
+
+    def _merge_ansi(self, s: str) -> DataFrame:
+        """ANSI MERGE extension (beyond the reference's KEY form):
+
+        ``MERGE INTO t [AS ta] USING <table | (subquery)> [AS sa]
+        ON <cond> WHEN MATCHED THEN {UPDATE SET c=expr, ... | DELETE}
+        [WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (exprs)]``
+
+        Composition (Delta-style MERGE without Delta): matched targets are
+        re-projected through the SET list (or dropped for DELETE), the
+        anti-joined target remainder passes through, and NOT-MATCHED
+        source rows are inserted — three scans of a join keyed on the ON
+        condition, then one snapshot write. Source rows must match at most
+        one target row per ANSI; duplicate matches raise.
+        """
+        m = re.match(
+            rf"MERGE\s+INTO\s+(?P<name>{_IDENT})(?:\s+AS\s+(?P<ta>{_IDENT}))?\s+"
+            rf"USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|{_IDENT})"
+            rf"(?:\s+AS\s+(?P<sa>{_IDENT}))?\s+"
+            rf"ON\s+(?P<cond>.+?)\s+"
+            rf"WHEN\s+MATCHED\s+THEN\s+(?P<matched>UPDATE\s+SET\s+.+?|DELETE)"
+            rf"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
+            rf"(?:\((?P<icols>[^)]*)\)\s*)?VALUES\s*\((?P<ivals>.+)\))?\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse ANSI MERGE: {s[:120]}")
+        name = m.group("name").lower()
+        st = self.catalog.table(name)
+        target = st.read()
+        target_cols = [f.name for f in target.schema.fields]
+        ta = (m.group("ta") or name).lower()
+        sa = (m.group("sa") or "__merge_src").lower()
+        src_sql = m.group("src")
+        from .dialect import rewrite
+
+        if src_sql.startswith("("):
+            src = self.spark.sql(rewrite(src_sql[1:-1], session=self.session))
+        else:
+            src = self.spark.table(src_sql.lower())
+        tv, sv = f"__merge_t_{name}", f"__merge_s_{name}"
+        target.createOrReplaceTempView(tv)
+        src.createOrReplaceTempView(sv)
+        cond = m.group("cond")
+        matched = m.group("matched").strip()
+
+        # ANSI: each target row may match at most one source row
+        dup = self.spark.sql(
+            f"SELECT count(*) AS c FROM {tv} {ta} JOIN {sv} {sa} ON {cond}"
+        ).collect()[0]["c"]
+        distinct_t = self.spark.sql(
+            f"SELECT count(*) AS c FROM {tv} {ta} "
+            f"WHERE EXISTS (SELECT 1 FROM {sv} {sa} WHERE {cond})"
+        ).collect()[0]["c"]
+        if dup > distinct_t:
+            raise ValueError("ANSI MERGE: a target row matches multiple source rows")
+
+        keep = self.spark.sql(
+            f"SELECT {ta}.* FROM {tv} {ta} "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {sv} {sa} WHERE {cond})"
+        )
+        parts = [keep]
+        if matched.upper() != "DELETE":
+            sets = {}
+            for assign in re.split(r",(?![^()]*\))", matched[len("UPDATE SET"):]):
+                col, expr = assign.split("=", 1)
+                sets[col.strip().lower().removeprefix(f"{ta}.")] = expr.strip()
+            proj = ", ".join(
+                f"{sets.get(c, f'{ta}.{c}')} AS {c}" for c in target_cols
+            )
+            parts.append(
+                self.spark.sql(
+                    f"SELECT {proj} FROM {tv} {ta} JOIN {sv} {sa} ON {cond}"
+                )
+            )
+        if m.group("ivals"):
+            icols = (
+                [c.strip().lower() for c in m.group("icols").split(",")]
+                if m.group("icols")
+                else target_cols
+            )
+            ivals = [v.strip() for v in re.split(r",(?![^()]*\))", m.group("ivals"))]
+            if len(icols) != len(ivals):
+                raise ValueError("ANSI MERGE: INSERT column/value count mismatch")
+            val_by_col = dict(zip(icols, ivals))
+            iproj = ", ".join(
+                f"{val_by_col.get(c, 'NULL')} AS {c}" for c in target_cols
+            )
+            parts.append(
+                self.spark.sql(
+                    f"SELECT {iproj} FROM {sv} {sa} "
+                    f"WHERE NOT EXISTS (SELECT 1 FROM {tv} {ta} WHERE {cond})"
+                )
+            )
+        target_schema = dict(target.dtypes)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(
+                p.select(
+                    *[F.col(c).cast(target_schema[c]).alias(c) for c in target_cols]
+                )
+            )
         self._validate_write(name, merged)
         st.write(merged)
         self.catalog.refresh_view(name)

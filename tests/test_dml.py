@@ -113,3 +113,56 @@ def test_snapshot_table_lifecycle(spark, t4, tmp_path):
 
     st.drop()
     assert not st.exists()
+
+
+def test_merge_ansi_update_insert(spark, tmp_path):
+    from etl_lealone_spark.session import EngineSession
+
+    es = EngineSession(spark, warehouse=str(tmp_path))
+    es.sql("CREATE TABLE ma (id int PRIMARY KEY, v int, tag varchar(10))")
+    es.sql("INSERT INTO ma VALUES (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'c')")
+    es.sql(
+        "MERGE INTO ma USING (SELECT * FROM VALUES (2, 200), (4, 400) "
+        "AS x(id, nv)) AS s ON ma.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.nv, tag = 'upd' "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)"
+    )
+    got = {
+        r["id"]: (r["v"], r["tag"])
+        for r in es.sql("SELECT * FROM ma ORDER BY id").collect()
+    }
+    assert got == {
+        1: (10, "a"),        # untouched
+        2: (200, "upd"),     # matched → updated
+        3: (30, "c"),        # untouched
+        4: (400, None),      # not matched → inserted (tag defaults NULL)
+    }
+
+
+def test_merge_ansi_delete(spark, tmp_path):
+    from etl_lealone_spark.session import EngineSession
+
+    es = EngineSession(spark, warehouse=str(tmp_path))
+    es.sql("CREATE TABLE md (id int PRIMARY KEY, v int)")
+    es.sql("INSERT INTO md VALUES (1, 10), (2, 20), (3, 30)")
+    es.sql(
+        "MERGE INTO md USING (SELECT * FROM VALUES (2) AS x(id)) AS s "
+        "ON md.id = s.id WHEN MATCHED THEN DELETE"
+    )
+    assert [r["id"] for r in es.sql("SELECT id FROM md ORDER BY id").collect()] == [1, 3]
+
+
+def test_merge_ansi_duplicate_match_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from etl_lealone_spark.session import EngineSession
+
+    es = EngineSession(spark, warehouse=str(tmp_path))
+    es.sql("CREATE TABLE mm (id int PRIMARY KEY, v int)")
+    es.sql("INSERT INTO mm VALUES (1, 10)")
+    with _pytest.raises(ValueError, match="multiple source rows"):
+        es.sql(
+            "MERGE INTO mm USING (SELECT * FROM VALUES (1, 5), (1, 6) "
+            "AS x(id, nv)) AS s ON mm.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.nv"
+        )
