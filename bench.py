@@ -98,6 +98,47 @@ def baseline_workloads(spark, n: int = 1_000_000) -> dict[str, float]:
         t0 = time.time()
         test.orderBy(F.col("f2").desc(), F.col("f1")).offset(1).limit(2).collect()
         out["w5_topk_offset"] = round(time.time() - t0, 3)
+
+        # Dual-run the same shapes in DuckDB on the identical parquet —
+        # the measured single-node baseline BASELINE.md calls for (the
+        # reference publishes no numbers; DuckDB is the strongest
+        # available single-node stand-in at the same scale factor).
+        small.write.mode("overwrite").parquet(f"{tmp}/small")
+        import duckdb
+
+        con = duckdb.connect()
+        glob_t, glob_s = f"{tmp}/test/*.parquet", f"{tmp}/small/*.parquet"
+        t0 = time.time()
+        con.execute(
+            f"COPY (SELECT cast(range AS int) f1, range*10 f2 FROM range({n})) "
+            f"TO '{tmp}/duck_test.parquet' (FORMAT parquet)"
+        )
+        out["w1_duckdb"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        con.execute(
+            f"SELECT count(*) FROM '{glob_t}' WHERE f2 % 1000 = 0"
+        ).fetchall()
+        out["w2_duckdb"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        con.execute(
+            f"SELECT f1 % 97 g, count(*) n, avg(f2) a FROM '{glob_t}' "
+            f"GROUP BY g HAVING count(*) > 10"
+        ).fetchall()
+        out["w3_duckdb"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        con.execute(
+            f"SELECT count(*) FROM '{glob_t}' t JOIN '{glob_s}' s ON t.f1 = s.id2"
+        ).fetchall()
+        con.execute(
+            f"SELECT count(*) FROM '{glob_t}' t LEFT JOIN '{glob_s}' s ON t.f1 = s.id2"
+        ).fetchall()
+        out["w4_duckdb"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        con.execute(
+            f"SELECT * FROM '{glob_t}' ORDER BY f2 DESC, f1 LIMIT 2 OFFSET 1"
+        ).fetchall()
+        out["w5_duckdb"] = round(time.time() - t0, 3)
+        con.close()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -121,7 +162,8 @@ def main() -> None:
         t0 = time.time()
         w.build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-    baseline = baseline_workloads(spark)
+    base_rows = int(os.environ.get("SPARK_GRAFT_BASE_ROWS", "1000000"))
+    baseline = baseline_workloads(spark, n=base_rows)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -131,7 +173,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {**timings, **baseline},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "baseline_rows": 1_000_000,
+                "baseline_rows": base_rows,
             }
         )
     )
