@@ -765,7 +765,8 @@ class StatementRouter:
             rf"USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|{_IDENT})"
             rf"(?:\s+AS\s+(?P<sa>{_IDENT}))?\s+"
             rf"ON\s+(?P<cond>.+?)\s+"
-            rf"WHEN\s+MATCHED\s+THEN\s+(?P<matched>UPDATE\s+SET\s+.+?|DELETE)"
+            rf"WHEN\s+MATCHED\s*(?:AND\s+(?P<mguard>.+?)\s+)?"
+            rf"THEN\s+(?P<matched>UPDATE\s+SET\s+.+?|DELETE)"
             rf"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
             rf"(?:\((?P<icols>[^)]*)\)\s*)?VALUES\s*\((?P<ivals>.+)\))?\s*$",
             s,
@@ -808,6 +809,17 @@ class StatementRouter:
             f"WHERE NOT EXISTS (SELECT 1 FROM {sv} {sa} WHERE {cond})"
         )
         parts = [keep]
+        guard = m.group("mguard")
+        if guard:
+            # WHEN MATCHED AND <guard>: matched rows failing the guard
+            # pass through unchanged (but still suppress INSERT)
+            parts.append(
+                self.spark.sql(
+                    f"SELECT {ta}.* FROM {tv} {ta} JOIN {sv} {sa} ON {cond} "
+                    f"WHERE NOT coalesce(({guard}), false)"
+                )
+            )
+        guard_sql = f" WHERE coalesce(({guard}), false)" if guard else ""
         if matched.upper() != "DELETE":
             sets = {}
             for assign in re.split(r",(?![^()]*\))", matched[len("UPDATE SET"):]):
@@ -819,6 +831,7 @@ class StatementRouter:
             parts.append(
                 self.spark.sql(
                     f"SELECT {proj} FROM {tv} {ta} JOIN {sv} {sa} ON {cond}"
+                    f"{guard_sql}"
                 )
             )
         if m.group("ivals"):

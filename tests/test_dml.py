@@ -166,3 +166,21 @@ def test_merge_ansi_duplicate_match_raises(spark, tmp_path):
             "AS x(id, nv)) AS s ON mm.id = s.id "
             "WHEN MATCHED THEN UPDATE SET v = s.nv"
         )
+
+
+def test_merge_ansi_matched_guard(spark, tmp_path):
+    from etl_lealone_spark.session import EngineSession
+
+    es = EngineSession(spark, warehouse=str(tmp_path))
+    es.sql("CREATE TABLE mg (id int PRIMARY KEY, v int)")
+    es.sql("INSERT INTO mg VALUES (1, 5), (2, 50)")
+    # guard: only update matched rows with v < 10; guard-false matched
+    # rows pass through AND still suppress the insert branch
+    es.sql(
+        "MERGE INTO mg USING (SELECT * FROM VALUES (1, 100), (2, 200), "
+        "(3, 300) AS x(id, nv)) AS s ON mg.id = s.id "
+        "WHEN MATCHED AND mg.v < 10 THEN UPDATE SET v = s.nv "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)"
+    )
+    got = {r["id"]: r["v"] for r in es.sql("SELECT * FROM mg").collect()}
+    assert got == {1: 100, 2: 50, 3: 300}
