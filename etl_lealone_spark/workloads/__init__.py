@@ -48,6 +48,47 @@ def workload(name: str, oracle: Optional[str], doc: str = ""):
     return deco
 
 
+# The driver's correctness gate checks the FIRST 50 entries of ``queries()``
+# only, so registration order decides which operator families get a
+# driver-verified row each round. The priority list below interleaves every
+# family — dedup / ANN / text / DML / recursive / function batteries / JSON /
+# grouping extensions — ahead of the long tail of core-SQL variants (which
+# are individually cheap and were all driver-green in round 1).
+_PRIORITY: tuple[str, ...] = (
+    # LLM-pipeline: dedup family
+    "dedup_exact", "dedup_exact_normalized", "dedup_minhash_pairs",
+    "dedup_minhash_survivors", "dedup_simhash_pairs", "ngram_jaccard_blocked",
+    # LLM-pipeline: similarity / ANN
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_near_dup_blocked", "cosine_float_topk",
+    # LLM-pipeline: text analysis
+    "text_token_count", "text_language_id", "text_quality_score",
+    "text_fingerprint",
+    # DML kernels
+    "update_projection", "update_with_limit", "delete_filter",
+    "merge_upsert", "merge_ansi",
+    # Recursive CTEs
+    "recursive_series", "recursive_tree_depth",
+    # Scalar-function batteries
+    "string_functions", "date_functions", "math_functions",
+    "cast_conversion", "array_functions",
+    # JSON / arrays / percentiles
+    "json_extract_agg", "json_schema_projection", "percentile_agg",
+    "array_higher_order",
+    # Grouping / window extensions
+    "cube_agg", "grouping_sets_agg", "window_range_frame",
+    "view_predicate_pushdown",
+    # Multimodal + as-of
+    "multimodal_metadata", "asof_join_events",
+    # Core-SQL representatives (one per §2 sub-family)
+    "agg_groupby_having", "join_inner_agg", "join_seven_tables",
+    "join_full_outer", "semi_join_in_subquery", "anti_join_not_exists",
+    "window_rank_family", "window_topk_per_group", "events_lag_delta",
+    "events_tumbling_agg", "events_sessionize", "setop_all_variants",
+    "group_concat", "join_theta_bands",
+)
+
+
 def all_workloads() -> dict[str, Workload]:
     # Import side-effect registration; keep imports here so a broken module
     # surfaces at driver time, not package-import time.
@@ -64,7 +105,14 @@ def all_workloads() -> dict[str, Workload]:
     from . import similarity_q  # noqa: F401
     from . import text_q  # noqa: F401
 
-    return dict(_REGISTRY)
+    ordered: dict[str, Workload] = {}
+    for name in _PRIORITY:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, w in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = w
+    return ordered
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
