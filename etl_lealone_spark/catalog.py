@@ -600,8 +600,16 @@ class StatementRouter:
             for cols in unique_sets:
                 if not all(c in combined.columns for c in cols):
                     continue
+                # H2/Lealone unique indexes allow any number of NULLs
+                # (NULL != NULL for uniqueness) — exclude rows with a NULL
+                # in the indexed column set from the duplicate count.
+                no_nulls = None
+                for c in cols:
+                    cond = F.col(c).isNotNull()
+                    no_nulls = cond if no_nulls is None else (no_nulls & cond)
                 dup = (
-                    combined.groupBy(*cols)
+                    combined.filter(no_nulls)
+                    .groupBy(*cols)
                     .count()
                     .filter(F.col("count") > 1)
                     .limit(1)

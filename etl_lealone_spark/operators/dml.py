@@ -98,33 +98,54 @@ def merge_by_key(
     source: DataFrame,
     keys: Sequence[str],
     broadcast_source: Optional[bool] = None,
+    validate_keys: bool = True,
 ) -> DataFrame:
     """MERGE INTO target KEY(k...) — upsert (Merge.java:35,146-230).
 
-    Semantics: source row with matching key replaces the target row's
-    non-key columns; unmatched source rows are inserted; unmatched target
-    rows survive. Implemented as a single full-outer join on the key +
-    coalesce projection — one shuffle, or zero when the source broadcasts.
+    Semantics: a source row with a matching key replaces the target row's
+    non-key columns WHOLESALE — a NULL in a matched source column sets the
+    target column to NULL (the reference runs UPDATE SET c = s.c, which
+    assigns ValueNull; Merge.java:200-215). Unmatched source rows insert;
+    unmatched target rows survive. A NULL in a source KEY column is an
+    error (reference raises COLUMN_CONTAINS_NULL_VALUES before the upsert).
 
-    ``source`` must have the same schema as ``target`` (the reference
-    requires the KEY columns plus assignable columns; we take full rows).
+    Implemented as a single full-outer join on the key with an explicit
+    source-presence marker — one shuffle, or zero when the source
+    broadcasts. ``source`` must have the same schema as ``target``.
     """
+    if validate_keys:
+        null_key = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        if not source.filter(null_key).isEmpty():
+            raise ValueError(
+                f"MERGE source has NULL in key column(s) {list(keys)} "
+                "(reference: COLUMN_CONTAINS_NULL_VALUES)"
+            )
     if broadcast_source is None:
         broadcast_source = False
     src = F.broadcast(source) if broadcast_source else source
-    s = src.select([F.col(c).alias(f"__s_{c}") for c in source.columns])
+    s = src.select(
+        [F.col(c).alias(f"__s_{c}") for c in source.columns]
+        + [F.lit(True).alias("__s_present")]
+    )
     join_cond = None
     for k in keys:
         c = target[k] == s[f"__s_{k}"]
         join_cond = c if join_cond is None else (join_cond & c)
     joined = target.join(s, join_cond, "full_outer")
+    src_present = F.coalesce(s["__s_present"], F.lit(False))
     out_cols = []
     for c in target.columns:
         if c in keys:
+            # keys are equal when matched and never NULL on the source side
             out_cols.append(F.coalesce(target[c], s[f"__s_{c}"]).alias(c))
         else:
-            # source wins when the key matched or the row is source-only
-            out_cols.append(F.coalesce(s[f"__s_{c}"], target[c]).alias(c))
+            # whole source row wins when present — even if the value is NULL
+            out_cols.append(
+                F.when(src_present, s[f"__s_{c}"]).otherwise(target[c]).alias(c)
+            )
     return joined.select(*out_cols)
 
 
@@ -185,6 +206,12 @@ class SnapshotTable:
         return self.spark.read.parquet(self._dir(self._version))
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> int:
+        if mode == "append":
+            return self.insert(df)
+        if mode in ("error", "errorifexists") and self.exists():
+            raise ValueError(f"table {self.name} already exists (mode={mode})")
+        if mode == "ignore" and self.exists():
+            return self._version
         new_version = self._version + 1
         writer = df.write.mode("overwrite")
         if self.partition_by:
@@ -215,7 +242,11 @@ class SnapshotTable:
                     if key in {tuple(str(v) for v in t) for t in touched_dirs}:
                         continue  # will be rewritten
                     os.makedirs(cur_dst, exist_ok=True)
-                    os.symlink(os.path.abspath(sp), os.path.join(cur_dst, entry))
+                    # Link to the fully-resolved target so chains never
+                    # form: a link in v2 must never route THROUGH v1, or
+                    # vacuum (which resolves realpath past intermediates)
+                    # would free v1 while v2 still depends on it.
+                    os.symlink(os.path.realpath(sp), os.path.join(cur_dst, entry))
                 else:
                     walk(sp, os.path.join(cur_dst, entry), depth + 1, key)
 
@@ -245,13 +276,59 @@ class SnapshotTable:
     def create(self, df: DataFrame) -> int:
         return self.write(df)
 
+    def _link_data_files(self, src_dir: str, dst_dir: str) -> None:
+        """Symlink every data file of ``src_dir`` into ``dst_dir``
+        (fully resolved — no chains; see _clone_partitions_except)."""
+        os.makedirs(dst_dir, exist_ok=True)
+        for entry in os.listdir(src_dir):
+            sp = os.path.join(src_dir, entry)
+            if os.path.isdir(sp) or entry.startswith(("_", ".")):
+                continue
+            os.symlink(os.path.realpath(sp), os.path.join(dst_dir, entry))
+
     def insert(self, rows: DataFrame) -> int:
-        """INSERT: append-only — new files only, no rewrite of existing data."""
+        """INSERT: append-only — a NEW snapshot whose existing data files
+        are metadata-only links to the previous version (a manifest append
+        on an object store), plus the freshly written files. Readers of
+        the old version never see the new rows (snapshot isolation), and
+        the version bump makes the insert rollbackable like any other
+        mutation. Cost: O(new rows) data written, zero read, zero shuffle.
+        """
         if not self.exists():
             return self.write(rows)
-        # Append into the CURRENT snapshot dir: no read, no shuffle.
-        rows.write.mode("append").parquet(self._dir(self._version))
-        return self._version
+        src = self._dir(self._version)
+        new_version = self._version + 1
+        dst = self._dir(new_version)
+        if self.partition_by:
+            touched = rows.select(*self.partition_by).distinct()
+            # untouched partitions: one dir-level link each
+            self._clone_partitions_except(new_version, touched)
+            # touched partitions: real dirs with file-level links, so the
+            # append below lands beside (never through) the old files
+            touched_keys = {
+                tuple(str(r[c]) for c in self.partition_by)
+                for r in touched.collect()
+            }
+
+            def relink(cur_src: str, cur_dst: str, depth: int, prefix: tuple):
+                for entry in os.listdir(cur_src):
+                    sp = os.path.join(cur_src, entry)
+                    if not os.path.isdir(sp) or "=" not in entry:
+                        continue
+                    key = prefix + (entry.split("=", 1)[1],)
+                    if depth + 1 == len(self.partition_by):
+                        if key in touched_keys:
+                            self._link_data_files(sp, os.path.join(cur_dst, entry))
+                    else:
+                        relink(sp, os.path.join(cur_dst, entry), depth + 1, key)
+
+            relink(src, dst, 0, ())
+            rows.write.mode("append").partitionBy(*self.partition_by).parquet(dst)
+        else:
+            self._link_data_files(src, dst)
+            rows.write.mode("append").parquet(dst)
+        self._version = new_version
+        return new_version
 
     def update(
         self,
@@ -296,16 +373,39 @@ class SnapshotTable:
         Partition-pruned rewrites link untouched partitions of the OLD
         snapshot into the new one, so a snapshot is only removable when
         no surviving snapshot links into it."""
-        survivors = range(max(0, self._version - keep_last + 1), self._version + 1)
-        linked_targets: set[str] = set()
-        for v in survivors:
-            for dirpath, dirnames, _ in os.walk(self._dir(v)):
-                for d in list(dirnames):
+        base = os.path.join(self.root, self.name)
+        if not os.path.isdir(base):
+            return
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(base) if d.startswith("v") and d[1:].isdigit()
+        )
+        # Build the version-reference graph: v references t when any link
+        # (dir-level from pruned rewrites, file-level from append
+        # snapshots) inside v resolves into t's directory. References are
+        # TRANSITIVE — a survivor may link a real dir in t whose own files
+        # link further back — so we keep the full reachable set.
+        real_base = os.path.realpath(base)
+        refs: dict[int, set[int]] = {v: set() for v in versions}
+        for v in versions:
+            for dirpath, dirnames, filenames in os.walk(self._dir(v)):
+                for d in list(dirnames) + list(filenames):
                     p = os.path.join(dirpath, d)
-                    if os.path.islink(p):
-                        linked_targets.add(os.path.realpath(p))
-        for v in range(0, self._version - keep_last + 1):
-            target = os.path.abspath(self._dir(v))
-            if any(t.startswith(target) for t in linked_targets):
-                continue  # still referenced by a pruned-rewrite snapshot
-            shutil.rmtree(self._dir(v), ignore_errors=True)
+                    if not os.path.islink(p):
+                        continue
+                    rel = os.path.relpath(os.path.realpath(p), real_base)
+                    top = rel.split(os.sep, 1)[0]
+                    if top.startswith("v") and top[1:].isdigit():
+                        refs[v].add(int(top[1:]))
+        keep = {
+            v for v in versions if v > self._version - keep_last
+        }
+        reachable = set(keep)
+        work = list(keep)
+        while work:
+            for t in refs.get(work.pop(), ()):
+                if t not in reachable:
+                    reachable.add(t)
+                    work.append(t)
+        for v in versions:
+            if v not in reachable and v <= self._version - keep_last:
+                shutil.rmtree(self._dir(v), ignore_errors=True)

@@ -107,13 +107,15 @@ def delete_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer WHERE c_custkey <= 50
       UNION ALL SELECT 999991, 42.0
       UNION ALL SELECT 999992, 43.0
+      UNION ALL SELECT 60, CAST(NULL AS DOUBLE)
     )
     SELECT coalesce(t.k, s.k) AS k,
-           coalesce(s.acctbal, t.acctbal) AS acctbal
+           CASE WHEN s.k IS NOT NULL THEN s.acctbal ELSE t.acctbal END AS acctbal
     FROM target t FULL OUTER JOIN source s ON t.k = s.k
     """,
-    doc="MERGE-by-KEY upsert: matched rows take source values, unmatched "
-    "source rows insert (Merge.java:146-230).",
+    doc="MERGE-by-KEY upsert: a matched source row replaces the target row "
+    "wholesale — including NULL values (Merge.java:200-215 assigns "
+    "ValueNull); unmatched source rows insert.",
 )
 def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_tables(spark, sf_dir)["customer"]
@@ -123,7 +125,8 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("k"), (F.col("c_acctbal") + 100.0).alias("acctbal"))
         .union(
             spark.createDataFrame(
-                [(999991, 42.0), (999992, 43.0)], schema="k long, acctbal double"
+                [(999991, 42.0), (999992, 43.0), (60, None)],
+                schema="k long, acctbal double",
             )
         )
     )

@@ -73,6 +73,17 @@ def test_unique_index_enforced(es):
         es.sql("INSERT INTO uq VALUES (2, 'a@x.com')")
 
 
+def test_unique_index_allows_multiple_nulls(es):
+    # H2/Lealone unique indexes: NULL != NULL, any number of NULLs allowed
+    es.sql("CREATE TABLE uqn (id int, email varchar(30))")
+    es.sql("CREATE UNIQUE INDEX uqn_email ON uqn(email)")
+    es.sql("INSERT INTO uqn VALUES (1, NULL)")
+    es.sql("INSERT INTO uqn VALUES (2, NULL)")
+    assert es.sql("SELECT count(*) FROM uqn").collect()[0][0] == 2
+    with pytest.raises(ValueError, match="unique constraint"):
+        es.sql("INSERT INTO uqn VALUES (3, 'x@x.com'), (4, 'x@x.com')")
+
+
 def test_merge_respects_unique_pk(es):
     es.sql("CREATE TABLE mu (id int PRIMARY KEY, v int)")
     es.sql("INSERT INTO mu VALUES (1, 10), (2, 20)")

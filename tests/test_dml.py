@@ -90,14 +90,16 @@ def test_snapshot_table_lifecycle(spark, t4, tmp_path):
     st.insert(
         spark.createDataFrame([("88", "a9", "m", 7)], "pk string, f1 string, f2 string, f3 int")
     )
-    assert st.read().count() == 13
+    # INSERT is itself a snapshot: version bump, old version untouched
+    assert st.read().count() == 13 and st.version == 1
+    assert spark.read.parquet(str(tmp_path / "t" / "v000000")).count() == 12
 
     st.update(F.col("pk") == "88", {"f3": F.lit(70)})
-    assert st.version == 1
+    assert st.version == 2
     assert st.read().filter("pk = '88'").collect()[0]["f3"] == 70
 
     st.delete(F.col("pk") == "88")
-    assert st.read().count() == 12 and st.version == 2
+    assert st.read().count() == 12 and st.version == 3
 
     st.truncate()
     assert st.read().count() == 0
@@ -113,6 +115,80 @@ def test_snapshot_table_lifecycle(spark, t4, tmp_path):
 
     st.drop()
     assert not st.exists()
+
+
+def test_merge_by_key_null_value_overwrites(spark, t4):
+    # Merge.java:200-215: matched source NULL assigns NULL, not keep-old
+    source = spark.createDataFrame(
+        [("01", None, "Z", None)], "pk string, f1 string, f2 string, f3 int"
+    )
+    out = merge_by_key(t4, source, keys=["pk"])
+    got = {r["pk"]: (r["f1"], r["f2"], r["f3"]) for r in out.collect()}
+    assert got["01"] == (None, "Z", None)
+    assert got["02"] == ("a1", "b", 61)
+
+
+def test_merge_by_key_null_key_raises(spark, t4):
+    source = spark.createDataFrame(
+        [(None, "x", "y", 1)], "pk string, f1 string, f2 string, f3 int"
+    )
+    with pytest.raises(ValueError, match="NULL in key"):
+        merge_by_key(t4, source, keys=["pk"])
+
+
+def test_vacuum_chained_pruned_rewrites_keep_all_links(spark, tmp_path):
+    """Regression: two pruned rewrites touching the same partition used to
+    build a symlink chain v2→v1→v0; vacuum resolved past v1, freed it, and
+    the live snapshot dangled."""
+    st = SnapshotTable(spark, str(tmp_path), "pt", partition_by=["p"])
+    st.create(
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3), ("b", 4)], "p string, v int"
+        )
+    )
+    # two consecutive pruned rewrites of partition 'a' — 'b' is linked twice
+    st.update(F.col("v") == 1, {"v": F.lit(10)}, partition_filter=F.col("p") == "a")
+    st.update(F.col("v") == 2, {"v": F.lit(20)}, partition_filter=F.col("p") == "a")
+    assert st.version == 2
+    st.vacuum(keep_last=1)
+    got = sorted((r["p"], r["v"]) for r in st.read().collect())
+    assert got == [("a", 10), ("a", 20), ("b", 3), ("b", 4)]
+
+
+def test_vacuum_transitive_insert_then_prune(spark, tmp_path):
+    """An insert snapshot (file links into v0) followed by a pruned rewrite
+    (dir link into v1): vacuum must keep v0 transitively."""
+    st = SnapshotTable(spark, str(tmp_path), "pt2", partition_by=["p"])
+    st.create(
+        spark.createDataFrame([("a", 1), ("b", 2)], "p string, v int")
+    )
+    st.insert(spark.createDataFrame([("a", 3)], "p string, v int"))  # v1
+    st.update(F.col("v") == 2, {"v": F.lit(20)}, partition_filter=F.col("p") == "b")  # v2
+    st.vacuum(keep_last=1)
+    got = sorted((r["p"], r["v"]) for r in st.read().collect())
+    assert got == [("a", 1), ("a", 3), ("b", 20)]
+
+
+def test_insert_snapshot_isolation_unpartitioned(spark, tmp_path):
+    st = SnapshotTable(spark, str(tmp_path), "ut")
+    st.create(spark.createDataFrame([(1,)], "v int"))
+    reader_v0 = spark.read.parquet(str(tmp_path / "ut" / "v000000"))
+    st.insert(spark.createDataFrame([(2,)], "v int"))
+    assert reader_v0.count() == 1  # old readers undisturbed
+    assert st.read().count() == 2
+    st.vacuum(keep_last=1)
+    assert st.read().count() == 2  # v0 kept: v1 file-links into it
+
+
+def test_write_mode_honored(spark, tmp_path):
+    st = SnapshotTable(spark, str(tmp_path), "wm")
+    st.write(spark.createDataFrame([(1,)], "v int"))
+    assert st.write(spark.createDataFrame([(2,)], "v int"), mode="ignore") == 0
+    assert st.read().count() == 1
+    with pytest.raises(ValueError, match="already exists"):
+        st.write(spark.createDataFrame([(2,)], "v int"), mode="error")
+    st.write(spark.createDataFrame([(2,)], "v int"), mode="append")
+    assert st.read().count() == 2
 
 
 def test_merge_ansi_update_insert(spark, tmp_path):
