@@ -758,29 +758,27 @@ class StatementRouter:
         """ANSI MERGE extension (beyond the reference's KEY form):
 
         ``MERGE INTO t [AS ta] USING <table | (subquery)> [AS sa]
-        ON <cond> WHEN MATCHED THEN {UPDATE SET c=expr, ... | DELETE}
+        ON <cond> [WHEN MATCHED [AND guard] THEN {UPDATE SET ... | DELETE}]
         [WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (exprs)]``
 
-        Composition (Delta-style MERGE without Delta): matched targets are
-        re-projected through the SET list (or dropped for DELETE), the
-        anti-joined target remainder passes through, and NOT-MATCHED
-        source rows are inserted — three scans of a join keyed on the ON
-        condition, then one snapshot write. Source rows must match at most
-        one target row per ANSI; duplicate matches raise.
+        Either WHEN clause may be omitted (insert-only MERGE is ANSI-legal).
+        Execution delegates to :func:`operators.dml.merge_ansi` — ONE
+        full-outer join with all branches (including the ANSI
+        duplicate-match guard) derived from its presence flags.
         """
         m = re.match(
             rf"MERGE\s+INTO\s+(?P<name>{_IDENT})(?:\s+AS\s+(?P<ta>{_IDENT}))?\s+"
             rf"USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|{_IDENT})"
             rf"(?:\s+AS\s+(?P<sa>{_IDENT}))?\s+"
-            rf"ON\s+(?P<cond>.+?)\s+"
-            rf"WHEN\s+MATCHED\s*(?:AND\s+(?P<mguard>.+?)\s+)?"
-            rf"THEN\s+(?P<matched>UPDATE\s+SET\s+.+?|DELETE)"
+            rf"ON\s+(?P<cond>.+?)"
+            rf"(?:\s+WHEN\s+MATCHED\s*(?:AND\s+(?P<mguard>.+?)\s+)?"
+            rf"THEN\s+(?P<matched>UPDATE\s+SET\s+.+?|DELETE))?"
             rf"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
             rf"(?:\((?P<icols>[^)]*)\)\s*)?VALUES\s*\((?P<ivals>.+)\))?\s*$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
-        if not m:
+        if not m or (m.group("matched") is None and m.group("ivals") is None):
             raise ValueError(f"cannot parse ANSI MERGE: {s[:120]}")
         name = m.group("name").lower()
         st = self.catalog.table(name)
@@ -790,58 +788,36 @@ class StatementRouter:
         sa = (m.group("sa") or "__merge_src").lower()
         src_sql = m.group("src")
         from .dialect import rewrite
+        from .operators.dml import ANSI_MERGE_DUP_MSG, merge_ansi
 
         if src_sql.startswith("("):
             src = self.spark.sql(rewrite(src_sql[1:-1], session=self.session))
         else:
             src = self.spark.table(src_sql.lower())
-        tv, sv = f"__merge_t_{name}", f"__merge_s_{name}"
-        target.createOrReplaceTempView(tv)
-        src.createOrReplaceTempView(sv)
-        cond = m.group("cond")
-        matched = m.group("matched").strip()
 
-        # ANSI: each target row may match at most one source row
-        dup = self.spark.sql(
-            f"SELECT count(*) AS c FROM {tv} {ta} JOIN {sv} {sa} ON {cond}"
-        ).collect()[0]["c"]
-        distinct_t = self.spark.sql(
-            f"SELECT count(*) AS c FROM {tv} {ta} "
-            f"WHERE EXISTS (SELECT 1 FROM {sv} {sa} WHERE {cond})"
-        ).collect()[0]["c"]
-        if dup > distinct_t:
-            raise ValueError("ANSI MERGE: a target row matches multiple source rows")
-
-        keep = self.spark.sql(
-            f"SELECT {ta}.* FROM {tv} {ta} "
-            f"WHERE NOT EXISTS (SELECT 1 FROM {sv} {sa} WHERE {cond})"
-        )
-        parts = [keep]
-        guard = m.group("mguard")
-        if guard:
-            # WHEN MATCHED AND <guard>: matched rows failing the guard
-            # pass through unchanged (but still suppress INSERT)
-            parts.append(
-                self.spark.sql(
-                    f"SELECT {ta}.* FROM {tv} {ta} JOIN {sv} {sa} ON {cond} "
-                    f"WHERE NOT coalesce(({guard}), false)"
-                )
+        def rw(txt: str) -> str:
+            # resolve alias-qualified refs into the kernel's joined
+            # namespace: sa.x -> __s_x, ta.x -> x
+            e = re.sub(
+                rf"\b{re.escape(sa)}\s*\.\s*(\w+)", r"__s_\1", txt, flags=re.IGNORECASE
             )
-        guard_sql = f" WHERE coalesce(({guard}), false)" if guard else ""
-        if matched.upper() != "DELETE":
-            sets = {}
+            return re.sub(
+                rf"\b{re.escape(ta)}\s*\.\s*(\w+)", r"\1", e, flags=re.IGNORECASE
+            )
+
+        on = F.expr(rw(m.group("cond")))
+        guard = m.group("mguard")
+        guard_col = F.expr(rw(guard)) if guard else None
+        matched = (m.group("matched") or "").strip()
+        delete_matched = matched.upper() == "DELETE"
+        update_set = None
+        if matched and not delete_matched:
+            update_set = {}
             for assign in re.split(r",(?![^()]*\))", matched[len("UPDATE SET"):]):
                 col, expr = assign.split("=", 1)
-                sets[col.strip().lower().removeprefix(f"{ta}.")] = expr.strip()
-            proj = ", ".join(
-                f"{sets.get(c, f'{ta}.{c}')} AS {c}" for c in target_cols
-            )
-            parts.append(
-                self.spark.sql(
-                    f"SELECT {proj} FROM {tv} {ta} JOIN {sv} {sa} ON {cond}"
-                    f"{guard_sql}"
-                )
-            )
+                key = col.strip().lower().removeprefix(f"{ta}.")
+                update_set[key] = F.expr(rw(expr.strip()))
+        insert_values = None
         if m.group("ivals"):
             icols = (
                 [c.strip().lower() for c in m.group("icols").split(",")]
@@ -851,26 +827,23 @@ class StatementRouter:
             ivals = [v.strip() for v in re.split(r",(?![^()]*\))", m.group("ivals"))]
             if len(icols) != len(ivals):
                 raise ValueError("ANSI MERGE: INSERT column/value count mismatch")
-            val_by_col = dict(zip(icols, ivals))
-            iproj = ", ".join(
-                f"{val_by_col.get(c, 'NULL')} AS {c}" for c in target_cols
-            )
-            parts.append(
-                self.spark.sql(
-                    f"SELECT {iproj} FROM {sv} {sa} "
-                    f"WHERE NOT EXISTS (SELECT 1 FROM {tv} {ta} WHERE {cond})"
-                )
-            )
-        target_schema = dict(target.dtypes)
-        merged = parts[0]
-        for p in parts[1:]:
-            merged = merged.unionByName(
-                p.select(
-                    *[F.col(c).cast(target_schema[c]).alias(c) for c in target_cols]
-                )
-            )
-        self._validate_write(name, merged)
-        st.write(merged)
+            insert_values = {c: F.expr(rw(v)) for c, v in zip(icols, ivals)}
+        merged = merge_ansi(
+            target,
+            src,
+            on,
+            update_set=update_set,
+            delete_matched=delete_matched,
+            matched_guard=guard_col,
+            insert_values=insert_values,
+        )
+        try:
+            self._validate_write(name, merged)
+            st.write(merged)
+        except Exception as e:  # surface the runtime dup-guard as ValueError
+            if ANSI_MERGE_DUP_MSG in str(e):
+                raise ValueError(ANSI_MERGE_DUP_MSG) from e
+            raise
         self.catalog.refresh_view(name)
         return self._ok(f"merged into {name}")
 

@@ -26,6 +26,7 @@ from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def apply_update(
@@ -147,6 +148,88 @@ def merge_by_key(
                 F.when(src_present, s[f"__s_{c}"]).otherwise(target[c]).alias(c)
             )
     return joined.select(*out_cols)
+
+
+ANSI_MERGE_DUP_MSG = "ANSI MERGE: a target row matches multiple source rows"
+
+
+def merge_ansi(
+    target: DataFrame,
+    source: DataFrame,
+    on: Column,
+    update_set: Optional[Mapping[str, Column]] = None,
+    delete_matched: bool = False,
+    matched_guard: Optional[Column] = None,
+    insert_values: Optional[Mapping[str, Column]] = None,
+    enforce_single_match: bool = True,
+) -> DataFrame:
+    """ANSI MERGE USING as ONE full-outer join (reference extension;
+    Merge.java:146-230 covers only the KEY upsert form).
+
+    All branches derive from presence flags of the single join — no
+    per-branch re-scan of the target, no eager pre-count actions:
+
+    - matched + guard true  → UPDATE projection (or dropped for DELETE)
+    - matched + guard false → target row passes through (still suppresses
+      the INSERT branch for that source row, per ANSI)
+    - target-only           → passes through
+    - source-only           → INSERT projection (if given), else dropped
+
+    The ANSI "each target row matches at most one source row" rule is
+    enforced from the same join: a window count per target row id turns
+    into a runtime ``raise_error`` — one job, one extra hash exchange,
+    instead of the two eager ``count()`` actions the naive form needs.
+    Disable via ``enforce_single_match`` when the source is known unique.
+
+    Namespace contract: ``on``, ``update_set`` values and
+    ``matched_guard`` are Columns over the joined row — target columns by
+    name, source columns as ``__s_<name>``; ``insert_values`` maps target
+    column → Column over the ``__s_`` namespace.
+    """
+    if update_set is None and not delete_matched and insert_values is None:
+        raise ValueError("ANSI MERGE requires at least one WHEN clause")
+    tcols = target.columns
+    tschema = dict(target.dtypes)
+    t = target.withColumn("__t_present", F.lit(True)).withColumn(
+        "__t_id", F.monotonically_increasing_id()
+    )
+    s = source.select(
+        [F.col(c).alias(f"__s_{c}") for c in source.columns]
+        + [F.lit(True).alias("__s_present")]
+    )
+    joined = t.join(s, on, "full_outer")
+    t_present = F.coalesce(F.col("__t_present"), F.lit(False))
+    s_present = F.coalesce(F.col("__s_present"), F.lit(False))
+    matched = t_present & s_present
+    act = (
+        matched & F.coalesce(matched_guard, F.lit(False))
+        if matched_guard is not None
+        else matched
+    )
+    if enforce_single_match:
+        # materialized as a column: window expressions are not legal
+        # directly inside a filter predicate
+        joined = joined.withColumn(
+            "__n_matches",
+            F.sum(F.when(matched, F.lit(1)).otherwise(F.lit(0))).over(
+                Window.partitionBy("__t_id")
+            ),
+        )
+        dup = t_present & (F.col("__n_matches") > F.lit(1))
+    else:
+        dup = F.lit(False)
+    keep = F.when(dup, F.raise_error(ANSI_MERGE_DUP_MSG).cast("boolean")).otherwise(
+        F.when(~t_present, F.lit(insert_values is not None))
+        .when(act & F.lit(delete_matched), F.lit(False))
+        .otherwise(F.lit(True))
+    )
+    out_cols = []
+    for c in tcols:
+        upd = update_set[c] if update_set and c in update_set else F.col(c)
+        ins = (insert_values or {}).get(c, F.lit(None))
+        e = F.when(act, upd).when(~t_present, ins).otherwise(F.col(c))
+        out_cols.append(e.cast(tschema[c]).alias(c))
+    return joined.filter(keep).select(*out_cols)
 
 
 class SnapshotTable:

@@ -12,6 +12,7 @@ from ..operators.dml import (
     apply_delete,
     apply_update,
     apply_update_limit,
+    merge_ansi,
     merge_by_key,
 )
 from ..tables import load_tables
@@ -131,3 +132,67 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_by_key(target, source, keys=["k"])
+
+
+# ---------------------------------------------------------------------------
+# ANSI MERGE USING (extension; Delta-style MERGE without Delta) — one
+# full-outer join, branches from match flags (operators/dml.merge_ansi)
+# ---------------------------------------------------------------------------
+@workload(
+    "merge_ansi",
+    f"""
+    WITH t AS (
+      SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg FROM customer
+    ),
+    s AS (
+      SELECT o_custkey AS k, {o_dsum('o_totalprice')} AS total
+      FROM orders WHERE o_custkey <= 500 GROUP BY o_custkey
+      UNION ALL
+      SELECT o_custkey + 1000000 AS k, {o_dsum('o_totalprice')} AS total
+      FROM orders WHERE o_custkey <= 20 GROUP BY o_custkey
+    )
+    SELECT coalesce(t.k, s.k) AS k,
+           CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL AND s.total > 200000.0
+                THEN s.total
+                WHEN t.k IS NOT NULL THEN t.bal
+                ELSE s.total END AS bal,
+           CASE WHEN t.k IS NOT NULL THEN t.seg ELSE 'NEW' END AS seg
+    FROM t FULL OUTER JOIN s ON t.k = s.k
+    """,
+    doc="ANSI MERGE: WHEN MATCHED AND guard THEN UPDATE, WHEN NOT MATCHED "
+    "THEN INSERT — single full-outer-join kernel, guard-failing matches "
+    "pass through, source-only rows insert.",
+)
+def merge_ansi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tabs = load_tables(spark, sf_dir)
+    c, o = tabs["customer"], tabs["orders"]
+    target = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    base = (
+        o.filter(F.col("o_custkey") <= 500)
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("o_totalprice")).alias("total"))
+        .select(F.col("o_custkey").alias("k"), "total")
+    )
+    extra = (
+        o.filter(F.col("o_custkey") <= 20)
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("o_totalprice")).alias("total"))
+        .select((F.col("o_custkey") + 1000000).alias("k"), "total")
+    )
+    source = base.union(extra)
+    return merge_ansi(
+        target,
+        source,
+        on=F.expr("k = __s_k"),
+        update_set={"bal": F.col("__s_total")},
+        matched_guard=F.col("__s_total") > 200000.0,
+        insert_values={
+            "k": F.col("__s_k"),
+            "bal": F.col("__s_total"),
+            "seg": F.lit("NEW"),
+        },
+    )

@@ -244,6 +244,22 @@ def test_merge_ansi_duplicate_match_raises(spark, tmp_path):
         )
 
 
+def test_merge_ansi_insert_only(spark, tmp_path):
+    from etl_lealone_spark.session import EngineSession
+
+    es = EngineSession(spark, warehouse=str(tmp_path))
+    es.sql("CREATE TABLE mio (id int PRIMARY KEY, v int)")
+    es.sql("INSERT INTO mio VALUES (1, 10)")
+    # ANSI-legal: only WHEN NOT MATCHED (insert-only upsert)
+    es.sql(
+        "MERGE INTO mio USING (SELECT * FROM VALUES (1, 99), (2, 20) "
+        "AS x(id, nv)) AS s ON mio.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)"
+    )
+    got = {r["id"]: r["v"] for r in es.sql("SELECT * FROM mio").collect()}
+    assert got == {1: 10, 2: 20}  # matched row untouched, new row inserted
+
+
 def test_merge_ansi_matched_guard(spark, tmp_path):
     from etl_lealone_spark.session import EngineSession
 
