@@ -244,6 +244,99 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
+def _np_rows(series) -> "object":
+    """Stack a pandas Series of int64 arrays into an (n, dim) ndarray."""
+    import numpy as np
+
+    return np.stack(series.to_numpy()).astype(np.int64, copy=False)
+
+
+def score_int_cosine(
+    corpus_q: DataFrame,
+    q_ids: list,
+    q_vecs: "object",
+    id_col: str = "vec_id",
+    vec_col: str = "cvec",
+) -> DataFrame:
+    """Arrow-vectorized exact cosine scores of quantized vectors.
+
+    ``q_vecs`` is a small (m, dim) int64 ndarray captured in the closure
+    (broadcast with the task). Per Arrow batch: ONE int64 matmul — exact,
+    associative, bit-identical to the JVM ``aggregate(zip_with(...))``
+    fold — then one IEEE double division per pair, identical to
+    ``cast(double) / (sqrt(..) * sqrt(..))``. This is the vectorized fast
+    path for the same oracle-checked math: int64 matmul has no float
+    summation order to diverge on.
+
+    Returns (query_id, vec_id, cosine_sim) — |corpus| × m rows, map-only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qn = np.sqrt((q_vecs * q_vecs).sum(axis=1).astype(np.float64))
+    q_ids_arr = list(q_ids)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = _np_rows(pdf[vec_col])
+            dots = C @ q_vecs.T  # exact int64
+            cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            sims = dots.astype(np.float64) / (cn[:, None] * qn[None, :])
+            m = len(q_ids_arr)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(np.asarray(q_ids_arr, dtype=np.int64), n),
+                    "vec_id": np.tile(pdf[id_col].to_numpy(), m),
+                    "cosine_sim": sims.T.reshape(-1),
+                }
+            )
+
+    return corpus_q.mapInPandas(
+        score, schema="query_id long, vec_id long, cosine_sim double"
+    )
+
+
+def brute_force_topk_int(
+    corpus: DataFrame,
+    k: int = 10,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact integer-quantized cosine top-k (oracle-checkable) with the
+    Arrow/numpy scorer. The tiny query set is collected driver-side (plan
+    time), the corpus streams map-only — no corpus shuffle, and the heavy
+    math runs as one int64 matmul per Arrow batch instead of interpreted
+    per-row Catalyst folds (~100× less expression overhead)."""
+    cq = corpus.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("cvec")
+    )
+    q_rows = (
+        cq.filter(F.col("vec_id") < n_queries)
+        .orderBy("vec_id")
+        .collect()
+    )
+    import numpy as np
+
+    q_ids = [r["vec_id"] for r in q_rows]
+    q_vecs = np.asarray([r["cvec"] for r in q_rows], dtype=np.int64)
+    # no repartition: the matmul is so cheap per batch that parallelism
+    # only matters once the input itself arrives in many splits (cluster
+    # scale), and a shuffle here would cost more than it buys
+    scored = score_int_cosine(cq, q_ids, q_vecs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rnk")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     k: int = 10,
@@ -343,3 +436,187 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cosine_sim", "rnk")
     )
+
+
+class IvfIndex:
+    """Persisted IVF(-flat) index: build once, probe partition-pruned.
+
+    Layout under ``root``:
+      _meta.json  — {"n": vectors, "stride": centroid stride}
+      centroids/  — (cid, centvec, cnorm) parquet, ~sqrt(n) rows
+      assign/     — (vec_id, cvec) parquet, hive-partitioned by cid
+
+    The 100 TB shape :func:`ivf_topk` only sketches: the n × sqrt(n)
+    centroid-assignment cost is paid ONCE at build time (one int64 matmul
+    per Arrow batch — exact, so results stay DuckDB-oracle-checkable),
+    and every probe afterwards reads ONLY the ``n_probe`` matching
+    partition directories — a ~n_probe/sqrt(n) fraction of the corpus,
+    partition-pruned at the parquet source. Same inverted-file trade as
+    FAISS IVF-flat, expressed as parquet layout + DataFrame ops.
+    """
+
+    def __init__(self, spark, root: str, id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.spark = spark
+        self.root = root
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    # -- layout ---------------------------------------------------------
+    @property
+    def _meta_path(self) -> str:
+        import os
+
+        return os.path.join(self.root, "_meta.json")
+
+    def exists(self) -> bool:
+        import os
+
+        return os.path.exists(self._meta_path)
+
+    # -- build ----------------------------------------------------------
+    def build(self, corpus: DataFrame, force: bool = False) -> None:
+        """Quantize, pick stride centroids, assign every vector to its
+        best centroid (vectorized), write assign/ partitioned by cid."""
+        import json
+        import math
+        import os
+        import shutil
+
+        import numpy as np
+        import pandas as pd
+
+        if self.exists() and not force:
+            return
+        cq = corpus.select(
+            F.col(self.id_col).alias("vec_id"), quantize(F.col(self.vec_col)).alias("cvec")
+        )
+        n = cq.count()
+        stride = max(1, int(math.floor(math.sqrt(float(n)))))
+        cent = (
+            cq.filter(F.col("vec_id") % stride == 0)
+            .select(F.col("vec_id").alias("cid"), F.col("cvec").alias("centvec"))
+            .withColumn(
+                "cnorm",
+                F.sqrt(int_dot(F.col("centvec"), F.col("centvec")).cast("double")),
+            )
+        )
+        tmp = self.root + ".build"
+        shutil.rmtree(tmp, ignore_errors=True)
+        cent.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        cent_rows = sorted(
+            self.spark.read.parquet(os.path.join(tmp, "centroids")).collect(),
+            key=lambda r: r["cid"],
+        )
+        cids = np.asarray([r["cid"] for r in cent_rows], dtype=np.int64)
+        CENT = np.asarray([r["centvec"] for r in cent_rows], dtype=np.int64)
+        cn = np.asarray([r["cnorm"] for r in cent_rows], dtype=np.float64)
+
+        def assign(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                C = _np_rows(pdf["cvec"])
+                # exact int64 dots; ties pick the lowest cid (argmax takes
+                # the first max and CENT rows are cid-ascending) — matches
+                # the oracle's ORDER BY sim DESC, cid
+                sims = (C @ CENT.T).astype(np.float64) / cn[None, :]
+                best = np.argmax(sims, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cvec": pdf["cvec"],
+                        "cid": cids[best],
+                    }
+                )
+
+        cq.mapInPandas(
+            assign, schema="vec_id long, cvec array<bigint>, cid long"
+        ).write.mode("overwrite").partitionBy("cid").parquet(os.path.join(tmp, "assign"))
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+            json.dump({"n": n, "stride": stride}, f)
+        try:
+            os.rename(tmp, self.root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent build race
+
+    # -- probe ----------------------------------------------------------
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qvec",
+    ) -> DataFrame:
+        """Top-k for a small query set; ``qvec`` must be quantized
+        (array<bigint>). Reads only the probed cid partitions."""
+        import os
+
+        import numpy as np
+        import pandas as pd
+
+        q_rows = queries.orderBy(query_id_col).collect()
+        q_ids = np.asarray([r[query_id_col] for r in q_rows], dtype=np.int64)
+        Q = np.asarray([r[query_vec_col] for r in q_rows], dtype=np.int64)
+        qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+
+        cent_rows = sorted(
+            self.spark.read.parquet(os.path.join(self.root, "centroids")).collect(),
+            key=lambda r: r["cid"],
+        )
+        cids = np.asarray([r["cid"] for r in cent_rows], dtype=np.int64)
+        CENT = np.asarray([r["centvec"] for r in cent_rows], dtype=np.int64)
+        cn = np.asarray([r["cnorm"] for r in cent_rows], dtype=np.float64)
+
+        # rank centroids per query driver-side (m × sqrt(n) — tiny)
+        csims = (Q @ CENT.T).astype(np.float64) / cn[None, :]
+        pairs = []
+        for i, qid in enumerate(q_ids):
+            order = np.lexsort((cids, -csims[i]))  # sim desc, cid asc
+            for cid in cids[order[:n_probe]]:
+                pairs.append((int(qid), int(cid)))
+        probed_cids = sorted({cid for _, cid in pairs})
+
+        assign = self.spark.read.parquet(os.path.join(self.root, "assign"))
+        # filter BEFORE the cast so the parquet source partition-prunes
+        cand = (
+            assign.filter(F.col("cid").isin(probed_cids))
+            .withColumn("cid", F.col("cid").cast("long"))
+            .join(
+                F.broadcast(
+                    self.spark.createDataFrame(pairs, "query_id long, cid long")
+                ),
+                on="cid",
+            )
+        )
+        qvec_by_id = {int(q): Q[i] for i, q in enumerate(q_ids)}
+        qn_by_id = {int(q): float(qn[i]) for i, q in enumerate(q_ids)}
+
+        def score(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                C = _np_rows(pdf["cvec"])
+                Qsel = np.stack([qvec_by_id[q] for q in pdf["query_id"]])
+                dots = np.einsum("ij,ij->i", C, Qsel)  # exact int64 row dots
+                cnr = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+                qnr = np.asarray([qn_by_id[q] for q in pdf["query_id"]])
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "vec_id": pdf["vec_id"],
+                        "cosine_sim": dots.astype(np.float64) / (cnr * qnr),
+                    }
+                )
+
+        scored = cand.mapInPandas(
+            score, schema="query_id long, vec_id long, cosine_sim double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "vec_id", "cosine_sim", "rnk")
+        )

@@ -64,3 +64,68 @@ def test_ivf_self_found_and_recall(tables):
     # exactly k rows per query, ranks contiguous
     counts = approx.groupBy("query_id").count().collect()
     assert all(r["count"] == 10 for r in counts)
+
+
+def test_brute_force_int_matches_fold(tables, spark):
+    """The Arrow/numpy int64 scorer must be bit-identical to the
+    interpreted JVM integer fold (same quantization, same division)."""
+    from etl_lealone_spark.operators.similarity import (
+        brute_force_topk_int,
+        int_dot,
+        quantize,
+    )
+    from pyspark.sql.window import Window
+
+    e = tables["embeddings"]
+    fast = brute_force_topk_int(e, k=10, n_queries=3)
+    cq = e.select(F.col("vec_id"), quantize(F.col("embedding")).alias("cvec"))
+    q = cq.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("cvec").alias("qvec")
+    )
+    scored = cq.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (
+            int_dot(F.col("cvec"), F.col("qvec")).cast("double")
+            / (
+                F.sqrt(int_dot(F.col("cvec"), F.col("cvec")).cast("double"))
+                * F.sqrt(int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
+            )
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    slow = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "vec_id", "cosine_sim", "rnk")
+    )
+    fa = sorted(map(tuple, fast.collect()))
+    sl = sorted(map(tuple, slow.collect()))
+    assert fa == sl  # exact equality, including the float sims
+
+
+def test_ivf_index_build_probe_matches_inline(tables, spark, tmp_path):
+    """Persisted build/probe must reproduce the inline ivf_topk result,
+    survive re-open, and partition-prune the probe scan."""
+    from etl_lealone_spark.operators.similarity import IvfIndex, ivf_topk, quantize
+
+    e = tables["embeddings"]
+    inline = sorted(map(tuple, ivf_topk(e, k=10, n_probe=4, n_queries=3).collect()))
+    root = str(tmp_path / "ivfidx")
+    idx = IvfIndex(spark, root)
+    idx.build(e)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), quantize(F.col("embedding")).alias("qvec")
+    )
+    out = idx.topk(q, k=10, n_probe=4)
+    assert sorted(map(tuple, out.collect())) == inline
+    # re-open from disk (no rebuild) gives the same answer
+    idx2 = IvfIndex(spark, root)
+    assert idx2.exists()
+    out2 = idx2.topk(q, k=10, n_probe=4)
+    assert sorted(map(tuple, out2.collect())) == inline
+    # the probe is partition-pruned at the parquet source
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cid" in plan
