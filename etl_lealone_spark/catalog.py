@@ -74,6 +74,30 @@ TYPE_MAP = {
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
 
+def _sql_literal(v) -> str:
+    """Python value → SQL literal for SCRIPT dumps (reference Script.java
+    delegates to each Value type's getSQL())."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float, _Dec)):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, (bytes, bytearray)):
+        return f"X'{bytes(v).hex()}'"
+    if isinstance(v, (list, tuple)):
+        return "ARRAY[" + ", ".join(_sql_literal(x) for x in v) + "]"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
 @dataclass
 class IndexMeta:
     name: str
@@ -93,6 +117,11 @@ class TableConstraints:
     computed: dict[str, str] = field(default_factory=dict)  # col → SQL expr
     checks: list[str] = field(default_factory=list)  # SQL boolean exprs
     identity: list[str] = field(default_factory=list)  # auto-fill columns
+    # FOREIGN KEY metadata (ConstraintReferential.java): recorded, not
+    # enforced — (fk_name, fk_columns, ref_table, ref_columns)
+    foreign_keys: list[tuple[str, list[str], str, list[str]]] = field(
+        default_factory=list
+    )
 
 
 @dataclass
@@ -109,6 +138,17 @@ class Catalog:
     domains: dict[str, str] = field(default_factory=dict)
     principals: set[str] = field(default_factory=set)
     constraints: dict[str, TableConstraints] = field(default_factory=dict)
+    # schema-level objects (reference: Schema.java / CreateSchema.java,
+    # CreateConstant.java, CreateRole.java, GrantRevoke.java, Comment-
+    # Statement) — a flat namespace registry; table names stay unqualified
+    # like the reference's default PUBLIC-schema usage
+    schemas: dict[str, str] = field(default_factory=lambda: {"public": "sa"})
+    constants: dict[str, str] = field(default_factory=dict)  # name → SQL expr
+    roles: set[str] = field(default_factory=lambda: {"public"})
+    # (grantee, rights, object) from GRANT/REVOKE
+    grants: list[tuple[str, str, str]] = field(default_factory=list)
+    comments: dict[str, str] = field(default_factory=dict)  # object → remark
+    triggers: dict[str, str] = field(default_factory=dict)  # name → DDL text
 
     def table(self, name: str) -> SnapshotTable:
         key = name.lower()
@@ -151,7 +191,12 @@ def _parse_columns(cols_sql: str) -> tuple[str, list[str], "TableConstraints"]:
     fields, pks = [], []
     cons = TableConstraints()
     for p in parts:
-        m = re.match(
+        is_constraint = re.match(
+            r"(CONSTRAINT|FOREIGN|UNIQUE|KEY|PRIMARY|CHECK)\b",
+            p.strip(),
+            re.IGNORECASE,
+        )
+        m = None if is_constraint else re.match(
             rf"({_IDENT})\s+({_IDENT})(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?(?P<rest>.*)$",
             p.strip(),
             re.IGNORECASE | re.DOTALL,
@@ -168,8 +213,29 @@ def _parse_columns(cols_sql: str) -> tuple[str, list[str], "TableConstraints"]:
             if chk:
                 cons.checks.append(chk.group(1))
                 continue
+            fk = re.match(
+                rf"(?:CONSTRAINT\s+(?P<fkname>{_IDENT})\s+)?FOREIGN\s+KEY\s*"
+                rf"\((?P<cols>[^)]*)\)\s*REFERENCES\s+(?P<ref>{_IDENT})"
+                rf"\s*(?:\((?P<refcols>[^)]*)\))?",
+                p.strip(),
+                re.IGNORECASE,
+            )
+            if fk:
+                cons.foreign_keys.append(
+                    (
+                        (fk.group("fkname") or "").lower(),
+                        [c.strip().lower() for c in fk.group("cols").split(",")],
+                        fk.group("ref").lower(),
+                        [
+                            c.strip().lower()
+                            for c in (fk.group("refcols") or "").split(",")
+                            if c.strip()
+                        ],
+                    )
+                )
+                continue
             if re.match(r"(CONSTRAINT|FOREIGN|UNIQUE|KEY)\b", p.strip(), re.IGNORECASE):
-                continue  # FK/unique-constraint syntax: metadata-only
+                continue  # unique-constraint syntax: metadata-only
             raise ValueError(f"cannot parse column definition: {p!r}")
         name, typ = m.group(1), m.group(2).lower()
         lname = name.lower()
@@ -347,24 +413,130 @@ class StatementRouter:
             return self._ok(f"created domain {m.group('name').lower()}")
 
         m = re.match(
-            rf"CREATE\s+(?:USER|ROLE)\s+(?P<name>{_IDENT}).*$", s, re.IGNORECASE
+            rf"CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})"
+            rf"(?:\s+AUTHORIZATION\s+(?P<owner>{_IDENT}))?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            # CREATE SCHEMA (ddl/CreateSchema.java): namespace registry
+            # entry; objects remain flat-named like the reference's default
+            # PUBLIC-schema usage
+            name = m.group("name").lower()
+            if name in self.catalog.schemas:
+                if re.search(r"IF\s+NOT\s+EXISTS", s, re.IGNORECASE):
+                    return self._ok("exists")
+                raise ValueError(f"schema already exists: {name}")
+            self.catalog.schemas[name] = (m.group("owner") or "sa").lower()
+            return self._ok(f"created schema {name}")
+
+        m = re.match(
+            rf"CREATE\s+CONSTANT\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})"
+            rf"\s+VALUE\s+(?P<expr>.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # CREATE CONSTANT (ddl/CreateConstant.java): named scalar bound
+            # at definition time, substituted by the dialect rewriter
+            name = m.group("name").lower()
+            if name in self.catalog.constants and not re.search(
+                r"IF\s+NOT\s+EXISTS", s, re.IGNORECASE
+            ):
+                raise ValueError(f"constant already exists: {name}")
+            self.catalog.constants[name] = m.group("expr").strip()
+            return self._ok(f"created constant {name}")
+
+        m = re.match(
+            rf"CREATE\s+USER\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT}).*$",
+            s,
+            re.IGNORECASE,
         )
         if m:
             # auth objects: catalog-level stubs (SURVEY.md §2.11)
             self.catalog.principals.add(m.group("name").lower())
             return self._ok(f"created principal {m.group('name').lower()}")
 
-        if re.match(r"CREATE\s+TRIGGER\b", s, re.IGNORECASE):
+        m = re.match(
+            rf"CREATE\s+ROLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT}).*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            self.catalog.roles.add(m.group("name").lower())
+            return self._ok(f"created role {m.group('name').lower()}")
+
+        m = re.match(
+            rf"CREATE\s+(?:FORCE\s+)?TRIGGER\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            rf"(?P<name>{_IDENT})\b.*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
             # triggers have no meaning without OLTP row events (SURVEY
-            # §2.11) — accepted as a no-op so scripts don't break
-            return self._ok("ok (trigger ignored: no row-event runtime)")
+            # §2.11) — recorded for INFORMATION_SCHEMA.TRIGGERS, never fired
+            self.catalog.triggers[m.group("name").lower()] = s
+            return self._ok("ok (trigger recorded: no row-event runtime)")
 
         raise ValueError(f"unsupported CREATE statement: {s[:80]}")
 
     def _alter(self, s: str) -> DataFrame:
-        """ALTER TABLE ADD/DROP/RENAME COLUMN, RENAME TO — schema evolution
-        as a snapshot projection (free at any scale vs. the reference's
-        in-place row rewrite, AlterTableAlterColumn.java)."""
+        """ALTER TABLE ADD/DROP/RENAME/ALTER COLUMN, RENAME TO; ALTER
+        SEQUENCE; ALTER VIEW — schema evolution as a snapshot projection
+        (free at any scale vs. the reference's in-place row rewrite,
+        AlterTableAlterColumn.java; ALTER COLUMN <type> is the one variant
+        that must rewrite data, done as a distributed cast-projection)."""
+        m = re.match(
+            rf"ALTER\s+SEQUENCE\s+(?P<name>{_IDENT})\s+(?P<rest>.+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            # AlterSequence.java: RESTART WITH / INCREMENT BY
+            seq = self.session.sequences.get(m.group("name").lower())
+            if seq is None:
+                raise KeyError(f"sequence not found: {m.group('name').lower()}")
+            rest = m.group("rest")
+            rm = re.search(r"RESTART\s+WITH\s+(-?\d+)", rest, re.IGNORECASE)
+            if rm:
+                with seq._lock:
+                    seq._next = int(rm.group(1))
+            im = re.search(r"INCREMENT\s+BY\s+(-?\d+)", rest, re.IGNORECASE)
+            if im:
+                with seq._lock:
+                    seq.increment = int(im.group(1))
+            return self._ok(f"altered sequence {seq.name}")
+
+        m = re.match(
+            rf"ALTER\s+VIEW\s+(?P<name>{_IDENT})\s+(?:RECOMPILE|AS\s+"
+            rf"(?P<query>.+))$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # AlterView.java: recompile (re-resolve) or redefine
+            from .dialect import rewrite
+
+            name = m.group("name").lower()
+            if name not in self.catalog.views:
+                raise KeyError(f"view not found: {name}")
+            if m.group("query"):
+                q = rewrite(m.group("query"), session=self.session)
+                self.catalog.views[name] = q
+            self.spark.sql(self.catalog.views[name]).createOrReplaceTempView(name)
+            return self._ok(f"altered view {name}")
+
+        m = re.match(
+            rf"ALTER\s+TABLE\s+(?P<name>{_IDENT})\s+"
+            rf"ALTER\s+COLUMN\s+(?P<col>{_IDENT})\s+(?P<rest>.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._alter_column(
+                m.group("name").lower(), m.group("col").lower(), m.group("rest")
+            )
+
         m = re.match(
             rf"ALTER\s+TABLE\s+(?P<name>{_IDENT})\s+"
             rf"(?P<op>ADD(?:\s+COLUMN)?|DROP(?:\s+COLUMN)?|"
@@ -409,6 +581,68 @@ class StatementRouter:
             return self._ok(f"renamed {name} to {new}")
         self.catalog.refresh_view(name)
         return self._ok(f"altered {name}")
+
+    def _alter_column(self, name: str, col: str, rest: str) -> DataFrame:
+        """ALTER TABLE t ALTER COLUMN c ... (AlterTableAlterColumn.java):
+        SET/DROP DEFAULT and NOT NULL are metadata flips; RENAME TO is a
+        projection; a type change is the only data rewrite — a distributed
+        cast-projection over the snapshot (map-only, no shuffle)."""
+        st = self.catalog.table(name)
+        cons = self.catalog.constraints.setdefault(name, TableConstraints())
+        rest = rest.strip()
+
+        m = re.match(r"SET\s+DEFAULT\s+(?P<expr>.+)$", rest, re.IGNORECASE | re.DOTALL)
+        if m:
+            cons.defaults[col] = m.group("expr").strip()
+            return self._ok(f"altered {name}.{col} default")
+        if re.match(r"DROP\s+DEFAULT\s*$", rest, re.IGNORECASE):
+            cons.defaults.pop(col, None)
+            return self._ok(f"altered {name}.{col} default")
+        if re.match(r"SET\s+NOT\s+NULL\s*$", rest, re.IGNORECASE):
+            if col not in cons.not_null:
+                n_null = st.read().filter(F.col(col).isNull()).count()
+                if n_null:
+                    raise ValueError(
+                        f"cannot SET NOT NULL: {n_null} NULL rows in {name}.{col}"
+                    )
+                cons.not_null.append(col)
+            return self._ok(f"altered {name}.{col} not null")
+        if re.match(r"(DROP\s+NOT\s+NULL|SET\s+NULL)\s*$", rest, re.IGNORECASE):
+            if col in cons.not_null:
+                cons.not_null.remove(col)
+            return self._ok(f"altered {name}.{col} nullable")
+        m = re.match(rf"RENAME\s+TO\s+(?P<new>{_IDENT})\s*$", rest, re.IGNORECASE)
+        if m:
+            new = m.group("new").lower()
+            st.write(st.read().withColumnRenamed(col, new))
+            for attr in ("not_null", "identity"):
+                lst = getattr(cons, attr)
+                if col in lst:
+                    lst[lst.index(col)] = new
+            for d in (cons.defaults, cons.computed):
+                if col in d:
+                    d[new] = d.pop(col)
+            self.catalog.refresh_view(name)
+            return self._ok(f"renamed {name}.{col} to {new}")
+        # type change: [SET DATA TYPE] <type>[(p[,s])]
+        m = re.match(
+            rf"(?:SET\s+DATA\s+TYPE\s+)?(?P<typ>{_IDENT})"
+            rf"(?P<args>\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?\s*$",
+            rest,
+            re.IGNORECASE,
+        )
+        if m:
+            typ = m.group("typ").lower()
+            args = (m.group("args") or "").strip()
+            spark_type = (
+                f"decimal{args}"
+                if typ in ("decimal", "numeric", "dec", "number") and args
+                else TYPE_MAP.get(typ, "string")
+            )
+            st.write(st.read().withColumn(col, F.col(col).cast(spark_type)))
+            self.catalog.refresh_view(name)
+            return self._ok(f"altered {name}.{col} type to {spark_type}")
+        raise ValueError(f"unsupported ALTER COLUMN: {rest[:80]}")
 
     def _runscript(self, s: str) -> DataFrame:
         """RUNSCRIPT FROM 'file' (RunScript.java): execute statements
@@ -462,15 +696,66 @@ class StatementRouter:
         return self._ok("deallocated")
 
     def _grant_revoke(self, s: str) -> DataFrame:
-        # auth is out of relational scope (SURVEY §2.11): accepted, recorded
+        """GRANT/REVOKE (GrantRevoke.java): no enforcement (no auth layer),
+        but grants are recorded so INFORMATION_SCHEMA RIGHTS /
+        TABLE_PRIVILEGES enumerate them like the reference does."""
+        m = re.match(
+            rf"(?P<op>GRANT|REVOKE)\s+(?P<rights>[A-Z_,\s]+?)\s+ON\s+"
+            rf"(?P<obj>{_IDENT})\s+(?:TO|FROM)\s+(?P<who>{_IDENT})\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            rights = re.sub(r"\s+", " ", m.group("rights").strip().upper())
+            entry = (m.group("who").lower(), rights, m.group("obj").lower())
+            if m.group("op").upper() == "GRANT":
+                if entry not in self.catalog.grants:
+                    self.catalog.grants.append(entry)
+            else:
+                self.catalog.grants = [
+                    g for g in self.catalog.grants if g != entry
+                ]
+            return self._ok("ok (recorded: no auth enforcement)")
+        # role grants: GRANT role TO user
+        m = re.match(
+            rf"(?P<op>GRANT|REVOKE)\s+(?P<role>{_IDENT})\s+(?:TO|FROM)\s+"
+            rf"(?P<who>{_IDENT})\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            entry = (m.group("who").lower(), "ROLE", m.group("role").lower())
+            if m.group("op").upper() == "GRANT":
+                if entry not in self.catalog.grants:
+                    self.catalog.grants.append(entry)
+            else:
+                self.catalog.grants = [
+                    g for g in self.catalog.grants if g != entry
+                ]
+            return self._ok("ok (recorded: no auth enforcement)")
         return self._ok("ok (no-op: no auth layer)")
 
     def _comment(self, s: str) -> DataFrame:
+        """COMMENT ON <kind> <name> IS 'text' — recorded; surfaces as the
+        REMARKS column of the matching INFORMATION_SCHEMA view."""
+        m = re.match(
+            rf"COMMENT\s+ON\s+(?P<kind>\w+)\s+(?P<name>{_IDENT}(?:\.{_IDENT})?)"
+            rf"\s+IS\s+(?:'(?P<text>[^']*)'|(?P<null>NULL))\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            key = m.group("name").lower()
+            if m.group("null") is not None:
+                self.catalog.comments.pop(key, None)
+            else:
+                self.catalog.comments[key] = m.group("text")
         return self._ok("ok (comment recorded)")
 
     def _drop(self, s: str) -> DataFrame:
         m = re.match(
-            rf"DROP\s+(?P<kind>TABLE|VIEW|INDEX|SEQUENCE|TRIGGER)\s+"
+            rf"DROP\s+(?P<kind>TABLE|VIEW|INDEX|SEQUENCE|TRIGGER|SCHEMA|"
+            rf"CONSTANT|ROLE|USER|DOMAIN)\s+"
             rf"(?:IF\s+EXISTS\s+)?(?P<name>{_IDENT})\s*(CASCADE|RESTRICT)?\s*$",
             s,
             re.IGNORECASE,
@@ -498,7 +783,28 @@ class StatementRouter:
             if self.session.sequences.pop(name, None) is None and not if_exists:
                 raise KeyError(f"sequence not found: {name}")
         elif kind == "TRIGGER":
-            pass  # triggers were never registered (no-op surface)
+            self.catalog.triggers.pop(name, None)
+        elif kind == "SCHEMA":
+            if name == "public":
+                raise ValueError("cannot drop the public schema")
+            if self.catalog.schemas.pop(name, None) is None and not if_exists:
+                raise KeyError(f"schema not found: {name}")
+        elif kind == "CONSTANT":
+            if self.catalog.constants.pop(name, None) is None and not if_exists:
+                raise KeyError(f"constant not found: {name}")
+        elif kind == "ROLE":
+            if name in self.catalog.roles:
+                self.catalog.roles.discard(name)
+            elif not if_exists:
+                raise KeyError(f"role not found: {name}")
+        elif kind == "USER":
+            if name in self.catalog.principals:
+                self.catalog.principals.discard(name)
+            elif not if_exists:
+                raise KeyError(f"user not found: {name}")
+        elif kind == "DOMAIN":
+            if self.catalog.domains.pop(name, None) is None and not if_exists:
+                raise KeyError(f"domain not found: {name}")
         return self._ok(f"dropped {kind.lower()} {name}")
 
     # -- DML -------------------------------------------------------------
@@ -891,11 +1197,72 @@ class StatementRouter:
         return self.spark.sql(rewrite(f"SELECT {expr} AS result", session=self.session))
 
     def _script(self, s: str) -> DataFrame:
-        ddl = [(d,) for d in self.catalog.table_ddl.values()]
-        ddl += [(f"CREATE VIEW {v} AS {q}",) for v, q in self.catalog.views.items()]
+        """SCRIPT [NODATA] [TO 'file'] — dump the catalog (and data) as a
+        replayable SQL script (reference: sql/ddl/Script.java, 723 LoC:
+        settings, users/roles, schemas, sequences, constants, domains,
+        tables + rows, indexes, triggers, grants, comments). RUNSCRIPT of
+        the emitted script on a fresh session reproduces catalog + data
+        (pinned by tests/test_ddl_extended.py round-trip)."""
+        nodata = bool(re.search(r"\bNODATA\b", s, re.IGNORECASE))
+        to_m = re.search(r"\bTO\s+'(?P<path>[^']+)'", s, re.IGNORECASE)
+        cat = self.catalog
+        ddl: list[str] = []
+        for n in sorted(cat.schemas):
+            if n != "public":
+                ddl.append(
+                    f"CREATE SCHEMA IF NOT EXISTS {n} "
+                    f"AUTHORIZATION {cat.schemas[n]}"
+                )
+        for n in sorted(cat.principals):
+            ddl.append(f"CREATE USER IF NOT EXISTS {n}")
+        for n in sorted(cat.roles):
+            if n != "public":
+                ddl.append(f"CREATE ROLE {n}")
+        for n, t in sorted(cat.domains.items()):
+            ddl.append(f"CREATE DOMAIN {n} AS {t}")
+        for seq in self.session.sequences.values():
+            current = seq._next if seq._next is not None else seq.start
+            ddl.append(
+                f"CREATE SEQUENCE {seq.name} START WITH {current} "
+                f"INCREMENT BY {seq.increment} CACHE {seq.cache}"
+            )
+        for n, expr in sorted(cat.constants.items()):
+            ddl.append(f"CREATE CONSTANT {n} VALUE {expr}")
+        for name in cat.tables:
+            ddl.append(cat.table_ddl.get(name, f"-- external table {name}"))
+            if not nodata:
+                df = cat.tables[name].read()
+                cols = ", ".join(df.columns)
+                for row in df.collect():
+                    vals = ", ".join(_sql_literal(v) for v in row)
+                    ddl.append(f"INSERT INTO {name} ({cols}) VALUES ({vals})")
+        for m in cat.indexes.values():
+            if not m.name.startswith("__pk_"):
+                uq = "UNIQUE " if m.unique else ""
+                ddl.append(
+                    f"CREATE {uq}INDEX {m.name} ON {m.table} "
+                    f"({', '.join(m.columns)})"
+                )
+        for v, q in cat.views.items():
+            ddl.append(f"CREATE VIEW {v} AS {q}")
+        for n, t in sorted(cat.triggers.items()):
+            ddl.append(t)
+        for who, r, obj in cat.grants:
+            if r == "ROLE":
+                ddl.append(f"GRANT {obj} TO {who}")
+            else:
+                ddl.append(f"GRANT {r} ON {obj} TO {who}")
+        for obj, text in sorted(cat.comments.items()):
+            kind = "TABLE" if obj in cat.tables else "COLUMN" if "." in obj else "TABLE"
+            esc = text.replace("'", "''")
+            ddl.append(f"COMMENT ON {kind} {obj} IS '{esc}'")
         if not ddl:
-            ddl = [("-- empty catalog",)]
-        return self.spark.createDataFrame(ddl, "script string")
+            ddl = ["-- empty catalog"]
+        if to_m:
+            with open(to_m.group("path"), "w") as f:
+                f.write(";\n".join(ddl) + ";\n")
+            return self._ok(f"script written: {to_m.group('path')}")
+        return self.spark.createDataFrame([(d,) for d in ddl], "script string")
 
     def _analyze(self, s: str) -> DataFrame:
         # ANALYZE → selectivity stats per column (Analyze.java semantics)

@@ -214,6 +214,28 @@ def _substitute_variables(sql: str, session: Optional["EngineSession"]) -> str:
     return re.sub(r"@(\w+)", repl, sql)
 
 
+def _substitute_constants(sql: str, session: Optional["EngineSession"]) -> str:
+    """CREATE CONSTANT names → their defining expression (parenthesized).
+
+    The reference resolves constants at parse time (ddl/CreateConstant.java,
+    expression lookup in Schema.getConstant); we substitute textually on
+    word boundaries. A constant name shadowing a column name is a user
+    error in the reference too (names share the schema namespace).
+    """
+    if session is None or not getattr(session, "catalog", None):
+        return sql
+    consts = session.catalog.constants
+    if not consts:
+        return sql
+
+    def repl(m: re.Match) -> str:
+        expr = consts.get(m.group(0).lower())
+        return f"({expr})" if expr is not None else m.group(0)
+
+    pattern = r"\b(" + "|".join(re.escape(k) for k in consts) + r")\b"
+    return re.sub(pattern, repl, sql, flags=re.IGNORECASE)
+
+
 def _rewrite_sequence_calls(sql: str, session: Optional["EngineSession"]) -> str:
     """NEXTVAL('seq') / CURRVAL('seq') (SequenceValue.java:22).
 
@@ -248,6 +270,7 @@ def rewrite(sql: str, session: Optional["EngineSession"] = None) -> str:
     if NOOP_STATEMENTS.match(sql):
         return "SELECT 'ok' AS status"  # transaction shims: harmless no-op
     sql = _substitute_variables(sql, session)
+    sql = _substitute_constants(sql, session)
     sql = _rewrite_from_first(sql)
     sql = _rewrite_top(sql)
     sql = _rewrite_system_range(sql)

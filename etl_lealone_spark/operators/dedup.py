@@ -90,7 +90,7 @@ def _parallelize_for_compute(df: DataFrame, key: str) -> DataFrame:
     would already be many splits, and this becomes a cheap no-op-ish
     rebalance keyed for the later self-join.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism * 2
+    target = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(target, key)
 
 
@@ -98,40 +98,54 @@ def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 32,
+    num_hashes: int = 16,
 ) -> DataFrame:
-    """(id, mh0..mhN) min-hash signature table.
+    """(id, mh0..mhN) min-hash signature table — fully map-side, no shuffle.
 
-    Explode-then-aggregate shape: shingles are computed ONCE per document
-    (explode), each shingle row gets num_hashes xxhash64 values in a single
-    projection, and a hash-aggregate takes per-hash minima. Fully
-    partition-parallel with one shuffle on the doc id; avoids the
-    nested-expression form whose per-row cost multiplies the shingling by
-    num_hashes (Catalyst's projection collapse re-expands shared
-    subexpressions).
+    Per row: shingle the text once, hash each (variable-length) shingle
+    string once with xxhash64, then derive every lane as
+    ``array_min(transform(hashes, h -> xxhash64(lane, h)))`` — each lane
+    re-hashes only an 8-byte long. The shared hash-array lives in its own
+    projection; CollapseProject leaves multiply-referenced non-cheap
+    aliases alone, so it is computed once per row (verified in the plan:
+    the shingle expression appears once, not num_hashes times).
+
+    Map-only beats the explode→groupBy form at every scale: zero shuffle,
+    no hash-aggregate state, and at 100 TB the signature stage pipelines
+    straight into the band explode with no exchange in between.
     """
-    exploded = _parallelize_for_compute(df, id_col).select(
+    hs = _parallelize_for_compute(df, id_col).select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col))).alias("shingle"),
+        F.transform(word_shingles(F.col(text_col)), lambda s: F.xxhash64(s)).alias(
+            "hs"
+        ),
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+    lanes = [
+        F.array_min(F.transform("hs", lambda h: F.xxhash64(F.lit(i), h))).alias(
+            f"mh{i}"
+        )
         for i in range(num_hashes)
     ]
-    return exploded.groupBy("id").agg(*aggs)
+    return hs.select("id", *lanes)
 
 
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.7,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, verified by exact Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    16 hashes / 8 bands (2 rows per band) beats the classic 32/8: candidate
+    recall at s=0.7 is 1-(1-s²)⁸ ≈ 0.995 vs 0.89 for 4-row bands, half the
+    per-shingle hashing work, and half the generated-code width. The extra
+    (moderate-similarity) candidates it admits are cheap — the exact-Jaccard
+    verification stage filters them and only runs on candidate docs.
 
     Plan shape: explode-agg signatures → explode to ``bands`` rows/doc →
     shuffle on (band, band_hash) → within-bucket self-join on 8-byte keys →
@@ -172,9 +186,11 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # candidates feed two consumers (needed-ids semi-join + pair join);
-    # checkpoint so the signature+bucket subtree executes once
-    cand = cand.localCheckpoint(eager=False)
+    # candidates feed three consumers (needed-ids semi-join + both sides
+    # of the pair join); EAGER checkpoint so the signature+bucket subtree
+    # executes exactly once — lazily it races itself under AQE (parallel
+    # query stages all find the cache cold) and runs ~3×
+    cand = cand.localCheckpoint(eager=True)
     # verification: join candidate pairs back to per-doc shingle arrays.
     # Semi-join FIRST so the (expensive) shingle projection runs only for
     # docs that appear in some candidate pair — typically a tiny fraction
@@ -185,9 +201,12 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b").alias("nid")))
         .distinct()
     )
+    # broadcast the (tiny) candidate-id set so the corpus is filtered
+    # in-place during its scan — no second full-text shuffle; only the
+    # surviving docs (≲2×|cand|) are repartitioned for the pair join
     sh = (
-        _parallelize_for_compute(df, id_col)
-        .join(needed, F.col(id_col) == F.col("nid"), "left_semi")
+        df.join(F.broadcast(needed), F.col(id_col) == F.col("nid"), "left_semi")
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh"))
     )
     a, b = sh.alias("a"), sh.alias("b")

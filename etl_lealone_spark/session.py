@@ -16,6 +16,7 @@ from __future__ import annotations
 import itertools
 import os
 import threading
+import time as _time
 from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Any, Optional
@@ -146,6 +147,18 @@ class EngineSession:
         self._cache_generation = 0
         self.result_cache_size = 8
         self.result_cache_max_rows = 1024
+        # QUERY_STATISTICS (reference: db/QueryStatisticsData.java —
+        # per-statement count/min/max/total wall time, driver-side only)
+        self.query_stats: dict[str, list] = {}  # sql → [count, min, max, total]
+
+    def _record_stat(self, sql: str, seconds: float) -> None:
+        st = self.query_stats.setdefault(
+            " ".join(sql.split())[:256], [0, float("inf"), 0.0, 0.0]
+        )
+        st[0] += 1
+        st[1] = min(st[1], seconds)
+        st[2] = max(st[2], seconds)
+        st[3] += seconds
 
     # --- settings (SET name value) ------------------------------------
     def set_setting(self, name: str, value: Any) -> None:
@@ -207,8 +220,14 @@ class EngineSession:
                     named[f"p{i}"] = args[i]
                 out.append(parts[-1])
                 sql, args = "".join(out), named
-            return self.spark.sql(rewrite(sql, session=self), args=args)
-        return self._router.execute(sql)
+            t0 = _time.time()
+            out = self.spark.sql(rewrite(sql, session=self), args=args)
+            self._record_stat(sql, _time.time() - t0)
+            return out
+        t0 = _time.time()
+        out = self._router.execute(sql)
+        self._record_stat(sql, _time.time() - t0)
+        return out
 
     # --- result cache (Query.java:308-329) --------------------------
     def invalidate_cache(self) -> None:

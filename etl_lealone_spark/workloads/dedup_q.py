@@ -53,7 +53,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload(
     "dedup_minhash_pairs",
     None,  # xxhash64 hash family not reproducible in DuckDB → rows-only
-    doc="MinHash(32)+LSH(8 bands) near-dup pairs verified at Jaccard>=0.7.",
+    doc="MinHash(16)+LSH(8 bands) near-dup pairs verified at Jaccard>=0.7.",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]

@@ -58,7 +58,8 @@ def test_domain_and_principals(es):
     assert es.catalog.domains["email"] == "string"
     es.sql("CREATE USER alice PASSWORD 'secret'")
     es.sql("CREATE ROLE admins")
-    assert {"alice", "admins"} <= es.catalog.principals
+    assert "alice" in es.catalog.principals
+    assert "admins" in es.catalog.roles
     assert es.sql("GRANT SELECT ON a TO alice").collect()[0]["status"].startswith("ok")
     assert es.sql("COMMENT ON TABLE a IS 'demo'").collect()[0]["status"].startswith("ok")
 
@@ -92,8 +93,10 @@ def test_trigger_noop(es):
     out = es.sql(
         "CREATE TRIGGER trg AFTER INSERT ON a FOR EACH ROW CALL 'x'"
     ).collect()[0]["status"]
-    assert "trigger ignored" in out
+    assert "trigger recorded" in out
+    assert "trg" in es.catalog.triggers
     assert es.sql("DROP TRIGGER trg").collect()[0]["status"].startswith("dropped")
+    assert "trg" not in es.catalog.triggers
 
 
 def test_file_read_source(es, tmp_path):

@@ -32,6 +32,40 @@ def test_math_functions(spark):
     assert abs(one(spark, call("PI")) - 3.141592653589793) < 1e-15
 
 
+def test_decimal_division_scale_documented_divergence(spark):
+    """DECIMAL division scale: pinned DIVERGENCE from the reference.
+
+    Reference (ValueDecimal.java:96-101): quotient computed at scale
+    ``dividend.scale + 25`` with ROUND_HALF_DOWN, trailing zeros stripped —
+    an arbitrary-precision single-node rule.
+
+    This engine keeps Spark/ANSI semantics: result scale from the operand
+    types per SQLConf DECIMAL rules (HALF_UP at the result scale). At 100 TB
+    a per-value variable-scale decimal would defeat columnar encoding and
+    whole-stage codegen; the ANSI fixed-scale result is the distributed
+    norm (DuckDB, Trino, BigQuery all do the same). Documented in
+    COVERAGE.md §2.8; this test pins the exact Spark behavior so any
+    future change is caught.
+    """
+    row = spark.sql(
+        "SELECT CAST(1.00 AS DECIMAL(10,2)) / CAST(3 AS DECIMAL(10,0)) AS q, "
+        "CAST(2.5 AS DECIMAL(5,1)) / CAST(2 AS DECIMAL(5,0)) AS h"
+    ).collect()[0]
+    # Spark: scale = max(6, s1 + p2 + 1) = max(6, 2+10+1) = 13
+    assert str(row["q"]) == "0.3333333333333"
+    # HALF_UP at the result scale (the reference would HALF_DOWN at s+25
+    # then strip zeros → 1.25 identical here; divergence is only in scale)
+    assert float(row["h"]) == 1.25
+    from decimal import ROUND_HALF_DOWN, Decimal
+
+    # the reference rule, for contrast (what a bit-parity port would give):
+    # divide at scale 2+25=27, ROUND_HALF_DOWN, strip trailing zeros
+    ref = (Decimal("1.00") / Decimal(3)).quantize(
+        Decimal(1).scaleb(-27), rounding=ROUND_HALF_DOWN
+    )
+    assert str(ref).rstrip("0") == "0.333333333333333333333333333"
+
+
 def test_truncate_toward_zero(spark):
     assert one(spark, call("TRUNCATE", F.lit(3.789), 2)) == 3.78
     assert one(spark, call("TRUNCATE", F.lit(-3.789), 2)) == -3.78  # NOT floor

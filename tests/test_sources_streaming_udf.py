@@ -106,6 +106,83 @@ def test_information_schema_extended_views(spark, tmp_path):
     )
 
 
+def test_information_schema_complete_inventory(spark, tmp_path):
+    """All 30 meta views of the reference exist (MetaTable.java:107,
+    META_TABLE_TYPE_COUNT = 30) and the new 17 carry real catalog state."""
+    es = EngineSession(spark, warehouse=str(tmp_path))
+    es.sql("CREATE TABLE base (id int PRIMARY KEY, v int)")
+    es.sql(
+        "CREATE TABLE child (id int PRIMARY KEY, b_id int, "
+        "CONSTRAINT fk_b FOREIGN KEY (b_id) REFERENCES base (id))"
+    )
+    es.sql("CREATE SCHEMA reporting AUTHORIZATION alice")
+    es.sql("CREATE CONSTANT answer VALUE 42")
+    es.sql("CREATE ROLE readers")
+    es.sql("CREATE USER bob PASSWORD 'x'")
+    es.sql("GRANT SELECT ON base TO bob")
+    es.sql("CREATE TRIGGER trg AFTER INSERT ON base FOR EACH ROW CALL 'x'")
+    es.sql("SET @who 'bob'")
+    es.sql("SELECT count(*) AS n FROM base").collect()
+    info = information_schema(es)
+    assert len(info) == 30  # complete MetaTable inventory
+
+    schemata = {
+        r["schema_name"]: (r["schema_owner"], r["is_default"])
+        for r in info["information_schema_schemata"].collect()
+    }
+    assert schemata["public"] == ("sa", True)
+    assert schemata["reporting"] == ("alice", False)
+    assert {r["type"] for r in info["information_schema_table_types"].collect()} == {
+        "TABLE", "SYSTEM TABLE", "VIEW"
+    }
+    assert "readers" in {
+        r["name"] for r in info["information_schema_roles"].collect()
+    }
+    assert ("bob", "SELECT", "base") in {
+        (r["grantee"], r["rights"], r["table_name"])
+        for r in info["information_schema_rights"].collect()
+    }
+    assert ("bob", "base", "SELECT") in {
+        (r["grantee"], r["table_name"], r["privilege_type"])
+        for r in info["information_schema_table_privileges"].collect()
+    }
+    cp = {
+        (r["column_name"], r["privilege_type"])
+        for r in info["information_schema_column_privileges"]
+        .filter("table_name = 'base'")
+        .collect()
+    }
+    assert ("id", "SELECT") in cp and ("v", "SELECT") in cp
+    assert info["information_schema_collations"].count() >= 2
+    helps = {r["topic"] for r in info["information_schema_help"].collect()}
+    assert {"SELECT", "MERGE", "CREATE CONSTANT"} <= helps
+    assert "trg" in {
+        r["trigger_name"] for r in info["information_schema_triggers"].collect()
+    }
+    crow = info["information_schema_constants"].collect()[0]
+    assert (crow["constant_name"], crow["sql"]) == ("answer", "42")
+    xref = info["information_schema_cross_references"].collect()[0]
+    assert (xref["pktable_name"], xref["pkcolumn_name"]) == ("base", "id")
+    assert (xref["fktable_name"], xref["fkcolumn_name"]) == ("child", "b_id")
+    assert xref["fk_name"] == "fk_b"
+    qs = {
+        r["sql_statement"]: r["execution_count"]
+        for r in info["information_schema_query_statistics"].collect()
+    }
+    assert qs.get("SELECT count(*) AS n FROM base") == 1
+    ss = {r["key"]: r["sql"] for r in info["information_schema_session_state"].collect()}
+    assert ss.get("VARIABLE who") == "SET @who 'bob'"
+    # empty-but-schema-correct surfaces
+    assert info["information_schema_locks"].columns == [
+        "table_schema", "table_name", "session_id", "lock_type"
+    ]
+    assert info["information_schema_in_doubt"].count() == 0
+    assert info["information_schema_databases"].count() == 1
+    # every view is SQL-queryable
+    for name in info:
+        es.sql(f"SELECT * FROM {name} LIMIT 1").collect()
+
+
 # --- UDF adapter (CREATE ALIAS, §2.13) --------------------------------------
 def test_create_alias_row_udf(spark):
     reg = UdfRegistry(spark)
