@@ -57,47 +57,59 @@ def baseline_workloads(spark, n: int = 1_000_000) -> dict[str, float]:
     out: dict[str, float] = {}
     tmp = tempfile.mkdtemp(prefix="bench_w1_")
     try:
-        # W1: bulk insert n rows
-        t0 = time.time()
         df = spark.range(n).select(
             F.col("id").cast("int").alias("f1"), (F.col("id") * 10).alias("f2")
         )
+
+        # W1: bulk insert n rows (warm the write path against a throwaway
+        # dir first — steady state on both engines, see note below)
+        df.write.mode("overwrite").parquet(f"{tmp}/warm")
+        t0 = time.time()
         df.write.mode("overwrite").parquet(f"{tmp}/test")
         out["w1_bulk_insert"] = round(time.time() - t0, 3)
 
         test = spark.read.parquet(f"{tmp}/test")
-        # W2: full scan + predicate
-        t0 = time.time()
-        test.filter(F.col("f2") % 1000 == 0).agg(F.count(F.lit(1))).collect()
-        out["w2_scan_predicate"] = round(time.time() - t0, 3)
-
-        # W3: group-by aggregate + having
-        t0 = time.time()
-        (
-            test.groupBy((F.col("f1") % 97).alias("g"))
-            .agg(F.count(F.lit(1)).alias("n"), F.avg("f2").alias("a"))
-            .filter(F.col("n") > 10)
-            .write.format("noop").mode("overwrite").save()
-        )
-        out["w3_groupby_having"] = round(time.time() - t0, 3)
-
-        # W4: two-table join (inner + left), 10:1 sizes
         small = spark.range(n // 10).select(
             F.col("id").cast("int").alias("id2"), F.lit("x").alias("name2")
         )
-        t0 = time.time()
-        test.join(small, test.f1 == small.id2, "inner").agg(
-            F.count(F.lit(1))
-        ).collect()
-        test.join(small, test.f1 == small.id2, "left").agg(
-            F.count(F.lit(1))
-        ).collect()
-        out["w4_joins"] = round(time.time() - t0, 3)
 
-        # W5: order-by + top-k with offset
-        t0 = time.time()
-        test.orderBy(F.col("f2").desc(), F.col("f1")).offset(1).limit(2).collect()
-        out["w5_topk_offset"] = round(time.time() - t0, 3)
+        def w2():
+            test.filter(F.col("f2") % 1000 == 0).agg(F.count(F.lit(1))).collect()
+
+        def w3():
+            (
+                test.groupBy((F.col("f1") % 97).alias("g"))
+                .agg(F.count(F.lit(1)).alias("n"), F.avg("f2").alias("a"))
+                .filter(F.col("n") > 10)
+                .write.format("noop").mode("overwrite").save()
+            )
+
+        def w4():
+            test.join(small, test.f1 == small.id2, "inner").agg(
+                F.count(F.lit(1))
+            ).collect()
+            test.join(small, test.f1 == small.id2, "left").agg(
+                F.count(F.lit(1))
+            ).collect()
+
+        def w5():
+            test.orderBy(F.col("f2").desc(), F.col("f1")).offset(1).limit(
+                2
+            ).collect()
+
+        # each shape runs once untimed (codegen compile + JIT + OS page
+        # cache), then timed — steady state, matching the headline
+        # methodology; the DuckDB dual-run below gets the same treatment
+        for key, fn in [
+            ("w2_scan_predicate", w2),
+            ("w3_groupby_having", w3),
+            ("w4_joins", w4),
+            ("w5_topk_offset", w5),
+        ]:
+            fn()
+            t0 = time.time()
+            fn()
+            out[key] = round(time.time() - t0, 3)
 
         # Dual-run the same shapes in DuckDB on the identical parquet —
         # the measured single-node baseline BASELINE.md calls for (the
@@ -108,36 +120,41 @@ def baseline_workloads(spark, n: int = 1_000_000) -> dict[str, float]:
 
         con = duckdb.connect()
         glob_t, glob_s = f"{tmp}/test/*.parquet", f"{tmp}/small/*.parquet"
-        t0 = time.time()
-        con.execute(
+        w1_sql = (
             f"COPY (SELECT cast(range AS int) f1, range*10 f2 FROM range({n})) "
             f"TO '{tmp}/duck_test.parquet' (FORMAT parquet)"
         )
+        duck_shapes = [
+            ("w2_duckdb", f"SELECT count(*) FROM '{glob_t}' WHERE f2 % 1000 = 0"),
+            (
+                "w3_duckdb",
+                f"SELECT f1 % 97 g, count(*) n, avg(f2) a FROM '{glob_t}' "
+                f"GROUP BY g HAVING count(*) > 10",
+            ),
+            (
+                "w4_duckdb",
+                f"SELECT count(*) FROM '{glob_t}' t JOIN '{glob_s}' s "
+                f"ON t.f1 = s.id2; "
+                f"SELECT count(*) FROM '{glob_t}' t LEFT JOIN '{glob_s}' s "
+                f"ON t.f1 = s.id2",
+            ),
+            (
+                "w5_duckdb",
+                f"SELECT * FROM '{glob_t}' ORDER BY f2 DESC, f1 "
+                f"LIMIT 2 OFFSET 1",
+            ),
+        ]
+        con.execute(w1_sql)  # warm (same treatment as the Spark side)
+        t0 = time.time()
+        con.execute(w1_sql)
         out["w1_duckdb"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        con.execute(
-            f"SELECT count(*) FROM '{glob_t}' WHERE f2 % 1000 = 0"
-        ).fetchall()
-        out["w2_duckdb"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        con.execute(
-            f"SELECT f1 % 97 g, count(*) n, avg(f2) a FROM '{glob_t}' "
-            f"GROUP BY g HAVING count(*) > 10"
-        ).fetchall()
-        out["w3_duckdb"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        con.execute(
-            f"SELECT count(*) FROM '{glob_t}' t JOIN '{glob_s}' s ON t.f1 = s.id2"
-        ).fetchall()
-        con.execute(
-            f"SELECT count(*) FROM '{glob_t}' t LEFT JOIN '{glob_s}' s ON t.f1 = s.id2"
-        ).fetchall()
-        out["w4_duckdb"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        con.execute(
-            f"SELECT * FROM '{glob_t}' ORDER BY f2 DESC, f1 LIMIT 2 OFFSET 1"
-        ).fetchall()
-        out["w5_duckdb"] = round(time.time() - t0, 3)
+        for key, sql in duck_shapes:
+            for stmt in sql.split(";"):
+                con.execute(stmt).fetchall()
+            t0 = time.time()
+            for stmt in sql.split(";"):
+                con.execute(stmt).fetchall()
+            out[key] = round(time.time() - t0, 3)
         con.close()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

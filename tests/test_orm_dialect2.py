@@ -115,3 +115,72 @@ def test_named_params(es):
         args={"minbal": 100.0},
     ).collect()
     assert rows[0]["n"] == 3
+
+
+# --- typed properties (lealone-orm P* classes; OrmExpressionTest shapes) ----
+def test_orm_typed_property_predicates(es):
+    Customer = Model(es, "customer")
+    p = Customer.p
+    assert Customer.where(p.id.eq(2)).find_one()["name"] == "bob"
+    assert Customer.where(p.id.ne(2)).find_count() == 3
+    assert Customer.where(p.bal.gt(100)).find_count() == 2
+    assert Customer.where(p.bal.ge(100)).find_count() == 3
+    assert Customer.where(p.bal.lt(100)).find_count() == 1
+    assert Customer.where(p.bal.le(100)).find_count() == 2
+    assert Customer.where(p.bal.between(50, 100)).find_count() == 2
+    assert Customer.where(p.id.in_(1, 3)).find_count() == 2
+    assert Customer.where(p.id.in_([1, 3])).find_count() == 2
+    assert Customer.where(p.id.not_in(1, 3)).find_count() == 2
+    assert Customer.where(p.name.is_not_null()).find_count() == 4
+
+
+def test_orm_string_properties(es):
+    Customer = Model(es, "customer")
+    p = Customer.p
+    assert Customer.where(p.name.like("%a%")).find_count() == 3  # ann,cat,dan
+    assert Customer.where(p.name.starts_with("a")).find_one()["name"] == "ann"
+    assert Customer.where(p.name.ends_with("b")).find_one()["name"] == "bob"
+    assert Customer.where(p.name.contains("o")).find_one()["name"] == "bob"
+    assert Customer.where(p.name.ieq("ANN")).find_count() == 1
+    assert Customer.where(p.name.istarts_with("A")).find_count() == 1
+    assert Customer.where(p.name.icontains("O")).find_count() == 1
+    assert Customer.where(p.name.match("^[ab]")).find_count() == 2
+
+
+def test_orm_fluent_where_chain(es):
+    """where().prop.pred().or_().prop.pred() — Model.java where:424 +
+    OrmJoinTest's or-chain (…where().id.eq(100).or().customerId.eq(200))."""
+    Customer = Model(es, "customer")
+    rows = (
+        Customer.where().bal.eq(250.0).or_().name.eq("ann")
+        .order_by("id").find_list()
+    )
+    assert [r["name"] for r in rows] == ["ann", "bob", "dan"]
+    # AND is the default connective
+    assert Customer.where().bal.eq(250.0).name.eq("dan").find_count() == 1
+    # not_() negates the next predicate
+    assert Customer.where().not_().bal.eq(250.0).find_count() == 2
+    # count/one terminals on the chain
+    assert Customer.where().id.between(1, 2).find_count() == 2
+
+
+def test_orm_typed_join(es):
+    """OrmJoinTest join shape: select(c.name, o.city) join on typed eq."""
+    Customer, Addr = Model(es, "customer"), Model(es, "addr")
+    rows = (
+        Customer.join(Addr, Customer.c.id == Addr.c.cust_id)
+        .select("name", "city")
+        .order_by("name")
+        .find_list()
+    )
+    assert [(r["name"], r["city"]) for r in rows] == [
+        ("ann", "rome"), ("bob", "oslo")
+    ]
+
+
+def test_orm_fluent_insert(es):
+    """new Customer().id.set(100).name.set("c1").insert() equivalent."""
+    Customer = Model(es, "customer")
+    Customer.new().id.set(100).name.set("eve").bal.set(7.5).insert()
+    got = Model(es, "customer").where().id.eq(100).find_one()
+    assert (got["name"], got["bal"]) == ("eve", 7.5)
