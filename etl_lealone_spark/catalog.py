@@ -753,6 +753,26 @@ class StatementRouter:
         return self._ok("ok (comment recorded)")
 
     def _drop(self, s: str) -> DataFrame:
+        if re.match(r"DROP\s+ALL\s+OBJECTS\s*$", s, re.IGNORECASE):
+            # DropDatabase.java (DROP ALL OBJECTS): clear every schema
+            # object; the dumped SCRIPT of the reference starts with this
+            for name in list(self.catalog.tables):
+                self.catalog.tables.pop(name).drop()
+                self.spark.catalog.dropTempView(name)
+            for vname in list(self.catalog.views):
+                self.spark.catalog.dropTempView(vname)
+            self.catalog.table_ddl.clear()
+            self.catalog.views.clear()
+            self.catalog.indexes.clear()
+            self.catalog.domains.clear()
+            self.catalog.constraints.clear()
+            self.catalog.constants.clear()
+            self.catalog.triggers.clear()
+            self.catalog.grants.clear()
+            self.catalog.comments.clear()
+            self.catalog.schemas = {"public": "sa"}
+            self.session.sequences.clear()
+            return self._ok("dropped all objects")
         m = re.match(
             rf"DROP\s+(?P<kind>TABLE|VIEW|INDEX|SEQUENCE|TRIGGER|SCHEMA|"
             rf"CONSTANT|ROLE|USER|DOMAIN)\s+"

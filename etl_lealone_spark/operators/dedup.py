@@ -237,6 +237,66 @@ def minhash_dedup_keep_ids(
 
 
 # ---------------------------------------------------------------------------
+# connected components — pairs → duplicate clusters
+# ---------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) connected components of the near-dup pair graph.
+
+    The step real dedup pipelines run AFTER pair generation: transitively
+    connected documents form one duplicate cluster, labeled by its minimum
+    id. Min-label propagation: each round every node takes the smallest
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds — near-dup clusters are shallow (dup chains), so a
+    handful of rounds suffices at any corpus size.
+
+    Scale shape: one shuffle per round on the node id (the classic
+    large-graph CC — label propagation over an edge list; GraphX/
+    GraphFrames implement the same loop). Each round is checkpointed so
+    the lineage stays flat and the loop's early-exit ``count()`` doubles
+    as the materialization action — no recompute of prior rounds.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("n"))
+        .distinct()
+        .select("n", F.col("n").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["n"])
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["n"] == neighbor_min["a"], "left")
+            .select(
+                "n",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                F.col("lbl").alias("old_lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("new_lbl") < F.col("old_lbl")).count()
+        labels = new_labels.select("n", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (blocked) — exact similarity inside cheap blocks
 # ---------------------------------------------------------------------------
 def ngram_jaccard_pairs_blocked(

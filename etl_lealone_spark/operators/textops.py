@@ -139,6 +139,55 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feats.withColumn("quality_score", F.round(score, 2))
 
 
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hard C4/Gopher-style keep/drop gate over the quality features.
+
+    Keep iff: 10 ≤ tokens ≤ 100k, 3 ≤ mean word length ≤ 12, at least one
+    English stopword, digit ratio ≤ 0.2 — the published heuristic family
+    (C4: Raffel et al. 2020 §2.2; Gopher: Rae et al. 2021 Appendix A).
+    Map-only: the gate is a single codegen'd predicate over the feature
+    projection — at 100 TB this is one pass over the corpus, no shuffle.
+    """
+    return quality_features(df, text_col).filter(
+        F.col("n_tokens").between(10, 100000)
+        & F.col("mean_word_len").between(3, 12)
+        & (F.col("stopword_ratio") > 0)
+        & (F.col("digit_ratio") <= 0.2)
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.1,
+    key_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Deterministic per-stratum sampling by content hash — the
+    training-data mixing primitive (per-source/per-language rates).
+
+    A row is kept iff ``md5(key) mod 10000 < rate*10000``. Hash-based
+    selection is reproducible across runs, engines, and partitionings —
+    unlike rand()-based TABLESAMPLE — so a 100 TB mixing job can be
+    re-executed incrementally and yields the same corpus. Map-only, no
+    shuffle; the md5-prefix trick keeps it bit-identical in any engine
+    with md5 (first 8 hex chars → int, uniform over 2³²).
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    keep = F.lit(False)
+    rate_expr = F.lit(default_rate)
+    for stratum, rate in sorted(rates.items()):
+        rate_expr = F.when(F.col(stratum_col) == stratum, F.lit(rate)).otherwise(
+            rate_expr
+        )
+    keep = bucket < (rate_expr * 10000).cast("bigint")
+    return df.filter(keep)
+
+
 def fingerprint(col: Column, prefix_chars: int = 64) -> Column:
     """Deterministic document fingerprint: md5 over the normalized prefix
     plus a coarse length bucket — a cheap rolling-hash stand-in that two

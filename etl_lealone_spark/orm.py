@@ -328,12 +328,17 @@ class Model:
     def join(
         self,
         other: Union["Model", DataFrame, str],
-        on: Union[str, Sequence[str], Column],
+        on: Union[str, Sequence[str], Column, None] = None,
         how: str = "inner",
-    ) -> "Model":
+    ):
+        """With ``on``: immediate join. Without: the reference's deferred
+        form — ``c.join(o).on(c.c.id == o.c.customer_id)`` (Model.java
+        join:868 / on())."""
         if isinstance(other, str):
             other = Model(self._session, other)
         odf = other._df if isinstance(other, Model) else other
+        if on is None:
+            return _JoinBuilder(self, odf, how)
         return self._with(self._df.join(odf, on, how))
 
     def order_by(self, *cols: Union[str, Column], desc: bool = False) -> "Model":
@@ -401,6 +406,20 @@ class Model:
         st = self._session.catalog.table(self._name)
         st.delete(condition)
         self._session.catalog.refresh_view(self._name)
+
+
+class _JoinBuilder:
+    """Deferred join condition: ``model.join(other).on(cond)``."""
+
+    def __init__(self, model: Model, odf: DataFrame, how: str):
+        self._model = model
+        self._odf = odf
+        self._how = how
+
+    def on(self, condition: Union[str, Sequence[str], Column]) -> Model:
+        return self._model._with(
+            self._model._df.join(self._odf, condition, self._how)
+        )
 
 
 class RowBuilder:

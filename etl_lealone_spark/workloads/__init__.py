@@ -58,12 +58,13 @@ _PRIORITY: tuple[str, ...] = (
     # LLM-pipeline: dedup family
     "dedup_exact", "dedup_exact_normalized", "dedup_minhash_pairs",
     "dedup_minhash_survivors", "dedup_simhash_pairs", "ngram_jaccard_blocked",
+    "dedup_clusters",
     # LLM-pipeline: similarity / ANN
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_near_dup_blocked", "cosine_float_topk",
     # LLM-pipeline: text analysis
     "text_token_count", "text_language_id", "text_quality_score",
-    "text_fingerprint",
+    "text_fingerprint", "text_quality_filter", "sample_hash_stratified",
     # DML kernels
     "update_projection", "update_with_limit", "delete_filter",
     "merge_upsert", "merge_ansi",

@@ -82,9 +82,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(d, max_hamming=3)
 
 
-@workload(
-    "ngram_jaccard_blocked",
-    """
+# shared by ngram_jaccard_blocked and the dedup_clusters oracle
+_JACCARD_PAIRS_SQL = """
     WITH base AS (
       SELECT doc_id AS id,
              struct_pack(lang := lang,
@@ -104,10 +103,43 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base l JOIN base r ON l.blk = r.blk AND l.id < r.id
     WHERE cast(len(list_intersect(l.sh, r.sh)) as double)
           / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) >= 0.5
-    """,
+"""
+
+
+@workload(
+    "ngram_jaccard_blocked",
+    _JACCARD_PAIRS_SQL,
     doc="Exact word-3-gram Jaccard within (lang, n_chars/100) blocks — "
     "the verification kernel of fuzzy dedup, oracle-checked exactly.",
 )
 def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
     return ngram_jaccard_pairs_blocked(d, threshold=0.5)
+
+
+@workload(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+    )
+    SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+    """,
+    doc="Near-dup pairs → duplicate clusters via connected components "
+    "(min-label propagation; oracle = transitive closure recursive CTE).",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    d = load_tables(spark, sf_dir)["documents"]
+    pairs = ngram_jaccard_pairs_blocked(d, threshold=0.5)
+    return connected_components(pairs)

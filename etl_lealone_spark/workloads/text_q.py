@@ -166,3 +166,77 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# hard quality gate (C4/Gopher keep-drop rules)
+# ---------------------------------------------------------------------------
+def _oracle_quality_filter() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    stop_hits = " + ".join(_o_substr_count(padded, f" {w} ") for w in EN_STOPWORDS)
+    n_tokens = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE cast(len(string_split_regex(trim(text), '[ \\t\\n]+')) as int) END"
+    )
+    return f"""
+    WITH raw AS (
+      SELECT doc_id,
+             {n_tokens} AS n_tokens,
+             length(regexp_replace(text, '[ \\t\\n]', '', 'g')) AS n_nonspace,
+             ({stop_hits}) AS stop_hits,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+             length(text) AS n_chars_m
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, n_tokens,
+             round(cast(n_nonspace as double) / greatest(n_tokens, 1), 6) AS mean_word_len,
+             round(cast(stop_hits as double) / greatest(n_tokens, 1), 6) AS stopword_ratio,
+             round(cast(n_digits as double) / greatest(n_chars_m, 1), 6) AS digit_ratio
+      FROM raw
+    )
+    SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, digit_ratio
+    FROM feats
+    WHERE n_tokens BETWEEN 10 AND 100000
+      AND mean_word_len BETWEEN 3 AND 12
+      AND stopword_ratio > 0
+      AND digit_ratio <= 0.2
+    """
+
+
+@workload(
+    "text_quality_filter",
+    _oracle_quality_filter(),
+    doc="Hard C4/Gopher keep-gate: token count, mean word length, "
+    "stopword presence, digit ratio — one map-only corpus pass.",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import quality_filter
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return quality_filter(d).select(
+        "doc_id", "n_tokens", "mean_word_len", "stopword_ratio", "digit_ratio"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash-stratified sampling (training-data mixing)
+# ---------------------------------------------------------------------------
+@workload(
+    "sample_hash_stratified",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint % 10000
+          < CASE WHEN lang = 'en' THEN 500 ELSE 2000 END
+    """,
+    doc="Deterministic per-language hash sampling (md5-bucket rates: en 5%, "
+    "others 20%) — reproducible training-data mixing, map-only.",
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import hash_sample
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return hash_sample(d, rates={"en": 0.05}, default_rate=0.2).select(
+        "doc_id", "lang"
+    )

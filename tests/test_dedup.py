@@ -85,3 +85,32 @@ def test_ngram_jaccard_blocked(docs):
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
     assert got[(1, 2)] == 1.0
     assert (1, 3) in got and 0.4 <= got[(1, 3)] < 1.0
+
+
+def test_connected_components_chains_and_singletons(spark):
+    from etl_lealone_spark.operators.dedup import connected_components
+
+    # graph: 1-2, 2-3 (chain → cluster 1); 10-11; 20-21, 20-22 (star)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from etl_lealone_spark.operators.dedup import connected_components
+
+    # a 12-node path needs several propagation rounds (diameter 11)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert set(got.values()) == {100} and len(got) == 12

@@ -184,3 +184,15 @@ def test_orm_fluent_insert(es):
     Customer.new().id.set(100).name.set("eve").bal.set(7.5).insert()
     got = Model(es, "customer").where().id.eq(100).find_one()
     assert (got["name"], got["bal"]) == ("eve", 7.5)
+
+
+def test_orm_deferred_join_on(es):
+    """c.join(o).on(cond) — the reference's join(o).on() deferred form."""
+    Customer, Addr = Model(es, "customer"), Model(es, "addr")
+    rows = (
+        Customer.join(Addr).on(Customer.c.id == Addr.c.cust_id)
+        .select("name", "city").order_by("name").find_list()
+    )
+    assert [(r["name"], r["city"]) for r in rows] == [
+        ("ann", "rome"), ("bob", "oslo")
+    ]

@@ -196,3 +196,15 @@ def test_script_nodata(es):
     rows = [r["script"] for r in es.sql("SCRIPT NODATA").collect()]
     assert any(r.startswith("CREATE") for r in rows)
     assert not any(r.startswith("INSERT") for r in rows)
+
+
+def test_drop_all_objects(es):
+    es.sql("CREATE SEQUENCE sq_all START WITH 1")
+    es.sql("CREATE CONSTANT c_all VALUE 1")
+    es.sql("CREATE VIEW v_all AS SELECT id FROM t")
+    es.sql("DROP ALL OBJECTS")
+    assert not es.catalog.tables and not es.catalog.views
+    assert not es.catalog.constants and not es.sequences
+    assert es.catalog.schemas == {"public": "sa"}
+    with pytest.raises(Exception):
+        es.sql("SELECT * FROM t").collect()

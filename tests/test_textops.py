@@ -61,3 +61,36 @@ def test_fingerprint_stability(spark):
     # normalization makes punctuation/case-variants collide
     assert got[0] == got[1]
     assert len(got[0]) == 32
+
+
+def test_quality_filter_gate(spark):
+    from etl_lealone_spark.operators.textops import quality_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+            (2, "short text"),  # < 10 tokens → dropped
+            (3, "0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9"),  # digits, no stopword
+        ],
+        "doc_id long, text string",
+    )
+    kept = [r["doc_id"] for r in quality_filter(df).collect()]
+    assert kept == [1]
+
+
+def test_hash_sample_deterministic_and_stratified(spark, tables):
+    from etl_lealone_spark.operators.textops import hash_sample
+
+    docs = tables["documents"]
+    a = {r["doc_id"] for r in hash_sample(docs, {"en": 0.05}, 0.2).collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, {"en": 0.05}, 0.2).collect()}
+    assert a == b and a  # reproducible, non-empty
+    n = docs.count()
+    n_en = docs.filter("lang = 'en'").count()
+    en_kept = (
+        hash_sample(docs, {"en": 0.05}, 0.2).filter("lang = 'en'").count()
+    )
+    other_kept = len(a) - en_kept
+    # rates land near 5% / 20% (md5 buckets are uniform)
+    assert en_kept / max(n_en, 1) < 0.12
+    assert 0.1 < other_kept / max(n - n_en, 1) < 0.3
