@@ -303,6 +303,7 @@ class StatementRouter:
             "GRANT": self._grant_revoke,
             "REVOKE": self._grant_revoke,
             "COMMENT": self._comment,
+            "BACKUP": self._backup,
         }.get(head)
         if handler:
             result = handler(s)
@@ -1283,6 +1284,21 @@ class StatementRouter:
                 f.write(";\n".join(ddl) + ";\n")
             return self._ok(f"script written: {to_m.group('path')}")
         return self.spark.createDataFrame([(d,) for d in ddl], "script string")
+
+    def _backup(self, s: str) -> DataFrame:
+        """BACKUP TO 'file.zip' (reference: sql/dml/Backup.java — online
+        zip of the database file). Here: zip of the warehouse directory
+        (every table's snapshot tree), restorable by unzipping into a new
+        session's warehouse path."""
+        m = re.match(r"BACKUP\s+TO\s+'(?P<path>[^']+)'\s*$", s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"cannot parse BACKUP: {s[:80]}")
+        import shutil
+
+        path = m.group("path")
+        base = path[:-4] if path.lower().endswith(".zip") else path
+        out = shutil.make_archive(base, "zip", self.catalog.warehouse)
+        return self._ok(f"backup written: {out}")
 
     def _analyze(self, s: str) -> DataFrame:
         # ANALYZE → selectivity stats per column (Analyze.java semantics)

@@ -149,8 +149,9 @@ def _rewrite_table_constructor(sql: str) -> str:
     arrays_zip so positional rows align across columns."""
 
     def repl(m: re.Match) -> str:
+        distinct = "DISTINCT " if m.group(1) else ""
         cols = []
-        for part in re.split(r",(?![^\[]*\])", m.group(1)):
+        for part in re.split(r",(?![^\[]*\])", m.group(2)):
             cm = re.match(
                 rf"\s*({_IDENT_RE})\s+\w+(?:\s*\(\s*\d+\s*\))?\s*=\s*"
                 rf"(?:ARRAY\s*)?\[(.*)\]\s*$",
@@ -162,17 +163,17 @@ def _rewrite_table_constructor(sql: str) -> str:
             cols.append((cm.group(1), cm.group(2)))
         if len(cols) == 1:
             name, vals = cols[0]
-            return f"(SELECT explode(array({vals})) AS {name})"
+            return f"(SELECT {distinct}v AS {name} FROM (SELECT explode(array({vals})) AS v))"
         zipped = ", ".join(f"array({vals})" for _, vals in cols)
         names = ", ".join(f"z.`{i}` AS {name}" for i, (name, _) in enumerate(cols))
         # arrays_zip names struct fields 0..n-1
         return (
-            f"(SELECT {names} FROM "
+            f"(SELECT {distinct}{names} FROM "
             f"(SELECT explode(arrays_zip({zipped})) AS z))"
         )
 
     return re.sub(
-        r"TABLE\s*\(((?:[^()]|\([^()]*\))*)\)",
+        r"TABLE(_DISTINCT)?\s*\(((?:[^()]|\([^()]*\))*)\)",
         repl,
         sql,
         flags=re.IGNORECASE | re.DOTALL,

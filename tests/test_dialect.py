@@ -72,3 +72,13 @@ def test_line_comments():
 def test_top_plus_where(es):
     out = es.sql("SELECT TOP 3 id FROM range(1, 100) WHERE id >= 50 ORDER BY id")
     assert [r["id"] for r in out.collect()] == [50, 51, 52]
+
+
+def test_table_distinct_constructor(spark):
+    from etl_lealone_spark.dialect import rewrite
+
+    sql = rewrite("SELECT * FROM TABLE_DISTINCT(x INT=ARRAY[1,2,2,1])")
+    got = sorted(r["x"] for r in spark.sql(sql).collect())
+    assert got == [1, 2]
+    sql2 = rewrite("SELECT * FROM TABLE(x INT=ARRAY[1,2,2])")
+    assert len(spark.sql(sql2).collect()) == 3

@@ -208,3 +208,23 @@ def test_drop_all_objects(es):
     assert es.catalog.schemas == {"public": "sa"}
     with pytest.raises(Exception):
         es.sql("SELECT * FROM t").collect()
+
+
+def test_backup_restore(es, spark, tmp_path):
+    """BACKUP TO 'x.zip' (Backup.java): zip of the warehouse; unzipping
+    into a fresh warehouse restores every table's snapshot tree."""
+    import shutil
+
+    zip_path = tmp_path / "bk.zip"
+    out = es.sql(f"BACKUP TO '{zip_path}'").collect()[0]["status"]
+    assert "backup written" in out and zip_path.exists()
+    restored = tmp_path / "restored"
+    shutil.unpack_archive(str(zip_path), str(restored))
+    fresh = EngineSession(spark, warehouse=str(restored))
+    from etl_lealone_spark.operators.dml import SnapshotTable
+
+    st = SnapshotTable(spark, str(restored), "t")
+    fresh.catalog.tables["t"] = st
+    fresh.catalog.refresh_view("t")
+    rows = fresh.sql("SELECT id, name FROM t ORDER BY id").collect()
+    assert [(r["id"], r["name"]) for r in rows] == [(1, "x"), (2, "y")]
