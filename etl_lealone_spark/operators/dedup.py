@@ -256,9 +256,12 @@ def connected_components(
 
     Scale shape: one shuffle per round on the node id (the classic
     large-graph CC — label propagation over an edge list; GraphX/
-    GraphFrames implement the same loop). Each round is checkpointed so
-    the lineage stays flat and the loop's early-exit ``count()`` doubles
-    as the materialization action — no recompute of prior rounds.
+    GraphFrames implement the same loop), PLUS a pointer-jumping step
+    per round (label := label-of-label) so convergence is O(log
+    diameter) rounds, not O(diameter). Rounds are checkpointed so the
+    lineage stays flat, and the partition count adapts to the edge
+    count — a pair graph's label table is tiny next to the corpus, so
+    per-round fixed cost must not be 32 near-empty shuffle tasks.
     """
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -266,6 +269,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()
+    spark = pairs.sparkSession
+    nparts = max(
+        2, min(spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1)
+    )
+    edges = edges.repartition(nparts, "b")
     labels = (
         edges.select(F.col("a").alias("n"))
         .distinct()
@@ -278,14 +287,26 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        merged = labels.join(
+            neighbor_min, labels["n"] == neighbor_min["a"], "left"
+        ).select(
+            "n",
+            F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("m_lbl"),
+            F.col("lbl").alias("old_lbl"),
+        )
+        # pointer jumping: follow one hop of the label chain
+        # (lbl := lbl[lbl]) — doubles the propagation distance per round
+        hop = merged.select(
+            F.col("n").alias("h_n"), F.col("m_lbl").alias("h_lbl")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["n"] == neighbor_min["a"], "left")
+            merged.join(hop, merged["m_lbl"] == hop["h_n"], "left")
             .select(
                 "n",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
-                    "new_lbl"
-                ),
-                F.col("lbl").alias("old_lbl"),
+                F.least(
+                    F.col("m_lbl"), F.coalesce("h_lbl", F.col("m_lbl"))
+                ).alias("new_lbl"),
+                "old_lbl",
             )
             .localCheckpoint(eager=True)
         )
@@ -318,10 +339,22 @@ def ngram_jaccard_pairs_blocked(
         if block_cols is not None
         else F.struct(F.col("lang"), (F.col("n_chars") / 100).cast("int"))
     )
-    base = df.select(
+    # intersect 8-byte shingle HASHES, not the shingle strings: the
+    # in-block pair space is quadratic, so the per-pair intersect is the
+    # hot loop — long-array intersection is ~10× cheaper than string-array
+    # (no per-element UTF-8 compare/hash). |distinct hashes| ==
+    # |distinct shingles| up to 64-bit collisions (~n²/2⁶⁵ — vanishing),
+    # so the Jaccard value is unchanged and the string-based oracle twin
+    # still matches exactly.
+    # repartition BEFORE the shingle projection: a single parquet split
+    # would compute every shingle array serially in the scan task
+    # (measured 12s vs <1s at sf0.1)
+    base = _parallelize_for_compute(df, id_col).select(
         F.col(id_col).alias("id"),
         block.alias("blk"),
-        word_shingles(F.col(text_col)).alias("sh"),
+        F.transform(word_shingles(F.col(text_col)), lambda s: F.xxhash64(s)).alias(
+            "sh"
+        ),
     )
     l, r = base.alias("l"), base.alias("r")
     inter = F.size(F.array_intersect("l.sh", "r.sh")).cast("double")
