@@ -36,11 +36,15 @@ HEADLINE = [
     "update_projection",       # UPDATE kernel
     "dedup_exact",             # content-hash dedup
     "dedup_minhash_pairs",     # MinHash LSH near-dup
+    "ngram_jaccard_blocked",   # exact-Jaccard verification kernel
+    "dedup_clusters",          # pairs → duplicate clusters (CC)
     "ann_bruteforce_topk",     # exact ANN baseline
     "ann_lsh_topk",            # LSH ANN
     "ann_ivf_topk",            # IVF ANN (coarse-quantizer scale path)
     "text_quality_score",      # quality signals
+    "text_quality_filter",     # C4/Gopher hard gate
     "text_token_count",        # tokenization
+    "sample_hash_stratified",  # deterministic mixing sample
     "events_sessionize",       # sessionization window
     "join_seven_tables",       # 7-table join graph
 ]
