@@ -353,6 +353,37 @@ class Model:
     def group_by(self, *cols: Union[str, Column]):
         return _GroupedModel(self, self._df.groupBy(*cols))
 
+    def with_children(
+        self,
+        child: Union["Model", DataFrame, str],
+        on: Column,
+        alias: str = "children",
+    ) -> "Model":
+        """Parent→child relation navigation, Spark-style.
+
+        The reference materializes object graphs from join results
+        (OrmJoinTest: ``customer.getOrderList()`` after
+        ``c.join(o).on()...``); the DataFrame-native equivalent nests the
+        matching child rows as an ``array<struct>`` column — one left
+        join + one aggregation, and the parent row count is preserved
+        (parents without children get an empty array).
+        """
+        if isinstance(child, str):
+            child = Model(self._session, child)
+        odf = child._df if isinstance(child, Model) else child
+        parent_cols = self._df.columns
+        # NULL out the struct when the left join found no match (all child
+        # columns NULL) — collect_list skips NULLs → unmatched parents []
+        matched = F.coalesce(*[odf[c].cast("string") for c in odf.columns])
+        child_struct = F.when(
+            matched.isNotNull(), F.struct(*[odf[c] for c in odf.columns])
+        )
+        joined = self._df.join(odf, on, "left")
+        nested = joined.groupBy(*[self._df[c] for c in parent_cols]).agg(
+            F.collect_list(child_struct).alias(alias)
+        )
+        return self._with(nested)
+
     def limit(self, n: int) -> "Model":
         return self._with(self._df.limit(n))
 

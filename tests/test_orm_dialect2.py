@@ -196,3 +196,20 @@ def test_orm_deferred_join_on(es):
     assert [(r["name"], r["city"]) for r in rows] == [
         ("ann", "rome"), ("bob", "oslo")
     ]
+
+
+def test_orm_with_children_navigation(es):
+    """OrmJoinTest object-graph navigation (customer.getOrderList()):
+    child rows nest as an array<struct> column; parents without
+    children get an empty array."""
+    Customer, Addr = Model(es, "customer"), Model(es, "addr")
+    rows = (
+        Customer.with_children(Addr, Customer.c.id == Addr.c.cust_id, "addrs")
+        .order_by("id")
+        .find_list()
+    )
+    by_id = {r["id"]: r["addrs"] for r in rows}
+    assert len(rows) == 4  # parent count preserved
+    assert [a["city"] for a in by_id[1]] == ["rome"]
+    assert [a["city"] for a in by_id[2]] == ["oslo"]
+    assert by_id[3] == [] and by_id[4] == []  # no children → empty array

@@ -115,3 +115,48 @@ def test_shingles_match_python_reference(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "t string")
     got = [r["s"] for r in df.select(word_shingles(F.col("t")).alias("s")).collect()]
     assert got == [py_shingles(t) for t in texts]
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=EDGES)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_connected_components_match_union_find(spark, edges):
+    """CC labels equal a driver-side union-find's min-of-component,
+    for arbitrary small graphs (edge order / duplicates / chains)."""
+    from etl_lealone_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in comp.values() for n in members}
+    assert got == want
