@@ -336,6 +336,14 @@ class StatementRouter:
                     return self._ok("exists")
                 raise ValueError(f"table already exists: {name}")
             schema_ddl, pks, cons = _parse_columns(m.group("cols"))
+            if self.session.collation:
+                # database collation (SET COLLATION) applies to every
+                # un-collated string column of newly created tables
+                schema_ddl = re.sub(
+                    r"\bstring\b(?!\s+collate)",
+                    f"string collate {self.session.collation}",
+                    schema_ddl,
+                )
             st = SnapshotTable(self.spark, self.catalog.warehouse, name)
             empty = self.spark.createDataFrame([], schema_ddl)
             st.create(empty)
@@ -1200,7 +1208,60 @@ class StatementRouter:
             [(line,) for line in plan.splitlines()], "plan string"
         )
 
+    # SET COLLATION name → Spark 4 native ICU collation (reference:
+    # dml/Set.java COLLATION branch + CompareModeIcu4J.java). Language
+    # names map to ICU locales; STRENGTH PRIMARY ignores case+accents
+    # (_CI_AI), SECONDARY ignores case (_CI), TERTIARY is full-sensitivity.
+    _COLLATION_LOCALES = {
+        "ENGLISH": "en", "FRENCH": "fr", "GERMAN": "de", "SPANISH": "es",
+        "ITALIAN": "it", "PORTUGUESE": "pt", "CHINESE": "zh",
+        "JAPANESE": "ja", "KOREAN": "ko", "RUSSIAN": "ru", "DUTCH": "nl",
+        "SWEDISH": "sv", "NORWEGIAN": "no", "DANISH": "da",
+        "FINNISH": "fi", "POLISH": "pl", "TURKISH": "tr",
+    }
+
+    def _collation_to_spark(self, name: str, strength: str | None) -> str | None:
+        up = name.upper()
+        if up in ("OFF", "BINARY"):
+            return None  # UTF8_BINARY, the default
+        if up.startswith("ICU4J_"):
+            up = up[len("ICU4J_"):]
+        base = self._COLLATION_LOCALES.get(up)
+        if base is None:
+            base = "UNICODE" if up in ("DEFAULT", "UNICODE") else name.lower()
+        suffix = {
+            "PRIMARY": "_CI_AI",
+            "SECONDARY": "_CI",
+            "TERTIARY": "",
+            "IDENTICAL": "",
+        }.get((strength or "").upper(), "")
+        return f"{base}{suffix}"
+
     def _set(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"SET\s+COLLATION\s+(?P<name>{_IDENT})"
+            rf"(?:\s+STRENGTH\s+(?P<strength>\w+))?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            spark_collation = self._collation_to_spark(
+                m.group("name"), m.group("strength")
+            )
+            if spark_collation is not None:
+                # validate eagerly so a bad locale fails at SET time like
+                # the reference does (DbException INVALID_VALUE)
+                try:
+                    self.spark.sql(
+                        f"SELECT 'x' COLLATE {spark_collation}"
+                    ).collect()
+                except Exception as exc:
+                    raise ValueError(
+                        f"unknown collation: {m.group('name')}"
+                    ) from exc
+            self.session.collation = spark_collation
+            self.session.set_setting("COLLATION", m.group("name").upper())
+            return self._ok(f"set collation {spark_collation or 'UTF8_BINARY'}")
         m = re.match(rf"SET\s+(?P<name>@?{_IDENT})\s*=?\s*(?P<val>.+)$", s, re.IGNORECASE)
         if not m:
             raise ValueError(f"cannot parse SET: {s[:80]}")

@@ -150,6 +150,9 @@ class EngineSession:
         # QUERY_STATISTICS (reference: db/QueryStatisticsData.java —
         # per-statement count/min/max/total wall time, driver-side only)
         self.query_stats: dict[str, list] = {}  # sql → [count, min, max, total]
+        # SET COLLATION (CompareModeIcu4J): Spark collation applied to
+        # varchar columns of tables created after the SET; None = binary
+        self.collation: Optional[str] = None
 
     def _record_stat(self, sql: str, seconds: float) -> None:
         st = self.query_stats.setdefault(

@@ -189,8 +189,17 @@ def information_schema(session: "EngineSession") -> dict[str, DataFrame]:
         "table_schema string, table_name string, column_name string, "
         "privilege_type string, is_grantable string",
     )
+    from ..catalog import StatementRouter
+
     collations = _small(
-        [("OFF", ""), ("UTF8_LCASE", "utf8_lcase")],
+        [("OFF", ""), ("UTF8_LCASE", "utf8_lcase"), ("UNICODE", "unicode"),
+         ("UNICODE_CI", "unicode_ci")]
+        + [
+            (name, locale)
+            for name, locale in sorted(
+                StatementRouter._COLLATION_LOCALES.items()
+            )
+        ],
         "name string, key string",
     )
     help_rows = [

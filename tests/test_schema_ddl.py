@@ -228,3 +228,30 @@ def test_backup_restore(es, spark, tmp_path):
     fresh.catalog.refresh_view("t")
     rows = fresh.sql("SELECT id, name FROM t ORDER BY id").collect()
     assert [(r["id"], r["name"]) for r in rows] == [(1, "x"), (2, "y")]
+
+
+def test_set_collation_icu(es, spark, tmp_path):
+    """SET COLLATION (Set.java COLLATION branch / CompareModeIcu4J):
+    maps to Spark 4 native ICU collations; applies to varchar columns
+    of tables created afterwards."""
+    es.sql("SET COLLATION GERMAN STRENGTH SECONDARY")  # de_CI
+    assert es.collation == "de_CI"
+    es.sql("CREATE TABLE de_words (id int PRIMARY KEY, w varchar(20))")
+    es.sql("INSERT INTO de_words VALUES (1,'Straße'), (2,'STRASSE'), (3,'x')")
+    # case-insensitive German compare
+    got = sorted(
+        r["id"] for r in es.sql("SELECT id FROM de_words WHERE w = 'straße'").collect()
+    )
+    assert 1 in got
+    # strength PRIMARY also ignores accents
+    es.sql("SET COLLATION FRENCH STRENGTH PRIMARY")
+    assert es.collation == "fr_CI_AI"
+    es.sql("CREATE TABLE fr_words (id int PRIMARY KEY, w varchar(20))")
+    es.sql("INSERT INTO fr_words VALUES (1,'élève'), (2,'ELEVE')")
+    got = {r["id"] for r in es.sql("SELECT id FROM fr_words WHERE w = 'eleve'").collect()}
+    assert got == {1, 2}
+    # OFF restores binary for new tables
+    es.sql("SET COLLATION OFF")
+    assert es.collation is None
+    with pytest.raises(ValueError):
+        es.sql("SET COLLATION KLINGON")
