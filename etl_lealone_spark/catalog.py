@@ -304,6 +304,7 @@ class StatementRouter:
             "REVOKE": self._grant_revoke,
             "COMMENT": self._comment,
             "BACKUP": self._backup,
+            "SHOW": self._show,
         }.get(head)
         if handler:
             result = handler(s)
@@ -316,7 +317,75 @@ class StatementRouter:
         # SELECT / WITH / VALUES / FROM-first → dialect → Spark SQL
         from .dialect import rewrite
 
+        s = self._rewrite_info_schema(s)
         return self.spark.sql(rewrite(s, session=self.session))
+
+    def _rewrite_info_schema(self, s: str) -> str:
+        """Support the reference's dotted ``INFORMATION_SCHEMA.X`` table
+        references (MetaTable.java:68): (re)build the meta views from the
+        current catalog state, then rewrite to the registered flat
+        ``information_schema_x`` temp-view names."""
+        if not re.search(r"\bINFORMATION_SCHEMA\s*\.", s, re.IGNORECASE):
+            return s
+        from .sources.info_schema import information_schema
+
+        information_schema(self.session)
+        return re.sub(
+            r"\bINFORMATION_SCHEMA\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)",
+            lambda m: "information_schema_" + m.group(1).lower(),
+            s,
+            flags=re.IGNORECASE,
+        )
+
+    def _show(self, s: str) -> DataFrame:
+        """SHOW … — rewritten to INFORMATION_SCHEMA selects exactly like
+        the reference (Parser.java:884 parseShow: MySQL/PostgreSQL
+        compatibility surface)."""
+        m = re.match(
+            r"SHOW\s+(?P<what>DATABASES|SCHEMAS|TABLES|COLUMNS"
+            r"|CLIENT_ENCODING|DEFAULT_TRANSACTION_ISOLATION"
+            r"|TRANSACTION\s+ISOLATION\s+LEVEL|DATESTYLE"
+            r"|SERVER_VERSION|SERVER_ENCODING)"
+            rf"(?:\s+FROM\s+(?P<obj>{_IDENT}))?"
+            rf"(?:\s+FROM\s+(?P<schema>{_IDENT}))?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse SHOW: {s[:80]}")
+        what = re.sub(r"\s+", " ", m.group("what").upper())
+        pg_constants = {
+            "CLIENT_ENCODING": ("'UNICODE'", "client_encoding"),
+            "DEFAULT_TRANSACTION_ISOLATION": (
+                "'read committed'", "default_transaction_isolation"),
+            "TRANSACTION ISOLATION LEVEL": (
+                "'read committed'", "transaction_isolation"),
+            "DATESTYLE": ("'ISO'", "datestyle"),
+            "SERVER_VERSION": ("'8.1.4'", "server_version"),
+            "SERVER_ENCODING": ("'UTF8'", "server_encoding"),
+        }
+        if what in pg_constants:
+            val, alias = pg_constants[what]
+            return self.spark.sql(f"SELECT {val} AS {alias}")
+        if what == "DATABASES":
+            q = "SELECT database_name FROM INFORMATION_SCHEMA.DATABASES"
+        elif what == "SCHEMAS":
+            q = ("SELECT schema_name FROM INFORMATION_SCHEMA.SCHEMATA "
+                 "ORDER BY schema_name")
+        elif what == "TABLES":
+            q = ("SELECT table_name, 'public' AS table_schema FROM "
+                 "INFORMATION_SCHEMA.TABLES ORDER BY table_name")
+        else:  # COLUMNS FROM t
+            table = m.group("obj")
+            if not table:
+                raise ValueError("SHOW COLUMNS requires FROM <table>")
+            q = (
+                "SELECT column_name AS field, data_type AS type, "
+                "CASE WHEN is_nullable THEN 'YES' ELSE 'NO' END AS `null` "
+                f"FROM INFORMATION_SCHEMA.COLUMNS WHERE table_name = "
+                f"'{table.lower()}' ORDER BY ordinal_position"
+            )
+        return self.spark.sql(self._rewrite_info_schema(q))
 
     def _ok(self, msg: str = "ok") -> DataFrame:
         return self.spark.createDataFrame([(msg,)], "status string")

@@ -67,6 +67,48 @@ def test_information_schema(spark, tmp_path):
     )
 
 
+def test_information_schema_dotted_and_show(spark, tmp_path):
+    """The reference's dotted INFORMATION_SCHEMA.X references and the
+    SHOW family (Parser.java:884 parseShow) work through the shell."""
+    es = EngineSession(spark, warehouse=str(tmp_path))
+    es.sql("CREATE TABLE st1 (id int PRIMARY KEY, name varchar(10))")
+    es.sql("CREATE TABLE st2 (k int)")
+    tabs = {
+        r["table_name"]
+        for r in es.sql(
+            "SELECT table_name FROM INFORMATION_SCHEMA.TABLES"
+        ).collect()
+    }
+    assert {"st1", "st2"} <= tabs
+    # views refresh against catalog mutations between statements
+    es.sql("CREATE TABLE st3 (x int)")
+    tabs2 = {
+        r["table_name"]
+        for r in es.sql(
+            "SELECT table_name FROM information_schema.tables"
+        ).collect()
+    }
+    assert "st3" in tabs2
+    # SHOW TABLES (MySQL compat)
+    shown = [r["table_name"] for r in es.sql("SHOW TABLES").collect()]
+    assert shown == sorted(shown) and "st1" in shown
+    # SHOW COLUMNS FROM t
+    cols = [
+        (r["field"], r["null"]) for r in es.sql("SHOW COLUMNS FROM st1").collect()
+    ]
+    assert cols == [("id", "YES"), ("name", "YES")]
+    # SHOW SCHEMAS + PG-compat constants
+    schemas = {r["schema_name"] for r in es.sql("SHOW SCHEMAS").collect()}
+    assert "public" in schemas
+    assert es.sql("SHOW SERVER_ENCODING").collect()[0]["server_encoding"] == "UTF8"
+    assert (
+        es.sql("SHOW TRANSACTION ISOLATION LEVEL").collect()[0][
+            "transaction_isolation"
+        ]
+        == "read committed"
+    )
+
+
 def test_information_schema_extended_views(spark, tmp_path):
     es = EngineSession(spark, warehouse=str(tmp_path))
     es.sql("CREATE TABLE ise (id int PRIMARY KEY, v int NOT NULL)")
