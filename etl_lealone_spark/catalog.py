@@ -98,6 +98,25 @@ def _sql_literal(v) -> str:
     return f"'{s}'"
 
 
+def _import_dotted(path: str):
+    """Resolve ``module.sub.attr`` to the attribute (CREATE ALIAS /
+    CREATE AGGREGATE ``FOR`` targets — the reference resolves Java
+    class/method names the same way, CreateFunctionAlias.java:71)."""
+    import importlib
+
+    mod_name, _, attr = path.rpartition(".")
+    if not mod_name:
+        raise ValueError(f"not a dotted path: {path}")
+    try:
+        mod = importlib.import_module(mod_name)
+    except ImportError as exc:
+        raise ValueError(f"cannot import {mod_name}: {exc}") from exc
+    try:
+        return getattr(mod, attr)
+    except AttributeError as exc:
+        raise ValueError(f"{mod_name} has no attribute {attr}") from exc
+
+
 @dataclass
 class IndexMeta:
     name: str
@@ -556,7 +575,119 @@ class StatementRouter:
             self.catalog.triggers[m.group("name").lower()] = s
             return self._ok("ok (trigger recorded: no row-event runtime)")
 
+        m = re.match(
+            rf"CREATE\s+(?:FORCE\s+)?ALIAS\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+            rf"(?P<name>{_IDENT})\s+(?:DETERMINISTIC\s+)?"
+            rf"(?:FOR\s+\"(?P<target>[^\"]+)\"|AS\s+(?P<src>\$\$.*\$\$|'(?:[^']|'')*'))\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._create_alias(s, m)
+
+        m = re.match(
+            rf"CREATE\s+(?:FORCE\s+)?AGGREGATE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+            rf"(?P<name>{_IDENT})\s+FOR\s+\"(?P<target>[^\"]+)\"\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            # CREATE AGGREGATE (ddl/CreateAggregate.java): the named class
+            # must implement the 4-method protocol (AggregateFunction.java:
+            # 16-50); registered as a grouped-agg pandas UDF so plain SQL
+            # GROUP BY can call it
+            name = m.group("name").upper()
+            if name in self.session.udfs.aggregates:
+                if m.group("ine"):
+                    return self._ok("exists")
+                raise ValueError(f"function alias already exists: {name}")
+            cls = _import_dotted(m.group("target"))
+            self.session.udfs.create_sql_aggregate(name, cls)
+            self.session.fn_alias_ddl[name] = s
+            return self._ok(f"created aggregate {name}")
+
         raise ValueError(f"unsupported CREATE statement: {s[:80]}")
+
+    # java.lang.Math/StrictMath methods → the Spark builtin with matching
+    # semantics (the reference's own test aliases are Math methods, e.g.
+    # CreateFunctionAlias 'FOR "java.lang.Math.sqrt"'); calls rewrite to
+    # the builtin name and stay inside whole-stage codegen
+    _JAVA_BUILTINS = {
+        "sqrt": "sqrt", "abs": "abs", "floor": "floor", "ceil": "ceil",
+        "exp": "exp", "log": "ln", "log10": "log10", "sin": "sin",
+        "cos": "cos", "tan": "tan", "asin": "asin", "acos": "acos",
+        "atan": "atan", "atan2": "atan2", "pow": "power", "round": "round",
+        "signum": "sign", "hypot": "hypot", "cbrt": "cbrt",
+        "todegrees": "degrees", "toradians": "radians", "random": "rand",
+        "max": "greatest", "min": "least",
+    }
+
+    def _create_alias(self, s: str, m: re.Match) -> DataFrame:
+        """CREATE ALIAS (ddl/CreateFunctionAlias.java:25): the reference
+        binds a Java method (``FOR "class.method"``) or compiles inline
+        Java source (``AS '...'``). Spark-first mapping, in order:
+
+        1. ``FOR "java.lang.Math.x"`` (and any method whose basename is a
+           known builtin): pure rewrite to the Spark builtin — zero UDF
+           cost, fully codegen'd.
+        2. ``FOR "python.module.attr"``: import the callable, register it
+           as a UDF (vectorized if it's annotated pd.Series → pd.Series).
+        3. ``AS '<python source>'``: exec the source, register the first
+           function it defines (the inline-source form, JavaMethod
+           compilation in the reference).
+
+        Result type for python UDFs comes from the callable's return
+        annotation (default string, like H2's VARCHAR fallback).
+        """
+        name = m.group("name").upper()
+        exists = (
+            name in self.session.fn_alias_builtins
+            or name in self.session.udfs.aliases
+        )
+        if exists:
+            if m.group("ine"):
+                return self._ok("exists")
+            raise ValueError(f"function alias already exists: {name}")
+        target, src = m.group("target"), m.group("src")
+        if target:
+            basename = target.rsplit(".", 1)[-1].lower()
+            if (
+                target.lower().startswith(("java.lang.math.", "java.lang.strictmath."))
+                and basename in self._JAVA_BUILTINS
+            ):
+                self.session.fn_alias_builtins[name] = self._JAVA_BUILTINS[basename]
+                self.session.fn_alias_ddl[name] = s
+                return self._ok(f"created alias {name} -> {self._JAVA_BUILTINS[basename]}")
+            fn = _import_dotted(target)
+        else:
+            text = src.strip()
+            if text.startswith("$$"):
+                code = text[2:-2]
+            else:
+                code = text[1:-1].replace("''", "'")
+            ns: dict = {}
+            # dont_inherit: this module's `from __future__ import
+            # annotations` must not leak into the user source (it would
+            # stringify the return annotation we type-map below)
+            exec(compile(code, f"<alias {name}>", "exec", dont_inherit=True), ns)
+            fns = [v for v in ns.values() if callable(v) and not isinstance(v, type)]
+            if not fns:
+                raise ValueError(f"alias source defines no function: {name}")
+            fn = fns[0]
+        ann = getattr(fn, "__annotations__", {}).get("return")
+        rtype = {
+            int: "bigint", float: "double", str: "string", bool: "boolean",
+            bytes: "binary", "int": "bigint", "float": "double",
+            "str": "string", "bool": "boolean", "bytes": "binary",
+        }.get(ann, "string")
+        import pandas as _pd
+
+        vectorized = ann is _pd.Series or ann in ("pd.Series", "pandas.Series")
+        if vectorized:
+            rtype = "double"
+        self.session.udfs.create_alias(name, fn, rtype, vectorized=vectorized)
+        self.session.fn_alias_ddl[name] = s
+        return self._ok(f"created alias {name}")
 
     def _alter(self, s: str) -> DataFrame:
         """ALTER TABLE ADD/DROP/RENAME/ALTER COLUMN, RENAME TO; ALTER
@@ -853,7 +984,7 @@ class StatementRouter:
             return self._ok("dropped all objects")
         m = re.match(
             rf"DROP\s+(?P<kind>TABLE|VIEW|INDEX|SEQUENCE|TRIGGER|SCHEMA|"
-            rf"CONSTANT|ROLE|USER|DOMAIN)\s+"
+            rf"CONSTANT|ROLE|USER|DOMAIN|ALIAS|AGGREGATE)\s+"
             rf"(?:IF\s+EXISTS\s+)?(?P<name>{_IDENT})\s*(CASCADE|RESTRICT)?\s*$",
             s,
             re.IGNORECASE,
@@ -903,6 +1034,25 @@ class StatementRouter:
         elif kind == "DOMAIN":
             if self.catalog.domains.pop(name, None) is None and not if_exists:
                 raise KeyError(f"domain not found: {name}")
+        elif kind == "ALIAS":
+            # DropFunctionAlias.java; a python-registered UDF stays in the
+            # Spark function registry but is removed from the engine
+            # catalog (no longer scripted, builtin rewrites stop)
+            uname = name.upper()
+            had = (
+                self.session.fn_alias_builtins.pop(uname, None) is not None
+                or uname in self.session.udfs.aliases
+            )
+            self.session.udfs.drop_alias(uname)
+            self.session.fn_alias_ddl.pop(uname, None)
+            if not had and not if_exists:
+                raise KeyError(f"alias not found: {name}")
+        elif kind == "AGGREGATE":
+            uname = name.upper()
+            if uname not in self.session.udfs.aggregates and not if_exists:
+                raise KeyError(f"aggregate not found: {name}")
+            self.session.udfs.drop_aggregate(uname)
+            self.session.fn_alias_ddl.pop(uname, None)
         return self._ok(f"dropped {kind.lower()} {name}")
 
     # -- DML -------------------------------------------------------------
@@ -1379,6 +1529,8 @@ class StatementRouter:
             )
         for n, expr in sorted(cat.constants.items()):
             ddl.append(f"CREATE CONSTANT {n} VALUE {expr}")
+        for n, stmt in sorted(self.session.fn_alias_ddl.items()):
+            ddl.append(stmt)
         for name in cat.tables:
             ddl.append(cat.table_ddl.get(name, f"-- external table {name}"))
             if not nodata:

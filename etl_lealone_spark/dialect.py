@@ -265,6 +265,24 @@ def _strip_for_update(sql: str) -> str:
     return re.sub(r"\s+FOR\s+UPDATE\s*$", "", sql, flags=re.IGNORECASE)
 
 
+def _rewrite_fn_aliases(sql: str, session: Optional["EngineSession"]) -> str:
+    """CREATE ALIAS names bound to Java Math methods rewrite to the
+    equivalent Spark builtin call (CreateFunctionAlias.java FOR form) —
+    no UDF, stays inside whole-stage codegen. Python-backed aliases are
+    registered in Spark's own function registry and need no rewrite."""
+    aliases = getattr(session, "fn_alias_builtins", None)
+    if not aliases:
+        return sql
+
+    def repl(m: re.Match) -> str:
+        return aliases[m.group(1).upper()] + "("
+
+    pattern = (
+        r"\b(" + "|".join(re.escape(k) for k in aliases) + r")\s*\("
+    )
+    return re.sub(pattern, repl, sql, flags=re.IGNORECASE)
+
+
 def rewrite(sql: str, session: Optional["EngineSession"] = None) -> str:
     """Normalize reference-dialect SQL to Spark SQL."""
     sql = _strip_line_comments(sql)
@@ -281,4 +299,5 @@ def rewrite(sql: str, session: Optional["EngineSession"] = None) -> str:
     sql = _rewrite_sequence_calls(sql, session)
     sql = _rewrite_rownum(sql)
     sql = _strip_for_update(sql)
+    sql = _rewrite_fn_aliases(sql, session)
     return sql

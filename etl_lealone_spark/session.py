@@ -153,6 +153,15 @@ class EngineSession:
         # SET COLLATION (CompareModeIcu4J): Spark collation applied to
         # varchar columns of tables created after the SET; None = binary
         self.collation: Optional[str] = None
+        # CREATE ALIAS / CREATE AGGREGATE (ddl/CreateFunctionAlias.java,
+        # ddl/CreateAggregate.java): python-backed UDF registry, plus
+        # alias→spark-builtin rewrites (stay JVM-side) and the original
+        # DDL text for SCRIPT round-trips
+        from .functions.udf_adapter import UdfRegistry
+
+        self.udfs = UdfRegistry(self.spark)
+        self.fn_alias_builtins: dict[str, str] = {}
+        self.fn_alias_ddl: dict[str, str] = {}
 
     def _record_stat(self, sql: str, seconds: float) -> None:
         st = self.query_stats.setdefault(

@@ -112,7 +112,10 @@ def information_schema(session: "EngineSession") -> dict[str, DataFrame]:
 
     function_aliases = _small(
         [(n, "BUILTIN") for n in sorted(FUNCTIONS)]
-        + [(n, "UNSUPPORTED") for n in sorted(UNSUPPORTED)],
+        + [(n, "UNSUPPORTED") for n in sorted(UNSUPPORTED)]
+        + [(n, "ALIAS") for n in sorted(session.fn_alias_builtins)]
+        + [(n, "ALIAS") for n in sorted(session.udfs.aliases)]
+        + [(n, "AGGREGATE") for n in sorted(session.udfs.aggregates)],
         "function_name string, origin string",
     )
     from ..catalog import TYPE_MAP
