@@ -1,0 +1,284 @@
+"""Training-data pipeline operators: repetition signals, PII redaction,
+URL normalization, token-window chunking, and benchmark decontamination.
+
+These extend the text-analysis surface (operators/textops.py) with the
+document-hygiene steps a large-scale LLM corpus build runs between raw
+ingest and tokenization. Design rules shared by every operator here:
+
+- **Map-only where possible.** Repetition signals, PII redaction, URL
+  extraction and chunking are pure JVM expression trees over one row at
+  a time — zero shuffle at any corpus size; a 100 TB run is a single
+  codegen'd pass per operator.
+- **Within-document quadratic is fine, cross-document is not.** The
+  top-n-gram count is O(L²) in the document's *n-gram count* (array
+  filter per distinct n-gram) but never leaves the row — the classic
+  Gopher-style implementation shape. Cross-document work (decontamination)
+  is a hash semi-join on exploded n-grams: one shuffle keyed by an
+  8-byte-ish n-gram string, no pairwise stage.
+- **Engine-neutral expressions.** Regexes avoid lookaround and rely on
+  character classes both Java regex (Spark) and RE2 (DuckDB) agree on,
+  so every operator has an exact DuckDB oracle twin.
+
+Repetition heuristics follow the published Gopher rules (Rae et al.
+2021, appendix A1.2: duplicate-line / top-n-gram / duplicate-n-gram
+fractions); decontamination follows the n-gram-overlap methodology of
+GPT-3 (Brown et al. 2020, appendix C) scaled down to 5-grams for the
+synthetic corpus. Reference parity: the reference engine has no corpus
+operators (this is BASELINE.json extension surface, not a port).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared tokenization (raw whitespace tokens — not the normalized dedup form)
+# ---------------------------------------------------------------------------
+
+
+def ws_tokens(col: Column) -> Column:
+    """Raw whitespace tokens of a text column (no case folding)."""
+    return F.split(F.trim(col), "[ \\t\\n]+")
+
+
+def _word_ngrams(ws: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array; empty below n tokens.
+
+    Guarded explicitly: Spark's ``sequence(0, size-n)`` would produce a
+    DESCENDING range when size < n (sequence(0,-1) = [0,-1]), so short
+    documents must short-circuit to an empty array.
+    """
+    return F.when(F.size(ws) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher A1.2)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append within-document repetition quality signals.
+
+    - ``word_rep_ratio``: 1 - distinct/total words (word-level repetition)
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over total bigrams (Gopher's "top n-gram fraction", n=2)
+    - ``dup_trigram_frac``: fraction of trigram slots occupied by a
+      trigram that occurs more than once (Gopher's "duplicate n-gram
+      fraction", n=3)
+
+    All three are single-row array expressions — map-only, shuffle-free.
+    The top-bigram count is an O(B²) in-row loop over B bigrams (array
+    filter per distinct bigram); documents are bounded, corpora are not,
+    so the quadratic term is the right side of the trade at 100 TB.
+    """
+    ws = ws_tokens(F.col(text_col))
+    d = df.withColumn("_ws", ws)
+    n = F.size("_ws")
+    bgs = _word_ngrams(F.col("_ws"), 2)
+    tgs = _word_ngrams(F.col("_ws"), 3)
+    d = d.withColumn("_bgs", bgs).withColumn("_tgs", tgs)
+    top_bg = F.array_max(
+        F.transform(
+            F.array_distinct("_bgs"),
+            lambda dd: F.size(F.filter("_bgs", lambda x: x == dd)),
+        )
+    )
+    return (
+        d.withColumn("n_words", n)
+        .withColumn(
+            "word_rep_ratio",
+            F.round(
+                1.0
+                - F.size(F.array_distinct("_ws")).cast("double")
+                / F.greatest(n, F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.round(
+                F.coalesce(top_bg, F.lit(0)).cast("double")
+                / F.greatest(F.size("_bgs"), F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "dup_trigram_frac",
+            F.round(
+                (F.size("_tgs") - F.size(F.array_distinct("_tgs"))).cast("double")
+                / F.greatest(F.size("_tgs"), F.lit(1)),
+                6,
+            ),
+        )
+        .drop("_ws", "_bgs", "_tgs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns chosen from the common-regex family that Java regex and RE2
+# evaluate identically (no lookaround, no backreferences).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\+[0-9]{8,15}|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 literals; count each class.
+
+    Order matters and is fixed: emails first (their local part can look
+    phone-like), then phones, then IPs (dotted quads must not be eaten
+    by the phone pass). Map-only regexp passes — one corpus scan.
+    Output columns: ``clean_text, n_emails, n_phones, n_ips``.
+    """
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0)))
+    after_email = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(after_email, F.lit(PII_PHONE), F.lit(0)))
+    after_phone = F.regexp_replace(after_email, PII_PHONE, "<PHONE>")
+    n_ips = F.size(F.regexp_extract_all(after_phone, F.lit(PII_IPV4), F.lit(0)))
+    clean = F.regexp_replace(after_phone, PII_IPV4, "<IP>")
+    return (
+        df.withColumn("clean_text", clean)
+        .withColumn("n_emails", n_emails)
+        .withColumn("n_phones", n_phones)
+        .withColumn("n_ips", n_ips)
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL extraction + normalization
+# ---------------------------------------------------------------------------
+
+URL_PATTERN = "https?://[^ \\t\\n]+"
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical URL: lowercase, scheme and leading www. stripped,
+    trailing punctuation/slash stripped — the key web-corpus pipelines
+    dedup on (one page, many spellings)."""
+    u = F.lower(col)
+    u = F.regexp_replace(u, "^https?://(www\\.)?", "")
+    return F.regexp_replace(u, "[/.,);:!?]+$", "")
+
+
+def extract_urls(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, url) — every URL mention, normalized; one row per mention.
+
+    Explode of an in-row regexp extraction: map-side, output keyed for a
+    subsequent dedup/groupBy on ``url`` (the only shuffle a URL-dedup
+    pipeline then needs is on the canonical-url string).
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+        ).alias("raw_url"),
+    ).select(F.col(id_col), normalize_url(F.col("raw_url")).alias("url"))
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows.
+
+    The pre-tokenization step of every context-window-bounded training
+    pipeline: window ``chunk_tokens`` wide, stepping ``chunk_tokens -
+    overlap`` tokens. Emits (id, chunk_id, n_chunk_tokens, chunk_text).
+
+    Map-only explode: each row produces ceil((L-overlap)/step) chunk rows
+    with no shuffle; at 100 TB the chunker pipelines straight into the
+    tokenizer with chunk boundaries computed from the in-row token array.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    ws = ws_tokens(F.col(text_col))
+    n_chunks = F.greatest(
+        F.ceil((F.size(ws) - F.lit(overlap)) / F.lit(float(step))).cast("int"),
+        F.lit(1),
+    )
+    d = df.select(
+        F.col(id_col),
+        ws.alias("_ws"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("_ws"), F.col("chunk_id") * step + 1, chunk_tokens)
+    return d.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+) -> DataFrame:
+    """(id, n_contaminated_ngrams) for train docs sharing any word
+    ``ngram``-gram with the eval corpus.
+
+    GPT-3-style n-gram decontamination as a join, not a pairwise scan:
+    explode each side to distinct n-grams, inner-join on the n-gram
+    string, count per train doc. One shuffle keyed by n-gram; the eval
+    side is typically tiny (a benchmark suite) so Catalyst broadcasts
+    it and the train corpus is never re-partitioned at all.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(_word_ngrams(ws_tokens(F.col(text_col)), ngram))
+            ).alias("g"),
+        )
+
+    ev = grams(eval_df).select("g").distinct()
+    tr = grams(train)
+    return (
+        tr.join(ev, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+) -> DataFrame:
+    """Train corpus minus docs overlapping the eval corpus (anti-join on
+    the contamination hit set)."""
+    hits = contamination_hits(train, eval_df, text_col, id_col, ngram)
+    return train.join(hits.select(id_col), on=id_col, how="left_anti")

@@ -620,3 +620,50 @@ class IvfIndex:
             .filter(F.col("rnk") <= k)
             .select("query_id", "vec_id", "cosine_sim", "rnk")
         )
+
+
+# ---------------------------------------------------------------------------
+# embedding preprocessing — L2 normalization + int8 quantization
+# ---------------------------------------------------------------------------
+def l2_normalize(col: Column, decimals: int = 6) -> Column:
+    """array<float> → unit-L2 array<double>, rounded for cross-engine hash
+    stability.
+
+    Components are integer-quantized first (see :func:`quantize`) so the
+    norm is a sqrt of an exact integer sum — the division is then one
+    deterministic IEEE op per component in any engine or partitioning.
+    Map-only; the standard pre-step before cosine ANN (normalized vectors
+    turn cosine into a plain dot product).
+    """
+    qv = quantize(col)
+    nrm = F.sqrt(int_dot(qv, qv).cast("double"))
+    return F.transform(
+        qv, lambda x: F.round(x.cast("double") / nrm, decimals)
+    )
+
+
+def quantize_int8(col: Column) -> Column:
+    """array<float> → symmetric int8-style quantization: round(x*127/max|x|).
+
+    The storage trade every vector store makes at scale (4 bytes → 1 byte
+    per component, ~1% recall loss). Scale is per-vector max-abs computed
+    on the exact integer form, so both the scale and the quantized codes
+    are engine-reproducible. Returns array<int> in [-127, 127]; pair with
+    :func:`quantize_int8_scale` to reconstruct.
+    """
+    qv = quantize(col)
+    mx = F.array_max(F.transform(qv, lambda x: F.abs(x)))
+    return F.transform(
+        qv,
+        lambda x: F.floor(x.cast("double") * 127.0 / mx.cast("double") + 0.5).cast(
+            "int"
+        ),
+    )
+
+
+def quantize_int8_scale(col: Column, decimals: int = 6) -> Column:
+    """Per-vector dequantization scale (max|x| / 127) matching
+    :func:`quantize_int8`, rounded for hash stability."""
+    qv = quantize(col)
+    mx = F.array_max(F.transform(qv, lambda x: F.abs(x)))
+    return F.round(mx.cast("double") / 1000000.0 / 127.0, decimals)

@@ -59,12 +59,15 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact", "dedup_exact_normalized", "dedup_minhash_pairs",
     "dedup_minhash_survivors", "dedup_simhash_pairs", "ngram_jaccard_blocked",
     "dedup_clusters",
-    # LLM-pipeline: similarity / ANN
+    # LLM-pipeline: similarity / ANN / embedding prep
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_near_dup_blocked", "cosine_float_topk",
-    # LLM-pipeline: text analysis
+    "embedding_l2_normalize", "embedding_quantize_int8",
+    # LLM-pipeline: text analysis + corpus hygiene
     "text_token_count", "text_language_id", "text_quality_score",
     "text_fingerprint", "text_quality_filter", "sample_hash_stratified",
+    "text_repetition_signals", "pii_redaction", "url_extract_normalize",
+    "chunk_token_windows", "decontaminate_ngrams",
     # DML kernels
     "update_projection", "update_with_limit", "delete_filter",
     "merge_upsert", "merge_ansi",
@@ -105,6 +108,7 @@ def all_workloads() -> dict[str, Workload]:
     from . import dedup_q  # noqa: F401
     from . import similarity_q  # noqa: F401
     from . import text_q  # noqa: F401
+    from . import pipeline_q  # noqa: F401
 
     ordered: dict[str, Workload] = {}
     for name in _PRIORITY:

@@ -1,0 +1,299 @@
+"""Training-data pipeline workloads: repetition signals, PII redaction,
+URL normalization, token chunking, decontamination, embedding prep.
+
+PII/URL corpora note: the synthetic documents table contains no natural
+emails/URLs, so those two workloads *derive* a text column carrying
+deterministic planted PII/URLs from (source, doc_id) — identically in
+both engines — then run the real operator over it. The oracle therefore
+checks the full transform on non-trivial input, not an empty identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.pipeline import (
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+    URL_PATTERN,
+    chunk_by_tokens,
+    contamination_hits,
+    extract_urls,
+    pii_redact,
+    repetition_signals,
+)
+from ..tables import load_tables
+from . import workload
+
+_WS = "[ \\t\\n]+"
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher A1.2)
+# ---------------------------------------------------------------------------
+@workload(
+    "text_repetition_signals",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, ws, cast(len(ws) as int) AS n_words,
+             [ws[i+1] || ' ' || ws[i+2] for i in range(greatest(len(ws)-1, 0))] AS bgs,
+             [ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+              for i in range(greatest(len(ws)-2, 0))] AS tgs
+      FROM w
+    )
+    SELECT doc_id, n_words,
+           round(1.0 - cast(len(list_distinct(ws)) as double)
+                 / greatest(n_words, 1), 6) AS word_rep_ratio,
+           round(cast(coalesce(list_max(list_transform(list_distinct(bgs),
+                     d -> len(list_filter(bgs, x -> x = d)))), 0) as double)
+                 / greatest(len(bgs), 1), 6) AS top_bigram_frac,
+           round(cast(len(tgs) - len(list_distinct(tgs)) as double)
+                 / greatest(len(tgs), 1), 6) AS dup_trigram_frac
+    FROM g
+    """,
+    doc="Gopher-style repetition quality signals (word/bigram/trigram "
+    "repetition fractions) — map-only in-row array math.",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    return repetition_signals(d).select(
+        "doc_id", "n_words", "word_rep_ratio", "top_bigram_frac", "dup_trigram_frac"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+_PLANT_SQL = (
+    "text || ' Contact ' || source || cast(doc_id as varchar) || "
+    "'@example.com or +14155550' || cast(doc_id % 100 as varchar) || "
+    "' at 10.0.0.' || cast(doc_id % 256 as varchar) || ' ref 555-867-5309'"
+)
+
+
+def _planted(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact "),
+            F.col("source"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +14155550"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" ref 555-867-5309"),
+        ).alias("text"),
+    )
+
+
+@workload(
+    "pii_redaction",
+    f"""
+    WITH planted AS (
+      SELECT doc_id, {_PLANT_SQL} AS t FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id,
+             cast(len(regexp_extract_all(t, '{PII_EMAIL}')) as int) AS n_emails,
+             regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') AS t
+      FROM planted
+    ),
+    s2 AS (
+      SELECT doc_id, n_emails,
+             cast(len(regexp_extract_all(t, '{PII_PHONE}')) as int) AS n_phones,
+             regexp_replace(t, '{PII_PHONE}', '<PHONE>', 'g') AS t
+      FROM s1
+    )
+    SELECT doc_id, n_emails, n_phones,
+           cast(len(regexp_extract_all(t, '{PII_IPV4}')) as int) AS n_ips,
+           regexp_replace(t, '{PII_IPV4}', '<IP>', 'g') AS clean_text
+    FROM s2
+    """,
+    doc="Email/phone/IPv4 redaction with per-class counts over planted "
+    "deterministic PII — three engine-neutral regexp passes, map-only.",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _planted(load_tables(spark, sf_dir)["documents"])
+    return pii_redact(d).select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "clean_text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL extraction + normalization
+# ---------------------------------------------------------------------------
+_URL_PLANT_SQL = (
+    "'see http://www.' || source || '.Example.com/Doc/' || "
+    "cast(doc_id as varchar) || '?x=1 plus https://Mirror.example.org/' || "
+    "source || '/' || cast(doc_id % 7 as varchar) || '.'"
+)
+
+
+@workload(
+    "url_extract_normalize",
+    f"""
+    WITH planted AS (
+      SELECT doc_id, {_URL_PLANT_SQL} AS t FROM documents
+    ),
+    raw AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, '{URL_PATTERN}')) AS raw_url
+      FROM planted
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(lower(raw_url),
+               '^https?://(www\\.)?', ''), '[/.,);:!?]+$', '') AS url
+    FROM raw
+    """,
+    doc="URL mention extraction + canonicalization (scheme/www/trailing-"
+    "punct stripped, lowercased) — the key web pipelines dedup pages on.",
+)
+def url_extract_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id",
+        F.concat(
+            F.lit("see http://www."),
+            F.col("source"),
+            F.lit(".Example.com/Doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?x=1 plus https://Mirror.example.org/"),
+            F.col("source"),
+            F.lit("/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return extract_urls(d)
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking
+# ---------------------------------------------------------------------------
+@workload(
+    "chunk_token_windows",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS ws FROM documents
+    ),
+    c AS (
+      SELECT doc_id, ws,
+             unnest(range(0, greatest(cast(ceil((len(ws) - 8) / 24.0) as int), 1)))
+               AS chunk_id
+      FROM w
+    )
+    SELECT doc_id, cast(chunk_id as int) AS chunk_id,
+           cast(len(ws[chunk_id*24+1 : chunk_id*24+32]) as int) AS n_chunk_tokens,
+           array_to_string(ws[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text
+    FROM c
+    """,
+    doc="Overlapping 32-token windows (8-token overlap) — the "
+    "context-window chunking step before tokenization; map-only explode.",
+)
+def chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    out = chunk_by_tokens(d, chunk_tokens=32, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "n_chunk_tokens",
+        "chunk_text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+@workload(
+    "decontaminate_ngrams",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '{_WS}') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(ws[i+1:i+5], ' ')
+                            for i in range(greatest(len(ws)-4, 0))]) AS gs
+      FROM w
+    ),
+    ev AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE source = 'src0'),
+    tr AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE source <> 'src0')
+    SELECT tr.doc_id, count(*) AS n_contaminated_ngrams
+    FROM tr JOIN ev ON tr.g = ev.g
+    GROUP BY tr.doc_id
+    """,
+    doc="GPT-3-style 5-gram decontamination: train docs sharing any word "
+    "5-gram with the eval slice (source='src0'); n-gram hash join, no "
+    "pairwise stage.",
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    ev = d.filter(F.col("source") == "src0")
+    tr = d.filter(F.col("source") != "src0")
+    return contamination_hits(tr, ev, ngram=5)
+
+
+# ---------------------------------------------------------------------------
+# embedding preprocessing
+# ---------------------------------------------------------------------------
+@workload(
+    "embedding_l2_normalize",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+           list_transform(v, x -> round(cast(x as double)
+             / sqrt(cast(list_sum([v[i+1]*v[i+1] for i in range(len(v))]) as double)),
+             6)) AS vnorm
+    FROM q
+    """,
+    doc="Unit-L2 normalization (turns cosine ANN into plain dot products); "
+    "integer-quantized norm for cross-engine determinism, map-only.",
+)
+def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import l2_normalize
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return e.select("vec_id", l2_normalize(F.col("embedding")).alias("vnorm"))
+
+
+@workload(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM q
+    )
+    SELECT vec_id,
+           list_transform(v, x -> cast(floor(cast(x as double) * 127.0
+             / cast(mx as double) + 0.5) as int)) AS qvec,
+           round(cast(mx as double) / 1000000.0 / 127.0, 6) AS scale_q
+    FROM m
+    """,
+    doc="Symmetric per-vector int8 quantization (4B→1B per component) with "
+    "dequantization scale — the vector-store storage trade, map-only.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_int8, quantize_int8_scale
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return e.select(
+        "vec_id",
+        quantize_int8(F.col("embedding")).alias("qvec"),
+        quantize_int8_scale(F.col("embedding")).alias("scale_q"),
+    )

@@ -1,0 +1,183 @@
+"""Tests for operators/pipeline.py (corpus-hygiene operators) and the
+embedding preprocessing ops, on crafted inputs where the synthetic corpus
+is trivial (PII, URLs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_lealone_spark.operators.pipeline import (
+    chunk_by_tokens,
+    contamination_hits,
+    decontaminate,
+    extract_urls,
+    pii_redact,
+    repetition_signals,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+def test_repetition_signals_values(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "a b a b a b"),            # heavy bigram repetition
+            (2, "one two three four five"),  # no repetition
+            (3, "x"),                        # single token: no bigrams
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repetition_signals(d).select(
+            "doc_id", "n_words", "word_rep_ratio", "top_bigram_frac", "dup_trigram_frac"
+        ).collect()
+    }
+    # doc1: 6 words, 2 distinct -> rep ratio 4/6; bigrams: [ab,ba,ab,ba,ab]
+    # top 'a b' x3 of 5; trigrams: [aba,bab,aba,bab] -> 2 dup slots of 4
+    assert abs(out[1]["word_rep_ratio"] - 4 / 6) < 1e-6
+    assert abs(out[1]["top_bigram_frac"] - 3 / 5) < 1e-6
+    assert abs(out[1]["dup_trigram_frac"] - 0.5) < 1e-6
+    assert out[2]["word_rep_ratio"] == 0.0
+    assert out[2]["top_bigram_frac"] == 0.25  # each of 4 bigrams once
+    assert out[3]["n_words"] == 1
+    assert out[3]["top_bigram_frac"] == 0.0  # no bigrams -> coalesce(0)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+def test_pii_redact_classes_and_order(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call +14155550123 or 555-867-5309 today"),
+            (3, "host 192.168.1.254 up"),
+            (4, "clean text with no pii at all"),
+            (5, "multi a@b.io c@d.io 10.0.0.1"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in pii_redact(d).collect()}
+    assert out[1]["clean_text"] == "mail <EMAIL> now"
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (1, 0, 0)
+    assert out[2]["clean_text"] == "call <PHONE> or <PHONE> today"
+    assert out[2]["n_phones"] == 2
+    assert out[3]["clean_text"] == "host <IP> up"
+    assert out[4]["clean_text"] == out[4]["text"]
+    assert (out[5]["n_emails"], out[5]["n_ips"]) == (2, 1)
+
+
+def test_pii_ip_not_eaten_by_phone(spark):
+    # dotted quad must survive the phone pass and be tagged <IP>
+    d = _docs(spark, [(1, "ip 10.20.30.40 and phone +123456789")])
+    r = pii_redact(d).collect()[0]
+    assert r["clean_text"] == "ip <IP> and phone <PHONE>"
+
+
+# ---------------------------------------------------------------------------
+# URL extraction + normalization
+# ---------------------------------------------------------------------------
+def test_extract_urls_normalizes(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "see https://WWW.Example.COM/Path/To?q=1. done"),
+            (2, "a http://example.com/ b http://example.com c"),
+            (3, "no urls here"),
+        ],
+    )
+    rows = [(r["doc_id"], r["url"]) for r in extract_urls(d).collect()]
+    assert (1, "example.com/path/to?q=1") in rows
+    # trailing slash and none normalize to the same canonical url
+    assert rows.count((2, "example.com")) == 2
+    assert all(r[0] != 3 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+def test_chunk_by_tokens_windows(spark):
+    text = " ".join(f"w{i}" for i in range(50))
+    d = _docs(spark, [(1, text), (2, "short doc")])
+    out = chunk_by_tokens(d, chunk_tokens=32, overlap=8)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in out.collect()
+    )
+    # doc1: ceil((50-8)/24)=2 chunks: [w0..w31], [w24..w49]
+    assert [(r[0], r[1], r[2]) for r in rows] == [(1, 0, 32), (1, 1, 26), (2, 0, 2)]
+    assert rows[0][3].startswith("w0 w1 ") and rows[0][3].endswith(" w31")
+    assert rows[1][3].startswith("w24 ") and rows[1][3].endswith(" w49")
+    # overlap: last 8 tokens of chunk 0 == first 8 of chunk 1
+    assert rows[0][3].split()[-8:] == rows[1][3].split()[:8]
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    import pytest
+
+    d = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        chunk_by_tokens(d, chunk_tokens=8, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+def test_decontaminate_ngram_overlap(spark):
+    eval_df = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    train = _docs(
+        spark,
+        [
+            (1, "xx the quick brown fox jumps yy"),   # shares a 5-gram
+            (2, "quick brown fox is not five grams"),  # longest shared run = 3
+            (3, "completely different content here now"),
+        ],
+    )
+    hits = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in contamination_hits(train, eval_df, ngram=5).collect()
+    }
+    assert 1 in hits and 2 not in hits and 3 not in hits
+    clean = sorted(r["doc_id"] for r in decontaminate(train, eval_df).collect())
+    assert clean == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# embedding preprocessing
+# ---------------------------------------------------------------------------
+def test_l2_normalize_unit_norm(spark):
+    from etl_lealone_spark.operators.similarity import l2_normalize
+
+    d = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: r["vnorm"] for r in
+           d.select("vec_id", l2_normalize(F.col("embedding")).alias("vnorm")).collect()}
+    assert abs(out[1][0] - 0.6) < 1e-6 and abs(out[1][1] - 0.8) < 1e-6
+    assert out[2] == [1.0, 0.0]
+
+
+def test_quantize_int8_roundtrip(spark):
+    from etl_lealone_spark.operators.similarity import (
+        quantize_int8,
+        quantize_int8_scale,
+    )
+
+    d = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0])], "vec_id long, embedding array<float>"
+    )
+    r = d.select(
+        quantize_int8(F.col("embedding")).alias("q"),
+        quantize_int8_scale(F.col("embedding")).alias("s"),
+    ).collect()[0]
+    assert r["q"] == [64, -127, 32, 0]  # round(x*127/max|x|)
+    assert max(abs(v) for v in r["q"]) == 127
+    # dequantized values recover originals within one scale step
+    for orig, code in zip([0.5, -1.0, 0.25, 0.0], r["q"]):
+        assert abs(code * r["s"] - orig) <= r["s"] / 2 + 1e-9
