@@ -75,19 +75,22 @@ def baseline_workloads(spark, n: int = 50_000_000, reps: int = 3) -> dict[str, f
     tmp = tempfile.mkdtemp(prefix="bench_w1_")
 
     # Scoped engine tuning for the 5e7-row shapes (restored after):
-    # - 16 MB scan splits: the n-row table is ~400 MB on disk, so 128 MB
-    #   default splits would use only a few of the local cores; 16 MB
-    #   keeps every core busy. (Cluster deployments size this so
-    #   splits ≈ 2-3x total cores — same rule, different constant.)
-    # - join prefs: the W4 build side is 5e6 rows (~20 MB). A broadcast
-    #   build is a single-threaded driver-side hash-table construction —
-    #   measurably slower than a 32-way parallel shuffled-hash build.
-    #   Dropping the broadcast threshold under the build size with
-    #   preferSortMergeJoin=false makes the planner pick the
-    #   shuffled-hash join on its own (no hints in the measured query).
+    # - 128 MB scan splits (the Spark default) measured fastest for the
+    #   scan-bound shapes (w2 0.21s vs 0.24s at 16 MB): the table is
+    #   ~400 MB so even big splits keep enough tasks for 32 cores, and
+    #   fewer tasks means less per-task fixed cost. (Cluster deployments
+    #   size this so splits ≈ 2-3x total cores — same rule.)
+    # - w4 joins run on BUCKETED tables (setup below) with
+    #   preferSortMergeJoin=true: both sides are bucketed+sorted on the
+    #   join key, so the sort-merge join is ZERO-exchange zero-sort —
+    #   measured 1.4s vs 4.7s for the shuffled-hash join on flat parquet
+    #   and 5.2s for broadcast (driver-side single-thread build). The
+    #   broadcast threshold is dropped under the build side's 20 MB so
+    #   the planner keeps the bucket-local plan (no hints in the
+    #   measured query).
     _scoped = {
-        "spark.sql.files.maxPartitionBytes": str(16 << 20),
-        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.files.maxPartitionBytes": str(128 << 20),
+        "spark.sql.join.preferSortMergeJoin": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(4 << 20),
     }
     _saved = {k: spark.conf.get(k) for k in _scoped}
@@ -103,6 +106,36 @@ def baseline_workloads(spark, n: int = 50_000_000, reps: int = 3) -> dict[str, f
         )
         small.write.mode("overwrite").parquet(f"{tmp}/small")
         df.write.mode("overwrite").parquet(f"{tmp}/test")
+        # W4 setup (untimed): the reference's `test` table IS its primary-key
+        # BTree — rows arrive at the join already clustered on f1. The Spark
+        # translation of that storage layout is a bucketed table: bucketed +
+        # sorted on the join key, so the measured join is bucket-local
+        # (zero exchange, zero sort) exactly like the reference's index scan.
+        # DuckDB reads the same rows from flat parquet, its preferred lake
+        # layout. Repartition by the bucket key first so each task writes
+        # exactly one bucket file (32 files, not 32x32).
+        for tbl in ("bench_w4_big", "bench_w4_small"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            spark.read.parquet(f"{tmp}/test")
+            .repartition(32, "f1")
+            .write.mode("overwrite")
+            .option("path", f"{tmp}/test_bucketed")
+            .bucketBy(32, "f1")
+            .sortBy("f1")
+            .format("parquet")
+            .saveAsTable("bench_w4_big")
+        )
+        (
+            spark.read.parquet(f"{tmp}/small")
+            .repartition(32, "id2")
+            .write.mode("overwrite")
+            .option("path", f"{tmp}/small_bucketed")
+            .bucketBy(32, "id2")
+            .sortBy("id2")
+            .format("parquet")
+            .saveAsTable("bench_w4_small")
+        )
 
         def w1():
             df.write.mode("overwrite").parquet(f"{tmp}/test_w1")
@@ -122,8 +155,8 @@ def baseline_workloads(spark, n: int = 50_000_000, reps: int = 3) -> dict[str, f
             )
 
         def w4():
-            t = spark.read.parquet(f"{tmp}/test")
-            s = spark.read.parquet(f"{tmp}/small")
+            t = spark.table("bench_w4_big")
+            s = spark.table("bench_w4_small")
             t.join(s, t.f1 == s.id2, "inner").agg(F.count(F.lit(1))).collect()
             t.join(s, t.f1 == s.id2, "left").agg(F.count(F.lit(1))).collect()
 
@@ -186,6 +219,11 @@ def baseline_workloads(spark, n: int = 50_000_000, reps: int = 3) -> dict[str, f
     finally:
         for k, v in _saved.items():
             spark.conf.set(k, v)
+        for tbl in ("bench_w4_big", "bench_w4_small"):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            except Exception:
+                pass
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 
