@@ -263,9 +263,15 @@ def connected_components(
     count — a pair graph's label table is tiny next to the corpus, so
     per-round fixed cost must not be 32 near-empty shuffle tasks.
     """
+    # checkpoint the PAIR subtree before mirroring it: ``union`` consumes
+    # the pair plan twice, and without the checkpoint the (expensive)
+    # upstream pair-generation join would execute twice — measured 2x the
+    # whole pair cost at every scale
+    p = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).localCheckpoint(
+        eager=True
+    )
     edges = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -281,39 +287,38 @@ def connected_components(
         .select("n", F.col("n").alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    # labels only ever decrease, so sum(lbl) strictly decreases on any
+    # change — convergence is detected from an aggregate of the (already
+    # checkpointed) label table instead of an old-vs-new join + count,
+    # saving one join and one action per round
+    prev_sum = None
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["b"] == labels["n"])
-            .groupBy("a")
-            .agg(F.min("lbl").alias("nbr_lbl"))
+        # min over self ∪ neighbor labels as ONE union+groupBy (a single
+        # shuffle) instead of a neighbor groupBy followed by an
+        # old-labels outer join (two)
+        neighbor = edges.join(labels, edges["b"] == labels["n"]).select(
+            F.col("a").alias("n"), "lbl"
         )
-        merged = labels.join(
-            neighbor_min, labels["n"] == neighbor_min["a"], "left"
-        ).select(
-            "n",
-            F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("m_lbl"),
-            F.col("lbl").alias("old_lbl"),
+        merged = (
+            labels.union(neighbor).groupBy("n").agg(F.min("lbl").alias("m_lbl"))
         )
         # pointer jumping: follow one hop of the label chain
         # (lbl := lbl[lbl]) — doubles the propagation distance per round
-        hop = merged.select(
-            F.col("n").alias("h_n"), F.col("m_lbl").alias("h_lbl")
-        )
-        new_labels = (
+        hop = merged.select(F.col("n").alias("h_n"), F.col("m_lbl").alias("h_lbl"))
+        labels = (
             merged.join(hop, merged["m_lbl"] == hop["h_n"], "left")
             .select(
                 "n",
                 F.least(
                     F.col("m_lbl"), F.coalesce("h_lbl", F.col("m_lbl"))
-                ).alias("new_lbl"),
-                "old_lbl",
+                ).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("new_lbl") < F.col("old_lbl")).count()
-        labels = new_labels.select("n", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
