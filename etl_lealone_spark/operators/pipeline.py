@@ -282,3 +282,52 @@ def decontaminate(
     the contamination hit set)."""
     hits = contamination_hits(train, eval_df, text_col, id_col, ngram)
     return train.join(hits.select(id_col), on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequence_bins(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    budget: int = 2048,
+) -> DataFrame:
+    """Assign documents to fixed token-budget training bins.
+
+    Sequence packing by cumulative offset: within each ``group_col``
+    stream, documents are laid end-to-end in ``id_col`` order and the bin
+    is the ``budget``-token window the document STARTS in (documents may
+    straddle a boundary — the standard packing-with-spillover layout).
+    Emits (doc_id, group, n_tokens, bin_id, bin_offset).
+
+    Scale shape: one window over (group, id) — a single shuffle
+    partitioned by the group key (never SinglePartition), token counts
+    from the in-row array, everything else map-side arithmetic. The
+    running total is the only stateful term, exactly what a window
+    running-sum costs.
+    """
+    ws = ws_tokens(F.col(text_col))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(ws).cast("long").alias("n_tokens"),
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
+    return d.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.floor(start / budget).cast("long").alias("bin_id"),
+        (start % budget).cast("long").alias("bin_offset"),
+    )

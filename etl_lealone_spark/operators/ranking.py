@@ -1,0 +1,155 @@
+"""Corpus ranking / lexical-statistics operators: BM25 relevance scoring
+and vocabulary statistics.
+
+The retrieval-ish half of a training-data pipeline: score documents
+against query term sets (quality/topical filtering, eval-set mining) and
+compute corpus-level term statistics (vocabulary builds, idf tables).
+Reference parity: the reference engine has no text-ranking surface (this
+is BASELINE.json extension surface, not a port).
+
+Scale shape, both operators:
+
+- Tokenize map-side, explode, then ONE shuffle keyed by the term for the
+  frequency aggregates (classic wordcount with map-side partial
+  aggregation — Spark's hash-agg partial/final split keeps the exploded
+  stream from ever being materialized whole).
+- Corpus scalars (doc count, average document length) are 1-row
+  aggregates cross-joined back broadcast-style; term document
+  frequencies for a bounded query set are broadcast to the probe side.
+  Nothing driver-side, no collect.
+
+Cross-engine determinism (DuckDB oracle): per-term contributions are
+computed in double (bit-identical given identical inputs in both
+engines), then cast to decimal(28,12) before the per-document SUM so the
+reduction is exact and associative regardless of partitioning; the
+average document length is likewise sum(decimal)/count — not avg(double)
+— so no engine sees an order-dependent reduction.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import words
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("ws"))
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of every matching document for ``query_terms``.
+
+    Returns (doc_id, bm25) for documents containing at least one query
+    term. idf is the BM25+ form ln(1 + (N - df + 0.5)/(df + 0.5)) —
+    always positive, so scores are monotone in term rarity.
+
+    Plan: token explode → filter to the query set DURING the scan (the
+    filter sits under the explode's projection, so non-query terms are
+    dropped before the aggregate) → one shuffle for per-(doc, term) tf →
+    broadcast joins for the tiny df / corpus-stats sides → map-side score.
+    """
+    toks = _tokens(df, text_col, id_col)
+    dl = toks.select("id", F.size("ws").cast("double").alias("dl"))
+    # corpus scalars: exact decimal sum, then one double division
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    terms = [t.lower() for t in query_terms]
+    tf = (
+        toks.select("id", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select("id", contrib.cast("decimal(28,12)").alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("score_exact"))
+        .select(
+            F.col("id").alias(id_col),
+            F.round(F.col("score_exact").cast("double"), 6).alias("bm25"),
+            F.col("score_exact"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25 documents, deterministically ordered (exact-decimal
+    score desc, then doc id) → TakeOrderedAndProject, no global sort."""
+    scored = bm25_scores(df, query_terms, text_col, id_col)
+    return (
+        scored.orderBy(F.col("score_exact").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "bm25")
+    )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary: (term, tf, df) — collection frequency and
+    document frequency per distinct normalized token.
+
+    One explode + one shuffle on the term. ``df`` uses count(distinct id)
+    inside the same aggregate — Spark plans the distinct as a two-phase
+    partial aggregate (expand + two hash aggregates), still a single
+    exchange on the term key.
+    """
+    ex = (
+        _tokens(df, text_col, id_col)
+        .select("id", F.explode("ws").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    return ex.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("id").alias("df"),
+    )
+
+
+def vocab_top_terms(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k vocabulary terms by collection frequency (ties by term)."""
+    return (
+        vocab_stats(df, text_col, id_col)
+        .orderBy(F.col("tf").desc(), F.col("term"))
+        .limit(k)
+    )

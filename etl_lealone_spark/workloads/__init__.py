@@ -68,24 +68,29 @@ _PRIORITY: tuple[str, ...] = (
     "text_fingerprint", "text_quality_filter", "sample_hash_stratified",
     "text_repetition_signals", "pii_redaction", "url_extract_normalize",
     "chunk_token_windows", "decontaminate_ngrams",
-    # DML kernels
-    "update_projection", "update_with_limit", "delete_filter",
+    # LLM-pipeline: ranking / vocabulary / packing
+    "bm25_topk", "vocab_top_terms", "pack_sequence_bins",
+    # DML kernels (update_with_limit drops to the pass-local tail — the
+    # UPDATE family stays represented by update_projection)
+    "update_projection", "delete_filter",
     "merge_upsert", "merge_ansi",
     # Recursive CTEs
     "recursive_series", "recursive_tree_depth",
     # Scalar-function batteries
     "string_functions", "date_functions", "math_functions",
     "cast_conversion", "array_functions",
-    # JSON / arrays / percentiles
-    "json_extract_agg", "json_schema_projection", "percentile_agg",
+    # JSON / arrays / percentiles (json_schema_projection → tail; JSON
+    # stays represented by json_extract_agg)
+    "json_extract_agg", "percentile_agg",
     "array_higher_order",
     # Grouping / window extensions
     "cube_agg", "grouping_sets_agg", "window_range_frame",
     "view_predicate_pushdown",
     # Multimodal + as-of
     "multimodal_metadata", "asof_join_events",
-    # Core-SQL representatives (one per §2 sub-family)
-    "agg_groupby_having", "join_inner_agg", "join_seven_tables",
+    # Core-SQL representatives (one per §2 sub-family; join_inner_agg →
+    # tail, joins stay represented by the harder join_seven_tables)
+    "agg_groupby_having", "join_seven_tables",
     "join_full_outer", "semi_join_in_subquery", "anti_join_not_exists",
     "window_rank_family", "window_topk_per_group", "events_lag_delta",
     "events_tumbling_agg", "events_sessionize", "setop_all_variants",
@@ -109,6 +114,7 @@ def all_workloads() -> dict[str, Workload]:
     from . import similarity_q  # noqa: F401
     from . import text_q  # noqa: F401
     from . import pipeline_q  # noqa: F401
+    from . import ranking_q  # noqa: F401
 
     ordered: dict[str, Workload] = {}
     for name in _PRIORITY:
