@@ -45,6 +45,8 @@ HEADLINE = [
     "text_quality_filter",     # C4/Gopher hard gate
     "text_token_count",        # tokenization
     "sample_hash_stratified",  # deterministic mixing sample
+    "bm25_topk",               # BM25 relevance scoring
+    "pack_sequence_bins",      # token-budget sequence packing
     "events_sessionize",       # sessionization window
     "join_seven_tables",       # 7-table join graph
 ]

@@ -59,10 +59,11 @@ def bm25_scores(
     dropped before the aggregate) → one shuffle for per-(doc, term) tf →
     broadcast joins for the tiny df / corpus-stats sides → map-side score.
     """
-    toks = _tokens(df, text_col, id_col)
-    dl = toks.select("id", F.size("ws").cast("double").alias("dl"))
+    per_doc = _tokens(df, text_col, id_col).select(
+        "id", F.size("ws").cast("double").alias("dl"), "ws"
+    )
     # corpus scalars: exact decimal sum, then one double division
-    stats = dl.agg(
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (
             F.sum(F.col("dl").cast("decimal(28,6)")).cast("double")
@@ -70,11 +71,22 @@ def bm25_scores(
         ).alias("avgdl"),
     )
     terms = [t.lower() for t in query_terms]
+    # carry dl THROUGH the tf aggregate (constant per doc, so max() is
+    # exact) instead of re-joining a per-doc length table afterwards —
+    # saves a corpus-wide shuffle join on the doc id
     tf = (
-        toks.select("id", F.explode("ws").alias("term"))
+        per_doc.select("id", "dl", F.explode("ws").alias("term"))
         .filter(F.col("term").isin(terms))
         .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+        # tf feeds two consumers (score path + df aggregate); EAGER
+        # checkpoint so the corpus explode-scan runs once, not once per
+        # consumer. tf is bounded by |matching docs| x |query terms| —
+        # tiny next to the corpus at any scale.
+        .localCheckpoint(eager=True)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log(
@@ -87,7 +99,6 @@ def bm25_scores(
     contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
     return (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "id")
         .crossJoin(F.broadcast(stats))
         .select("id", contrib.cast("decimal(28,12)").alias("c"))
         .groupBy("id")

@@ -37,9 +37,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCASTABLE = {"region", "nation", "supplier"}
 
 
-# Columns written as parquet TIMESTAMP(NANOS): Spark reads them as long
-# (spark.sql.legacy.parquet.nanosAsLong) and we convert to microsecond
-# timestamps at load; DuckDB reads the same columns as TIMESTAMP directly.
+# Timestamp columns across testdata generations: earlier drops store
+# parquet TIMESTAMP(NANOS) — Spark reads them as long under
+# spark.sql.legacy.parquet.nanosAsLong and we convert at load; current
+# drops store TIMESTAMP(MICROS), which Spark reads directly as
+# TIMESTAMP_NTZ (matching DuckDB's naive TIMESTAMP) and needs no
+# conversion. The loader handles both; downstream code must not assume
+# LTZ (no cast-timestamp-to-bigint — use interval arithmetic).
 NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),

@@ -807,13 +807,16 @@ def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval arithmetic, not cast-to-epoch: the driver's parquet stores
+    # ts as TIMESTAMP(MICROS) which Spark reads as TIMESTAMP_NTZ, and NTZ
+    # does not cast to bigint; ts - lag(ts) yields a day-time interval in
+    # every timestamp flavor (and mirrors the oracle SQL literally)
     flagged = e.select(
         "user_id",
         F.when(
             (
-                F.col("ts").cast("long")
-                - F.lag(F.col("ts")).over(w).cast("long")
-                > 1800
+                F.col("ts") - F.lag(F.col("ts")).over(w)
+                > F.expr("INTERVAL 30 MINUTES")
             )
             | F.lag(F.col("ts")).over(w).isNull(),
             1,
