@@ -154,11 +154,14 @@ def baseline_workloads(spark, n: int = 50_000_000, reps: int = 3) -> dict[str, f
             ).collect()
 
         def w3():
+            # collect, not a noop write: the result is 97 rows and the
+            # DuckDB twin fetches the same rows — materialization must be
+            # symmetric for the ratio to mean anything
             (
                 t_scan.groupBy((F.col("f1") % 97).alias("g"))
                 .agg(F.count(F.lit(1)).alias("n"), F.avg("f2").alias("a"))
                 .filter(F.col("n") > 10)
-                .write.format("noop").mode("overwrite").save()
+                .collect()
             )
 
         def w4():
