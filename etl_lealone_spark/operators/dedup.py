@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .xhash import P61, hconsts, md5_hash60, mix60
+
 
 # ---------------------------------------------------------------------------
 # normalization + shingling (shared)
@@ -103,9 +105,11 @@ def minhash_signatures(
     """(id, mh0..mhN) min-hash signature table — fully map-side, no shuffle.
 
     Per row: shingle the text once, hash each (variable-length) shingle
-    string once with xxhash64, then derive every lane as
-    ``array_min(transform(hashes, h -> xxhash64(lane, h)))`` — each lane
-    re-hashes only an 8-byte long. The shared hash-array lives in its own
+    string once with the cross-engine 60-bit md5 base hash, then derive
+    every lane as ``array_min(transform(hashes, h -> mix60(h)))`` — each
+    lane is three multiplies and two mods over an 8-byte long (xhash.py),
+    cheaper than a seeded-hash call per lane AND reproducible bit-for-bit
+    by the DuckDB oracle. The shared hash-array lives in its own
     projection; CollapseProject leaves multiply-referenced non-cheap
     aliases alone, so it is computed once per row (verified in the plan:
     the shingle expression appears once, not num_hashes times).
@@ -116,14 +120,14 @@ def minhash_signatures(
     """
     hs = _parallelize_for_compute(df, id_col).select(
         F.col(id_col).alias("id"),
-        F.transform(word_shingles(F.col(text_col)), lambda s: F.xxhash64(s)).alias(
+        F.transform(word_shingles(F.col(text_col)), lambda s: md5_hash60(s)).alias(
             "hs"
         ),
     )
     lanes = [
-        F.array_min(F.transform("hs", lambda h: F.xxhash64(F.lit(i), h))).alias(
-            f"mh{i}"
-        )
+        F.array_min(
+            F.transform("hs", lambda h: mix60(h, *hconsts("mh-lane", i)))
+        ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return hs.select("id", *lanes)
@@ -153,6 +157,22 @@ def minhash_lsh_pairs(
     No O(n²) stage; the only quadratic term is within an LSH bucket.
     """
     rows_per_band = num_hashes // bands
+
+    def _band_hash(b: int) -> Column:
+        # combine the band's lanes into one 8-byte shuffle key with the
+        # same overflow-free mix the lanes use (cross-engine exact);
+        # cross-band collisions are harmless — band is part of the key
+        acc = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            acc = (
+                acc
+                + mix60(
+                    F.col(f"mh{b * rows_per_band + r}"),
+                    *hconsts("band-mix", b * rows_per_band + r),
+                )
+            ) % P61
+        return acc
+
     sig = minhash_signatures(df, text_col, id_col, num_hashes)
     banded = sig.select(
         "id",
@@ -161,12 +181,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"mh{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
+                        _band_hash(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
@@ -404,14 +419,20 @@ def simhash64(col: Column) -> Column:
     return fp
 
 
+SIMHASH_BITS = 60  # md5_hash60 base hash width (cross-engine exact)
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, fp) SimHash table via explode-aggregate — the corpus-scale form.
 
-    Tokens are exploded once; each token row contributes 64 ±1 votes in a
-    single projection; a hash-aggregate sums votes per doc and assembles
-    the fingerprint. One shuffle on the doc id, fully partition-parallel.
+    Tokens are exploded once; each token row contributes ``SIMHASH_BITS``
+    ±1 votes in a single projection; a hash-aggregate sums votes per doc
+    and assembles the fingerprint. One shuffle on the doc id, fully
+    partition-parallel. Token hash is the 60-bit cross-engine md5 base
+    (xhash.py), so the whole fingerprint — and every downstream pair —
+    is reproducible by the DuckDB oracle.
     """
     exploded = (
         _parallelize_for_compute(df, id_col)
@@ -419,17 +440,17 @@ def simhash_fingerprints(
             F.col(id_col).alias("id"),
             F.explode(words(F.col(text_col))).alias("tok"),
         )
-        .select("id", F.xxhash64("tok").alias("h"))
+        .select("id", md5_hash60(F.col("tok")).alias("h"))
     )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = exploded.groupBy("id").agg(*votes)
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         fp = fp.bitwiseOR(
             F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")
@@ -446,13 +467,13 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole blocking: split the 64-bit fingerprint into
+    Pigeonhole blocking: split the ``SIMHASH_BITS``-bit fingerprint into
     ``max_hamming+1`` blocks; any pair within distance k agrees exactly on
     at least one block → join per block on the exact block value (one
     shuffle on a small int key), then verify with bit_count(xor).
     """
     nblocks = max_hamming + 1
-    width = 64 // nblocks
+    width = SIMHASH_BITS // nblocks
     fp = simhash_fingerprints(df, text_col, id_col)
     mask = (1 << width) - 1
     blocked = fp.select(

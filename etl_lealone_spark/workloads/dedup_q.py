@@ -1,8 +1,10 @@
 """Deduplication workloads over the documents table (BASELINE.json
-extension surface). Exact/normalized dedup are oracle-checked; the
-LSH-based near-dup operators are rows-only checks (their hash family —
-xxhash64 — has no DuckDB twin) but their Jaccard VERIFIER is oracle-checked
-via ngram_jaccard_blocked."""
+extension surface). EVERY stage is oracle-checked, including the
+MinHash-LSH and SimHash pipelines end-to-end: the hash family
+(operators/xhash.py — md5-based 60-bit base hash + Mersenne-prime lane
+mixing) was chosen so DuckDB can recompute signatures, bands, candidate
+sets, and verified pairs bit-for-bit. The oracle SQL below is generated
+from the same mixing constants the Spark expression tree uses."""
 
 from __future__ import annotations
 
@@ -10,14 +12,119 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    SIMHASH_BITS,
     exact_dedup,
     minhash_dedup_keep_ids,
     minhash_lsh_pairs,
     ngram_jaccard_pairs_blocked,
     simhash_pairs,
 )
+from ..operators.xhash import P61, hconsts, md5_hash60_sql, mix60_sql
 from ..tables import load_tables
 from . import workload
+
+
+# ---------------------------------------------------------------------------
+# generated oracle SQL for the MinHash-LSH pipeline (16 lanes / 8 bands —
+# the same constants dedup.minhash_signatures uses)
+# ---------------------------------------------------------------------------
+_SHINGLES_SQL = """
+      (SELECT CASE WHEN len(ws) < 3 THEN [txt]
+              ELSE list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                                  for i in range(len(ws) - 2)]) END
+       FROM (SELECT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS txt,
+                    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws)
+      )"""
+
+
+def _minhash_pairs_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 0.7) -> str:
+    rows_per_band = num_hashes // bands
+    lanes = ",\n        ".join(
+        f"list_min(list_transform(hs, h -> {mix60_sql('h', *hconsts('mh-lane', i))}))"
+        f" AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        terms = " + ".join(
+            mix60_sql(f"mh{b * rows_per_band + r}", *hconsts("band-mix", b * rows_per_band + r))
+            for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT id, {b} AS band, ({terms}) % {P61} AS band_hash FROM sig"
+        )
+    banded = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH sh_tbl AS (
+      SELECT doc_id AS id, {_SHINGLES_SQL} AS sh
+      FROM documents
+    ),
+    hs_tbl AS (
+      SELECT id, sh, list_transform(sh, s -> {md5_hash60_sql('s')}) AS hs
+      FROM sh_tbl
+    ),
+    sig AS (
+      SELECT id,
+        {lanes}
+      FROM hs_tbl
+    ),
+    banded AS (
+      {banded}
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.band_hash = r.band_hash AND l.id < r.id
+    ),
+    verified AS (
+      SELECT id_a, id_b,
+             cast(len(list_intersect(a.sh, b.sh)) as double)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+      FROM cand
+      JOIN sh_tbl a ON cand.id_a = a.id
+      JOIN sh_tbl b ON cand.id_b = b.id
+    )
+    SELECT id_a, id_b, round(j, 6) AS jaccard
+    FROM verified WHERE j >= {threshold}"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    nblocks = max_hamming + 1
+    width = SIMHASH_BITS // nblocks
+    mask = (1 << width) - 1
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp_terms = " | ".join(
+        f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(SIMHASH_BITS)
+    )
+    block_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT id, fp, {b} AS block, (fp >> {b * width}) & {mask} AS block_val FROM fp_tbl"
+        for b in range(nblocks)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ),
+    th AS (SELECT id, {md5_hash60_sql('tok')} AS h FROM toks),
+    votes AS (
+      SELECT id,
+        {votes}
+      FROM th GROUP BY id
+    ),
+    fp_tbl AS (SELECT id, {fp_terms} AS fp FROM votes),
+    blocked AS (
+      {block_selects}
+    )
+    SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+           cast(bit_count(xor(l.fp, r.fp)) AS INT) AS hamming
+    FROM blocked l JOIN blocked r
+      ON l.block = r.block AND l.block_val = r.block_val AND l.id < r.id
+    WHERE bit_count(xor(l.fp, r.fp)) <= {max_hamming}"""
 
 
 @workload(
@@ -52,8 +159,11 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "dedup_minhash_pairs",
-    None,  # xxhash64 hash family not reproducible in DuckDB → rows-only
-    doc="MinHash(16)+LSH(8 bands) near-dup pairs verified at Jaccard>=0.7.",
+    _minhash_pairs_sql(),
+    doc="MinHash(16)+LSH(8 bands) near-dup pairs verified at Jaccard>=0.7. "
+    "Oracle-checked END-TO-END: signatures, bands, candidate set, and "
+    "verified pairs are all recomputed by DuckDB from the same "
+    "cross-engine hash family (operators/xhash.py).",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
@@ -64,8 +174,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "dedup_minhash_survivors",
-    None,
-    doc="Docs surviving MinHash near-dedup (drop near-dup of smaller id).",
+    f"""
+    WITH pairs AS ({_minhash_pairs_sql()})
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    """,
+    doc="Docs surviving MinHash near-dedup (drop near-dup of smaller id); "
+    "oracle = anti-join against the full DuckDB-recomputed pair set.",
 )
 def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
@@ -74,8 +189,9 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "dedup_simhash_pairs",
-    None,
-    doc="SimHash64 near-dup pairs (hamming<=3) via pigeonhole block join.",
+    _simhash_pairs_sql(),
+    doc="SimHash(60-bit) near-dup pairs (hamming<=3) via pigeonhole block "
+    "join; fingerprints, blocks, and pairs recomputed by the DuckDB oracle.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
