@@ -187,6 +187,93 @@ def lsh_topk(
     )
 
 
+def rademacher_bucket(vec_int: Column, signs: list[list[int]]) -> Column:
+    """LSH bucket id from ±1-plane sign projections of an int vector.
+
+    Each plane's projection is a literal ±element_at sum — a flat codegen
+    expression over the materialized quantized array, no higher-order
+    fold — and exact integer arithmetic, so the bucket id is
+    engine-reproducible (signs from :func:`xhash.rademacher_signs`).
+    """
+    bucket = F.lit(0).cast("long")
+    for p, row in enumerate(signs):
+        proj = None
+        for j, s in enumerate(row):
+            term = F.element_at(vec_int, j + 1)
+            term = term if s > 0 else -term
+            proj = term if proj is None else proj + term
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bucket
+
+
+def lsh_topk_int(
+    corpus: DataFrame,
+    k: int = 10,
+    n_queries: int = 5,
+    dim: int = 64,
+    num_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection LSH top-k, fully oracle-checkable.
+
+    Same bucket/multiprobe/re-rank shape as :func:`lsh_topk`, but planes
+    are Rademacher ±1 vectors over integer-quantized embeddings
+    (xhash.rademacher_signs), so buckets, candidate sets, and the exact
+    integer-cosine re-rank are bit-identical in any engine. The corpus
+    is sketched map-only and joined on the 8-byte bucket key against the
+    broadcast probe set (bucket + all 1-bit flips) — scan per query is
+    the expected bucket load, not the corpus.
+    """
+    from .xhash import rademacher_signs
+
+    signs = rademacher_signs("lsh-plane", num_planes, dim)
+    cq = corpus.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("cvec")
+    )
+    c = cq.withColumn("bucket", rademacher_bucket(F.col("cvec"), signs))
+    q = cq.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("cvec").alias("qvec")
+    )
+    q = q.withColumn("qbucket", rademacher_bucket(F.col("qvec"), signs))
+    probes = q.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                    for p in range(num_planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(probes), on="bucket").select(
+        "query_id",
+        "vec_id",
+        (
+            int_dot(F.col("cvec"), F.col("qvec")).cast("double")
+            / (
+                F.sqrt(int_dot(F.col("cvec"), F.col("cvec")).cast("double"))
+                * F.sqrt(int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
+            )
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rnk")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -92,3 +92,25 @@ def mix60_sql(expr: str, a: int, b: int, c: int) -> str:
         f"+ ({b}::BIGINT * ({expr} & {MASK30})) % {P61} "
         f"+ {c}) % {P61})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rademacher (±1) plane coefficients for sign-random-projection LSH
+# ---------------------------------------------------------------------------
+def rademacher_signs(tag: str, num_planes: int, dim: int) -> list[list[int]]:
+    """±1 hyperplane coefficients from md5 parity.
+
+    Sign-random-projection LSH needs only the SIGN of a random projection;
+    Rademacher (±1) entries give the same cosine-LSH guarantee as Gaussian
+    planes (Achlioptas-style sparse projections) while keeping every
+    projection an exact INTEGER sum over quantized vectors — so bucket
+    ids are bit-identical across engines, partitionings, and reruns, and
+    the DuckDB oracle can recompute them.
+    """
+    return [
+        [
+            1 if hashlib.md5(f"etl-xhash:{tag}:{p}:{j}".encode()).digest()[0] & 1 else -1
+            for j in range(dim)
+        ]
+        for p in range(num_planes)
+    ]

@@ -1,11 +1,15 @@
 """Similarity-search workloads over the embeddings table.
 
-Cross-engine float strategy: the oracle-checked variant quantizes each
-component to round(x * 1e6) as bigint BEFORE the dot product — integer
-arithmetic is exact and associative, so Spark and DuckDB produce
-bit-identical cosine doubles (one final IEEE division of equal integers).
-The float-path brute force and the LSH variant are rows-only / bench
-surface."""
+Cross-engine float strategy: integer-quantize each component to
+floor(x*1e6+0.5) as bigint BEFORE the dot product — integer arithmetic
+is exact and associative, so Spark and DuckDB produce bit-identical
+cosine doubles (one final IEEE division of equal integers). LSH buckets
+use Rademacher ±1 sign projections over the same quantized vectors
+(operators/xhash.py), so bucketing is engine-reproducible too. Even the
+float PATH is oracle-checked: both engines fold array doubles strictly
+left-to-right, so an identical IEEE op sequence yields identical
+doubles (cosine_float_topk pins this). EVERY workload in this module
+carries a full DuckDB oracle — none are rows-only."""
 
 from __future__ import annotations
 
@@ -78,34 +82,172 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk_int(e, k=TOP_K, n_queries=N_QUERIES)
 
 
+LSH_PLANES = 6
+
+
+def _lsh_oracle_sql() -> str:
+    from ..operators.xhash import rademacher_signs
+
+    signs = rademacher_signs("lsh-plane", LSH_PLANES, 64)
+    projs = []
+    for row in signs:
+        terms = " ".join(
+            ("+ " if s > 0 else "- ") + f"v[{j + 1}]" for j, s in enumerate(row)
+        )
+        projs.append(f"(0 {terms})")
+    bucket = " | ".join(
+        f"(CASE WHEN {proj} > 0 THEN (1::BIGINT << {p}) ELSE 0::BIGINT END)"
+        for p, proj in enumerate(projs)
+    )
+    probe_flips = "\n      UNION ALL\n      ".join(
+        f"SELECT query_id, qvec, xor(qbucket, {1 << p}) AS bucket FROM q"
+        for p in range(LSH_PLANES)
+    )
+    return f"""
+    WITH cq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS v
+      FROM embeddings
+    ),
+    buckets AS (SELECT vec_id, v, ({bucket}) AS bucket FROM cq),
+    q AS (
+      SELECT vec_id AS query_id, v AS qvec, bucket AS qbucket
+      FROM buckets WHERE vec_id < {N_QUERIES}
+    ),
+    probes AS (
+      SELECT query_id, qvec, qbucket AS bucket FROM q
+      UNION ALL
+      {probe_flips}
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             cast(list_sum([c.v[i+1] * p.qvec[i+1] for i in range(len(c.v))]) as double)
+             / (sqrt(cast(list_sum([c.v[i+1] * c.v[i+1] for i in range(len(c.v))]) as double))
+                * sqrt(cast(list_sum([p.qvec[i+1] * p.qvec[i+1] for i in range(len(p.qvec))]) as double)))
+               AS cosine_sim
+      FROM buckets c JOIN probes p ON c.bucket = p.bucket
+    )
+    SELECT query_id, vec_id, cosine_sim, rnk FROM (
+      SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= {TOP_K}"""
+
+
 @workload(
     "ann_lsh_topk",
-    None,  # xxhash64-derived hyperplanes not reproducible in DuckDB
-    doc="LSH-bucketed ANN top-10 (random-hyperplane sketch + multiprobe), "
-    "the 100TB-scale path; recall measured against brute force in tests.",
+    _lsh_oracle_sql(),
+    doc="LSH-bucketed ANN top-10: Rademacher ±1 sign-projection sketch "
+    "over integer-quantized vectors + 1-bit multiprobe + exact integer "
+    "cosine re-rank. Buckets, candidates, and ranks are recomputed "
+    "bit-for-bit by the DuckDB oracle; the float-hyperplane variant "
+    "(lsh_topk) stays as the API for externally-trained planes.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_topk_int
+
     e = load_tables(spark, sf_dir)["embeddings"]
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    return lsh_topk_int(e, k=TOP_K, n_queries=N_QUERIES, dim=64, num_planes=LSH_PLANES)
+
+
+def _near_dup_oracle_sql(threshold: float = 0.3) -> str:
+    from ..operators.xhash import rademacher_signs
+
+    signs = rademacher_signs("lsh-plane", LSH_PLANES, 64)
+    projs = []
+    for row in signs:
+        terms = " ".join(
+            ("+ " if s > 0 else "- ") + f"v[{j + 1}]" for j, s in enumerate(row)
+        )
+        projs.append(f"(0 {terms})")
+    bucket = " | ".join(
+        f"(CASE WHEN {proj} > 0 THEN (1::BIGINT << {p}) ELSE 0::BIGINT END)"
+        for p, proj in enumerate(projs)
     )
-    return lsh_topk(e, q, k=TOP_K, dim=64)
+    cos = (
+        "cast(list_sum([a.v[i+1] * b.v[i+1] for i in range(len(a.v))]) as double)"
+        " / (sqrt(cast(list_sum([a.v[i+1] * a.v[i+1] for i in range(len(a.v))]) as double))"
+        " * sqrt(cast(list_sum([b.v[i+1] * b.v[i+1] for i in range(len(b.v))]) as double)))"
+    )
+    return f"""
+    WITH cq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS v
+      FROM embeddings
+    ),
+    buckets AS (SELECT vec_id, v, ({bucket}) AS bucket FROM cq)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({cos}, 6) AS cosine_sim
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}"""
 
 
 @workload(
     "embedding_near_dup",
-    None,
-    doc="Embedding-cosine near-dup pairs (>=0.95) via LSH bucket self-join.",
+    _near_dup_oracle_sql(),
+    doc="Embedding-cosine near-dup pairs (>=0.3) via Rademacher-LSH "
+    "bucket self-join + exact integer-cosine verify; buckets and pairs "
+    "recomputed bit-for-bit by the DuckDB oracle.",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import int_dot, quantize, rademacher_bucket
+    from ..operators.xhash import rademacher_signs
+
     e = load_tables(spark, sf_dir)["embeddings"]
-    return embedding_near_dup_pairs(e, threshold=0.95, dim=64)
+    signs = rademacher_signs("lsh-plane", LSH_PLANES, 64)
+    c = e.select("vec_id", quantize(F.col("embedding")).alias("v")).withColumn(
+        "bucket", rademacher_bucket(F.col("v"), signs)
+    )
+    a, b = c.alias("a"), c.alias("b")
+    cos = int_dot(F.col("a.v"), F.col("b.v")).cast("double") / (
+        F.sqrt(int_dot(F.col("a.v"), F.col("a.v")).cast("double"))
+        * F.sqrt(int_dot(F.col("b.v"), F.col("b.v")).cast("double"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+    )
 
 
 @workload(
     "cosine_float_topk",
-    None,  # float fold order: Spark-deterministic, engine-divergent
-    doc="Float-path brute-force cosine top-k (the bench variant).",
+    f"""
+    WITH c AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> cast(x as double)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_sum([c.v[i+1] * q.qv[i+1] for i in range(len(c.v))])
+             / (sqrt(list_sum([c.v[i+1] * c.v[i+1] for i in range(len(c.v))]))
+                * sqrt(list_sum([q.qv[i+1] * q.qv[i+1] for i in range(len(q.qv))])))
+               AS cs
+      FROM c CROSS JOIN q
+    )
+    SELECT query_id, vec_id, round(cs, 6) AS cosine_sim, rnk FROM (
+      SELECT query_id, vec_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, vec_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= {TOP_K}
+    """,
+    doc="Float-path brute-force cosine top-k. Oracle-checkable after all: "
+    "both engines fold array doubles LEFT-TO-RIGHT (verified bit-identical "
+    "sums), so the same IEEE op sequence yields the same doubles; ranking "
+    "uses the unrounded value in both, rounding only on output.",
 )
 def cosine_float_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["embeddings"]
@@ -132,7 +274,7 @@ def cosine_float_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE cast(list_sum([a.v[i+1] * b.v[i+1] for i in range(len(a.v))]) as double)
           / (sqrt(cast(list_sum([a.v[i+1] * a.v[i+1] for i in range(len(a.v))]) as double))
              * sqrt(cast(list_sum([b.v[i+1] * b.v[i+1] for i in range(len(b.v))]) as double)))
-          >= 0.6
+          >= 0.35
     """,
     doc="Embedding near-dup pairs within label blocks — the exact "
     "verification kernel of embedding dedup, integer-quantized so both "
@@ -155,7 +297,7 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos >= 0.6)
+        .filter(cos >= 0.35)
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
