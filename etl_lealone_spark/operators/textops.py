@@ -200,3 +200,82 @@ def fingerprint(col: Column, prefix_chars: int = 64) -> Column:
             F.floor(F.length(normalized) / 32).cast("int").cast("string"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# data-mixture rebalancing — compute per-group sampling weights FROM the
+# corpus (vs hash_sample's caller-supplied rates), then resample
+# ---------------------------------------------------------------------------
+def mixing_weights(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(grp, group_tokens, n_docs, weight): per-group sampling weight that
+    equalizes the TOKEN budget across groups.
+
+    ``w_g = min(1, (T/G) / t_g)`` — each group is down-sampled toward the
+    uniform share T/G of the total token budget T over G groups (groups
+    under budget keep weight 1). This is the mixture-rebalancing step of a
+    training-data pipeline (cf. DoReMi-style domain reweighting, arXiv
+    2305.10429, with a uniform target): two shuffles (group agg + scalar
+    total), both over |G| rows, regardless of corpus size.
+
+    Cross-engine exact: token counts and sums are integers; the weight is
+    one left-associative double division chain, identical IEEE ops in any
+    engine, rounded at 6dp on output only.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"), token_count(F.col(text_col)).alias("t")
+    )
+    g = toks.groupBy("grp").agg(
+        F.sum("t").cast("bigint").alias("group_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = g.agg(
+        F.sum("group_tokens").cast("bigint").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "group_tokens",
+        "n_docs",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("tot_tokens").cast("double")
+                / F.col("n_groups")
+                / F.col("group_tokens"),
+            ),
+            6,
+        ).alias("weight"),
+    )
+
+
+def mix_resample(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs surviving token-budget rebalancing: keep a doc iff its md5
+    bucket falls under its group's :func:`mixing_weights` weight.
+
+    The weight table (|G| rows) broadcasts; selection is the same
+    reproducible md5-bucket trick as :func:`hash_sample`, with the float
+    weight converted to an INTEGER threshold (floor(w*1e6+0.5)) so the
+    comparison itself is integer-exact in every engine. Map-only over the
+    corpus — at 100 TB the only non-map work is the tiny group aggregate.
+    """
+    w = mixing_weights(df, group_col, text_col)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000000
+    )
+    thresh = F.floor(F.col("weight") * 1000000.0 + 0.5).cast("bigint")
+    return (
+        df.join(F.broadcast(w), df[group_col] == w["grp"])
+        .filter(bucket < thresh)
+        .select(df[id_col], df[group_col])
+    )

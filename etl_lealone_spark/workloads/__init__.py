@@ -62,20 +62,21 @@ _PRIORITY: tuple[str, ...] = (
     # LLM-pipeline: similarity / ANN / embedding prep
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_near_dup_blocked", "cosine_float_topk",
-    "embedding_l2_normalize", "embedding_quantize_int8",
+    "embedding_quantize_int8",
     # LLM-pipeline: text analysis + corpus hygiene
     "text_token_count", "text_language_id", "text_quality_score",
     "text_fingerprint", "text_quality_filter", "sample_hash_stratified",
     "text_repetition_signals", "pii_redaction", "url_extract_normalize",
     "chunk_token_windows", "decontaminate_ngrams",
+    "mix_sampling_weights", "mix_resample",
     # LLM-pipeline: ranking / vocabulary / packing
     "bm25_topk", "vocab_top_terms", "pack_sequence_bins",
     # DML kernels (update_with_limit drops to the pass-local tail — the
     # UPDATE family stays represented by update_projection)
     "update_projection", "delete_filter",
     "merge_upsert", "merge_ansi",
-    # Recursive CTEs
-    "recursive_series", "recursive_tree_depth",
+    # Recursive CTEs (recursive_series -> tail; family stays represented)
+    "recursive_tree_depth",
     # Scalar-function batteries
     "string_functions", "date_functions", "math_functions",
     "cast_conversion", "array_functions",

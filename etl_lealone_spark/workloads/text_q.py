@@ -240,3 +240,63 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(d, rates={"en": 0.05}, default_rate=0.2).select(
         "doc_id", "lang"
     )
+
+
+_MIX_WEIGHTS_SQL = """
+    WITH toks AS (
+      SELECT lang AS grp,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE cast(len(string_split_regex(trim(text), '[ \\t\\n]+')) as int)
+             END AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT grp, cast(sum(t) AS BIGINT) AS group_tokens,
+             count(*) AS n_docs
+      FROM toks GROUP BY grp
+    ),
+    tot AS (
+      SELECT cast(sum(group_tokens) AS BIGINT) AS tot_tokens,
+             count(*) AS n_groups
+      FROM g
+    )
+    SELECT grp, group_tokens, n_docs,
+           round(least(1.0, cast(tot_tokens as double) / n_groups / group_tokens), 6)
+             AS weight
+    FROM g CROSS JOIN tot"""
+
+
+@workload(
+    "mix_sampling_weights",
+    _MIX_WEIGHTS_SQL,
+    doc="Token-budget mixture rebalancing: per-language sampling weight "
+    "min(1, (T/G)/t_g) equalizing token share across groups (DoReMi-style "
+    "domain reweighting with a uniform target). Aggregates are exact "
+    "integers; the weight is one deterministic IEEE division chain.",
+)
+def mix_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import mixing_weights
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return mixing_weights(d)
+
+
+@workload(
+    "mix_resample",
+    f"""
+    WITH weights AS ({_MIX_WEIGHTS_SQL})
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN weights w ON d.lang = w.grp
+    WHERE ('0x' || substr(md5(cast(d.doc_id AS varchar)), 1, 8))::BIGINT % 1000000
+          < cast(floor(weight * 1000000.0 + 0.5) as bigint)
+    """,
+    doc="Corpus resampled to the computed mixture weights: md5-bucket "
+    "selection against an integer threshold — reproducible across runs, "
+    "engines, and partitionings; map-only over the corpus with a "
+    "broadcast |groups|-row weight table.",
+)
+def mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import mix_resample as _mix_resample
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return _mix_resample(d)

@@ -94,3 +94,27 @@ def test_hash_sample_deterministic_and_stratified(spark, tables):
     # rates land near 5% / 20% (md5 buckets are uniform)
     assert en_kept / max(n_en, 1) < 0.12
     assert 0.1 < other_kept / max(n - n_en, 1) < 0.3
+
+
+def test_mixing_weights_equalize_token_budget(spark):
+    from etl_lealone_spark.operators.textops import mix_resample, mixing_weights
+
+    df = spark.createDataFrame(
+        [(i, "big", "w " * 200) for i in range(40)]
+        + [(100 + i, "small", "w " * 10) for i in range(4)],
+        "doc_id long, lang string, text string",
+    )
+    w = {r["grp"]: r for r in mixing_weights(df).collect()}
+    # total = 40*200 + 4*10 = 8040 tokens over 2 groups -> share 4020
+    assert w["small"]["weight"] == 1.0  # under budget: never up-sampled
+    assert abs(w["big"]["weight"] - 4020 / 8000) < 1e-6
+    assert w["big"]["group_tokens"] == 8000 and w["big"]["n_docs"] == 40
+
+    kept = mix_resample(df).collect()
+    kept_ids = {r["doc_id"] for r in kept}
+    # deterministic: same input -> same sample
+    assert kept_ids == {r["doc_id"] for r in mix_resample(df).collect()}
+    # the small group survives whole; the big group is down-sampled
+    assert all(100 + i in kept_ids for i in range(4))
+    n_big = sum(1 for i in kept_ids if i < 100)
+    assert 0 < n_big < 40
