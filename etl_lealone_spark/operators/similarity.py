@@ -188,12 +188,10 @@ def lsh_topk(
 
 
 def rademacher_bucket(vec_int: Column, signs: list[list[int]]) -> Column:
-    """LSH bucket id from ±1-plane sign projections of an int vector.
-
-    Each plane's projection is a literal ±element_at sum — a flat codegen
-    expression over the materialized quantized array, no higher-order
-    fold — and exact integer arithmetic, so the bucket id is
-    engine-reproducible (signs from :func:`xhash.rademacher_signs`).
+    """LSH bucket id from ±1-plane sign projections of an int vector
+    (expression form — prefer :func:`with_rademacher_bucket` for corpora:
+    a planes×dim literal sum makes whole-stage codegen compile a huge
+    class, which costs seconds per query before the first row flows).
     """
     bucket = F.lit(0).cast("long")
     for p, row in enumerate(signs):
@@ -208,6 +206,37 @@ def rademacher_bucket(vec_int: Column, signs: list[list[int]]) -> Column:
             )
         )
     return bucket
+
+
+def with_rademacher_bucket(
+    df: DataFrame, signs: list[list[int]], vec_col: str = "cvec", out_col: str = "bucket"
+) -> DataFrame:
+    """Append the sign-projection LSH bucket via one int64 matmul per
+    Arrow batch — bit-identical to :func:`rademacher_bucket` (projections
+    are exact int64 sums; only their signs feed the bucket), map-only,
+    and free of the wide-codegen compile cost of the expression form.
+    """
+    import numpy as np
+    import pandas as pd
+
+    S = np.asarray(signs, dtype=np.int64)  # (planes, dim)
+    weights = (np.int64(1) << np.arange(S.shape[0], dtype=np.int64))
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def sketch(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = _np_rows(pdf[vec_col])
+            buckets = ((C @ S.T) > 0).astype(np.int64) @ weights
+            out = pdf.copy()
+            out[out_col] = buckets
+            yield out
+
+    return df.mapInPandas(sketch, schema=f"{fields}, {out_col} long")
 
 
 def lsh_topk_int(
@@ -235,11 +264,15 @@ def lsh_topk_int(
     cq = corpus.select(
         F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("cvec")
     )
-    c = cq.withColumn("bucket", rademacher_bucket(F.col("cvec"), signs))
-    q = cq.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("cvec").alias("qvec")
+    c = with_rademacher_bucket(cq, signs)
+    q = with_rademacher_bucket(
+        cq.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("cvec").alias("qvec")
+        ),
+        signs,
+        vec_col="qvec",
+        out_col="qbucket",
     )
-    q = q.withColumn("qbucket", rademacher_bucket(F.col("qvec"), signs))
     probes = q.select(
         "query_id",
         "qvec",

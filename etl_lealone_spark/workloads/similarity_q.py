@@ -192,13 +192,13 @@ def _near_dup_oracle_sql(threshold: float = 0.3) -> str:
     "recomputed bit-for-bit by the DuckDB oracle.",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import int_dot, quantize, rademacher_bucket
+    from ..operators.similarity import int_dot, quantize, with_rademacher_bucket
     from ..operators.xhash import rademacher_signs
 
     e = load_tables(spark, sf_dir)["embeddings"]
     signs = rademacher_signs("lsh-plane", LSH_PLANES, 64)
-    c = e.select("vec_id", quantize(F.col("embedding")).alias("v")).withColumn(
-        "bucket", rademacher_bucket(F.col("v"), signs)
+    c = with_rademacher_bucket(
+        e.select("vec_id", quantize(F.col("embedding")).alias("v")), signs, vec_col="v"
     )
     a, b = c.alias("a"), c.alias("b")
     cos = int_dot(F.col("a.v"), F.col("b.v")).cast("double") / (
