@@ -509,3 +509,41 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def canonical_per_cluster(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "n_chars",
+) -> DataFrame:
+    """(cluster_id, keep_id, n_members): canonical-document selection —
+    the step after clustering in a real dedup pipeline (keep the most
+    complete duplicate, not the lowest id).
+
+    Picks the member with the largest ``order_col`` (ties to the lower
+    id) per cluster. One shuffle on cluster_id; the window partitions by
+    a real key, and at 100 TB the join is a broadcast of the (tiny)
+    cluster table into the corpus scan when clusters << corpus.
+    """
+    from pyspark.sql.window import Window
+
+    member = clusters.join(
+        docs.select(F.col(id_col), F.col(order_col)), on=id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    return (
+        member.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("keep_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )

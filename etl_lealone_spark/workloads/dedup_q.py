@@ -259,3 +259,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
     pairs = ngram_jaccard_pairs_blocked(d, threshold=0.5)
     return connected_components(pairs)
+
+
+@workload(
+    "dedup_canonical",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+    ),
+    clusters AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+    member AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, keep_id, n_members FROM (
+      SELECT cluster_id, doc_id AS keep_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM member
+    ) t WHERE rn = 1
+    """,
+    doc="Canonical-document selection per near-dup cluster: keep the "
+    "longest member (ties to lower id) — the keep-best step real dedup "
+    "pipelines run after clustering, instead of min-id.",
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import canonical_per_cluster, connected_components
+
+    d = load_tables(spark, sf_dir)["documents"]
+    pairs = ngram_jaccard_pairs_blocked(d, threshold=0.5)
+    clusters = connected_components(pairs)
+    return canonical_per_cluster(clusters, d)

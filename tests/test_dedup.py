@@ -114,3 +114,66 @@ def test_connected_components_long_chain_converges(spark):
         for r in connected_components(pairs).collect()
     }
     assert set(got.values()) == {100} and len(got) == 12
+
+
+def test_xhash_cross_engine_pins(spark):
+    """Pin md5_hash60 + mix60 Spark-vs-DuckDB equality on edge values."""
+    import duckdb
+
+    from etl_lealone_spark.operators.xhash import (
+        MASK30,
+        P61,
+        hconsts,
+        md5_hash60,
+        md5_hash60_sql,
+        mix60,
+        mix60_sql,
+    )
+
+    texts = ["", "a", "hello world", "ünïcödé", "x" * 500]
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    a, b, c = hconsts("pin-test", 0)
+    got = df.select(
+        md5_hash60(F.col("s")).alias("h"),
+    ).collect()
+    spark_h = [r["h"] for r in got]
+    con = duckdb.connect()
+    vals = ", ".join("(" + repr(t) + ")" for t in texts)
+    duck_h = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {md5_hash60_sql('s')} FROM (VALUES {vals}) t(s)"
+        ).fetchall()
+    ]
+    assert spark_h == duck_h
+    # mix60 on the extremes of the 60-bit domain + the real hashes
+    edge = [0, 1, MASK30, MASK30 + 1, (1 << 60) - 1] + spark_h
+    mdf = spark.createDataFrame([(v,) for v in edge], "h long")
+    spark_m = [r["m"] for r in mdf.select(mix60(F.col("h"), a, b, c).alias("m")).collect()]
+    duck_m = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {mix60_sql('h', a, b, c)} FROM (VALUES "
+            + ", ".join(f"({v}::BIGINT)" for v in edge)
+            + ") t(h)"
+        ).fetchall()
+    ]
+    assert spark_m == duck_m
+    assert all(0 <= m < P61 for m in spark_m)
+
+
+def test_canonical_per_cluster_keeps_longest(spark):
+    from etl_lealone_spark.operators.dedup import canonical_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 80), (3, 80), (10, 5), (11, 9)],
+        "doc_id long, n_chars long",
+    )
+    got = {r["cluster_id"]: r for r in canonical_per_cluster(clusters, docs).collect()}
+    assert got[1]["keep_id"] == 2  # longest wins; tie (2,3) -> lower id
+    assert got[1]["n_members"] == 3
+    assert got[10]["keep_id"] == 11 and got[10]["n_members"] == 2
