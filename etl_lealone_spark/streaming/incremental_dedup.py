@@ -32,10 +32,24 @@ from ..operators.dedup import (
     word_shingles,
 )
 from ..operators.dml import SnapshotTable
+from ..operators.xhash import P61, hconsts, mix60
 
 
 def _bands_of(sig: DataFrame, num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    # same cross-engine band combine as the batch pipeline (xhash mix60):
+    # persisted band state stays valid across engine versions and reruns —
+    # an incremental dedup's state table outlives any single job
     rows_per_band = num_hashes // bands
+
+    def _band_hash(b: int):
+        acc = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            lane = b * rows_per_band + r
+            acc = (
+                acc + mix60(F.col(f"mh{lane}"), *hconsts("band-mix", lane))
+            ) % P61
+        return acc
+
     return sig.select(
         "id",
         F.explode(
@@ -43,12 +57,7 @@ def _bands_of(sig: DataFrame, num_hashes: int = 32, bands: int = 8) -> DataFrame
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"mh{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
+                        _band_hash(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
