@@ -188,6 +188,12 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.band_hash")
+    # EAGER checkpoint before the self-join: the join consumes the banded
+    # plan twice, and the signature subtree above it (shingle + md5 per
+    # shingle) is the expensive stage — materializing the compact
+    # (id, band, hash) table (24 bytes/row, bands rows/doc) halves the
+    # signature work at every scale
+    banded = banded.localCheckpoint(eager=True)
 
     left = banded.alias("l")
     right = banded.alias("r")
