@@ -39,25 +39,37 @@ def words(col: Column) -> Column:
     return F.split(normalized_text(col), " ")
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a text column, as an array<string>.
+def word_shingles_from(ws: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from a MATERIALIZED words-array column.
 
-    Documents shorter than k words contribute their full normalized text
-    as a single shingle so they still participate in dedup.
+    ``ws`` must be a plain column reference to an already-projected
+    :func:`words` array, not the split expression itself: an expression
+    referenced from inside a higher-order-function lambda is re-evaluated
+    on every element access, so inlining the regex split here costs one
+    split per shingle instead of one per document (measured ~10× the
+    whole stage). Documents shorter than k words contribute their full
+    normalized text (``concat_ws`` of the words — identical, since
+    normalization collapses whitespace) as a single shingle so they
+    still participate in dedup.
     """
-    ws = words(col)
-    return F.when(
-        F.size(ws) < k, F.array(normalized_text(col))
-    ).otherwise(
+    return F.when(F.size(ws) < k, F.array(F.concat_ws(" ", ws))).otherwise(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size(ws) - k),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(k)]
-                ),
+                lambda i: F.concat_ws(" ", F.slice(ws, i + 1, k)),
             )
         )
     )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Shingles straight from a text column (single-expression form).
+
+    Convenience wrapper for tests/small inputs; corpus-scale paths
+    project :func:`words` first and use :func:`word_shingles_from` so the
+    split is evaluated once per document (see that docstring).
+    """
+    return word_shingles_from(words(col), k)
 
 
 # ---------------------------------------------------------------------------
@@ -118,11 +130,15 @@ def minhash_signatures(
     no hash-aggregate state, and at 100 TB the signature stage pipelines
     straight into the band explode with no exchange in between.
     """
-    hs = _parallelize_for_compute(df, id_col).select(
-        F.col(id_col).alias("id"),
-        F.transform(word_shingles(F.col(text_col)), lambda s: md5_hash60(s)).alias(
-            "hs"
-        ),
+    hs = (
+        _parallelize_for_compute(df, id_col)
+        .select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("ws"))
+        .select(
+            "id",
+            F.transform(
+                word_shingles_from(F.col("ws")), lambda s: md5_hash60(s)
+            ).alias("hs"),
+        )
     )
     lanes = [
         F.array_min(
@@ -228,7 +244,8 @@ def minhash_lsh_pairs(
     sh = (
         df.join(F.broadcast(needed), F.col(id_col) == F.col("nid"), "left_semi")
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh"))
+        .select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("ws"))
+        .select("id", word_shingles_from(F.col("ws")).alias("sh"))
     )
     a, b = sh.alias("a"), sh.alias("b")
     paired = (
@@ -375,12 +392,20 @@ def ngram_jaccard_pairs_blocked(
     # repartition BEFORE the shingle projection: a single parquet split
     # would compute every shingle array serially in the scan task
     # (measured 12s vs <1s at sf0.1)
-    base = _parallelize_for_compute(df, id_col).select(
-        F.col(id_col).alias("id"),
-        block.alias("blk"),
-        F.transform(word_shingles(F.col(text_col)), lambda s: F.xxhash64(s)).alias(
-            "sh"
-        ),
+    base = (
+        _parallelize_for_compute(df, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            block.alias("blk"),
+            words(F.col(text_col)).alias("ws"),
+        )
+        .select(
+            "id",
+            "blk",
+            F.transform(
+                word_shingles_from(F.col("ws")), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        )
     )
     l, r = base.alias("l"), base.alias("r")
     inter = F.size(F.array_intersect("l.sh", "r.sh")).cast("double")

@@ -285,6 +285,164 @@ def decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# deterministic training-order sharding
+# ---------------------------------------------------------------------------
+
+
+def train_order_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Deterministic seeded global training order as (shard_id, pos).
+
+    A 100 TB corpus cannot be globally shuffled with one ORDER BY random()
+    — that is a single total sort with a non-reproducible key. The
+    standard layout is two-level: hash-assign every document to one of
+    ``n_shards`` shards with a seeded hash, then order within the shard
+    by an independent seeded hash. The training reader consumes shards
+    round-robin, which realizes a global permutation that is (a) fully
+    deterministic given ``seed``, (b) reproducible per-shard (a failed
+    shard re-derives identically), and (c) never SinglePartition — the
+    only wide op is one row_number window partitioned by shard.
+
+    Hashes come from the cross-engine md5 family (operators/xhash.py), so
+    the exact permutation is recomputable by the DuckDB oracle.
+    """
+    from .xhash import md5_hash60
+
+    sid = F.col(id_col).cast("string")
+    shard = (
+        md5_hash60(F.concat(F.lit(f"{seed}:shard:"), sid)) % n_shards
+    ).cast("int")
+    okey = F.md5(F.concat(F.lit(f"{seed}:order:"), sid))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard_id").orderBy("okey", id_col)
+    return (
+        df.select(F.col(id_col), shard.alias("shard_id"), okey.alias("okey"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard_id", "pos")
+    )
+
+
+def shard_balance_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Per-shard document and token totals for the seeded shard layout.
+
+    The balance check a sharded training run does before writing: token
+    mass per shard should be ~uniform (md5 buckets are). One map-side
+    hash + one groupBy on the shard id; token sums are exact integers so
+    the check is engine- and partitioning-independent.
+    """
+    from .xhash import md5_hash60
+
+    sid = F.col(id_col).cast("string")
+    shard = (
+        md5_hash60(F.concat(F.lit(f"{seed}:shard:"), sid)) % n_shards
+    ).cast("int")
+    return (
+        df.select(
+            shard.alias("shard_id"),
+            F.size(ws_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (Lee et al. 2021, word-level)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Maximal word-position spans covered by cross-document n-grams.
+
+    The word-level analogue of exact-substring deduplication
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2021): any ``n``-word run that also appears in another document
+    marks its positions as duplicated; overlapping/adjacent marked runs
+    merge into maximal spans per document. Downstream pipelines either
+    drop the spans or drop documents whose spans cover too much.
+
+    Emits (doc_id, span_start, span_len) with 0-based word positions.
+
+    Scale shape: suffix arrays don't distribute; the equivalent
+    hash-based plan does — explode to (doc, pos, gram-hash), ONE shuffle
+    on the 60-bit gram hash to find grams spanning ≥2 documents, ONE
+    shuffle back on the doc id, then a per-document interval-merge
+    window. The gram hash is the cross-engine md5 family
+    (operators/xhash.py), so span output is engine-exact.
+    """
+    from .dedup import words
+    from .xhash import md5_hash60
+
+    # Materialize the words array as a real column BEFORE the per-gram
+    # transform: referencing the split expression inside the lambda would
+    # re-run the regex split once per element access (measured 10x the
+    # whole operator's cost), while an attribute reference is free.
+    ws = F.col("ws")
+    grams = F.when(F.size(ws) < n, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: md5_hash60(F.concat_ws(" ", F.slice(ws, i + 1, n))),
+        )
+    )
+    g = (
+        df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("ws"))
+        .select("id", grams.alias("gs"))
+        .select("id", F.posexplode("gs").alias("pos", "gh"))
+    )
+    dup_grams = (
+        g.groupBy("gh")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    dup = g.join(dup_grams, "gh").select("id", "pos")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+    ).otherwise(0)
+    spans = (
+        dup.withColumn("island", F.sum(brk).over(w))
+        .groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+        )
+    )
+    return spans.select(
+        F.col("id").alias(id_col),
+        F.col("span_start").cast("int").alias("span_start"),
+        (F.col("span_end") - F.col("span_start") + 1)
+        .cast("int")
+        .alias("span_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # sequence packing
 # ---------------------------------------------------------------------------
 

@@ -787,3 +787,82 @@ def quantize_int8_scale(col: Column, decimals: int = 6) -> Column:
     qv = quantize(col)
     mx = F.array_max(F.transform(qv, lambda x: F.abs(x)))
     return F.round(mx.cast("double") / 1000000.0 / 127.0, decimals)
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style): blocked cosine pairs -> clusters -> keep-one
+# ---------------------------------------------------------------------------
+def blocked_cosine_pairs_int(
+    corpus: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-dup pairs within blocks, on integer-quantized
+    vectors (engine-exact; see :func:`quantize`).
+
+    The pair space is bounded by the blocking key — at 100 TB the block
+    is a coarse cluster id (IVF cell / LSH bucket), which is exactly the
+    SemDeDup recipe (Abbas et al. 2023): cluster with a cheap index, then
+    compare only within clusters. One shuffle on the block key.
+    """
+    q = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        quantize(F.col(vec_col)).alias("v"),
+    )
+    a, b = q.alias("a"), q.alias("b")
+    cos = (
+        int_dot(F.col("a.v"), F.col("b.v")).cast("double")
+        / (
+            F.sqrt(int_dot(F.col("a.v"), F.col("a.v")).cast("double"))
+            * F.sqrt(int_dot(F.col("b.v"), F.col("b.v")).cast("double"))
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(cos >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+    )
+
+
+def semantic_dedup_survivors(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: keep one document per
+    embedding-similarity cluster.
+
+    Pipeline: blocked exact-cosine pairs above ``threshold`` →
+    connected components (min-label propagation, operators/dedup.py) →
+    drop every cluster member except the minimum id. Returns the
+    surviving (id, block) rows — singletons pass through untouched via
+    an anti-join, so the corpus is never materialized driver-side.
+
+    Scale shape: one block-key shuffle for pairs, O(log diameter)
+    label-propagation rounds over the (tiny) pair graph, one broadcast
+    anti-join of losers against the corpus.
+    """
+    from .dedup import connected_components
+
+    pairs = blocked_cosine_pairs_int(
+        corpus, threshold, block_col=block_col, id_col=id_col, vec_col=vec_col
+    )
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("loser_id")
+    )
+    return corpus.join(
+        F.broadcast(losers),
+        corpus[id_col] == losers["loser_id"],
+        "left_anti",
+    ).select(id_col, block_col)

@@ -58,10 +58,10 @@ _PRIORITY: tuple[str, ...] = (
     # LLM-pipeline: dedup family
     "dedup_exact", "dedup_exact_normalized", "dedup_minhash_pairs",
     "dedup_minhash_survivors", "dedup_simhash_pairs", "ngram_jaccard_blocked",
-    "dedup_clusters",
+    "dedup_clusters", "dup_ngram_spans",
     # LLM-pipeline: similarity / ANN / embedding prep
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "embedding_near_dup_blocked", "cosine_float_topk",
+    "embedding_near_dup_blocked", "semantic_dedup_survivors",
     "embedding_quantize_int8",
     # LLM-pipeline: text analysis + corpus hygiene
     "text_token_count", "text_language_id", "text_quality_score",
@@ -69,23 +69,26 @@ _PRIORITY: tuple[str, ...] = (
     "text_repetition_signals", "pii_redaction", "url_extract_normalize",
     "chunk_token_windows", "decontaminate_ngrams",
     "mix_sampling_weights", "mix_resample",
-    # LLM-pipeline: ranking / vocabulary / packing
+    # LLM-pipeline: ranking / vocabulary / packing / training order
     "bm25_topk", "vocab_top_terms", "pack_sequence_bins",
-    # DML kernels (update_with_limit drops to the pass-local tail — the
-    # UPDATE family stays represented by update_projection)
-    "update_projection", "delete_filter",
+    "train_order_shards", "shard_balance_stats",
+    # DML kernels (update_with_limit / delete_filter drop to the
+    # pass-local tail — the family stays represented by
+    # update_projection + both MERGE kernels)
+    "update_projection",
     "merge_upsert", "merge_ansi",
     # Recursive CTEs (recursive_series -> tail; family stays represented)
     "recursive_tree_depth",
     # Scalar-function batteries
     "string_functions", "date_functions", "math_functions",
     "cast_conversion", "array_functions",
-    # JSON / arrays / percentiles (json_schema_projection → tail; JSON
-    # stays represented by json_extract_agg)
+    # JSON / arrays / percentiles (json_schema_projection +
+    # array_higher_order → tail; the families stay represented by
+    # json_extract_agg + the array_functions battery)
     "json_extract_agg", "percentile_agg",
-    "array_higher_order",
-    # Grouping / window extensions
-    "cube_agg", "grouping_sets_agg", "window_range_frame",
+    # Grouping / window extensions (grouping_sets_agg → tail; the
+    # family stays represented by cube_agg)
+    "cube_agg", "window_range_frame",
     "view_predicate_pushdown",
     # Multimodal + as-of
     "multimodal_metadata", "asof_join_events",

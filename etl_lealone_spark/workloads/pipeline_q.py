@@ -297,3 +297,113 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_int8(F.col("embedding")).alias("qvec"),
         quantize_int8_scale(F.col("embedding")).alias("scale_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-order sharding
+# ---------------------------------------------------------------------------
+_SHARD_SQL = (
+    "cast(('0x' || substr(md5('epoch0:shard:' || cast(doc_id as varchar)), 1, 15))"
+    "::BIGINT % 64 as int)"
+)
+
+
+@workload(
+    "train_order_shards",
+    f"""
+    WITH k AS (
+      SELECT doc_id,
+             {_SHARD_SQL} AS shard_id,
+             md5('epoch0:order:' || cast(doc_id as varchar)) AS okey
+      FROM documents
+    )
+    SELECT doc_id, shard_id,
+           cast(row_number() OVER (PARTITION BY shard_id
+                                   ORDER BY okey, doc_id) as bigint) AS pos
+    FROM k
+    """,
+    doc="Seeded two-level global shuffle for training order: md5 shard "
+    "assignment + independent md5 within-shard order — deterministic, "
+    "resumable, never SinglePartition.",
+)
+def train_order_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pipeline import train_order_shards
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return train_order_shards(d, n_shards=64, seed="epoch0")
+
+
+@workload(
+    "shard_balance_stats",
+    f"""
+    SELECT {_SHARD_SQL} AS shard_id,
+           count(*) AS n_docs,
+           sum(cast(len(string_split_regex(trim(text), '{_WS}')) as bigint))
+             AS n_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Per-shard doc/token totals for the seeded shard layout — the "
+    "balance check before writing training shards; exact integer sums.",
+)
+def shard_balance_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pipeline import shard_balance_stats
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return shard_balance_stats(d, n_shards=64, seed="epoch0")
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans
+# ---------------------------------------------------------------------------
+_NORM_WS_SQL = (
+    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+
+
+@workload(
+    "dup_ngram_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS id, {_NORM_WS_SQL} AS ws FROM documents
+    ),
+    g AS (
+      SELECT id, cast(i as int) AS pos,
+             ('0x' || substr(md5(array_to_string(ws[i+1:i+8], ' ')), 1, 15))::BIGINT
+               AS gh
+      FROM toks, unnest(range(0, greatest(len(ws) - 7, 0))) AS t(i)
+    ),
+    dup_grams AS (
+      SELECT gh FROM (SELECT gh, count(DISTINCT id) AS nd FROM g GROUP BY gh) x
+      WHERE nd >= 2
+    ),
+    dup AS (SELECT g.id, g.pos FROM g JOIN dup_grams USING (gh)),
+    isl AS (
+      SELECT id, pos,
+             CASE WHEN max(pos + 7) OVER w IS NULL
+                    OR pos > max(pos + 7) OVER w + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup
+      WINDOW w AS (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    grp AS (
+      SELECT id, pos,
+             sum(brk) OVER (PARTITION BY id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT id AS doc_id,
+           cast(min(pos) as int) AS span_start,
+           cast(max(pos) + 7 - min(pos) + 1 as int) AS span_len
+    FROM grp GROUP BY id, island
+    """,
+    doc="Word-level exact-substring dedup (Lee et al. 2021): maximal "
+    "spans covered by 8-grams occurring in >=2 documents; gram-hash "
+    "groupBy + per-doc interval merge, no suffix array, no pairwise stage.",
+)
+def dup_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pipeline import duplicated_ngram_spans
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return duplicated_ngram_spans(d, n=8)

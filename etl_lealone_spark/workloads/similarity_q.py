@@ -383,3 +383,47 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), _quantized(F.col("embedding")).alias("qvec")
     )
     return idx.topk(q, k=TOP_K, n_probe=4)
+
+
+@workload(
+    "semantic_dedup_survivors",
+    """
+    WITH RECURSIVE q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE cast(list_sum([a.v[i+1] * b.v[i+1] for i in range(len(a.v))]) as double)
+            / (sqrt(cast(list_sum([a.v[i+1] * a.v[i+1] for i in range(len(a.v))]) as double))
+               * sqrt(cast(list_sum([b.v[i+1] * b.v[i+1] for i in range(len(b.v))]) as double)))
+            >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+    ),
+    clusters AS (SELECT n AS id, min(m) AS cl FROM reach GROUP BY n),
+    losers AS (SELECT id FROM clusters WHERE id <> cl)
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT id FROM losers)
+    """,
+    doc="SemDeDup-style semantic dedup: blocked exact-cosine pairs "
+    "(>=0.3) over integer-quantized embeddings -> connected components "
+    "-> keep the minimum id per cluster; singletons pass through.",
+)
+def semantic_dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup_survivors
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return semantic_dedup_survivors(e, threshold=0.3)

@@ -181,3 +181,71 @@ def test_quantize_int8_roundtrip(spark):
     # dequantized values recover originals within one scale step
     for orig, code in zip([0.5, -1.0, 0.25, 0.0], r["q"]):
         assert abs(code * r["s"] - orig) <= r["s"] / 2 + 1e-9
+
+
+def test_train_order_shards_deterministic_permutation(spark):
+    from etl_lealone_spark.operators.pipeline import train_order_shards
+
+    d = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = train_order_shards(d, n_shards=8, seed="epoch0").collect()
+    assert len(out) == 200
+    # every doc appears once; pos is 1..count within each shard
+    assert sorted(r["doc_id"] for r in out) == list(range(200))
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic: same seed → same permutation; new seed → different
+    again = train_order_shards(d, n_shards=8, seed="epoch0").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    other = train_order_shards(d, n_shards=8, seed="epoch1").collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+
+
+def test_shard_balance_stats_totals(spark):
+    from etl_lealone_spark.operators.pipeline import shard_balance_stats
+
+    d = spark.createDataFrame(
+        [(i, "one two three") for i in range(64)], "doc_id long, text string"
+    )
+    out = shard_balance_stats(d, n_shards=4, seed="s").collect()
+    assert sum(r["n_docs"] for r in out) == 64
+    assert sum(r["n_tokens"] for r in out) == 64 * 3
+    assert {r["shard_id"] for r in out} <= set(range(4))
+
+
+def test_duplicated_ngram_spans_merges_intervals(spark):
+    from etl_lealone_spark.operators.pipeline import duplicated_ngram_spans
+
+    shared = "a b c d e f g h i j"  # 10 words → every 8-gram duplicated
+    rows = [
+        (1, shared + " unique tail one two three"),
+        (2, "prefix words here " + shared),
+        (3, "totally different text with no overlap at all whatsoever"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["span_start"], r["span_len"])
+           for r in duplicated_ngram_spans(d, n=8).collect()}
+    # doc1: positions 0..2 start dup 8-grams → covered words 0..9
+    assert out[1] == (0, 10)
+    # doc2: shared block starts at word 3 → covered words 3..12
+    assert out[2] == (3, 10)
+    assert 3 not in out
+
+
+def test_semantic_dedup_survivors_keeps_min_per_cluster(spark):
+    from etl_lealone_spark.operators.similarity import semantic_dedup_survivors
+
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0, 0.0]),
+        (2, 0, [0.99, 0.14, 0.0, 0.0]),   # near-dup of 1
+        (3, 0, [0.0, 1.0, 0.0, 0.0]),     # distinct direction
+        (4, 1, [1.0, 0.0, 0.0, 0.0]),     # same vector, different block → kept
+        (5, 1, [0.97, 0.24, 0.0, 0.0]),   # near-dup of 4 within block
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = sorted(r["vec_id"] for r in
+                 semantic_dedup_survivors(d, threshold=0.9).collect())
+    assert out == [1, 3, 4]
