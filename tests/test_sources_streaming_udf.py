@@ -395,3 +395,116 @@ def test_running_user_totals_stateful(spark, events_stream_dir, tables):
     joined = got.join(truth, "user_id")
     assert joined.filter("n <> count").count() == 0
     assert joined.count() == truth.count()
+
+
+def test_enrich_stream_static_join(spark, events_stream_dir, tables):
+    from etl_lealone_spark.streaming import enrich_stream
+
+    stream = stream_from_parquet_dir(spark, events_stream_dir)
+    dim = (
+        tables["events"]
+        .select("user_id")
+        .distinct()
+        .withColumn("user_tag", F.concat(F.lit("u"), F.col("user_id")))
+    )
+    _run_to_completion(
+        enrich_stream(stream, dim, on="user_id"), "stream_enriched"
+    )
+    out = spark.sql(
+        "SELECT count(*) AS n, count(user_tag) AS tagged FROM stream_enriched"
+    ).collect()[0]
+    assert out["n"] == tables["events"].count()
+    assert out["tagged"] == out["n"]  # every event matched its dimension row
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg: rows older than the watermark are
+    dropped, and a closed window's count excludes them."""
+    from pyspark.sql import Row
+
+    src = tmp_path / "late_in"
+    src.mkdir()
+
+    from etl_lealone_spark.streaming.ingest import EVENTS_SCHEMA as _SCHEMA
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            [Row(event_id=i, ts=ts, user_id=1, event_type="a", value=1.0,
+                 props="{}") for i, ts in rows],
+            _SCHEMA,
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    from datetime import datetime
+
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    agg = streaming_tumbling_agg(stream, window="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_agg")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # batch 1: two rows in the 10:00 window -> watermark to 09:30
+        write_file("f1", [(1, t(10, 0)), (2, t(10, 30))])
+        q.processAllAvailable()
+        # batch 2: a LATE row at 05:00 (far below watermark) -> dropped
+        write_file("f2", [(3, t(5, 0))])
+        q.processAllAvailable()
+        # batch 3: advance event time so the 10:00 window closes and emits
+        write_file("f3", [(4, t(13, 0))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r["window_start"]: r["n"]
+        for r in spark.sql("SELECT * FROM late_agg").collect()
+    }
+    assert rows.get(t(10)) == 2       # closed window: late row NOT counted
+    assert t(5) not in rows           # late row never forms a window
+
+
+def test_upsert_sink_foreachbatch(spark, tmp_path):
+    from etl_lealone_spark.operators.dml import SnapshotTable
+    from etl_lealone_spark.streaming import upsert_sink
+
+    from pyspark.sql import Row
+
+    tbl = SnapshotTable(spark, str(tmp_path / "tables"), "user_scores")
+    tbl.write(
+        spark.createDataFrame(
+            [Row(user_id=1, score=10), Row(user_id=2, score=20)],
+            "user_id long, score long",
+        )
+    )
+    src = tmp_path / "upsert_in"
+    src.mkdir()
+    schema = "user_id long, score long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = upsert_sink(
+        stream, tbl, keys=["user_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"), query_name="upsert_q",
+    )
+    try:
+        spark.createDataFrame(
+            [Row(user_id=2, score=25), Row(user_id=3, score=30)], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [Row(user_id=3, score=35)], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["user_id"]: r["score"] for r in tbl.read().collect()}
+    assert got == {1: 10, 2: 25, 3: 35}  # untouched, updated, upserted-twice
