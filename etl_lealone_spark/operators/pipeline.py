@@ -365,6 +365,47 @@ def shard_balance_stats(
 # ---------------------------------------------------------------------------
 
 
+def gram_hash_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """(id, pos, gh) — 60-bit cross-engine hash of every word n-gram.
+
+    The shared substrate of the positional-gram family (duplicated-span
+    detection, winnowing fingerprints). Two staged projections, each
+    materializing its array before the next lambda touches it: (1) the
+    words array before the per-gram slice (a split expression referenced
+    inside a lambda re-runs per element access), (2) the gram STRING
+    array before the md5 — fusing slice+hash into one lambda keeps the
+    whole chain out of codegen (measured ~55µs/gram fused vs ~1.5µs
+    staged, 30×). Map-only; ``pos`` is the 0-based word index.
+    """
+    from .dedup import words
+    from .xhash import md5_hash60
+
+    ws = F.col("ws")
+    gram_strs = F.when(F.size(ws) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+        )
+    )
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(nparts, id_col)
+        .select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("ws"))
+        .select("id", gram_strs.alias("gs"))
+        .select(
+            "id",
+            F.posexplode(
+                F.transform("gs", lambda s: md5_hash60(s))
+            ).alias("pos", "gh"),
+        )
+    )
+
+
 def duplicated_ngram_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -389,34 +430,7 @@ def duplicated_ngram_spans(
     window. The gram hash is the cross-engine md5 family
     (operators/xhash.py), so span output is engine-exact.
     """
-    from .dedup import words
-    from .xhash import md5_hash60
-
-    # Two staged projections, each materializing its array before the
-    # next lambda touches it: (1) the words array before the per-gram
-    # slice (a split expression referenced inside a lambda re-runs per
-    # element access), (2) the gram STRING array before the md5 — fusing
-    # slice+hash into one lambda keeps the whole chain out of codegen
-    # (measured ~55µs/gram fused vs ~1.5µs staged, 30×).
-    ws = F.col("ws")
-    gram_strs = F.when(F.size(ws) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - n),
-            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
-        )
-    )
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    g = (
-        df.repartition(nparts, id_col)
-        .select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("ws"))
-        .select("id", gram_strs.alias("gs"))
-        .select(
-            "id",
-            F.posexplode(
-                F.transform("gs", lambda s: md5_hash60(s))
-            ).alias("pos", "gh"),
-        )
-    )
+    g = gram_hash_frame(df, text_col=text_col, id_col=id_col, n=n)
     # consumed twice below (dup-gram agg + join back) — materialize the
     # compact (id, pos, gh) table so gram generation runs exactly once
     g = g.localCheckpoint(eager=True)
@@ -451,6 +465,82 @@ def duplicated_ngram_spans(
         (F.col("span_end") - F.col("span_start") + 1)
         .cast("int")
         .alias("span_len"),
+    )
+
+
+def dup_span_doc_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-token coverage from the span detector.
+
+    The drop-gate real span-dedup pipelines apply after
+    :func:`duplicated_ngram_spans`: documents whose duplicated spans
+    cover more than a threshold fraction are removed wholesale (cheaper
+    and safer than surgically cutting text). Emits every document with
+    (n_words, dup_tokens, dup_frac); filtering is the caller's one-line
+    predicate. One extra groupBy on the doc id + a broadcast-size join
+    against the (tiny) span table.
+    """
+    from .dedup import words
+
+    spans = duplicated_ngram_spans(df, text_col=text_col, id_col=id_col, n=n)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_len").cast("long").alias("dup_tokens")
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.size(words(F.col(text_col))).cast("long").alias("n_words"),
+    )
+    return toks.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_words",
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double")
+            / F.greatest(F.col("n_words"), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003).
+
+    Select the minimum gram hash of every ``w``-window over the
+    k-gram hash sequence, deduplicated — the MOSS guarantee: any shared
+    run of at least ``w + k - 1`` words between two documents yields at
+    least one shared fingerprint, while storing only ~2/(w+1) of the
+    grams. The standard robust fingerprinting step for plagiarism-style
+    overlap detection at corpus scale.
+
+    Emits distinct (doc_id, fp). Plan: map-only gram hashing, one
+    window (partitioned by doc — never SinglePartition) + one distinct;
+    the fingerprint table is the small artifact downstream overlap
+    joins run on. Hashes are the cross-engine md5 family, so the
+    fingerprint set is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    g = gram_hash_frame(df, text_col=text_col, id_col=id_col, n=k)
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    return (
+        g.select("id", "pos", F.min("gh").over(win).alias("fp"))
+        .filter(F.col("pos") >= w - 1)  # only full windows select
+        .select(F.col("id").alias(id_col), "fp")
+        .distinct()
     )
 
 

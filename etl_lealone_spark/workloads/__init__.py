@@ -55,10 +55,13 @@ def workload(name: str, oracle: Optional[str], doc: str = ""):
 # grouping extensions — ahead of the long tail of core-SQL variants (which
 # are individually cheap and were all driver-green in round 1).
 _PRIORITY: tuple[str, ...] = (
-    # LLM-pipeline: dedup family
-    "dedup_exact", "dedup_exact_normalized", "dedup_minhash_pairs",
-    "dedup_minhash_survivors", "dedup_simhash_pairs", "ngram_jaccard_blocked",
-    "dedup_clusters", "dup_ngram_spans",
+    # LLM-pipeline: dedup family (dedup_exact_normalized +
+    # dedup_minhash_survivors → tail; both are variants of in-window
+    # pipelines — exact and minhash_pairs stay)
+    "dedup_exact", "dedup_minhash_pairs",
+    "dedup_simhash_pairs", "ngram_jaccard_blocked",
+    "dedup_clusters", "dup_ngram_spans", "dup_span_doc_stats",
+    "winnow_fingerprints",
     # LLM-pipeline: similarity / ANN / embedding prep
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_near_dup_blocked", "semantic_dedup_survivors",

@@ -407,3 +407,88 @@ def dup_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"]
     return duplicated_ngram_spans(d, n=8)
+
+
+def _gram_cte(n: int) -> str:
+    """toks/g CTE body: (id, pos, gh) word n-gram hash table, matching
+    operators.pipeline.gram_hash_frame bit-for-bit."""
+    return f"""
+    toks AS (
+      SELECT doc_id AS id, {_NORM_WS_SQL} AS ws FROM documents
+    ),
+    g AS (
+      SELECT id, cast(i as int) AS pos,
+             ('0x' || substr(md5(array_to_string(ws[i+1:i+{n}], ' ')), 1, 15))::BIGINT
+               AS gh
+      FROM toks, unnest(range(0, greatest(len(ws) - {n - 1}, 0))) AS t(i)
+    )"""
+
+
+@workload(
+    "dup_span_doc_stats",
+    f"""
+    WITH {_gram_cte(8)},
+    dup_grams AS (
+      SELECT gh FROM (SELECT gh, count(DISTINCT id) AS nd FROM g GROUP BY gh) x
+      WHERE nd >= 2
+    ),
+    dup AS (SELECT g.id, g.pos FROM g JOIN dup_grams USING (gh)),
+    isl AS (
+      SELECT id, pos,
+             CASE WHEN max(pos + 7) OVER w IS NULL
+                    OR pos > max(pos + 7) OVER w + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup
+      WINDOW w AS (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    grp AS (
+      SELECT id, pos,
+             sum(brk) OVER (PARTITION BY id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT id, cast(max(pos) + 7 - min(pos) + 1 as bigint) AS span_len
+      FROM grp GROUP BY id, island
+    ),
+    per_doc AS (SELECT id, sum(span_len) AS dup_tokens FROM spans GROUP BY id)
+    SELECT t.id AS doc_id,
+           cast(len(t.ws) as bigint) AS n_words,
+           coalesce(p.dup_tokens, 0) AS dup_tokens,
+           round(cast(coalesce(p.dup_tokens, 0) as double)
+                 / cast(greatest(len(t.ws), 1) as double), 6) AS dup_frac
+    FROM toks t LEFT JOIN per_doc p USING (id)
+    """,
+    doc="Per-document duplicated-token coverage — the drop-gate applied "
+    "after exact-substring span detection (documents over a coverage "
+    "threshold are removed wholesale).",
+)
+def dup_span_doc_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pipeline import dup_span_doc_stats
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return dup_span_doc_stats(d, n=8)
+
+
+@workload(
+    "winnow_fingerprints",
+    f"""
+    WITH {_gram_cte(5)},
+    m AS (
+      SELECT id, pos,
+             min(gh) OVER (PARTITION BY id ORDER BY pos
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM g
+    )
+    SELECT DISTINCT id AS doc_id, fp FROM m WHERE pos >= 3
+    """,
+    doc="Winnowing fingerprints (Schleimer et al. 2003): min 5-gram hash "
+    "per 4-window, distinct — any shared run of >= 8 words between two "
+    "documents shares a fingerprint while storing ~2/(w+1) of the grams.",
+)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pipeline import winnow_fingerprints
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return winnow_fingerprints(d, k=5, w=4)

@@ -249,3 +249,39 @@ def test_semantic_dedup_survivors_keeps_min_per_cluster(spark):
     out = sorted(r["vec_id"] for r in
                  semantic_dedup_survivors(d, threshold=0.9).collect())
     assert out == [1, 3, 4]
+
+
+def test_dup_span_doc_stats_coverage(spark):
+    from etl_lealone_spark.operators.pipeline import dup_span_doc_stats
+
+    shared = "a b c d e f g h i j"  # 10 words
+    rows = [
+        (1, shared),                                   # fully covered
+        (2, "x y z " + shared + " p q r"),             # 10 of 16 covered
+        (3, "nothing here matches any other document at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_span_doc_stats(d, n=8).collect()}
+    assert out[1]["dup_tokens"] == 10 and out[1]["dup_frac"] == 1.0
+    assert out[2]["n_words"] == 16 and out[2]["dup_tokens"] == 10
+    assert abs(out[2]["dup_frac"] - 0.625) < 1e-9
+    assert out[3]["dup_tokens"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_winnow_fingerprints_shared_run_guarantee(spark):
+    from etl_lealone_spark.operators.pipeline import winnow_fingerprints
+
+    # docs share a run of w + k - 1 = 8 words -> must share a fingerprint
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, "one two three " + shared),
+        (2, shared + " four five six"),
+        (3, "entirely different words with no common runs anywhere at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fps: dict[int, set] = {1: set(), 2: set(), 3: set()}
+    for r in winnow_fingerprints(d, k=5, w=4).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2]          # MOSS guarantee
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
