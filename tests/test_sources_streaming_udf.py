@@ -508,3 +508,47 @@ def test_upsert_sink_foreachbatch(spark, tmp_path):
         q.stop()
     got = {r["user_id"]: r["score"] for r in tbl.read().collect()}
     assert got == {1: 10, 2: 25, 3: 35}  # untouched, updated, upserted-twice
+
+
+def test_jsonl_roundtrip(spark, tmp_path, tables):
+    from etl_lealone_spark.sources import jsonlread, jsonlwrite
+
+    d = tables["documents"].select("doc_id", "lang", "text").limit(100)
+    out = str(tmp_path / "docs_jsonl")
+    jsonlwrite(d, out)
+    back = jsonlread(
+        spark, out, schema="doc_id long, lang string, text string"
+    )
+    assert back.count() == 100
+    assert back.exceptAll(d).isEmpty() and d.exceptAll(back).isEmpty()
+
+
+def test_jsonl_corrupt_record_permissive(spark, tmp_path):
+    from etl_lealone_spark.sources import jsonlread
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"a": 1}\nNOT JSON\n{"a": 3}\n')
+    df = jsonlread(
+        spark, str(p), schema="a long, _corrupt_record string"
+    ).cache()
+    try:
+        assert df.count() == 3
+        assert df.filter("_corrupt_record IS NOT NULL").count() == 1
+        assert df.filter("a IS NOT NULL").count() == 2
+    finally:
+        df.unpersist()
+
+
+def test_orc_roundtrip(spark, tmp_path, tables):
+    """ORC source/sink: Spark-native columnar alternative to parquet —
+    pushdown + pruning come from the same data-source framework."""
+    d = tables["orders"].select("o_orderkey", "o_totalprice", "o_orderstatus")
+    out = str(tmp_path / "orders_orc")
+    d.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == d.count()
+    got = back.agg(F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("s")
+                   ).collect()[0]["s"]
+    want = d.agg(F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("s")
+                 ).collect()[0]["s"]
+    assert got == want
