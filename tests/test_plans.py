@@ -152,3 +152,39 @@ def test_bucketed_join_no_exchange(spark, tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_gram_ops_windows_partition_by_doc(spark, sf_dir, tables):
+    """The positional-gram family (span dedup, winnowing) must window
+    per document — a SinglePartition window would serialize the corpus."""
+    from etl_lealone_spark.operators.pipeline import (
+        duplicated_ngram_spans,
+        winnow_fingerprints,
+    )
+
+    for df in (
+        duplicated_ngram_spans(tables["documents"]),
+        winnow_fingerprints(tables["documents"]),
+    ):
+        s = explain_str(df)
+        assert "SinglePartition" not in s, s
+
+
+def test_train_order_shards_partitions_by_shard(spark, tables):
+    """The training-order permutation must be realized per shard: the
+    row_number window partitions on shard_id, never SinglePartition."""
+    from etl_lealone_spark.operators.pipeline import train_order_shards
+
+    df = train_order_shards(tables["documents"])
+    s = explain_str(df)
+    assert "SinglePartition" not in s, s
+    assert "shard_id" in s
+
+
+def test_semantic_dedup_loser_antijoin_broadcasts(spark, tables):
+    """The survivor anti-join must broadcast the (tiny) loser set so the
+    corpus is filtered in place during its scan."""
+    from etl_lealone_spark.operators.similarity import semantic_dedup_survivors
+
+    df = semantic_dedup_survivors(tables["embeddings"], threshold=0.3)
+    assert has_broadcast_hash_join(df)
