@@ -283,10 +283,35 @@ class SnapshotTable:
         return self._version >= 0
 
     # -- read / write ---------------------------------------------------
-    def read(self) -> DataFrame:
+    def read(self, version: Optional[int] = None) -> DataFrame:
+        """Read the latest snapshot, or a pinned one (time travel).
+
+        Every committed version remains readable until vacuumed —
+        ``read(version=n)`` is the AS-OF query the snapshot layout gives
+        for free (each version is a self-contained directory), the same
+        contract lakehouse table formats expose. Raises for unknown
+        versions so a typo cannot silently read the wrong data.
+        """
         if not self.exists():
             raise FileNotFoundError(f"table {self.name} has no snapshot")
-        return self.spark.read.parquet(self._dir(self._version))
+        v = self._version if version is None else version
+        if version is not None and version not in self.versions():
+            raise ValueError(
+                f"table {self.name} has no version {version} "
+                f"(available: {self.versions()})"
+            )
+        return self.spark.read.parquet(self._dir(v))
+
+    def versions(self) -> list[int]:
+        """All readable snapshot versions, oldest first."""
+        base = os.path.join(self.root, self.name)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(base)
+            if d.startswith("v") and d[1:].isdigit()
+        )
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> int:
         if mode == "append":

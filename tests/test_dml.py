@@ -276,3 +276,25 @@ def test_merge_ansi_matched_guard(spark, tmp_path):
     )
     got = {r["id"]: r["v"] for r in es.sql("SELECT * FROM mg").collect()}
     assert got == {1: 100, 2: 50, 3: 300}
+
+
+def test_snapshot_time_travel_read(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from etl_lealone_spark.operators.dml import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "tt")
+    t.write(spark.createDataFrame([Row(id=1, v=10)], "id long, v long"))
+    v0 = t.version
+    t.write(spark.createDataFrame([Row(id=1, v=99), Row(id=2, v=20)],
+                                  "id long, v long"))
+    assert t.versions() == [v0, t.version]
+    # AS OF the old version sees the pre-mutation rows
+    old = {r["id"]: r["v"] for r in t.read(version=v0).collect()}
+    new = {r["id"]: r["v"] for r in t.read().collect()}
+    assert old == {1: 10}
+    assert new == {1: 99, 2: 20}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read(version=999)
