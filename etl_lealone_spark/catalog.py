@@ -337,7 +337,32 @@ class StatementRouter:
         from .dialect import rewrite
 
         s = self._rewrite_info_schema(s)
+        s = self._rewrite_time_travel(s)
         return self.spark.sql(rewrite(s, session=self.session))
+
+    def _rewrite_time_travel(self, s: str) -> str:
+        """``FROM t VERSION AS OF n`` — AS-OF reads over snapshot tables.
+
+        Each pinned version registers a dedicated temp view over
+        ``SnapshotTable.read(version=n)`` (a self-contained parquet dir,
+        so the historical scan costs the same as a current one) and the
+        reference is rewritten to it. Unknown tables/versions raise via
+        the table/read lookups.
+        """
+        pat = re.compile(
+            r"\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)",
+            re.IGNORECASE,
+        )
+
+        def sub(m: "re.Match[str]") -> str:
+            name, ver = m.group(1).lower(), int(m.group(2))
+            view = f"{name}__asof_{ver}"
+            self.catalog.table(name).read(version=ver).createOrReplaceTempView(
+                view
+            )
+            return view
+
+        return pat.sub(sub, s)
 
     def _rewrite_info_schema(self, s: str) -> str:
         """Support the reference's dotted ``INFORMATION_SCHEMA.X`` table

@@ -298,3 +298,25 @@ def test_snapshot_time_travel_read(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.read(version=999)
+
+
+def test_sql_version_as_of(spark, tmp_path):
+    from etl_lealone_spark.session import EngineSession
+
+    es = EngineSession(spark, warehouse=str(tmp_path))
+    es.sql("CREATE TABLE h (id int PRIMARY KEY, v int)")
+    es.sql("INSERT INTO h VALUES (1, 10)")
+    v_before = es.catalog.table("h").version
+    es.sql("UPDATE h SET v = 99 WHERE id = 1")
+    es.sql("INSERT INTO h VALUES (2, 20)")
+    now = {r["id"]: r["v"] for r in es.sql("SELECT * FROM h").collect()}
+    old = {r["id"]: r["v"] for r in
+           es.sql(f"SELECT * FROM h VERSION AS OF {v_before}").collect()}
+    assert now == {1: 99, 2: 20}
+    assert old == {1: 10}
+    # joins between versions work (two different pinned views)
+    n = es.sql(
+        f"SELECT count(*) AS n FROM h a JOIN h VERSION AS OF {v_before} b "
+        "ON a.id = b.id"
+    ).collect()[0]["n"]
+    assert n == 1
