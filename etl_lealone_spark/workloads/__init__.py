@@ -95,6 +95,10 @@ _PRIORITY: tuple[str, ...] = (
     "view_predicate_pushdown",
     # Multimodal + as-of
     "multimodal_metadata", "asof_join_events",
+    # TPC-H-adapted whole-query suite representatives (the hardest
+    # shapes: 6-way local-supplier join, correlated-avg rewrite,
+    # EXISTS+NOT-EXISTS self-join) — the rest of q1-q22 sit in the tail
+    "tpch_q5", "tpch_q17", "tpch_q21",
     # Core-SQL representatives (one per §2 sub-family; join_inner_agg →
     # tail, joins stay represented by the harder join_seven_tables)
     "agg_groupby_having", "join_seven_tables",
@@ -122,6 +126,7 @@ def all_workloads() -> dict[str, Workload]:
     from . import text_q  # noqa: F401
     from . import pipeline_q  # noqa: F401
     from . import ranking_q  # noqa: F401
+    from . import tpch_q  # noqa: F401
 
     ordered: dict[str, Workload] = {}
     for name in _PRIORITY:
