@@ -1,0 +1,117 @@
+"""Approximate-aggregation sketches, cross-engine deterministic.
+
+At 100 TB, exact DISTINCT / quantiles over high-cardinality columns are
+shuffle-bound: every distinct value crosses the network once. The
+standard fix is a mergeable sketch. This module implements the two
+sketches whose *estimates themselves* are deterministic functions of the
+data — so the driver's DuckDB oracle can recompute them bit-for-bit,
+unlike engine-specific HLL registers (Spark's ``approx_count_distinct``
+HLL++ and DuckDB's ``approx_distinct`` disagree by construction; the
+native HLL stays available through the function registry and is
+tolerance-tested in pytest):
+
+- **KMV (k-minimum-values) distinct sketch** (Bar-Yossef et al. 2002,
+  the "theta sketch" bottom-k special case): hash every value with the
+  repo's cross-engine md5-based 60-bit family (operators/xhash.py), keep
+  the k smallest *distinct* hashes. The k-th smallest hash estimates the
+  distinct count as ``(k-1) / kth_normalized``. The sketch is a set →
+  union-mergeable across partitions, shards, and even engines; Spark
+  computes it as partial-distinct + ``TakeOrderedAndProject`` (a k-item
+  heap per partition, k rows shuffled — never the values themselves).
+- **Hash-threshold uniform sample** for quantile estimation: rows whose
+  key-hash lands under ``2^60 / rate`` form a deterministic 1/rate
+  sample (the same rows in every engine/run — unlike Bernoulli
+  ``TABLESAMPLE``); exact interpolated quantiles over the sample
+  approximate the population quantiles with the usual sqrt(n) error.
+
+Reference parity: the reference engine (single-node BTree) has neither
+surface — its COUNT(DISTINCT) materializes a ValueHashMap
+(Aggregate.java) and SELECTIVITY (Constants.java:SELECTIVITY_*) is its
+only cardinality estimate. These operators are the distributed-scale
+replacements (BASELINE.json extension family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .xhash import md5_hash60, md5_hash60_sql
+
+# Hash space is 60-bit: [0, 2^60).
+HSPACE = float(1 << 60)
+
+
+def kmv_hashes(df: DataFrame, col: Column, k: int, *, tag: str = "kmv") -> DataFrame:
+    """The KMV sketch itself: k smallest distinct 60-bit hashes of ``col``.
+
+    Plan shape at scale: map-side partial distinct on the 8-byte hash →
+    one shuffle of (near-)distinct hashes → ``sort.limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition k-heap, k rows to the driver
+    stage) — the full value set never concentrates anywhere.
+    """
+    return (
+        df.select(md5_hash60(col.cast("string")).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_estimate(df: DataFrame, col: Column, k: int, *, tag: str = "kmv") -> DataFrame:
+    """One-row distinct-count estimate from a k-minimum-values sketch.
+
+    Columns: ``n_sketch`` (hashes kept, = k unless the column has fewer
+    distinct values), ``kth_hash``, ``est_distinct``. When the sketch is
+    not full the estimate IS the exact distinct count.
+    """
+    sk = kmv_hashes(df, col, k, tag=tag)
+    return sk.agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("hv").alias("kth_hash"),
+    ).select(
+        "n_sketch",
+        "kth_hash",
+        F.when(
+            F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+        )
+        .otherwise(
+            (F.col("n_sketch") - 1).cast("double") / (F.col("kth_hash") / F.lit(HSPACE))
+        )
+        .alias("est_distinct"),
+    )
+
+
+def kmv_estimate_sql(table_expr: str, col_expr: str, k: int) -> str:
+    """DuckDB SQL recomputing :func:`kmv_estimate` bit-for-bit."""
+    return f"""
+    WITH sk AS (
+      SELECT DISTINCT {md5_hash60_sql(f"cast({col_expr} as varchar)")} AS hv
+      FROM {table_expr}
+      ORDER BY hv LIMIT {k}
+    )
+    SELECT count(*) AS n_sketch,
+           max(hv) AS kth_hash,
+           CASE WHEN count(*) < {k} THEN cast(count(*) as double)
+                ELSE cast(count(*) - 1 as double) / (max(hv) / {HSPACE!r})
+           END AS est_distinct
+    FROM sk
+    """
+
+
+def hash_sample(df: DataFrame, key: Column, rate: int, *, tag: str = "hs") -> DataFrame:
+    """Deterministic 1/``rate`` row sample: keep rows whose key hash falls
+    in the lowest 1/rate of the hash space.
+
+    Unlike ``df.sample()`` (seeded per-partition Bernoulli — different
+    rows under AQE re-partitioning, unreproducible across engines), the
+    kept set is a pure function of the data, so a resumed 100 TB job and
+    its oracle select the same rows. Map-only; no shuffle.
+    """
+    threshold = (1 << 60) // rate
+    return df.filter(md5_hash60(key.cast("string")) < threshold)
+
+
+def hash_sample_pred_sql(key_expr: str, rate: int) -> str:
+    threshold = (1 << 60) // rate
+    return f"{md5_hash60_sql(f'cast({key_expr} as varchar)')} < {threshold}"

@@ -1,0 +1,124 @@
+"""Approximate-aggregation workloads: KMV distinct sketches and
+hash-threshold sampling (operators/sketches.py).
+
+These are the distributed replacements for the reference's exact
+COUNT(DISTINCT) ValueHashMap (Aggregate.java) and SELECTIVITY estimate
+— mergeable sketches whose estimates are deterministic functions of the
+data, so the DuckDB oracle recomputes the *estimates themselves*, not
+just a tolerance band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.sketches import (
+    HSPACE,
+    hash_sample,
+    hash_sample_pred_sql,
+    kmv_estimate,
+    kmv_estimate_sql,
+)
+from ..operators.xhash import md5_hash60, md5_hash60_sql
+from ..tables import load_tables
+from . import workload
+
+
+# ---------------------------------------------------------------------------
+# Global KMV sketch: distinct event ids (sketch full → estimation path)
+# ---------------------------------------------------------------------------
+@workload(
+    "kmv_distinct_events",
+    kmv_estimate_sql("events", "event_id", 256),
+    doc="KMV (bottom-k theta) distinct-count sketch over a high-cardinality "
+    "key; k hashes shuffle instead of every distinct value.",
+)
+def kmv_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    return kmv_estimate(ev, F.col("event_id"), 256)
+
+
+# ---------------------------------------------------------------------------
+# Grouped KMV sketch: per-source distinct documents (k per group via a
+# bounded window — the grouped twin of the global sketch)
+# ---------------------------------------------------------------------------
+@workload(
+    "kmv_distinct_by_source",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT source,
+             {md5_hash60_sql('text')} AS hv
+      FROM documents
+    ),
+    rk AS (
+      SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+      FROM h
+    )
+    SELECT source,
+           count(*) AS n_sketch,
+           max(hv) AS kth_hash,
+           CASE WHEN count(*) < 16 THEN cast(count(*) as double)
+                ELSE cast(count(*) - 1 as double) / (max(hv) / {HSPACE!r})
+           END AS est_distinct
+    FROM rk WHERE rn <= 16
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Per-group KMV sketch (k=16 per source) via a rank-bounded window "
+    "— partitioned by the group key, never a single-partition sort.",
+)
+def kmv_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    k = 16
+    h = docs.select("source", md5_hash60(F.col("text")).alias("hv")).distinct()
+    w = Window.partitionBy("source").orderBy("hv")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("hv").alias("kth_hash"))
+        .select(
+            "source",
+            "n_sketch",
+            "kth_hash",
+            F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+            .otherwise(
+                (F.col("n_sketch") - 1).cast("double")
+                / (F.col("kth_hash") / F.lit(HSPACE))
+            )
+            .alias("est_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-threshold sample + quantiles over the sample
+# ---------------------------------------------------------------------------
+@workload(
+    "quantile_hash_sample",
+    f"""
+    SELECT count(*) AS n_sample,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.95) AS p95_price
+    FROM lineitem
+    WHERE {hash_sample_pred_sql(
+        "cast(l_orderkey as varchar) || '-' || cast(l_linenumber as varchar)", 16)}
+    """,
+    doc="Deterministic 1/16 hash-threshold sample (same rows in every "
+    "engine/run, unlike Bernoulli TABLESAMPLE) + exact interpolated "
+    "quantiles over the sample.",
+)
+def quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    return hash_sample(li, key, 16).agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95_price"),
+    )

@@ -1,0 +1,90 @@
+"""Sketch operators: estimate accuracy + scale plan pins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_lealone_spark.operators.sketches import (
+    hash_sample,
+    kmv_estimate,
+    kmv_hashes,
+)
+from etl_lealone_spark.plans import count_exchanges, explain_str, has_take_ordered
+
+
+def test_kmv_exact_when_sketch_not_full(spark, tables):
+    """Fewer distinct values than k → the sketch degrades to an exact
+    distinct count."""
+    ev = tables["events"]
+    row = kmv_estimate(ev, F.col("user_id"), 4096).collect()[0]
+    exact = ev.select("user_id").distinct().count()
+    assert row.n_sketch == exact
+    assert row.est_distinct == float(exact)
+
+
+def test_kmv_estimate_within_bound(spark, tables):
+    """Full sketch: KMV standard error is ~1/sqrt(k-1); assert a lax
+    4-sigma band so the test is deterministic-data-tight, not flaky."""
+    ev = tables["events"]
+    k = 256
+    exact = ev.select("event_id").distinct().count()
+    assert exact > k, "fixture must exercise the estimation path"
+    row = kmv_estimate(ev, F.col("event_id"), k).collect()[0]
+    rel = abs(row.est_distinct - exact) / exact
+    assert rel < 4.0 / (k - 1) ** 0.5, (row.est_distinct, exact, rel)
+
+
+def test_kmv_sketch_merge_is_union(spark, tables):
+    """Sketch mergeability: KMV(A ∪ B) == bottom-k of KMV(A) ∪ KMV(B) —
+    the property that lets 1000 executors sketch independently."""
+    ev = tables["events"]
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    k = 64
+    merged = (
+        kmv_hashes(a, F.col("event_id"), k)
+        .unionAll(kmv_hashes(b, F.col("event_id"), k))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+    direct = kmv_hashes(ev, F.col("event_id"), k)
+    assert [r.hv for r in merged.collect()] == [r.hv for r in direct.collect()]
+
+
+def test_kmv_topk_is_take_ordered(spark, tables):
+    """The bottom-k must compile to TakeOrderedAndProject (k-item heap
+    per partition), never a global sort of all distinct hashes."""
+    df = kmv_hashes(tables["events"], F.col("event_id"), 256)
+    assert has_take_ordered(df)
+
+
+def test_hash_sample_map_only(spark, tables):
+    """The deterministic sample is a filter — zero exchanges."""
+    li = tables["lineitem"]
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    df = hash_sample(li, key, 16)
+    assert count_exchanges(df) == 0
+
+
+def test_hash_sample_deterministic_and_sized(spark, tables):
+    li = tables["lineitem"]
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    n1 = hash_sample(li, key, 16).count()
+    n2 = hash_sample(li.repartition(13), key, 16).count()
+    assert n1 == n2, "sample must not depend on partitioning"
+    total = li.count()
+    assert 0.5 * total / 16 < n1 < 2.0 * total / 16
+
+
+def test_native_hll_within_tolerance(spark, tables):
+    """Spark's HLL++ stays available for pure-Spark pipelines; pin its
+    error band vs exact (rsd default 5% → lax 15% assert)."""
+    ev = tables["events"]
+    exact = ev.select("event_id").distinct().count()
+    approx = ev.agg(F.approx_count_distinct("event_id").alias("a")).collect()[0].a
+    assert abs(approx - exact) / exact < 0.15
