@@ -324,6 +324,7 @@ class StatementRouter:
             "COMMENT": self._comment,
             "BACKUP": self._backup,
             "SHOW": self._show,
+            "OPTIMIZE": self._optimize,
         }.get(head)
         if handler:
             result = handler(s)
@@ -1606,6 +1607,43 @@ class StatementRouter:
         base = path[:-4] if path.lower().endswith(".zip") else path
         out = shutil.make_archive(base, "zip", self.catalog.warehouse)
         return self._ok(f"backup written: {out}")
+
+    def _optimize(self, s: str) -> DataFrame:
+        """``OPTIMIZE <table> [ZORDER BY (c1, c2, …)]`` — data-layout
+        rewrite (extension; the reference's nearest concept is a BTree
+        clustered index, one sort order per table — CreateIndex.java).
+
+        Without ZORDER: small-file compaction — coalesce (no shuffle) to
+        ~1/8th of the current file count. With ZORDER: one range-shuffle
+        on the interleaved key (operators/layout.py) so every output file
+        covers a disjoint hyper-box of the clustered columns and parquet
+        footer stats prune on ALL of them.
+        """
+        m = re.match(
+            rf"OPTIMIZE\s+(?P<name>{_IDENT})"
+            rf"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse OPTIMIZE: {s[:80]}")
+        name = m.group("name").lower()
+        st = self.catalog.table(name)
+        df = st.read()
+        if m.group("cols"):
+            from .operators.layout import cluster_by_zorder
+
+            cols = [c.strip().lower() for c in m.group("cols").split(",")]
+            nparts = max(1, int(self.spark.conf.get("spark.sql.shuffle.partitions")))
+            df = cluster_by_zorder(df, cols, num_partitions=nparts)
+            st.write(df)
+            self.catalog.refresh_view(name)
+            return self._ok(f"optimized {name} zorder by ({', '.join(cols)})")
+        n_in = df.rdd.getNumPartitions()
+        df = df.coalesce(max(1, n_in // 8))
+        st.write(df)
+        self.catalog.refresh_view(name)
+        return self._ok(f"optimized {name} (compacted {n_in} files)")
 
     def _analyze(self, s: str) -> DataFrame:
         # ANALYZE → selectivity stats per column (Analyze.java semantics)
