@@ -9,9 +9,11 @@ sessionizer.
 from .incremental_dedup import IncrementalDeduper
 from .ingest import (
     enrich_stream,
+    join_streams_interval,
     running_user_totals,
     sessionize_stream,
     streaming_dedup,
+    streaming_sliding_agg,
     streaming_tumbling_agg,
     stream_from_parquet_dir,
     upsert_sink,
@@ -20,8 +22,10 @@ from .ingest import (
 __all__ = [
     "IncrementalDeduper",
     "enrich_stream",
+    "join_streams_interval",
     "running_user_totals",
     "stream_from_parquet_dir",
+    "streaming_sliding_agg",
     "streaming_tumbling_agg",
     "streaming_dedup",
     "sessionize_stream",

@@ -67,6 +67,80 @@ def streaming_tumbling_agg(
     )
 
 
+def streaming_sliding_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregate: each event contributes to
+    window/slide overlapping windows (here 4). State per (window ×
+    event_type) bucket, closed by the watermark like the tumbling twin —
+    the standard moving-average shape over an event stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def join_streams_interval(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` with an event-time interval
+    bound: a right-side event matches a left-side event it follows
+    within ``within``.
+
+    Both sides carry watermarks and the join condition bounds right.ts
+    relative to left.ts — together they let Spark expire buffered rows
+    from the state store once no future match is possible; an unbounded
+    stream-stream join would hold BOTH streams in state forever, which
+    is the scale failure this wrapper exists to prevent. Output columns:
+    key, l_event_id/l_ts, r_event_id/r_ts.
+    """
+    l = (
+        left.withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias("k"),
+            F.col("event_id").alias("l_event_id"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        right.withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias("r_k"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    cond = (
+        (F.col("k") == F.col("r_k"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return (
+        l.join(r, cond, "inner")
+        .select(F.col("k").alias(key), "l_event_id", "l_ts", "r_event_id", "r_ts")
+    )
+
+
 def streaming_dedup(
     docs: DataFrame,
     text_col: str = "text",

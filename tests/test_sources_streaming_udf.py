@@ -552,3 +552,73 @@ def test_orc_roundtrip(spark, tmp_path, tables):
     want = d.agg(F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("s")
                  ).collect()[0]["s"]
     assert got == want
+
+
+# --- sliding windows + stream-stream join -----------------------------------
+def test_streaming_sliding_agg_matches_batch(spark, events_stream_dir, tables):
+    """Sliding windows: the streaming result in complete mode must equal
+    the batch groupBy(window(slide)) twin bucket-for-bucket."""
+    from etl_lealone_spark.streaming import streaming_sliding_agg
+
+    stream = stream_from_parquet_dir(spark, events_stream_dir)
+    _run_to_completion(
+        streaming_sliding_agg(stream, window="1 hour", slide="30 minutes"),
+        "stream_sliding",
+        mode="complete",
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM stream_sliding").collect()
+    }
+    batch = (
+        tables["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("tv"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "tv")
+    )
+    want = {(r.ws, r.event_type): (r.n, r.tv) for r in batch.collect()}
+    assert got == want
+    # every event lands in window/slide = 2 overlapping windows
+    assert sum(n for (n, _) in got.values()) == 2 * tables["events"].count()
+
+
+def test_join_streams_interval_matches_batch(spark, sf_dir, tables, tmp_path):
+    """Stream-stream interval join processed as one micro-batch must
+    equal the identical batch join (no expiry inside a single batch)."""
+    from etl_lealone_spark.streaming import join_streams_interval
+    from etl_lealone_spark.streaming.ingest import EVENTS_SCHEMA
+    from etl_lealone_spark.tables import load_table
+
+    d = str(tmp_path / "ss_in")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    clicks_s = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+        .filter(F.col("event_type") == "click")
+    )
+    buys_s = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+        .filter(F.col("event_type") == "purchase")
+    )
+    _run_to_completion(
+        join_streams_interval(clicks_s, buys_s, within="30 minutes"),
+        "stream_ssjoin",
+    )
+    got = spark.sql("SELECT count(*) AS n FROM stream_ssjoin").collect()[0]["n"]
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("l_ts")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_k"), F.col("ts").alias("r_ts")
+    )
+    want = c.join(
+        b,
+        (F.col("k") == F.col("r_k"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).count()
+    assert got == want and got > 0
