@@ -52,6 +52,12 @@ HEADLINE = [
     "semantic_dedup_survivors",  # SemDeDup keep-one-per-cluster
     "events_sessionize",       # sessionization window
     "join_seven_tables",       # 7-table join graph
+    "tpch_q5",                 # TPC-H: 6-way local-supplier join
+    "tpch_q9",                 # TPC-H: profit rollup, 5-way join
+    "tpch_q18",                # TPC-H: big-order semi-join + top-100
+    "tpch_q21",                # TPC-H: EXISTS/NOT-EXISTS self-join
+    "kmv_distinct_events",     # KMV distinct sketch
+    "zorder_curve_keys",       # Z-order clustering key
 ]
 
 
