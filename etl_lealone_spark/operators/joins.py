@@ -146,3 +146,54 @@ def colocated_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     return spark.table(left_table).join(spark.table(right_table), keys, how)
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_days: int = 7,
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-interval range join without the O(n·m) nested loop.
+
+    A naive ``p BETWEEN s AND e`` predicate has no equi-key, so Spark
+    plans BroadcastNestedLoopJoin — every (point, interval) pair is
+    tested, which is quadratic and the classic range-join scale failure.
+    This operator manufactures the equi-key: time is cut into
+    ``bucket_days``-wide buckets; each interval explodes into the
+    buckets it spans (``sequence()``, interval_len/bucket_days rows);
+    each point maps to exactly ONE bucket, so the bucket equi-join finds
+    every candidate exactly once (no dedup needed) and the exact BETWEEN
+    runs as a post-join filter on candidates only.
+
+    Cost model: one shuffle on (bucket, *extra_keys); right-side blowup
+    = avg_interval_len / bucket_days (pick bucket_days ≈ median interval
+    length — blowup ≤ 2×). Timestamps are bucketed via ``datediff``
+    against a fixed epoch, which is legal on TIMESTAMP_NTZ (a direct
+    long cast is not).
+
+    The same shape with both sides interval-ized handles
+    interval-overlap joins; the as-of join (above) stays the better
+    plan when only the latest-before match is wanted.
+    """
+    epoch = F.lit("1990-01-01").cast("date")
+    pb = F.floor(F.datediff(F.col(point_col), epoch) / bucket_days)
+    sb = F.floor(F.datediff(F.col(start_col), epoch) / bucket_days)
+    eb = F.floor(F.datediff(F.col(end_col), epoch) / bucket_days)
+    keys = list(extra_keys)
+    p = points.withColumn("__bucket", pb.cast("long"))
+    i = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(sb.cast("long"), eb.cast("long")))
+    )
+    cond = [p["__bucket"] == i["__bucket"]] + [p[k] == i[k] for k in keys]
+    return (
+        p.join(i, cond)
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("__bucket")
+    )

@@ -129,6 +129,7 @@ def all_workloads() -> dict[str, Workload]:
     from . import tpch_q  # noqa: F401
     from . import sketch_q  # noqa: F401
     from . import layout_q  # noqa: F401
+    from . import range_q  # noqa: F401
 
     ordered: dict[str, Workload] = {}
     for name in _PRIORITY:

@@ -188,3 +188,40 @@ def test_semantic_dedup_loser_antijoin_broadcasts(spark, tables):
 
     df = semantic_dedup_survivors(tables["embeddings"], threshold=0.3)
     assert has_broadcast_hash_join(df)
+
+
+def test_range_join_no_nested_loop(spark, sf_dir):
+    """The bucketized range join must plan as an equi-join (hash/SMJ) on
+    the manufactured bucket key — never BroadcastNestedLoopJoin or
+    CartesianProduct, the O(n*m) plans a raw BETWEEN predicate yields."""
+    from etl_lealone_spark.workloads.range_q import range_join_events
+
+    s = explain_str(range_join_events(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_range_join_matches_naive(spark, tables):
+    """Bucketized candidates == naive theta join, on a small slice."""
+    from etl_lealone_spark.operators.joins import range_join_bucketed
+
+    intervals = (
+        tables["orders"].filter(F.col("o_totalprice") > 450000)
+        .select(
+            "o_orderkey", "o_orderdate",
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("end_ts"),
+        )
+    )
+    points = (
+        tables["lineitem"].filter(F.col("l_quantity") > 45)
+        .select("l_shipdate", "l_quantity")
+    )
+    fast = range_join_bucketed(
+        points, intervals, "l_shipdate", "o_orderdate", "end_ts", bucket_days=7
+    ).count()
+    naive = points.join(
+        intervals,
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.col("end_ts")),
+    ).count()
+    assert fast == naive and fast > 0
