@@ -828,3 +828,42 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_session").cast("bigint").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 extension: UNPIVOT (wide → long), the inverse of pivot_agg
+# ---------------------------------------------------------------------------
+@workload(
+    "unpivot_measures",
+    f"""
+    SELECT measure,
+           count(*) AS n,
+           {o_dsum('val', 4)} AS total
+    FROM (SELECT l_extendedprice, l_discount, l_tax
+          FROM lineitem WHERE l_orderkey < 1000)
+    UNPIVOT (val FOR measure IN (l_extendedprice, l_discount, l_tax))
+    GROUP BY measure
+    ORDER BY measure
+    """,
+    doc="UNPIVOT (melt): three measure columns into (measure, val) rows "
+    "+ per-measure aggregate — map-only reshape, no shuffle until "
+    "the agg.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(F.col("l_orderkey") < 1000)
+        .select("l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+            [],
+            ["l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "val",
+        )
+        .groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("val"), 4).alias("total"),
+        )
+        .orderBy("measure")
+    )

@@ -300,3 +300,46 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs_blocked(d, threshold=0.5)
     clusters = connected_components(pairs)
     return canonical_per_cluster(clusters, d)
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance similarity join (extension): the string-metric
+# sibling of ngram_jaccard_blocked — candidate pairs from an equi-join
+# on a cheap blocking key, the expensive metric only on candidates.
+# ---------------------------------------------------------------------------
+@workload(
+    "fuzzy_name_pairs",
+    """
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM n a JOIN n b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+    doc="Blocked Levenshtein similarity join: block on the head noun "
+    "(equi-join key), edit distance only within blocks — at 100 TB "
+    "the O(len^2) metric runs on block-bounded candidates, never "
+    "all pairs.",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir)["part"]
+    names = p.select("p_name").distinct()
+    blocked = names.withColumn(
+        "block", F.element_at(F.split(F.col("p_name"), " "), 2)
+    )
+    a = blocked.select(F.col("p_name").alias("name_a"), F.col("block"))
+    b = blocked.select(F.col("p_name").alias("name_b"), F.col("block").alias("block_b"))
+    return (
+        a.join(
+            b,
+            (F.col("block") == F.col("block_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )
