@@ -325,6 +325,8 @@ class StatementRouter:
             "BACKUP": self._backup,
             "SHOW": self._show,
             "OPTIMIZE": self._optimize,
+            "USE": self._use,
+            "SHUTDOWN": self._shutdown,
         }.get(head)
         if handler:
             result = handler(s)
@@ -1607,6 +1609,34 @@ class StatementRouter:
         base = path[:-4] if path.lower().endswith(".zip") else path
         out = shutil.make_archive(base, "zip", self.catalog.warehouse)
         return self._ok(f"backup written: {out}")
+
+    def _use(self, s: str) -> DataFrame:
+        """``USE [=] schema`` (Parser.java:5063 parseUse — sugar for
+        SET SCHEMA): switches the session's current schema after
+        validating it exists, like the reference's Set(SetTypes.SCHEMA)."""
+        m = re.match(rf"USE\s*=?\s*(?P<name>{_IDENT})\s*$", s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"cannot parse USE: {s[:80]}")
+        name = m.group("name").lower()
+        if name not in self.catalog.schemas:
+            raise ValueError(f"schema not found: {name}")
+        self.session.set_setting("SCHEMA", name.upper())
+        return self._ok(f"schema {name}")
+
+    def _shutdown(self, s: str) -> DataFrame:
+        """``SHUTDOWN [IMMEDIATELY|COMPACT|DEFRAG]`` and ``SHUTDOWN
+        SERVER <port>`` (Parser.java:543-585, parseShutdownServer) —
+        accepted no-op shims: there is no single-node storage to
+        checkpoint or TCP server to stop; snapshots are already durable
+        on write (SCALE.md known-assumptions)."""
+        m = re.match(
+            r"SHUTDOWN(?:\s+(?P<mode>IMMEDIATELY|COMPACT|DEFRAG|SERVER\s+\d+))?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse SHUTDOWN: {s[:80]}")
+        return self._ok(f"shutdown {(m.group('mode') or 'normal').lower()} (no-op)")
 
     def _optimize(self, s: str) -> DataFrame:
         """``OPTIMIZE <table> [ZORDER BY (c1, c2, …)]`` — data-layout

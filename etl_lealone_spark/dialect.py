@@ -10,6 +10,11 @@ this module normalizes them to Spark SQL text before handing to Catalyst:
 - ``CSVREAD('file')`` in FROM (Function.java:352)
 - ``@var`` session variables (Variable.java:20)
 - ``ROWNUM`` pseudo-column (Rownum.java:21)
+- ``MINUS`` set operation → EXCEPT (Parser.java:1464)
+- ``STRING_AGG(x, sep)`` PostgreSQL-compat aggregate (Parser.java:2164)
+- ``SYSDATE``/``SYSTIMESTAMP``/``SYSTIME``/``TODAY`` datetime keywords
+  (Parser.java:3632-3643: SYSDATE and SYSTIMESTAMP are both
+  CURRENT_TIMESTAMP; TODAY is CURRENT_DATE)
 - ``//`` line comments (H2 accepts them)
 - no-op statements: transactions, FOR UPDATE (documented shims)
 
@@ -118,6 +123,51 @@ def _rewrite_group_concat(sql: str) -> str:
         sql,
         flags=re.IGNORECASE,
     )
+
+
+def _rewrite_minus(sql: str) -> str:
+    """``q1 MINUS q2`` → ``q1 EXCEPT q2`` (Parser.java:1464 treats the
+    two as synonyms). Only the set-op position (followed by SELECT, an
+    opening paren, or ALL) is rewritten, so identifiers containing the
+    word are untouched."""
+    return re.sub(
+        r"\bMINUS\s+(?=(?:ALL\s+)?(?:SELECT|\())",
+        "EXCEPT ",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _rewrite_string_agg(sql: str) -> str:
+    """``STRING_AGG(expr, 'sep')`` → GROUP_CONCAT-equivalent
+    (Parser.java:2164: PostgreSQL-compat alias with mandatory
+    delimiter)."""
+    return re.sub(
+        r"STRING_AGG\s*\(\s*(?P<distinct>DISTINCT\s+)?(?P<expr>[^(),]+?)\s*,"
+        r"\s*(?P<sep>'[^']*')\s*\)",
+        lambda m: (
+            f"array_join(collect_list({m.group('distinct') or ''}"
+            f"{m.group('expr').strip()}), {m.group('sep')})"
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _rewrite_datetime_keywords(sql: str) -> str:
+    """Bare SYSDATE / SYSTIMESTAMP / SYSTIME / TODAY keyword tokens
+    (Parser.java:3632-3643). SYSTIME maps through the engine's TIME
+    convention ('HH:mm:ss' string — Spark has no TimeType)."""
+    sql = re.sub(
+        r"\b(SYSDATE|SYSTIMESTAMP)\b(?!\s*\()", "CURRENT_TIMESTAMP", sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\bSYSTIME\b(?!\s*\()",
+        "date_format(current_timestamp(), 'HH:mm:ss')", sql, flags=re.IGNORECASE,
+    )
+    sql = re.sub(r"\bTODAY\b(?!\s*\()", "CURRENT_DATE", sql, flags=re.IGNORECASE)
+    return sql
 
 
 def _rewrite_csvread(sql: str, session: Optional["EngineSession"]) -> str:
@@ -293,6 +343,9 @@ def rewrite(sql: str, session: Optional["EngineSession"] = None) -> str:
     sql = _rewrite_from_first(sql)
     sql = _rewrite_top(sql)
     sql = _rewrite_system_range(sql)
+    sql = _rewrite_minus(sql)
+    sql = _rewrite_string_agg(sql)
+    sql = _rewrite_datetime_keywords(sql)
     sql = _rewrite_group_concat(sql)
     sql = _rewrite_csvread(sql, session)
     sql = _rewrite_table_constructor(sql)

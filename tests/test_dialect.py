@@ -82,3 +82,49 @@ def test_table_distinct_constructor(spark):
     assert got == [1, 2]
     sql2 = rewrite("SELECT * FROM TABLE(x INT=ARRAY[1,2,2])")
     assert len(spark.sql(sql2).collect()) == 3
+
+
+# --- MINUS / STRING_AGG / datetime keywords / USE / SHUTDOWN ----------------
+def test_minus_is_except(es):
+    rows = es.sql(
+        "SELECT x FROM SYSTEM_RANGE(1, 5) MINUS SELECT x FROM SYSTEM_RANGE(4, 5)"
+    ).collect()
+    assert sorted(r.x for r in rows) == [1, 2, 3]
+
+
+def test_minus_untouched_in_identifier(es):
+    # the word inside an identifier/alias must not be rewritten
+    assert "EXCEPT" not in rewrite("SELECT 1 AS minus_total")
+
+
+def test_string_agg(es):
+    row = es.sql(
+        "SELECT STRING_AGG(cast(x AS varchar(2)), '|') AS s "
+        "FROM (SELECT x FROM SYSTEM_RANGE(1, 3))"
+    ).collect()[0]
+    assert sorted(row.s.split("|")) == ["1", "2", "3"]
+
+
+def test_datetime_keywords(es):
+    row = es.sql(
+        "SELECT year(SYSDATE) AS y1, year(SYSTIMESTAMP) AS y2, "
+        "TODAY AS d, SYSTIME AS t"
+    ).collect()[0]
+    assert row.y1 >= 2026 and row.y2 == row.y1
+    assert str(row.d) >= "2026-01-01"
+    assert len(row.t) == 8 and row.t[2] == ":"
+
+
+def test_use_schema_statement(spark, tmp_path):
+    s = EngineSession(spark, warehouse=str(tmp_path))
+    s.sql("CREATE SCHEMA app")
+    s.sql("USE app")
+    assert s.settings.get("SCHEMA") == "APP"
+    with pytest.raises(ValueError):
+        s.sql("USE does_not_exist")
+
+
+def test_shutdown_shim(es):
+    for stmt in ("SHUTDOWN", "SHUTDOWN IMMEDIATELY", "SHUTDOWN COMPACT",
+                 "SHUTDOWN DEFRAG", "SHUTDOWN SERVER 9092"):
+        assert es.sql(stmt).collect()[0][0].startswith("shutdown")
