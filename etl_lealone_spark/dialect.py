@@ -33,8 +33,15 @@ if TYPE_CHECKING:
 _WS = r"\s+"
 
 # statements that are no-ops on an immutable-snapshot engine
+# (Parser.java:557-640 transaction grammar: BEGIN/COMMIT/ROLLBACK with
+# optional WORK/TRANSACTION <name>, SAVEPOINT / ROLLBACK TO SAVEPOINT /
+# RELEASE SAVEPOINT, CHECKPOINT [SYNC])
 NOOP_STATEMENTS = re.compile(
-    r"^\s*(BEGIN|COMMIT|ROLLBACK|SAVEPOINT\s+\w+|CHECKPOINT|SET\s+AUTOCOMMIT.*)\s*;?\s*$",
+    r"^\s*(BEGIN(\s+WORK|\s+TRANSACTION)?"
+    r"|COMMIT(\s+WORK|\s+TRANSACTION\s+\w+)?"
+    r"|ROLLBACK(\s+WORK|\s+TRANSACTION\s+\w+|\s+TO\s+SAVEPOINT\s+\w+)?"
+    r"|SAVEPOINT\s+\w+|RELEASE\s+SAVEPOINT\s+\w+"
+    r"|CHECKPOINT(\s+SYNC)?|SET\s+AUTOCOMMIT.*)\s*;?\s*$",
     re.IGNORECASE,
 )
 

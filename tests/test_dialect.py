@@ -128,3 +128,13 @@ def test_shutdown_shim(es):
     for stmt in ("SHUTDOWN", "SHUTDOWN IMMEDIATELY", "SHUTDOWN COMPACT",
                  "SHUTDOWN DEFRAG", "SHUTDOWN SERVER 9092"):
         assert es.sql(stmt).collect()[0][0].startswith("shutdown")
+
+
+def test_transaction_grammar_noops(es):
+    for stmt in (
+        "BEGIN WORK", "BEGIN TRANSACTION", "COMMIT WORK",
+        "COMMIT TRANSACTION tx1", "ROLLBACK WORK", "ROLLBACK TRANSACTION tx1",
+        "SAVEPOINT sp1", "ROLLBACK TO SAVEPOINT sp1",
+        "RELEASE SAVEPOINT sp1", "CHECKPOINT SYNC",
+    ):
+        assert es.sql(stmt).collect()[0][0] == "ok"
