@@ -327,12 +327,17 @@ class StatementRouter:
             "OPTIMIZE": self._optimize,
             "USE": self._use,
             "SHUTDOWN": self._shutdown,
+            # DECLARE GLOBAL TEMPORARY TABLE … is CREATE in the reference
+            # grammar (Parser.java:367-369)
+            "DECLARE": lambda stmt: self._create(
+                "CREATE " + stmt.split(None, 1)[1]
+            ),
         }.get(head)
         if handler:
             result = handler(s)
             if head in (
-                "CREATE", "DROP", "INSERT", "UPDATE", "DELETE", "MERGE",
-                "TRUNCATE", "ALTER", "RUNSCRIPT",
+                "CREATE", "DECLARE", "DROP", "INSERT", "UPDATE", "DELETE",
+                "MERGE", "TRUNCATE", "ALTER", "RUNSCRIPT",
             ):
                 self.session.invalidate_cache()
             return result
@@ -440,7 +445,7 @@ class StatementRouter:
     # -- DDL -------------------------------------------------------------
     def _create(self, s: str) -> DataFrame:
         m = re.match(
-            rf"CREATE\s+(?:CACHED\s+|MEMORY\s+|TEMP(?:ORARY)?\s+)?TABLE\s+"
+            rf"CREATE\s+(?:CACHED\s+|MEMORY\s+|(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+)?TABLE\s+"
             rf"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})\s*\((?P<cols>.*)\)\s*$",
             s,
             re.IGNORECASE | re.DOTALL,

@@ -132,3 +132,14 @@ def test_varchar_ignorecase_collation(es):
         "ON ci.s = collate(ci2.s2, 'UTF8_LCASE')"
     ).collect()[0]["c"]
     assert n == 2
+
+
+def test_declare_global_temporary_table(spark, tmp_path):
+    """DECLARE GLOBAL TEMPORARY TABLE routes to CREATE TABLE
+    (Parser.java:367-369)."""
+    from etl_lealone_spark.session import EngineSession
+
+    s = EngineSession(spark, warehouse=str(tmp_path))
+    s.sql("DECLARE GLOBAL TEMPORARY TABLE gtt (id int PRIMARY KEY, v varchar(10))")
+    s.sql("INSERT INTO gtt VALUES (1, 'a'), (2, 'b')")
+    assert s.sql("SELECT count(*) FROM gtt").collect()[0][0] == 2
