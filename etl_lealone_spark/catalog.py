@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.dml import SnapshotTable, merge_by_key
+from .services import ServiceMeta, generate_model_code, generate_service_code, parse_methods
 
 if TYPE_CHECKING:
     from .session import EngineSession
@@ -168,6 +169,8 @@ class Catalog:
     grants: list[tuple[str, str, str]] = field(default_factory=list)
     comments: dict[str, str] = field(default_factory=dict)  # object → remark
     triggers: dict[str, str] = field(default_factory=dict)  # name → DDL text
+    # CREATE SERVICE registry (services.py; Parser.java:4252)
+    services: dict[str, "ServiceMeta"] = field(default_factory=dict)
 
     def table(self, name: str) -> SnapshotTable:
         key = name.lower()
@@ -184,6 +187,14 @@ class Catalog:
         self.tables[key].read().createOrReplaceTempView(key)
         for vname, vquery in self.views.items():
             self.spark.sql(vquery).createOrReplaceTempView(vname)
+
+
+def _parse_codegen_extras(extras: str) -> tuple[str, str]:
+    """(package, code_path) from the trailing PACKAGE / GENERATE CODE
+    clauses (empty strings when absent)."""
+    pkg = re.search(r"PACKAGE\s+'([^']*)'", extras, re.IGNORECASE)
+    path = re.search(r"GENERATE\s+CODE\s+'([^']*)'", extras, re.IGNORECASE)
+    return (pkg.group(1) if pkg else "", path.group(1) if path else "")
 
 
 def _parse_columns(cols_sql: str) -> tuple[str, list[str], "TableConstraints"]:
@@ -444,9 +455,16 @@ class StatementRouter:
 
     # -- DDL -------------------------------------------------------------
     def _create(self, s: str) -> DataFrame:
+        # trailing clauses shared by CREATE TABLE / CREATE SERVICE
+        # (Parser.java:4271-4293: ENGINE, PACKAGE, IMPLEMENT BY,
+        # GENERATE CODE, HIDDEN)
+        _EXTRAS = (
+            r"(?P<extras>(?:\s*(?:PACKAGE\s+'[^']*'|IMPLEMENT\s+BY\s+'[^']*'"
+            r"|GENERATE\s+CODE\s+'[^']*'|ENGINE\s*=?\s*\w+|HIDDEN))*)"
+        )
         m = re.match(
             rf"CREATE\s+(?:CACHED\s+|MEMORY\s+|(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+)?TABLE\s+"
-            rf"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})\s*\((?P<cols>.*)\)\s*$",
+            rf"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})\s*\((?P<cols>.*)\){_EXTRAS}\s*$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
@@ -476,7 +494,47 @@ class StatementRouter:
                     f"__pk_{name}", name, pks, unique=True
                 )
             self.catalog.refresh_view(name)
+            pkg, code_path = _parse_codegen_extras(m.group("extras") or "")
+            if code_path:
+                # GENERATE CODE (SqlScript.java:56-58): emit the typed
+                # Python model class for this table
+                cols_typed = [
+                    (f.name, f.dataType.simpleString())
+                    for f in empty.schema.fields
+                ]
+                generate_model_code(name, cols_typed, pkg, code_path)
             return self._ok(f"created table {name}")
+
+        m = re.match(
+            rf"CREATE\s+SERVICE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})"
+            rf"\s*(?:\((?P<methods>.*)\))?{_EXTRAS}\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # CREATE SERVICE (Parser.java:4252; services.py)
+            name = m.group("name").lower()
+            if name in self.catalog.services:
+                if re.search(r"IF\s+NOT\s+EXISTS", s, re.IGNORECASE):
+                    return self._ok("exists")
+                raise ValueError(f"service already exists: {name}")
+            extras = m.group("extras") or ""
+            pkg, code_path = _parse_codegen_extras(extras)
+            impl = re.search(
+                r"IMPLEMENT\s+BY\s+'([^']*)'", extras, re.IGNORECASE
+            )
+            meta = ServiceMeta(
+                name=name,
+                methods=parse_methods(m.group("methods") or ""),
+                package=pkg,
+                implement_by=impl.group(1) if impl else "",
+                code_path=code_path,
+                ddl=s,
+            )
+            self.catalog.services[name] = meta
+            if code_path:
+                generate_service_code(meta)
+            return self._ok(f"created service {name}")
 
         m = re.match(
             rf"CREATE\s+(?P<or_replace>OR\s+REPLACE\s+)?(?:FORCE\s+)?VIEW\s+"
@@ -925,6 +983,27 @@ class StatementRouter:
         return self._ok(f"prepared {m.group('name').lower()}")
 
     def _execute_prepared(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"EXECUTE\s+SERVICE\s+(?P<svc>{_IDENT})\s+(?P<method>\w+)"
+            rf"\s*\((?P<args>.*)\)\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # EXECUTE SERVICE svc method(args) → driver-side dispatch to
+            # the registered IMPLEMENT BY Python class (services.py)
+            name = m.group("svc").lower()
+            if name not in self.catalog.services:
+                raise KeyError(f"service not found: {name}")
+            args = [
+                self._coerce(a.strip().strip("'"))
+                for a in self._split_top_level(m.group("args"))
+                if a.strip()
+            ]
+            result = self.session.call_service(name, m.group("method"), *args)
+            return self.spark.createDataFrame(
+                [(None if result is None else str(result),)], "result string"
+            )
         m = re.match(rf"EXECUTE\s+(?P<name>{_IDENT})\s*$", s, re.IGNORECASE)
         if not m:
             raise ValueError(f"cannot parse EXECUTE: {s[:80]}")
@@ -1017,7 +1096,7 @@ class StatementRouter:
             return self._ok("dropped all objects")
         m = re.match(
             rf"DROP\s+(?P<kind>TABLE|VIEW|INDEX|SEQUENCE|TRIGGER|SCHEMA|"
-            rf"CONSTANT|ROLE|USER|DOMAIN|ALIAS|AGGREGATE)\s+"
+            rf"CONSTANT|ROLE|USER|DOMAIN|ALIAS|AGGREGATE|SERVICE)\s+"
             rf"(?:IF\s+EXISTS\s+)?(?P<name>{_IDENT})\s*(CASCADE|RESTRICT)?\s*$",
             s,
             re.IGNORECASE,
@@ -1054,6 +1133,9 @@ class StatementRouter:
         elif kind == "CONSTANT":
             if self.catalog.constants.pop(name, None) is None and not if_exists:
                 raise KeyError(f"constant not found: {name}")
+        elif kind == "SERVICE":
+            if self.catalog.services.pop(name, None) is None and not if_exists:
+                raise KeyError(f"service not found: {name}")
         elif kind == "ROLE":
             if name in self.catalog.roles:
                 self.catalog.roles.discard(name)
@@ -1564,6 +1646,8 @@ class StatementRouter:
             ddl.append(f"CREATE CONSTANT {n} VALUE {expr}")
         for n, stmt in sorted(self.session.fn_alias_ddl.items()):
             ddl.append(stmt)
+        for n, svc in sorted(cat.services.items()):
+            ddl.append(svc.ddl)
         for name in cat.tables:
             ddl.append(cat.table_ddl.get(name, f"-- external table {name}"))
             if not nodata:

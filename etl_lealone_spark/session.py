@@ -172,6 +172,18 @@ class EngineSession:
         st[2] = max(st[2], seconds)
         st[3] += seconds
 
+    # --- services (CREATE SERVICE / generated clients) ----------------
+    def call_service(self, service: str, method: str, *args: Any) -> Any:
+        """Invoke a registered service method (services.py dispatch) —
+        the entry point both ``EXECUTE SERVICE`` SQL and GENERATE CODE
+        client classes use."""
+        from .services import ServiceDispatcher
+
+        if not hasattr(self, "_service_dispatcher"):
+            self._service_dispatcher = ServiceDispatcher()
+        meta = self.catalog.services[service.lower()]
+        return self._service_dispatcher.call(meta, method, list(args))
+
     # --- settings (SET name value) ------------------------------------
     def set_setting(self, name: str, value: Any) -> None:
         self.settings[name.upper()] = value
