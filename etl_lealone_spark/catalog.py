@@ -537,6 +537,40 @@ class StatementRouter:
             return self._ok(f"created service {name}")
 
         m = re.match(
+            rf"CREATE\s+(?:CACHED\s+|MEMORY\s+|(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+)?TABLE\s+"
+            rf"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})"
+            rf"\s*(?:\((?P<cols>[^()]*)\)\s*)?AS\s+(?P<query>(?:SELECT|WITH|VALUES|FROM)\b.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # CREATE TABLE … AS query (CTAS — Parser.java:5777
+            # setQuery(parseSelect()); optional column list renames)
+            from .dialect import rewrite
+
+            name = m.group("name").lower()
+            if name in self.catalog.tables:
+                if re.search(r"IF\s+NOT\s+EXISTS", s, re.IGNORECASE):
+                    return self._ok("exists")
+                raise ValueError(f"table already exists: {name}")
+            df = self.spark.sql(rewrite(m.group("query"), session=self.session))
+            if m.group("cols"):
+                new_names = [c.strip().lower() for c in m.group("cols").split(",")]
+                if len(new_names) != len(df.columns):
+                    raise ValueError(
+                        f"CTAS column list has {len(new_names)} names for "
+                        f"{len(df.columns)} query columns"
+                    )
+                df = df.toDF(*new_names)
+            st = SnapshotTable(self.spark, self.catalog.warehouse, name)
+            st.create(df)
+            self.catalog.tables[name] = st
+            self.catalog.table_ddl[name] = s
+            self.catalog.constraints[name] = TableConstraints()
+            self.catalog.refresh_view(name)
+            return self._ok(f"created table {name} as select")
+
+        m = re.match(
             rf"CREATE\s+(?P<or_replace>OR\s+REPLACE\s+)?(?:FORCE\s+)?VIEW\s+"
             rf"(?P<name>{_IDENT})\s*(?:\([^)]*\)\s*)?AS\s+(?P<query>.+)$",
             s,

@@ -143,3 +143,22 @@ def test_declare_global_temporary_table(spark, tmp_path):
     s.sql("DECLARE GLOBAL TEMPORARY TABLE gtt (id int PRIMARY KEY, v varchar(10))")
     s.sql("INSERT INTO gtt VALUES (1, 'a'), (2, 'b')")
     assert s.sql("SELECT count(*) FROM gtt").collect()[0][0] == 2
+
+
+def test_create_table_as_select(spark, tmp_path):
+    """CTAS (Parser.java:5777): with and without a rename column list."""
+    from etl_lealone_spark.session import EngineSession
+
+    s = EngineSession(spark, warehouse=str(tmp_path))
+    s.sql("CREATE TABLE src (id int PRIMARY KEY, v varchar(5))")
+    s.sql("INSERT INTO src VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    s.sql("CREATE TABLE big AS SELECT id, v FROM src WHERE id > 1")
+    assert s.sql("SELECT count(*) FROM big").collect()[0][0] == 2
+    s.sql("CREATE TABLE renamed (k, s) AS SELECT id, v FROM src")
+    rows = s.sql("SELECT k, s FROM renamed ORDER BY k").collect()
+    assert [r.k for r in rows] == [1, 2, 3]
+    # CTAS tables are ordinary snapshot tables: DML works
+    s.sql("INSERT INTO big VALUES (9, 'z')")
+    assert s.sql("SELECT count(*) FROM big").collect()[0][0] == 3
+    s.sql("CREATE TABLE from_range AS SELECT x FROM SYSTEM_RANGE(1, 5)")
+    assert s.sql("SELECT count(*) FROM from_range").collect()[0][0] == 5
