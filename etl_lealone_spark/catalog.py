@@ -1208,7 +1208,9 @@ class StatementRouter:
     def _insert(self, s: str) -> DataFrame:
         m = re.match(
             rf"INSERT\s+INTO\s+(?P<name>{_IDENT})\s*"
-            rf"(?:\((?P<cols>[^)]*)\)\s*)?(?P<rest>VALUES\s*.+|SELECT\s+.+|\(\s*SELECT\s+.+)$",
+            rf"(?:\((?P<cols>[^)]*)\)\s*)?"
+            rf"(?P<rest>(?:DIRECT\s+)?(?:VALUES\s*.+|SELECT\s+.+|WITH\s+.+"
+            rf"|\(\s*SELECT\s+.+)|DEFAULT\s+VALUES|SET\s+.+)$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
@@ -1225,7 +1227,29 @@ class StatementRouter:
         )
         from .dialect import rewrite
 
-        if rest.upper().startswith("VALUES"):
+        if rest.upper().startswith("DIRECT"):
+            # INSERT … DIRECT query (Parser.java:1030 setInsertFromSelect):
+            # a single-node buffering hint — snapshot inserts already
+            # stream straight from the source plan
+            rest = rest[len("DIRECT"):].strip()
+        if re.match(r"DEFAULT\s+VALUES$", rest, re.IGNORECASE):
+            # INSERT INTO t DEFAULT VALUES (Parser.java:1033): one row,
+            # every column from its DEFAULT/IDENTITY (the alignment step
+            # below fills all of them — the source carries no columns)
+            src = self.spark.sql("SELECT 1 AS __dummy")
+        elif rest.upper().startswith("SET"):
+            # MySQL-style INSERT … SET a = 1, b = 'x' (Parser.java:1053)
+            pairs = self._split_top_level(rest[len("SET"):])
+            cols, vals = [], []
+            for pr in pairs:
+                k, v = pr.split("=", 1)
+                cols.append(k.strip().lower())
+                vals.append(v.strip())
+            src = self.spark.sql(
+                f"SELECT * FROM (VALUES ({', '.join(vals)})) "
+                f"AS t({', '.join(cols)})"
+            )
+        elif rest.upper().startswith("VALUES"):
             src = self.spark.sql(
                 f"SELECT * FROM ({rewrite(rest, session=self.session)}) "
                 f"AS t({', '.join(cols)})"

@@ -162,3 +162,22 @@ def test_create_table_as_select(spark, tmp_path):
     assert s.sql("SELECT count(*) FROM big").collect()[0][0] == 3
     s.sql("CREATE TABLE from_range AS SELECT x FROM SYSTEM_RANGE(1, 5)")
     assert s.sql("SELECT count(*) FROM from_range").collect()[0][0] == 5
+
+
+def test_insert_variant_forms(spark, tmp_path):
+    """INSERT grammar beyond VALUES/SELECT (Parser.java:1014-1070):
+    DIRECT query, DEFAULT VALUES, MySQL-style SET."""
+    from etl_lealone_spark.session import EngineSession
+
+    s = EngineSession(spark, warehouse=str(tmp_path))
+    s.sql(
+        "CREATE TABLE iv (id long IDENTITY, v varchar(5) DEFAULT 'dv', n int)"
+    )
+    s.sql("INSERT INTO iv SET v = 'x', n = 1")
+    s.sql("INSERT INTO iv DEFAULT VALUES")
+    s.sql("INSERT INTO iv (v, n) DIRECT SELECT 'y', 2")
+    rows = {r.v: r for r in s.sql("SELECT * FROM iv").collect()}
+    assert set(rows) == {"x", "dv", "y"}
+    assert rows["x"].n == 1 and rows["y"].n == 2 and rows["dv"].n is None
+    ids = [r.id for r in rows.values()]
+    assert len(set(ids)) == 3 and all(i is not None for i in ids)
