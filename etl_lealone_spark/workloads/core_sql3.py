@@ -149,3 +149,44 @@ def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
         ).alias("gap_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 extension: distribution window functions (percent_rank, cume_dist,
+# nth_value) — completes the rank family (window_rank_family)
+# ---------------------------------------------------------------------------
+@workload(
+    "window_distribution",
+    """
+    SELECT c_custkey,
+           c_acctbal,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_best
+    FROM customer
+    WHERE c_custkey < 300
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="percent_rank / cume_dist / nth_value over a keyed partition — "
+    "distribution stats per group with a deterministic tie-break, "
+    "never SinglePartition.",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"].filter(F.col("c_custkey") < 300)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        c.select(
+            "c_custkey",
+            "c_acctbal",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.nth_value("c_custkey", 2).over(wrows).alias("second_best"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -105,3 +105,39 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             quant, F.lit(0).cast("bigint"), lambda acc, v: acc + v
         ).alias("sum_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT (binary semi-structured JSON, Spark 4) — the scale path for
+# JSON columns: parse once into the shredded binary encoding, then typed
+# sub-field access without re-parsing text per predicate
+# ---------------------------------------------------------------------------
+@workload(
+    "json_variant_agg",
+    """
+    SELECT event_type,
+           cast(sum(cast(json_extract_string(props, '$.k') as int)) as bigint)
+             AS sum_k,
+           count(*) AS n_present
+    FROM events
+    WHERE cast(json_extract_string(props, '$.k') as int) >= 50
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="VARIANT path: parse_json → try_variant_get typed access "
+    "(Spark 4 binary semi-structured encoding; DuckDB twin uses its "
+    "JSON type). One parse per row, typed comparisons JVM-side.",
+)
+def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        .orderBy("event_type")
+    )
