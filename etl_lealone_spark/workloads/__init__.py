@@ -50,62 +50,51 @@ def workload(name: str, oracle: Optional[str], doc: str = ""):
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
 # only, so registration order decides which operator families get a
-# driver-verified row each round. The priority list below interleaves every
-# family — dedup / ANN / text / DML / recursive / function batteries / JSON /
-# grouping extensions — ahead of the long tail of core-SQL variants (which
-# are individually cheap and were all driver-green in round 1).
+# driver-verified row each round. Round-3 policy: every workload that has
+# NEVER had a driver-green row goes first (the round-3 additions — TPC-H
+# suite, sketches, Z-order, range join, hygiene/ranking/packing, span
+# dedup), then the strongest representatives of the families that were
+# already driver-green in rounds 1-2; everything else stays registered in
+# the tail (still judged via scripts/check_oracles.py re-runs).
 _PRIORITY: tuple[str, ...] = (
-    # LLM-pipeline: dedup family (dedup_exact_normalized +
-    # dedup_minhash_survivors → tail; both are variants of in-window
-    # pipelines — exact and minhash_pairs stay)
-    "dedup_exact", "dedup_minhash_pairs",
-    "dedup_simhash_pairs", "ngram_jaccard_blocked",
-    "dedup_clusters", "dup_ngram_spans", "dup_span_doc_stats",
-    "winnow_fingerprints",
-    # LLM-pipeline: similarity / ANN / embedding prep
-    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "embedding_near_dup_blocked", "semantic_dedup_survivors",
-    "embedding_quantize_int8",
-    # LLM-pipeline: text analysis + corpus hygiene
-    "text_token_count", "text_language_id", "text_quality_score",
-    "text_fingerprint", "text_quality_filter", "sample_hash_stratified",
+    # TPC-H-adapted whole-query suite (19, all new this round)
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q22",
+    # sketches / layout / range join / reshape / fuzzy / variant /
+    # distribution windows (new this round)
+    "kmv_distinct_events", "kmv_distinct_by_source", "quantile_hash_sample",
+    "zorder_curve_keys", "range_join_events", "unpivot_measures",
+    "fuzzy_name_pairs", "json_variant_agg", "window_distribution",
+    # round-3 span/semantic dedup + corpus hygiene + ranking/packing
+    # (added after the r02 window was recorded — never driver-checked)
+    "dup_ngram_spans", "dup_span_doc_stats", "winnow_fingerprints",
+    "semantic_dedup_survivors", "embedding_quantize_int8",
     "text_repetition_signals", "pii_redaction", "url_extract_normalize",
     "chunk_token_windows", "decontaminate_ngrams",
     "mix_sampling_weights", "mix_resample",
-    # LLM-pipeline: ranking / vocabulary / packing / training order
     "bm25_topk", "vocab_top_terms", "pack_sequence_bins",
     "train_order_shards", "shard_balance_stats",
-    # DML kernels (update_with_limit / delete_filter drop to the
-    # pass-local tail — the family stays represented by
-    # update_projection + both MERGE kernels)
-    "update_projection",
-    "merge_upsert", "merge_ansi",
-    # Recursive CTEs (recursive_series -> tail; family stays represented)
-    "recursive_tree_depth",
-    # Scalar-function batteries
+    # strongest representatives of families already driver-green in r01/r02
+    "dedup_exact", "dedup_minhash_pairs", "ann_ivf_topk",
+    "merge_ansi", "agg_groupby_having", "recursive_tree_depth",
+    # ---- window boundary (~slot 50) ----
+    "dedup_simhash_pairs", "ngram_jaccard_blocked", "dedup_clusters",
+    "ann_bruteforce_topk", "ann_lsh_topk",
+    "embedding_near_dup_blocked",
+    "text_token_count", "text_language_id", "text_quality_score",
+    "text_fingerprint", "text_quality_filter", "sample_hash_stratified",
+    "update_projection", "merge_upsert",
     "string_functions", "date_functions", "math_functions",
     "cast_conversion", "array_functions",
-    # JSON / arrays / percentiles (json_schema_projection +
-    # array_higher_order → tail; the families stay represented by
-    # json_extract_agg + the array_functions battery)
     "json_extract_agg", "percentile_agg",
-    # Grouping / window extensions (grouping_sets_agg → tail; the
-    # family stays represented by cube_agg)
-    "cube_agg", "window_range_frame",
-    "view_predicate_pushdown",
-    # Multimodal + as-of
+    "cube_agg", "window_range_frame", "view_predicate_pushdown",
     "multimodal_metadata", "asof_join_events",
-    # TPC-H-adapted whole-query suite representatives (the hardest
-    # shapes: 6-way local-supplier join, correlated-avg rewrite,
-    # EXISTS+NOT-EXISTS self-join) — the rest of q1-q22 sit in the tail
-    "tpch_q5", "tpch_q17", "tpch_q21",
-    # Core-SQL representatives (one per §2 sub-family; join_inner_agg →
-    # tail, joins stay represented by the harder join_seven_tables)
-    "agg_groupby_having", "join_seven_tables",
-    "join_full_outer", "semi_join_in_subquery", "anti_join_not_exists",
-    "window_rank_family", "window_topk_per_group", "events_lag_delta",
-    "events_tumbling_agg", "events_sessionize", "setop_all_variants",
-    "group_concat", "join_theta_bands",
+    "join_seven_tables", "join_full_outer", "semi_join_in_subquery",
+    "anti_join_not_exists", "window_rank_family", "window_topk_per_group",
+    "events_lag_delta", "events_tumbling_agg", "events_sessionize",
+    "setop_all_variants", "group_concat", "join_theta_bands",
 )
 
 
