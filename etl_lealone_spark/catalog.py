@@ -872,6 +872,65 @@ class StatementRouter:
             )
 
         m = re.match(
+            rf"ALTER\s+INDEX\s+(?P<name>{_IDENT})\s+RENAME\s+TO\s+"
+            rf"(?P<new>{_IDENT})\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            # AlterIndexRename (Parser.java:4737)
+            name, new = m.group("name").lower(), m.group("new").lower()
+            if name not in self.catalog.indexes:
+                raise KeyError(f"index not found: {name}")
+            meta = self.catalog.indexes.pop(name)
+            self.catalog.indexes[new] = IndexMeta(
+                new, meta.table, meta.columns, unique=meta.unique
+            )
+            return self._ok(f"renamed index {name} to {new}")
+
+        m = re.match(
+            rf"ALTER\s+SCHEMA\s+(?P<name>{_IDENT})\s+RENAME\s+TO\s+"
+            rf"(?P<new>{_IDENT})\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            # AlterSchemaRename (Parser.java:4699)
+            name, new = m.group("name").lower(), m.group("new").lower()
+            if name not in self.catalog.schemas:
+                raise KeyError(f"schema not found: {name}")
+            if name == "public":
+                raise ValueError("cannot rename the public schema")
+            self.catalog.schemas[new] = self.catalog.schemas.pop(name)
+            return self._ok(f"renamed schema {name} to {new}")
+
+        m = re.match(
+            rf"ALTER\s+USER\s+(?P<name>{_IDENT})\s+"
+            rf"(?P<op>SET\s+PASSWORD\s+.+|SET\s+SALT\s+.+|RENAME\s+TO\s+"
+            rf"(?P<new>{_IDENT})|ADMIN\s+(?:TRUE|FALSE))\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # AlterUser (Parser.java:4827): rename is real; password/
+            # salt/admin are recorded-only like CREATE USER (no auth
+            # plane on this engine — documented §2.11 shim)
+            name = m.group("name").lower()
+            if name not in self.catalog.principals:
+                raise KeyError(f"user not found: {name}")
+            if m.group("new"):
+                self.catalog.principals.discard(name)
+                self.catalog.principals.add(m.group("new").lower())
+                return self._ok(f"renamed user {name}")
+            return self._ok(f"altered user {name}")
+
+        if re.match(r"ALTER\s+DATABASE\b", s, re.IGNORECASE):
+            # AlterDatabase (Parser.java:4705) — engine/runmode knobs are
+            # cluster-manager concerns here; accept and record
+            self.session.set_setting("__ALTER_DATABASE", s)
+            return self._ok("altered database (recorded)")
+
+        m = re.match(
             rf"ALTER\s+TABLE\s+(?P<name>{_IDENT})\s+"
             rf"(?P<op>ADD(?:\s+COLUMN)?|DROP(?:\s+COLUMN)?|"
             rf"RENAME\s+COLUMN|RENAME\s+TO)\s+(?P<rest>.+)$",

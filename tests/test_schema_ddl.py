@@ -255,3 +255,26 @@ def test_set_collation_icu(es, spark, tmp_path):
     assert es.collation is None
     with pytest.raises(ValueError):
         es.sql("SET COLLATION KLINGON")
+
+
+def test_alter_index_schema_user(spark, tmp_path):
+    """ALTER INDEX/SCHEMA/USER/DATABASE (Parser.java:4691-4707)."""
+    from etl_lealone_spark.session import EngineSession
+
+    s = EngineSession(spark, warehouse=str(tmp_path))
+    s.sql("CREATE TABLE t1 (a int PRIMARY KEY, b int)")
+    s.sql("CREATE INDEX ix_b ON t1(b)")
+    s.sql("ALTER INDEX ix_b RENAME TO ix_bb")
+    assert "ix_bb" in s.catalog.indexes and "ix_b" not in s.catalog.indexes
+
+    s.sql("CREATE SCHEMA app")
+    s.sql("ALTER SCHEMA app RENAME TO app2")
+    assert "app2" in s.catalog.schemas and "app" not in s.catalog.schemas
+
+    s.sql("CREATE USER alice")
+    s.sql("ALTER USER alice SET PASSWORD 'pw'")
+    s.sql("ALTER USER alice ADMIN TRUE")
+    s.sql("ALTER USER alice RENAME TO bob")
+    assert "bob" in s.catalog.principals and "alice" not in s.catalog.principals
+
+    s.sql("ALTER DATABASE test RUN MODE sharding")  # accepted + recorded
