@@ -193,6 +193,10 @@ class WhereBuilder:
         self._expr: Optional[Column] = None
         self._pending_or = False
         self._negate = False
+        # lp()/rp() grouping (ExpressionBuilder.java lp/rp): each lp
+        # pushes the outer (expr, pending-or, negate) state; rp pops it
+        # and appends the inner group as ONE condition
+        self._group_stack: list[tuple[Optional[Column], bool, bool]] = []
 
     def __getattr__(self, name: str):
         if name in self._model._df.columns:
@@ -211,6 +215,24 @@ class WhereBuilder:
         self._negate = True
         return self
 
+    def lp(self) -> "WhereBuilder":
+        """Open a parenthesized group (reference ExpressionBuilder.lp):
+        ``where().a.eq(1).and_().lp().b.eq(2).or_().b.eq(3).rp()`` ≡
+        ``a = 1 AND (b = 2 OR b = 3)``."""
+        self._group_stack.append((self._expr, self._pending_or, self._negate))
+        self._expr, self._pending_or, self._negate = None, False, False
+        return self
+
+    def rp(self) -> "WhereBuilder":
+        """Close the innermost lp() group."""
+        if not self._group_stack:
+            raise ValueError("rp() without matching lp()")
+        inner = self._expr
+        self._expr, self._pending_or, self._negate = self._group_stack.pop()
+        if inner is not None:
+            self.cond(inner)
+        return self
+
     def cond(self, condition: Column) -> "WhereBuilder":
         """Append an arbitrary Column condition into the chain."""
         if self._negate:
@@ -227,6 +249,8 @@ class WhereBuilder:
 
     # terminals delegate to the filtered model
     def _filtered(self) -> "Model":
+        if self._group_stack:
+            raise ValueError("unbalanced lp(): missing rp() before terminal")
         if self._expr is None:
             return self._model
         return self._model._with(self._model._df.filter(self._expr))

@@ -213,3 +213,26 @@ def test_orm_with_children_navigation(es):
     assert [a["city"] for a in by_id[1]] == ["rome"]
     assert [a["city"] for a in by_id[2]] == ["oslo"]
     assert by_id[3] == [] and by_id[4] == []  # no children → empty array
+
+
+def test_orm_lp_rp_grouping(es):
+    """OrmExpressionTest.java:37 shape: a.eq AND ( b.eq OR b.eq )."""
+    from etl_lealone_spark.orm import Model
+
+    m = Model(es, "customer")
+    grouped = sorted(
+        r.id
+        for r in m.where().bal.eq(250.0).and_().lp().name.eq("bob")
+        .or_().name.eq("ann").rp().find_list()
+    )
+    assert grouped == [2]  # bal=250 AND (name='bob' OR name='ann')
+    flat = sorted(
+        r.id
+        for r in m.where().bal.eq(250.0).and_().name.eq("bob")
+        .or_().name.eq("ann").find_list()
+    )
+    assert flat == [1, 2]  # (bal=250 AND name='bob') OR name='ann'
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unbalanced"):
+        m.where().lp().name.eq("ann").find_list()
