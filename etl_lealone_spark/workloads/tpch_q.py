@@ -912,3 +912,52 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary report (full column set; agg_groupby_having is the
+# simplified §2.4 teaching shape, this is the complete report)
+# ---------------------------------------------------------------------------
+@workload(
+    "tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity')} AS sum_qty,
+           {o_dsum('l_extendedprice')} AS sum_base_price,
+           {o_dsum(_O_REV, 4)} AS sum_disc_price,
+           {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
+             AS sum_charge,
+           {o_davg('l_quantity')} AS avg_qty,
+           {o_davg('l_extendedprice')} AS avg_price,
+           {o_davg('l_discount', 4)} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '2001-08-31 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1: the full pricing summary (8 aggregates, decimal-exact "
+    "sums, one partial+final hash agg).",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-08-31").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(_rev(), 4).alias("sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                6,
+            ).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
