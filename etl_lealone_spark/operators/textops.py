@@ -279,3 +279,56 @@ def mix_resample(
         .filter(bucket < thresh)
         .select(df[id_col], df[group_col])
     )
+
+
+# -- model-based quality scoring (linear scorer, offline-trained) -----------
+# Coefficients of a linear quality model (the shape of fastText/logreg
+# corpus filters: weights learned offline, applied at scale as one
+# map-only expression). Every feature is RATIONAL arithmetic (no
+# exp/log — libm transcendentals differ in ULPs across engines), so the
+# score is bit-identical in any engine and the DuckDB oracle recomputes
+# it exactly. Saturation uses x/(x+k) instead of log, clamp instead of
+# sigmoid — monotone equivalents with the same decision boundary family.
+QUALITY_MODEL = {
+    "bias": -0.35,
+    "len_sat": 1.1,       # n_tokens/(n_tokens+100): saturating length
+    "stopword_ratio": 2.4,
+    "digit_ratio": -1.8,
+    "punct_ratio": 0.9,
+    "word_len_dev": -0.12,  # |mean_word_len - 5| distance from prose norm
+}
+
+
+def model_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Linear-model quality score in [0,1] (clamped), appended as
+    ``model_score`` over the :func:`quality_features` columns."""
+    w = QUALITY_MODEL
+    feats = quality_features(df, text_col)
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["len_sat"])
+        * (F.col("n_tokens").cast("double") / (F.col("n_tokens") + F.lit(100)))
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(w["digit_ratio"]) * F.col("digit_ratio")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["word_len_dev"]) * F.abs(F.col("mean_word_len") - F.lit(5.0))
+    )
+    return feats.withColumn(
+        "model_score",
+        F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), z)), 6),
+    )
+
+
+def model_quality_score_sql(expr_prefix: str = "") -> str:
+    """DuckDB SQL text computing ``model_score`` from the oracle's own
+    feature columns (same names), matching :func:`model_quality_score`."""
+    w = QUALITY_MODEL
+    z = (
+        f"({w['bias']!r} "
+        f"+ {w['len_sat']!r} * (CAST(n_tokens AS DOUBLE) / (n_tokens + 100)) "
+        f"+ {w['stopword_ratio']!r} * stopword_ratio "
+        f"+ {w['digit_ratio']!r} * digit_ratio "
+        f"+ {w['punct_ratio']!r} * punct_ratio "
+        f"+ {w['word_len_dev']!r} * abs(mean_word_len - 5.0))"
+    )
+    return f"round(greatest(0.0, least(1.0, {z})), 6)"

@@ -300,3 +300,77 @@ def mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"]
     return _mix_resample(d)
+
+
+# ---------------------------------------------------------------------------
+# model-based quality scoring (linear scorer — the fastText/logreg
+# filter shape: offline-trained weights, map-only application)
+# ---------------------------------------------------------------------------
+def _oracle_model_quality() -> str:
+    from ..operators.textops import model_quality_score_sql
+
+    padded = "(' ' || lower(text) || ' ')"
+    stop_hits = " + ".join(_o_substr_count(padded, f" {w} ") for w in EN_STOPWORDS)
+    n_tokens = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE cast(len(string_split_regex(trim(text), '[ \\t\\n]+')) as int) END"
+    )
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, source,
+             {n_tokens} AS n_tokens,
+             length(regexp_replace(text, '[ \\t\\n]', '', 'g')) AS n_nonspace,
+             ({stop_hits}) AS stop_hits,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+             length(text) AS n_chars_m
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source, n_tokens,
+             round(cast(n_nonspace as double) / greatest(n_tokens, 1), 6) AS mean_word_len,
+             round(cast(stop_hits as double) / greatest(n_tokens, 1), 6) AS stopword_ratio,
+             round(cast(n_digits as double) / greatest(n_chars_m, 1), 6) AS digit_ratio,
+             round(cast(n_punct as double) / greatest(n_chars_m, 1), 6) AS punct_ratio
+      FROM raw
+    ),
+    scored AS (
+      SELECT doc_id, source, {model_quality_score_sql()} AS model_score
+      FROM feats
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN model_score >= 0.5 THEN 1 ELSE 0 END) AS n_kept,
+           cast(sum(cast(model_score as decimal(18,6))) as double) AS sum_score
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@workload(
+    "text_model_quality",
+    _oracle_model_quality(),
+    doc="Linear-model quality scorer (rational features, clamp squash — "
+    "bit-identical cross-engine) + per-source keep-rate aggregate.",
+)
+def text_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import model_quality_score
+
+    d = load_tables(spark, sf_dir)["documents"]
+    scored = model_quality_score(d)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("model_score") >= 0.5, 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            # model_score is rounded to 6 decimals → decimal(18,6) sum is
+            # exact and order-independent (package determinism rule #1)
+            F.sum(F.col("model_score").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_score"),
+        )
+        .orderBy("source")
+    )
