@@ -1727,6 +1727,35 @@ class StatementRouter:
         from .dialect import rewrite
 
         expr = s.split(None, 1)[1]
+        m = re.match(
+            r"EXECUTE_SERVICE_(?P<kind>NO_RETURN_VALUE|WITH_RETURN_VALUE)"
+            r"\s*\(\s*'(?P<target>[^']+)'\s*,\s*'(?P<json>[^']*)'\s*\)\s*$",
+            expr.strip(),
+            re.IGNORECASE,
+        )
+        if m:
+            # The reference's SQL-level service entry points
+            # (Function.java:379-380,951-965): target is
+            # 'service_name.method_name', second arg a JSON array of
+            # arguments. Dispatched driver-side like EXECUTE SERVICE.
+            import json as _json
+
+            target = m.group("target")
+            svc, _, method = target.rpartition(".")
+            if not svc:
+                raise ValueError(
+                    f"service target must be 'service.method': {target!r}"
+                )
+            raw = m.group("json")
+            args = _json.loads(raw) if raw else []
+            if not isinstance(args, list):
+                args = [args]
+            result = self.session.call_service(svc, method, *args)
+            if m.group("kind").upper() == "NO_RETURN_VALUE":
+                result = None
+            return self.spark.createDataFrame(
+                [(None if result is None else str(result),)], "result string"
+            )
         return self.spark.sql(rewrite(f"SELECT {expr} AS result", session=self.session))
 
     def _script(self, s: str) -> DataFrame:

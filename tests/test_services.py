@@ -121,3 +121,19 @@ def test_drop_service_and_script_roundtrip(es):
     es.sql("DROP SERVICE hello_world_service")
     with pytest.raises(KeyError):
         es.sql("EXECUTE SERVICE hello_world_service say_hello()")
+
+
+def test_call_execute_service_functions(es):
+    """CALL EXECUTE_SERVICE_WITH_RETURN_VALUE('svc.method', json_args)
+    (Function.java:379-380): the reference's SQL-level entry points."""
+    es.sql(SERVICE_DDL)
+    row = es.sql(
+        "CALL EXECUTE_SERVICE_WITH_RETURN_VALUE("
+        "'hello_world_service.say_goodbye_to', '[\"zhh\"]')"
+    ).collect()[0]
+    assert row.result == "goodbye zhh"
+    row = es.sql(
+        "CALL EXECUTE_SERVICE_NO_RETURN_VALUE("
+        "'hello_world_service.say_hello', '[]')"
+    ).collect()[0]
+    assert row.result is None
