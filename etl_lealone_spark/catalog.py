@@ -336,6 +336,7 @@ class StatementRouter:
             "BACKUP": self._backup,
             "SHOW": self._show,
             "OPTIMIZE": self._optimize,
+            "VACUUM": self._vacuum,
             "USE": self._use,
             "SHUTDOWN": self._shutdown,
             # DECLARE GLOBAL TEMPORARY TABLE … is CREATE in the reference
@@ -1844,6 +1845,31 @@ class StatementRouter:
         base = path[:-4] if path.lower().endswith(".zip") else path
         out = shutil.make_archive(base, "zip", self.catalog.warehouse)
         return self._ok(f"backup written: {out}")
+
+    def _vacuum(self, s: str) -> DataFrame:
+        """``VACUUM <table> [RETAIN <n> VERSIONS]`` — drop snapshot
+        versions older than the newest n (default 1), except those still
+        referenced by surviving snapshots (SnapshotTable.vacuum's
+        link-reachability rule). Time-travel reads of removed versions
+        fail afterwards — the lakehouse retention contract."""
+        m = re.match(
+            rf"VACUUM\s+(?P<name>{_IDENT})"
+            rf"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse VACUUM: {s[:80]}")
+        name = m.group("name").lower()
+        st = self.catalog.table(name)
+        keep = int(m.group("n") or 1)
+        before = st.versions()
+        st.vacuum(keep_last=keep)
+        after = st.versions()
+        return self._ok(
+            f"vacuumed {name}: {len(before) - len(after)} snapshots removed, "
+            f"{len(after)} kept"
+        )
 
     def _use(self, s: str) -> DataFrame:
         """``USE [=] schema`` (Parser.java:5063 parseUse — sugar for

@@ -181,3 +181,19 @@ def test_insert_variant_forms(spark, tmp_path):
     assert rows["x"].n == 1 and rows["y"].n == 2 and rows["dv"].n is None
     ids = [r.id for r in rows.values()]
     assert len(set(ids)) == 3 and all(i is not None for i in ids)
+
+
+def test_vacuum_statement(spark, tmp_path):
+    """VACUUM t RETAIN n VERSIONS — snapshot retention via SQL."""
+    from etl_lealone_spark.session import EngineSession
+
+    s = EngineSession(spark, warehouse=str(tmp_path))
+    s.sql("CREATE TABLE vt (id int PRIMARY KEY, v int)")
+    for i in range(4):
+        s.sql(f"INSERT INTO vt VALUES ({i}, {i})")
+    st = s.catalog.table("vt")
+    assert len(st.versions()) >= 4
+    s.sql("VACUUM vt RETAIN 2 VERSIONS")
+    assert s.sql("SELECT count(*) FROM vt").collect()[0][0] == 4
+    msg = s.sql("VACUUM vt").collect()[0][0]
+    assert msg.startswith("vacuumed vt")
