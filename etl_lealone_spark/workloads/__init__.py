@@ -119,6 +119,7 @@ def all_workloads() -> dict[str, Workload]:
     from . import sketch_q  # noqa: F401
     from . import layout_q  # noqa: F401
     from . import range_q  # noqa: F401
+    from . import analytics_q  # noqa: F401
 
     ordered: dict[str, Workload] = {}
     for name in _PRIORITY:

@@ -1,0 +1,135 @@
+"""Event-analytics workloads: funnel and cohort retention — the classic
+product-analytics shapes a batch events table serves (extension surface;
+the reference has no event-analytics operators, these compose its
+§2.3/§2.4 join+agg inventory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_tables
+from . import workload
+
+
+# ---------------------------------------------------------------------------
+# Funnel: view → click → purchase, ordered, within 7 days of the first step
+# ---------------------------------------------------------------------------
+@workload(
+    "events_funnel_steps",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s1) AS n_step1,
+           (SELECT count(*) FROM s2) AS n_step2,
+           (SELECT count(*) FROM s3) AS n_step3
+    """,
+    doc="3-step ordered funnel (view→click→purchase within 7 days): "
+    "per-step earliest-timestamp joins; each step is one keyed agg + "
+    "one equi-join — no per-user sequence scan.",
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_step1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_step2")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_step3")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen week, activity at +0..+3
+# ---------------------------------------------------------------------------
+@workload(
+    "events_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(floor(datediff('day', DATE '1990-01-01', min(ts)) / 7)
+                  AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(datediff('day', DATE '1990-01-01', ts) / 7)
+                  AS BIGINT) AS week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(a.week - f.cohort_week AS INT) AS week_offset,
+           count(*) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    WHERE a.week - f.cohort_week BETWEEN 0 AND 3
+    GROUP BY f.cohort_week, week_offset
+    ORDER BY f.cohort_week, week_offset
+    """,
+    doc="Cohort retention: first-seen week per user, distinct active "
+    "weeks, counts at offsets 0-3. Two keyed aggs + one equi-join.",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    epoch = F.lit("1990-01-01").cast("date")
+    week = F.floor(F.datediff(F.col("ts"), epoch) / 7).cast("long")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.floor(F.datediff(F.col("first_ts"), epoch) / 7)
+            .cast("long")
+            .alias("cohort_week"),
+        )
+    )
+    activity = ev.select("user_id", week.alias("week")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .withColumn("week_offset", (F.col("week") - F.col("cohort_week")).cast("int"))
+        .filter(F.col("week_offset").between(0, 3))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
