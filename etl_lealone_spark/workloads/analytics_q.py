@@ -133,3 +133,98 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (per-user ordered pairs via LAG)
+# ---------------------------------------------------------------------------
+@workload(
+    "events_transition_matrix",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+    doc="Markov transition counts between consecutive event types per "
+    "user: one keyed window (never SinglePartition) + one agg.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnostics: per-key weight distribution before a big join/agg
+# ---------------------------------------------------------------------------
+@workload(
+    "skew_diagnose_orders",
+    """
+    WITH counts AS (
+      SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+      SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n
+      FROM counts
+    ),
+    topk AS (
+      SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rk
+      FROM counts
+    )
+    SELECT t.key AS hot_key, t.n AS hot_n,
+           s.n_keys, s.n_rows,
+           round(cast(s.max_n as double) * s.n_keys / s.n_rows, 6)
+             AS skew_factor
+    FROM topk t, stats s
+    WHERE t.rk <= 5
+    ORDER BY t.n DESC, t.key
+    """,
+    doc="Join-key skew report: top-5 heaviest keys + max/mean weight "
+    "ratio (skew_factor ~1 = uniform). The pre-flight check that "
+    "decides between a plain shuffle join, AQE skew split, or the "
+    "salted join (operators/joins.py).",
+)
+def skew_diagnose_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    counts = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    )
+    topk = counts.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.col("key")))
+    ).filter(F.col("rk") <= 5)
+    return (
+        topk.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("key").alias("hot_key"),
+            F.col("n").alias("hot_n"),
+            "n_keys",
+            "n_rows",
+            F.round(
+                F.col("max_n").cast("double") * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("hot_n"), "hot_key")
+    )
