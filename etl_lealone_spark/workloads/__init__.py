@@ -76,10 +76,14 @@ _PRIORITY: tuple[str, ...] = (
     "mix_sampling_weights", "mix_resample",
     "bm25_topk", "vocab_top_terms", "pack_sequence_bins",
     "train_order_shards", "shard_balance_stats",
+    # model-based quality + event analytics (new this round)
+    "text_model_quality", "events_funnel_steps",
     # strongest representatives of families already driver-green in r01/r02
-    "dedup_exact", "dedup_minhash_pairs", "ann_ivf_topk",
-    "merge_ansi", "agg_groupby_having", "recursive_tree_depth",
+    "dedup_exact", "dedup_minhash_pairs", "ann_ivf_topk", "merge_ansi",
     # ---- window boundary (~slot 50) ----
+    "agg_groupby_having", "recursive_tree_depth",
+    "events_cohort_retention", "events_transition_matrix",
+    "skew_diagnose_orders",
     "dedup_simhash_pairs", "ngram_jaccard_blocked", "dedup_clusters",
     "ann_bruteforce_topk", "ann_lsh_topk",
     "embedding_near_dup_blocked",
