@@ -211,3 +211,13 @@ def test_decimal_type_roundtrip(es):
     es.sql("CREATE TABLE money (id int, amount decimal(10,2))")
     es.sql("INSERT INTO money VALUES (1, 12.34), (2, 0.01)")
     assert str(scalar(es.sql("SELECT sum(amount) FROM money"))) == "12.35"
+
+
+def test_some_every_aggregate_aliases(es):
+    """SOME/EVERY as BOOL_OR/BOOL_AND aliases (Aggregate.java:183-186)
+    — Spark SQL accepts them natively; pin the passthrough."""
+    row = es.sql(
+        "SELECT EVERY(f3 > 0) AS all_pos, SOME(f3 > 60) AS any_big "
+        "FROM t WHERE f3 IS NOT NULL"
+    ).collect()[0]
+    assert row.all_pos is True and row.any_big is True
