@@ -275,6 +275,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         w = wl[name]
+        # per-query isolation: a long single-JVM sequence otherwise lets
+        # one query's garbage inflate a later query's measurement (a
+        # 33-query run read dedup_clusters at 10.9s vs 3.7-4.0s isolated)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         t0 = time.time()
         w.build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
