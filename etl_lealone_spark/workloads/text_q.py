@@ -374,3 +374,50 @@ def text_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates: adjacent character-pair frequencies within words
+# — the inner statistic of byte-pair-encoding tokenizer training
+# ---------------------------------------------------------------------------
+@workload(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+               i -> substr(w, i, 2))) AS pair
+      FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 30
+    """,
+    doc="BPE training step 1: adjacent char-pair counts within words, "
+    "top-30 merge candidates. explode+agg — one shuffle on 2-char "
+    "keys; at 100 TB pre-aggregate per partition (map-side combine "
+    "is automatic) so the shuffle carries |alphabet|^2 rows per task.",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    words = d.select(F.explode(F.split(norm, " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(30)
+    )
