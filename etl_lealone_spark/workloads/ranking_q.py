@@ -121,3 +121,143 @@ def vocab_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_sequence_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
     return pack_sequence_bins(d, budget=2048)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ∪ dense-cosine candidates fused by RRF
+# ---------------------------------------------------------------------------
+@workload(
+    "hybrid_rrf_topk",
+    f"""
+    WITH items AS (
+      SELECT d.doc_id, d.text,
+             list_transform(e.embedding,
+               x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS cvec
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    toks AS (SELECT doc_id AS id, {_NORM_WS} AS ws FROM items),
+    dl AS (SELECT id, cast(len(ws) as double) AS dl FROM toks),
+    stats AS (
+      SELECT cast(count(*) as double) AS n_docs,
+             cast(sum(cast(dl as decimal(28,6))) as double)
+               / cast(count(*) as double) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT id, term, cast(count(*) as double) AS tf
+      FROM toks, unnest(ws) AS u(term)
+      WHERE term IN {_TERMS_SQL}
+      GROUP BY id, term
+    ),
+    dfreq AS (SELECT term, cast(count(*) as double) AS df FROM tf GROUP BY term),
+    bscored AS (
+      SELECT tf.id,
+             sum(cast(
+               ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+             as decimal(28,12))) AS score_exact
+      FROM tf JOIN dfreq USING (term) JOIN dl ON dl.id = tf.id
+      CROSS JOIN stats GROUP BY tf.id
+    ),
+    b100 AS (
+      SELECT id AS doc_id,
+             row_number() OVER (ORDER BY score_exact DESC, id) AS rb
+      FROM bscored ORDER BY score_exact DESC, id LIMIT 100
+    ),
+    q AS (SELECT cvec AS qvec FROM items WHERE doc_id = 7),
+    cscored AS (
+      SELECT i.doc_id,
+             cast(list_sum([i.cvec[k+1] * q.qvec[k+1]
+                            for k in range(len(i.cvec))]) as double)
+             / (sqrt(cast(list_sum([i.cvec[k+1] * i.cvec[k+1]
+                                    for k in range(len(i.cvec))]) as double))
+                * sqrt(cast(list_sum([q.qvec[k+1] * q.qvec[k+1]
+                                      for k in range(len(q.qvec))]) as double)))
+               AS cos
+      FROM items i CROSS JOIN q
+    ),
+    c100 AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rc
+      FROM cscored ORDER BY cos DESC, doc_id LIMIT 100
+    )
+    SELECT doc_id,
+           round(coalesce(1.0 / (60 + rb), 0.0)
+                 + coalesce(1.0 / (60 + rc), 0.0), 9) AS rrf
+    FROM b100 FULL OUTER JOIN c100 USING (doc_id)
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+    doc="Hybrid retrieval: lexical (BM25) and dense (quantized cosine) "
+    "top-100 candidate lists fused by reciprocal-rank fusion "
+    "(Cormack et al. 2009, k=60). Each retriever contributes only a "
+    "bounded candidate list (TakeOrdered — no global sort), so the "
+    "fusion cost is O(k), independent of corpus size.",
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..operators.ranking import bm25_scores
+
+    t = load_tables(spark, sf_dir)
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0"
+        " + 0.5) as bigint))"
+    )
+    items = (
+        t["documents"]
+        .join(
+            t["embeddings"].select("vec_id", quant.alias("cvec")),
+            F.col("doc_id") == F.col("vec_id"),
+        )
+        .select("doc_id", "text", "cvec")
+    )
+    b100 = (
+        bm25_scores(items, _QUERY_TERMS)
+        .orderBy(F.desc("score_exact"), "doc_id")
+        .limit(100)
+        .withColumn(
+            "rb",
+            F.row_number().over(Window.orderBy(F.desc("score_exact"), "doc_id")),
+        )
+        .select("doc_id", "rb")
+    )
+    qvec = items.filter(F.col("doc_id") == 7).select(F.col("cvec").alias("qvec"))
+    dot = F.aggregate(
+        F.zip_with("cvec", "qvec", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(c, c, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    cscored = items.crossJoin(F.broadcast(qvec)).select(
+        "doc_id",
+        (dot.cast("double") / (nrm("cvec") * nrm("qvec"))).alias("cos"),
+    )
+    c100 = (
+        cscored.orderBy(F.desc("cos"), "doc_id")
+        .limit(100)
+        .withColumn(
+            "rc", F.row_number().over(Window.orderBy(F.desc("cos"), "doc_id"))
+        )
+        .select("doc_id", "rc")
+    )
+    return (
+        b100.join(c100, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("rb")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rc")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )
