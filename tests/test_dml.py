@@ -320,3 +320,34 @@ def test_sql_version_as_of(spark, tmp_path):
         "ON a.id = b.id"
     ).collect()[0]["n"]
     assert n == 1
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    """snapshot_diff: CDC between two retained snapshot versions."""
+    from etl_lealone_spark.operators.dml import SnapshotTable, snapshot_diff
+
+    st = SnapshotTable(spark, str(tmp_path), "cdc")
+    st.create(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, v int"
+    ))
+    v1 = st.version
+    # delete k=3, update k=2, insert k=4
+    st.write(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (4, "d", 40)], "k int, s string, v int"
+    ))
+    v2 = st.version
+    diff = snapshot_diff(st.read(v1), st.read(v2), ["k"])
+    got = {r.k: (r.change_type, r.v) for r in diff.collect()}
+    assert got == {2: ("update", 99), 3: ("delete", 30), 4: ("insert", 40)}
+    # no-op diff is empty
+    assert snapshot_diff(st.read(v2), st.read(v2), ["k"]).count() == 0
+
+
+def test_snapshot_diff_plan_single_join(spark):
+    from etl_lealone_spark.operators.dml import snapshot_diff
+    from etl_lealone_spark.plans import explain_str
+
+    a = spark.createDataFrame([(1, 1)], "k int, v int")
+    b = spark.createDataFrame([(1, 2)], "k int, v int")
+    s = explain_str(snapshot_diff(a, b, ["k"]), "simple")
+    assert s.count("Join") == 1, s  # exactly one full-outer join
