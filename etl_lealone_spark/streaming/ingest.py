@@ -102,6 +102,7 @@ def join_streams_interval(
     key: str = "user_id",
     within: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join on ``key`` with an event-time interval
     bound: a right-side event matches a left-side event it follows
@@ -113,6 +114,11 @@ def join_streams_interval(
     stream-stream join would hold BOTH streams in state forever, which
     is the scale failure this wrapper exists to prevent. Output columns:
     key, l_event_id/l_ts, r_event_id/r_ts.
+
+    ``how='left_outer'`` additionally emits unmatched LEFT rows with
+    null right columns — but only once the watermark has passed the
+    row's join window (the engine must prove no future match can
+    arrive), so outer results trail the watermark by design.
     """
     l = (
         left.withWatermark("ts", watermark)
@@ -136,7 +142,7 @@ def join_streams_interval(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
     )
     return (
-        l.join(r, cond, "inner")
+        l.join(r, cond, how)
         .select(F.col("k").alias(key), "l_event_id", "l_ts", "r_event_id", "r_ts")
     )
 

@@ -622,3 +622,60 @@ def test_join_streams_interval_matches_batch(spark, sf_dir, tables, tmp_path):
         & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 MINUTES")),
     ).count()
     assert got == want and got > 0
+
+
+def test_join_streams_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched left rows emit with null
+    right columns AFTER the watermark passes their join window (batch 2
+    carries a far-future event that advances the watermark)."""
+    import datetime as dt
+
+    from etl_lealone_spark.streaming import join_streams_interval
+    from etl_lealone_spark.streaming.ingest import EVENTS_SCHEMA
+
+    d = str(tmp_path / "lo_in")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1)
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    # batch 1: two clicks, one matching purchase (user 1)
+    mk([
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0, 2, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=5), 1, "purchase", 1.0, "{}"),
+    ]).write.mode("overwrite").parquet(d)
+    clicks = (
+        spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1)
+        .parquet(d).filter(F.col("event_type") == "click")
+    )
+    buys = (
+        spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1)
+        .parquet(d).filter(F.col("event_type") == "purchase")
+    )
+    joined = join_streams_interval(
+        clicks, buys, within="30 minutes", watermark="10 minutes",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("stream_lojoin")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # batches 2-3: far-future watermark pushers — the watermark
+        # advances at the END of a batch, and evicted outer rows emit in
+        # the NEXT batch, so two nudges are needed
+        # the engine's global watermark is the MIN across inputs, so
+        # each nudge must advance BOTH streams
+        for day, eid in ((2, 99), (3, 101)):
+            mk([
+                (eid, t0 + dt.timedelta(days=day), 9, "click", 1.0, "{}"),
+                (eid + 1, t0 + dt.timedelta(days=day), 9, "purchase", 1.0, "{}"),
+            ]).write.mode("append").parquet(d)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.user_id: r for r in spark.sql("SELECT * FROM stream_lojoin").collect()}
+    assert rows[1].r_event_id == 3  # matched pair
+    assert 2 in rows and rows[2].r_event_id is None  # expired unmatched left
