@@ -358,6 +358,7 @@ class StatementRouter:
 
         s = self._rewrite_info_schema(s)
         s = self._rewrite_time_travel(s)
+        s = self._rewrite_table_diff(s)
         return self.spark.sql(rewrite(s, session=self.session))
 
     def _rewrite_time_travel(self, s: str) -> str:
@@ -378,6 +379,34 @@ class StatementRouter:
             name, ver = m.group(1).lower(), int(m.group(2))
             view = f"{name}__asof_{ver}"
             self.catalog.table(name).read(version=ver).createOrReplaceTempView(
+                view
+            )
+            return view
+
+        return pat.sub(sub, s)
+
+    def _rewrite_table_diff(self, s: str) -> str:
+        """``FROM DIFF(t, v1, v2)`` — CDC read between two retained
+        snapshot versions (operators/dml.py:snapshot_diff): rewritten to
+        a temp view of the classified change rows (columns of ``t`` +
+        ``change_type`` in insert/delete/update)."""
+        pat = re.compile(
+            rf"\bDIFF\s*\(\s*(?P<name>{_IDENT})\s*,\s*(?P<v1>\d+)\s*,"
+            r"\s*(?P<v2>\d+)\s*\)",
+            re.IGNORECASE,
+        )
+
+        def sub(m: "re.Match[str]") -> str:
+            from .operators.dml import snapshot_diff
+
+            name = m.group("name").lower()
+            v1, v2 = int(m.group("v1")), int(m.group("v2"))
+            st = self.catalog.table(name)
+            pk = self._pk_of(name)
+            if not pk:
+                raise ValueError(f"DIFF requires a primary key on {name}")
+            view = f"{name}__diff_{v1}_{v2}"
+            snapshot_diff(st.read(v1), st.read(v2), pk).createOrReplaceTempView(
                 view
             )
             return view

@@ -351,3 +351,23 @@ def test_snapshot_diff_plan_single_join(spark):
     b = spark.createDataFrame([(1, 2)], "k int, v int")
     s = explain_str(snapshot_diff(a, b, ["k"]), "simple")
     assert s.count("Join") == 1, s  # exactly one full-outer join
+
+
+def test_diff_sql_surface(spark, tmp_path):
+    """SELECT … FROM DIFF(t, v1, v2) — the CDC read in the SQL shell."""
+    from etl_lealone_spark.session import EngineSession
+
+    s = EngineSession(spark, warehouse=str(tmp_path))
+    s.sql("CREATE TABLE dt (k int PRIMARY KEY, v int)")
+    s.sql("INSERT INTO dt VALUES (1, 10), (2, 20)")
+    v1 = s.catalog.table("dt").version
+    s.sql("UPDATE dt SET v = 99 WHERE k = 2")
+    s.sql("INSERT INTO dt VALUES (3, 30)")
+    v2 = s.catalog.table("dt").version
+    rows = {
+        r.k: (r.change_type, r.v)
+        for r in s.sql(
+            f"SELECT k, v, change_type FROM DIFF(dt, {v1}, {v2})"
+        ).collect()
+    }
+    assert rows == {2: ("update", 99), 3: ("insert", 30)}
