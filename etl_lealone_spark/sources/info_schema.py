@@ -252,6 +252,16 @@ def information_schema(session: "EngineSession") -> dict[str, DataFrame]:
         "constant_catalog string, constant_schema string, constant_name "
         "string, sql string, remarks string, id int",
     )
+    services = _small(
+        [
+            (cat.warehouse, "public", n, ",".join(sorted(m.methods)),
+             m.package, m.implement_by, m.code_path, i)
+            for i, (n, m) in enumerate(sorted(cat.services.items()))
+        ],
+        "service_catalog string, service_schema string, service_name "
+        "string, methods string, package string, implement_by string, "
+        "code_path string, id int",
+    )
     xref_rows = []
     for tname, tc in cat.constraints.items():
         for fk_name, fk_cols, ref_table, ref_cols in tc.foreign_keys:
@@ -341,6 +351,9 @@ def information_schema(session: "EngineSession") -> dict[str, DataFrame]:
         "information_schema_locks": locks,
         "information_schema_in_doubt": in_doubt,
         "information_schema_databases": databases,
+        # extension beyond the reference's 30 meta views: the CREATE
+        # SERVICE registry (services.py)
+        "information_schema_services": services,
     }
     for name, df in out.items():
         df.createOrReplaceTempView(name)

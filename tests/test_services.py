@@ -137,3 +137,15 @@ def test_call_execute_service_functions(es):
         "'hello_world_service.say_hello', '[]')"
     ).collect()[0]
     assert row.result is None
+
+
+def test_information_schema_services(es):
+    es.sql(SERVICE_DDL)
+    rows = es.sql(
+        "SELECT service_name, methods, implement_by "
+        "FROM INFORMATION_SCHEMA.SERVICES"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].service_name == "hello_world_service"
+    assert rows[0].methods == "say_goodbye_to,say_hello"
+    assert "HelloWorldServiceImpl" in rows[0].implement_by

@@ -166,7 +166,10 @@ def test_information_schema_complete_inventory(spark, tmp_path):
     es.sql("SET @who 'bob'")
     es.sql("SELECT count(*) AS n FROM base").collect()
     info = information_schema(es)
-    assert len(info) == 30  # complete MetaTable inventory
+    # 30 reference meta views (MetaTable inventory) + the SERVICES
+    # extension view
+    assert len(info) == 31
+    assert "information_schema_services" in info
 
     schemata = {
         r["schema_name"]: (r["schema_owner"], r["is_default"])
