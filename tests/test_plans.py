@@ -225,3 +225,18 @@ def test_range_join_matches_naive(spark, tables):
         & (F.col("l_shipdate") <= F.col("end_ts")),
     ).count()
     assert fast == naive and fast > 0
+
+
+def test_funnel_steps_broadcast(spark, sf_dir):
+    """Funnel per-step joins carry per-user firsts (tiny vs events) —
+    must broadcast, never shuffle the event stream per step."""
+    from etl_lealone_spark.workloads.analytics_q import events_funnel_steps
+
+    assert has_broadcast_hash_join(events_funnel_steps(spark, sf_dir))
+
+
+def test_transition_matrix_window_keyed(spark, sf_dir):
+    from etl_lealone_spark.workloads.analytics_q import events_transition_matrix
+
+    s = explain_str(events_transition_matrix(spark, sf_dir))
+    assert "SinglePartition" not in s
