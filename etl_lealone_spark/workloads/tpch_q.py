@@ -961,3 +961,130 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (no partsupp: cost → s_acctbal among the
+# suppliers that actually shipped the part, from the lineitem link)
+# ---------------------------------------------------------------------------
+@workload(
+    "tpch_q2",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      FROM lineitem
+    ),
+    costed AS (
+      SELECT ps.partkey, ps.suppkey, s.s_acctbal, s.s_name, s.s_nationkey
+      FROM ps JOIN supplier s ON ps.suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT c.s_acctbal, c.s_name, n.n_name, p.p_partkey, p.p_type
+    FROM costed c
+    JOIN part p ON c.partkey = p.p_partkey
+    JOIN nation n ON c.s_nationkey = n.n_nationkey
+    WHERE p.p_size = 15 AND p.p_type = 'PROMO'
+      AND c.s_acctbal = (SELECT min(c2.s_acctbal) FROM costed c2
+                         WHERE c2.partkey = c.partkey)
+    ORDER BY c.s_acctbal DESC, n.n_name, c.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 (ps_supplycost → min s_acctbal among shippers of the "
+    "part; region-filtered). Correlated-min via per-part agg join.",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ps = t["lineitem"].select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    nr = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    costed = (
+        ps.join(F.broadcast(t["supplier"]), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("partkey", "suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = costed.groupBy(F.col("partkey").alias("mc_key")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    p = t["part"].filter((F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
+    return (
+        costed.join(
+            F.broadcast(min_cost),
+            (F.col("partkey") == F.col("mc_key"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification (no partsupp: part value =
+# shipped qty × retail price; HAVING vs a scalar fraction of the total)
+# ---------------------------------------------------------------------------
+@workload(
+    "tpch_q11",
+    """
+    WITH pv AS (
+      SELECT l_partkey AS partkey,
+             sum(cast(l_quantity * p_retailprice as decimal(28,2))) AS val
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT partkey, cast(val as double) AS part_value
+    FROM pv
+    WHERE val > (SELECT sum(val) * 0.002 FROM pv)
+    ORDER BY val DESC, partkey
+    """,
+    doc="TPC-H Q11 (ps_availqty*supplycost → shipped qty*retailprice): "
+    "grouped decimal value + scalar-subquery HAVING threshold.",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    supp_n = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].filter(F.col("n_name") == "NATION_3")
+                .select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    pv = (
+        t["lineitem"]
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_quantity") * F.col("p_retailprice")).cast("decimal(28,2)")
+            ).alias("val")
+        )
+    )
+    total = pv.agg((F.sum("val") * F.lit(0.002)).alias("threshold"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("threshold"))
+        .select("partkey", F.col("val").cast("double").alias("part_value"))
+        .orderBy(F.desc("val"), "partkey")
+    )

@@ -22,7 +22,7 @@ from etl_lealone_spark.workloads import tpch_q
 
 
 ALL_QUERIES = [
-    tpch_q.tpch_q1,
+    tpch_q.tpch_q1, tpch_q.tpch_q2, tpch_q.tpch_q11,
     tpch_q.tpch_q3, tpch_q.tpch_q4, tpch_q.tpch_q5, tpch_q.tpch_q6,
     tpch_q.tpch_q7, tpch_q.tpch_q8, tpch_q.tpch_q9, tpch_q.tpch_q10,
     tpch_q.tpch_q12, tpch_q.tpch_q13, tpch_q.tpch_q14, tpch_q.tpch_q15,
