@@ -421,3 +421,44 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics report: the standard per-source profile table
+# ---------------------------------------------------------------------------
+@workload(
+    "corpus_stats_report",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           cast(sum(cast(n_chars as decimal(28,0))) as bigint) AS total_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           quantile_cont(n_chars, 0.5) AS p50_chars,
+           quantile_cont(n_chars, 0.95) AS p95_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Per-source corpus profile: counts, exact char totals, length "
+    "quantiles, language spread — one keyed agg, the first report any "
+    "dataset card needs.",
+)
+def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(28,0)"))
+            .cast("bigint")
+            .alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.percentile("n_chars", F.lit(0.5)).alias("p50_chars"),
+            F.percentile("n_chars", F.lit(0.95)).alias("p95_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
