@@ -171,6 +171,9 @@ class Catalog:
     triggers: dict[str, str] = field(default_factory=dict)  # name → DDL text
     # CREATE SERVICE registry (services.py; Parser.java:4252)
     services: dict[str, "ServiceMeta"] = field(default_factory=dict)
+    # materialized views: name → defining query (extension; the stored
+    # result lives in ``tables`` as a snapshot table)
+    mat_views: dict[str, str] = field(default_factory=dict)
 
     def table(self, name: str) -> SnapshotTable:
         key = name.lower()
@@ -337,6 +340,7 @@ class StatementRouter:
             "SHOW": self._show,
             "OPTIMIZE": self._optimize,
             "VACUUM": self._vacuum,
+            "REFRESH": self._refresh,
             "USE": self._use,
             "SHUTDOWN": self._shutdown,
             # DECLARE GLOBAL TEMPORARY TABLE … is CREATE in the reference
@@ -599,6 +603,35 @@ class StatementRouter:
             self.catalog.constraints[name] = TableConstraints()
             self.catalog.refresh_view(name)
             return self._ok(f"created table {name} as select")
+
+        m = re.match(
+            rf"CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            rf"(?P<name>{_IDENT})\s+AS\s+(?P<query>.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # Materialized view (extension — the reference has only
+            # virtual views, TableView.java): the defining query runs
+            # once into a snapshot table; reads scan the stored result;
+            # REFRESH re-runs the query into a new snapshot.
+            from .dialect import rewrite
+
+            name = m.group("name").lower()
+            if name in self.catalog.mat_views:
+                if re.search(r"IF\s+NOT\s+EXISTS", s, re.IGNORECASE):
+                    return self._ok("exists")
+                raise ValueError(f"materialized view already exists: {name}")
+            q = m.group("query").strip()
+            df = self.spark.sql(rewrite(q, session=self.session))
+            st = SnapshotTable(self.spark, self.catalog.warehouse, name)
+            st.create(df)
+            self.catalog.tables[name] = st
+            self.catalog.mat_views[name] = q
+            self.catalog.table_ddl[name] = s
+            self.catalog.constraints[name] = TableConstraints()
+            self.catalog.refresh_view(name)
+            return self._ok(f"created materialized view {name}")
 
         m = re.match(
             rf"CREATE\s+(?P<or_replace>OR\s+REPLACE\s+)?(?:FORCE\s+)?VIEW\s+"
@@ -1218,16 +1251,27 @@ class StatementRouter:
             self.session.sequences.clear()
             return self._ok("dropped all objects")
         m = re.match(
-            rf"DROP\s+(?P<kind>TABLE|VIEW|INDEX|SEQUENCE|TRIGGER|SCHEMA|"
-            rf"CONSTANT|ROLE|USER|DOMAIN|ALIAS|AGGREGATE|SERVICE)\s+"
+            rf"DROP\s+(?P<kind>MATERIALIZED\s+VIEW|TABLE|VIEW|INDEX|SEQUENCE|"
+            rf"TRIGGER|SCHEMA|CONSTANT|ROLE|USER|DOMAIN|ALIAS|AGGREGATE|SERVICE)\s+"
             rf"(?:IF\s+EXISTS\s+)?(?P<name>{_IDENT})\s*(CASCADE|RESTRICT)?\s*$",
             s,
             re.IGNORECASE,
         )
         if not m:
             raise ValueError(f"unsupported DROP statement: {s[:80]}")
-        kind, name = m.group("kind").upper(), m.group("name").lower()
+        kind = re.sub(r"\s+", " ", m.group("kind").upper())
+        name = m.group("name").lower()
         if_exists = re.search(r"IF\s+EXISTS", s, re.IGNORECASE)
+        if kind == "MATERIALIZED VIEW":
+            if name not in self.catalog.mat_views:
+                if if_exists:
+                    return self._ok("absent")
+                raise KeyError(f"materialized view not found: {name}")
+            self.catalog.mat_views.pop(name)
+            self.catalog.tables.pop(name).drop()
+            self.catalog.table_ddl.pop(name, None)
+            self.spark.catalog.dropTempView(name)
+            return self._ok(f"dropped materialized view {name}")
         if kind == "TABLE":
             if name not in self.catalog.tables:
                 if if_exists:
@@ -1874,6 +1918,30 @@ class StatementRouter:
         base = path[:-4] if path.lower().endswith(".zip") else path
         out = shutil.make_archive(base, "zip", self.catalog.warehouse)
         return self._ok(f"backup written: {out}")
+
+    def _refresh(self, s: str) -> DataFrame:
+        """``REFRESH MATERIALIZED VIEW <name>`` — re-run the defining
+        query into a NEW snapshot (readers of the old snapshot are
+        undisturbed; the refresh is atomic via the version flip)."""
+        m = re.match(
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>{_IDENT})\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse REFRESH: {s[:80]}")
+        from .dialect import rewrite
+
+        name = m.group("name").lower()
+        if name not in self.catalog.mat_views:
+            raise KeyError(f"materialized view not found: {name}")
+        df = self.spark.sql(
+            rewrite(self.catalog.mat_views[name], session=self.session)
+        )
+        self.catalog.tables[name].write(df)
+        self.catalog.refresh_view(name)
+        self.session.invalidate_cache()
+        return self._ok(f"refreshed materialized view {name}")
 
     def _vacuum(self, s: str) -> DataFrame:
         """``VACUUM <table> [RETAIN <n> VERSIONS]`` — drop snapshot

@@ -197,3 +197,32 @@ def test_vacuum_statement(spark, tmp_path):
     assert s.sql("SELECT count(*) FROM vt").collect()[0][0] == 4
     msg = s.sql("VACUUM vt").collect()[0][0]
     assert msg.startswith("vacuumed vt")
+
+
+def test_materialized_view_lifecycle(spark, tmp_path):
+    """CREATE/REFRESH/DROP MATERIALIZED VIEW: stored snapshot result,
+    stale until refreshed, atomic version-flip refresh."""
+    from etl_lealone_spark.session import EngineSession
+
+    s = EngineSession(spark, warehouse=str(tmp_path))
+    s.sql("CREATE TABLE src (k int PRIMARY KEY, v int)")
+    s.sql("INSERT INTO src VALUES (1, 10), (2, 20)")
+    s.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT count(*) AS n, cast(sum(cast(v as decimal(18,0))) as bigint)"
+        " AS total FROM src"
+    )
+    r = s.sql("SELECT * FROM mv").collect()[0]
+    assert (r.n, r.total) == (2, 30)
+    # base-table change does NOT show until refresh (stored result)
+    s.sql("INSERT INTO src VALUES (3, 70)")
+    r = s.sql("SELECT * FROM mv").collect()[0]
+    assert (r.n, r.total) == (2, 30)
+    s.sql("REFRESH MATERIALIZED VIEW mv")
+    r = s.sql("SELECT * FROM mv").collect()[0]
+    assert (r.n, r.total) == (3, 100)
+    s.sql("DROP MATERIALIZED VIEW mv")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        s.sql("SELECT * FROM mv").collect()
