@@ -124,6 +124,7 @@ def all_workloads() -> dict[str, Workload]:
     from . import layout_q  # noqa: F401
     from . import range_q  # noqa: F401
     from . import analytics_q  # noqa: F401
+    from . import graph_q  # noqa: F401
 
     ordered: dict[str, Workload] = {}
     for name in _PRIORITY:
