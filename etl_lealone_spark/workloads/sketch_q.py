@@ -122,3 +122,67 @@ def quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
         F.percentile("l_extendedprice", F.lit(0.95)).alias("p95_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV join-key overlap estimate — sketch-based join planning
+# ---------------------------------------------------------------------------
+@workload(
+    "kmv_join_overlap",
+    f"""
+    WITH ha AS (
+      SELECT DISTINCT {md5_hash60_sql("cast(o_custkey as varchar)")} AS hv
+      FROM orders ORDER BY hv LIMIT 256
+    ),
+    hb AS (
+      SELECT DISTINCT {md5_hash60_sql("cast(c_custkey as varchar)")} AS hv
+      FROM customer WHERE c_acctbal > 0 ORDER BY hv LIMIT 256
+    ),
+    u AS (
+      SELECT hv FROM (SELECT hv FROM ha UNION SELECT hv FROM hb)
+      ORDER BY hv LIMIT 256
+    ),
+    parts AS (
+      SELECT (SELECT count(*) FROM u) AS ku,
+             (SELECT max(hv) FROM u) AS kth,
+             (SELECT count(*) FROM u WHERE hv IN (SELECT hv FROM ha)
+                                       AND hv IN (SELECT hv FROM hb)) AS n_both
+    )
+    SELECT ku, n_both,
+           round(cast(n_both as double) / ku, 6) AS jaccard_est,
+           round((cast(ku as double) - 1) / (kth / {HSPACE!r})
+                 * (cast(n_both as double) / ku), 2) AS overlap_est
+    FROM parts
+    """,
+    doc="Sketch-based join planning: the KMV union of two key sketches "
+    "estimates key-set Jaccard and intersection size WITHOUT touching "
+    "either table again — k hashes per side decide broadcast/shuffle/"
+    "skew strategy for a 100 TB join.",
+)
+def kmv_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_hashes
+
+    t = load_tables(spark, sf_dir)
+    k = 256
+    ha = kmv_hashes(t["orders"], F.col("o_custkey"), k)
+    hb = kmv_hashes(
+        t["customer"].filter(F.col("c_acctbal") > 0), F.col("c_custkey"), k
+    )
+    u = ha.unionAll(hb).distinct().orderBy("hv").limit(k)
+    both = u.join(ha, "hv", "leftsemi").join(hb, "hv", "leftsemi")
+    stats = u.agg(
+        F.count(F.lit(1)).alias("ku"), F.max("hv").alias("kth")
+    ).crossJoin(both.agg(F.count(F.lit(1)).alias("n_both")))
+    return stats.select(
+        "ku",
+        "n_both",
+        F.round(F.col("n_both").cast("double") / F.col("ku"), 6).alias(
+            "jaccard_est"
+        ),
+        F.round(
+            (F.col("ku").cast("double") - 1)
+            / (F.col("kth") / F.lit(HSPACE))
+            * (F.col("n_both").cast("double") / F.col("ku")),
+            2,
+        ).alias("overlap_est"),
+    )
