@@ -73,9 +73,13 @@ _PRIORITY: tuple[str, ...] = (
     "semantic_dedup_survivors", "embedding_quantize_int8",
     "text_repetition_signals", "pii_redaction", "url_extract_normalize",
     "chunk_token_windows", "decontaminate_ngrams",
-    "mix_sampling_weights", "mix_resample",
+    "mix_sampling_weights",
     "bm25_topk", "vocab_top_terms", "pack_sequence_bins",
-    "train_order_shards", "shard_balance_stats",
+    "train_order_shards",
+    # hybrid retrieval + graph analytics (newest families; mix_resample
+    # and shard_balance_stats drop to the tail — each is a variant of an
+    # in-window pipeline)
+    "hybrid_rrf_topk", "graph_triangle_count",
     # model-based quality + event analytics (new this round)
     "text_model_quality", "events_funnel_steps",
     # strongest representatives of families already driver-green in r01/r02
