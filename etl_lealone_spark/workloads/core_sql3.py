@@ -190,3 +190,90 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 extension: time-interval RANGE frame (rolling 30-day revenue)
+# ---------------------------------------------------------------------------
+@workload(
+    "rolling_window_time",
+    """
+    SELECT o_orderkey, o_custkey,
+           cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+           as double) AS rolling_30d
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    doc="Time-interval RANGE frame: per-customer rolling 30-day revenue "
+    "— the event-time sibling of the numeric RANGE frame "
+    "(window_range_frame); keyed partition, decimal-exact sum.",
+)
+def rolling_window_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("__orders_rwt")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+               as double) AS rolling_30d
+        FROM __orders_rwt
+        WHERE o_custkey < 100
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 extension: percent-of-total window (share within group)
+# ---------------------------------------------------------------------------
+@workload(
+    "window_share_of_total",
+    """
+    WITH cust AS (
+      SELECT c_custkey, c_nationkey,
+             sum(cast(o_totalprice as decimal(18,2))) AS spend
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_nationkey
+    )
+    SELECT c_custkey, spend, nation_share FROM (
+      SELECT c_custkey,
+             cast(spend as double) AS spend,
+             round(cast(spend as double)
+                   / cast(sum(spend) OVER (PARTITION BY c_nationkey) as double),
+                   9) AS nation_share
+      FROM cust
+    ) t
+    WHERE c_custkey < 200
+    ORDER BY c_custkey
+    """,
+    doc="Percent-of-total: each customer's share of their nation's "
+    "revenue — one keyed agg + one keyed window, both decimal-exact "
+    "before the single double division.",
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    return (
+        cust.select(
+            "c_custkey",
+            F.col("spend").cast("double").alias("spend"),
+            F.round(
+                F.col("spend").cast("double")
+                / F.sum("spend").over(w).cast("double"),
+                9,
+            ).alias("nation_share"),
+        )
+        .filter(F.col("c_custkey") < 200)
+        .orderBy("c_custkey")
+    )
