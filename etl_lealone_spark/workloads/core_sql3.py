@@ -277,3 +277,76 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") < 200)
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 extension: LATERAL correlated derived table (top-n per outer row)
+# ---------------------------------------------------------------------------
+@workload(
+    "lateral_topn_per_nation",
+    """
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    ORDER BY n.n_name, t.c_custkey
+    """,
+    doc="LATERAL correlated subquery: top-2 customers per nation — the "
+    "correlated-limit shape Catalyst decorrelates into a ranked window "
+    "join rather than per-row re-execution.",
+)
+def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    t["nation"].createOrReplaceTempView("__lat_nation")
+    t["customer"].createOrReplaceTempView("__lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM __lat_nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM __lat_customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        ORDER BY n.n_name, t.c_custkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 extension: FILTER clause on aggregates (conditional aggregation)
+# ---------------------------------------------------------------------------
+@workload(
+    "filter_clause_agg",
+    f"""
+    SELECT o_orderpriority,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
+           {o_dsum('o_totalprice')} AS total,
+           cast(sum(cast(o_totalprice as decimal(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') as double) AS total_f
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="ANSI FILTER clause: per-aggregate predicates in one pass — the "
+    "readable form of sum(CASE WHEN…), identical partial+final plan.",
+)
+def filter_clause_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("__fc_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_total,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               count(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
+               cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                 AS total,
+               cast(sum(cast(o_totalprice as decimal(18,2)))
+                    FILTER (WHERE o_orderstatus = 'F') as double) AS total_f
+        FROM __fc_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
