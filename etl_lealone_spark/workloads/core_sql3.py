@@ -350,3 +350,36 @@ def filter_clause_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 extension: GROUP BY ALL (modern sugar — group on every
+# non-aggregate select item)
+# ---------------------------------------------------------------------------
+@workload(
+    "group_by_all",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           {o_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    doc="GROUP BY ALL: grouping keys inferred from the non-aggregate "
+    "select items — identical plan to the explicit form.",
+)
+def group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("__gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                 AS total
+        FROM __gba_orders
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )

@@ -221,3 +221,16 @@ def test_some_every_aggregate_aliases(es):
         "FROM t WHERE f3 IS NOT NULL"
     ).collect()[0]
     assert row.all_pos is True and row.any_big is True
+
+
+def test_is_distinct_from_predicate(es):
+    """IS [NOT] DISTINCT FROM — the spelled-out form of the reference's
+    null-safe <=> comparison (Comparison.java)."""
+    rows = es.sql(
+        "SELECT count(*) FROM t WHERE f3 IS DISTINCT FROM NULL"
+    ).collect()
+    non_null = es.sql("SELECT count(*) FROM t WHERE f3 IS NOT NULL").collect()
+    assert rows[0][0] == non_null[0][0]
+    assert es.sql(
+        "SELECT count(*) FROM t WHERE f3 IS NOT DISTINCT FROM NULL"
+    ).collect()[0][0] == 1
