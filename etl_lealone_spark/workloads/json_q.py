@@ -141,3 +141,38 @@ def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# table-valued generator: posexplode (positions + values) — the
+# engine's FROM-clause generator surface beyond UDTFs
+# ---------------------------------------------------------------------------
+@workload(
+    "array_posexplode",
+    """
+    SELECT vec_id, CAST(g.i - 1 AS INT) AS pos,
+           cast(floor(cast(embedding[g.i] as double) * 1000000.0 + 0.5)
+                as bigint) AS qval
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS g(i)
+    WHERE vec_id < 10
+    ORDER BY vec_id, pos
+    """,
+    doc="posexplode: one row per (array position, element), quantized "
+    "for cross-engine float determinism (DuckDB twin: generate_series "
+    "indexing). Map-side generate — zero shuffle before the sort.",
+)
+def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return (
+        e.filter(F.col("vec_id") < 10)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.floor(F.col("val").cast("double") * 1000000.0 + 0.5)
+            .cast("bigint")
+            .alias("qval"),
+        )
+        .orderBy("vec_id", "pos")
+    )
