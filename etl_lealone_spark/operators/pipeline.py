@@ -591,3 +591,134 @@ def pack_sequence_bins(
         F.floor(start / budget).cast("long").alias("bin_id"),
         (start % budget).cast("long").alias("bin_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-unigram importance weighting
+# ---------------------------------------------------------------------------
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document hashed n-gram importance log-weights (DSIR).
+
+    Data Selection via Importance Resampling (Xie et al. 2023): score each
+    raw document by how target-like its token distribution is. Tokens are
+    hashed into ``buckets`` buckets; per bucket ``b`` the log-likelihood
+    ratio ``lr[b] = ln(p_target(b) / q_raw(b))`` (Laplace-smoothed) is
+    computed once, and a document's log importance weight is the sum of
+    ``lr`` over its tokens. Rows where ``target_pred`` holds define the
+    target distribution; all other rows are the raw corpus being scored.
+
+    Returns (id, n_scored_tokens, log_weight_x1e6) for every raw document
+    with at least one token. ``log_weight_x1e6`` is a BIGINT fixed-point
+    value: the per-bucket ratio is rounded once to ``scale`` ths
+    (``floor(ln(r)*scale + 0.5)``) and the per-document sum is integer
+    arithmetic — exact, associative, and bit-identical across engines and
+    partitionings, unlike a per-document float sum (package determinism
+    rule #1). The single ``ln`` per bucket is evaluated on the same IEEE
+    double ratio in any engine.
+
+    Scale shape: token explode is map-side; bucket counting is one
+    partial+final aggregation on a ≤``buckets``-row key; the lr table is
+    broadcast back onto the token stream (map-side join); the per-document
+    sum shuffles on the document id with map-side partial aggregation.
+    Nothing is quadratic and no stage holds more than ``buckets`` rows of
+    state beyond the corpus itself.
+    """
+    from .dedup import words
+
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            target_pred.alias("is_t"),
+            F.explode(words(F.col(text_col))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "id",
+            "is_t",
+            (
+                F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+                % buckets
+            ).alias("b"),
+        )
+    )
+    counts = tok.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("c_r"),
+    )
+    totals = counts.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    # ratio of exact bigint products cast to double ONCE, then one ln —
+    # the fewest FP ops that express the smoothed likelihood ratio, so
+    # both engines evaluate the identical IEEE sequence. (The products
+    # stay exact in doubles up to 2^53 ≈ 9e15 total tokens; beyond that
+    # the last-ulp of ln shifts at most the scale-th decimal.)
+    lr_tbl = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.floor(
+            F.log(
+                ((F.col("c_t") + 1) * (F.col("n_r") + buckets)).cast("double")
+                / ((F.col("c_r") + 1) * (F.col("n_t") + buckets)).cast("double")
+            )
+            * scale
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lr"),
+    )
+    return (
+        tok.filter(~F.col("is_t"))
+        .join(F.broadcast(lr_tbl), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored_tokens"),
+            F.sum("lr").alias("log_weight_x1e6"),
+        )
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    fractions: tuple[float, float] = (0.96, 0.02),
+    seed: str = "split0",
+) -> DataFrame:
+    """Append a deterministic train/val/test ``split`` column.
+
+    The md5-bucket rule every hold-out split at corpus scale should use:
+    ``md5(seed || key) mod 10000`` lands in [0, 10000); the first
+    ``fractions[0]`` share is train, the next ``fractions[1]`` val, the
+    rest test. Content-hash routing is stable under re-runs, engine
+    changes, and corpus growth (a document never migrates between splits
+    when OTHER documents are added/removed — the leakage guarantee random
+    splits cannot give). Map-only, zero shuffle.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    t_hi = int(fractions[0] * 10000)
+    v_hi = t_hi + int(fractions[1] * 10000)
+    split = (
+        F.when(bucket < t_hi, F.lit("train"))
+        .when(bucket < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

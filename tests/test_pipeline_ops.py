@@ -285,3 +285,80 @@ def test_winnow_fingerprints_shared_run_guarantee(spark):
     assert fps[1] & fps[2]          # MOSS guarantee
     assert not (fps[1] & fps[3])
     assert not (fps[2] & fps[3])
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+def test_dsir_log_weights_orders_target_like_docs(spark):
+    from etl_lealone_spark.operators.pipeline import dsir_log_weights
+
+    rows = [
+        # target slice: physics-y vocabulary
+        (1, "quantum field theory of the electron", 1),
+        (2, "electron spin and quantum states", 1),
+        # raw corpus: one target-like doc, one off-distribution doc
+        (10, "quantum electron theory", 0),
+        (11, "banana smoothie recipe with mango", 0),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, is_t int")
+    out = {
+        r["id"]: r
+        for r in dsir_log_weights(
+            d, F.col("is_t") == 1, buckets=64
+        ).collect()
+    }
+    assert set(out) == {10, 11}  # target rows are never scored
+    assert out[10]["n_scored_tokens"] == 3
+    # the target-like doc must outscore the off-distribution doc
+    assert out[10]["log_weight_x1e6"] > out[11]["log_weight_x1e6"]
+    # target-like tokens all appear in the target slice -> positive lr sum
+    assert out[10]["log_weight_x1e6"] > 0
+
+
+def test_dsir_log_weights_deterministic_across_partitionings(spark):
+    from etl_lealone_spark.operators.pipeline import dsir_log_weights
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} shared word", int(i % 5 == 0)) for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, is_t int")
+    a = sorted(
+        dsir_log_weights(d.coalesce(1), F.col("is_t") == 1).collect()
+    )
+    b = sorted(
+        dsir_log_weights(d.repartition(7), F.col("is_t") == 1).collect()
+    )
+    assert a == b  # bigint fixed-point sum is partition-order independent
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash split
+# ---------------------------------------------------------------------------
+def test_hash_split_fractions_and_stability(spark):
+    from etl_lealone_spark.operators.pipeline import hash_split
+
+    d = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    counts = {
+        r["split"]: r["n"]
+        for r in hash_split(d).groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.96) < 0.01
+    assert abs(counts["val"] / 20000 - 0.02) < 0.005
+
+    # leakage guarantee: a document's split never changes when the corpus
+    # shrinks/grows — the subset assignment equals the full-corpus one
+    sub = hash_split(d.filter(F.col("doc_id") < 100)).collect()
+    full = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(d).filter(F.col("doc_id") < 100).collect()
+    }
+    assert all(full[r["doc_id"]] == r["split"] for r in sub)
+
+
+def test_hash_split_seed_changes_assignment(spark):
+    from etl_lealone_spark.operators.pipeline import hash_split
+
+    d = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(d, seed="s1").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(d, seed="s2").collect()}
+    assert any(a[k] != b[k] for k in a)  # different epoch seeds re-deal
