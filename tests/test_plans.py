@@ -240,3 +240,36 @@ def test_transition_matrix_window_keyed(spark, sf_dir):
 
     s = explain_str(events_transition_matrix(spark, sf_dir))
     assert "SinglePartition" not in s
+
+
+def test_pretrain_pipeline_plan_shape(spark, sf_dir):
+    """The composed corpus build must keep each stage's scale property:
+    no cartesian product anywhere, the decontamination n-gram join keyed
+    (not nested-loop), and the quality gate's predicate evaluated before
+    any join (the corpus is filtered at scan time, never joined raw)."""
+    from etl_lealone_spark.workloads.pretrain_q import pretrain_pipeline_e2e
+
+    df = pretrain_pipeline_e2e(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_lr_table_is_broadcast(spark, sf_dir):
+    """The 1024-row likelihood-ratio table must come back to the token
+    stream as a broadcast join — shuffling the exploded token stream
+    against a 1024-row dim is the wrong side at any corpus size."""
+    from etl_lealone_spark.workloads.pretrain_q import dsir_importance_weights
+
+    df = dsir_importance_weights(spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_hash_split_is_map_only(spark, tables):
+    """The split assignment itself must not shuffle: zero exchanges on
+    top of the scan (the groupBy in the workload is separate)."""
+    from etl_lealone_spark.operators.pipeline import hash_split
+
+    df = hash_split(tables["documents"].select("doc_id"))
+    assert count_exchanges(df) == 0
