@@ -273,3 +273,45 @@ def test_hash_split_is_map_only(spark, tables):
 
     df = hash_split(tables["documents"].select("doc_id"))
     assert count_exchanges(df) == 0
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning must stay available: when a
+    selective dimension filters a big fact join (and the fact side is too
+    large to broadcast), Spark injects a bloom_filter_agg on the dim side
+    and a might_contain predicate INTO the fact scan — rows that cannot
+    match are dropped before the shuffle. At 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the ~matching
+    slice; the default thresholds (creation side <= 10 MB, application
+    scan >= 10 GB) only fire at real scale, so the test lowers the scan
+    threshold to observe the injection locally."""
+    from etl_lealone_spark.tables import load_tables
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = load_tables(spark, sf_dir)
+        sel = t["orders"].filter(F.col("o_totalprice") > 500000).select(
+            "o_orderkey"
+        )
+        j = t["lineitem"].join(sel, t["lineitem"].l_orderkey == sel.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
