@@ -686,6 +686,72 @@ def dsir_log_weights(
     )
 
 
+def pretrain_corpus_build(
+    d: DataFrame,
+    eval_source: str = "src0",
+    rates: dict | None = None,
+    default_rate: float = 0.9,
+    n_shards: int = 64,
+    shard_seed: str = "epoch0",
+) -> DataFrame:
+    """The whole pretraining corpus build as ONE lazy plan.
+
+    quality gate -> exact dedup (normalized content hash, keep-min) ->
+    5-gram decontamination against the ``eval_source`` slice -> per-
+    language mixture sampling -> training-shard assignment. Emits
+    (doc_id, lang, source, n_tokens, shard_id).
+
+    Scale shape per stage: quality gate map-only; dedup one shuffle on a
+    16-byte digest + a keeper semi-join; decontamination one shuffle
+    keyed by 5-gram with the (tiny) eval side broadcast; sampling and
+    sharding map-only. No stage is quadratic; the only full-text
+    shuffles are the two keyed joins, both on compact keys.
+    """
+    from .dedup import normalized_text
+    from .textops import hash_sample, quality_filter
+
+    ev = d.filter(F.col("source") == eval_source)
+    base = quality_filter(d.filter(F.col("source") != eval_source))
+    keepers = (
+        base.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("ch"))
+        .groupBy("ch")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = base.join(keepers, "doc_id", "left_semi")
+    clean = decontaminate(surv, ev, ngram=5)
+    sampled = hash_sample(
+        clean,
+        rates=rates if rates is not None else {"en": 0.5},
+        default_rate=default_rate,
+        stratum_col="lang",
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{shard_seed}:shard:"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_shards
+    ).cast("int")
+    return sampled.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        shard.alias("shard_id"),
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -23,8 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.pipeline import decontaminate, dsir_log_weights, hash_split
-from ..operators.textops import EN_STOPWORDS, hash_sample, quality_filter, token_count
+from ..operators.pipeline import dsir_log_weights, hash_split
+from ..operators.textops import EN_STOPWORDS, token_count
 from ..tables import load_tables
 from . import workload
 from .text_q import _o_substr_count
@@ -121,55 +121,13 @@ _E2E_SQL = f"""
     "oracle replays every stage.",
 )
 def pretrain_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole corpus build as one lazy Spark plan.
-
-    Scale shape per stage: quality gate map-only; dedup one shuffle on a
-    16-byte digest + a broadcast-able keeper semi-join; decontamination
-    one shuffle keyed by 5-gram with the (tiny) eval side broadcast;
-    sampling and sharding map-only. No stage is quadratic; the only
-    full-text shuffles are the two keyed joins, both on compact keys.
-    """
-    from ..operators.dedup import normalized_text
+    """The whole corpus build as one lazy Spark plan — see
+    operators.pipeline.pretrain_corpus_build for the per-stage scale
+    shape."""
+    from ..operators.pipeline import pretrain_corpus_build
 
     d = load_tables(spark, sf_dir)["documents"]
-    ev = d.filter(F.col("source") == "src0")
-    base = quality_filter(d.filter(F.col("source") != "src0"))
-    keepers = (
-        base.select(
-            "doc_id", F.md5(normalized_text(F.col("text"))).alias("ch")
-        )
-        .groupBy("ch")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    surv = base.join(keepers, "doc_id", "left_semi")
-    clean = decontaminate(surv, ev, ngram=5)
-    sampled = hash_sample(
-        clean, rates={"en": 0.5}, default_rate=0.9, stratum_col="lang"
-    )
-    shard = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("epoch0:shard:"), F.col("doc_id").cast("string")
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 64
-    ).cast("int")
-    return sampled.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.col("n_tokens").cast("int").alias("n_tokens"),
-        shard.alias("shard_id"),
-    )
+    return pretrain_corpus_build(d)
 
 
 _DSIR_SQL = """

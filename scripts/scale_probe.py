@@ -25,6 +25,10 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 from etl_lealone_spark.operators import dedup, similarity  # noqa: E402
+from etl_lealone_spark.operators.pipeline import (  # noqa: E402
+    dsir_log_weights,
+    pretrain_corpus_build,
+)
 from etl_lealone_spark.operators.ranking import bm25_scores  # noqa: E402
 from etl_lealone_spark.session import build_spark, default_parallelism  # noqa: E402
 from etl_lealone_spark.tables import load_tables  # noqa: E402
@@ -107,6 +111,18 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
         timings["ann_bruteforce"] = time.time() - t0
+
+        t0 = time.time()
+        pretrain_corpus_build(docs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["pretrain_e2e"] = time.time() - t0
+
+        t0 = time.time()
+        dsir_log_weights(docs, F.col("source") == "src0").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["dsir_weights"] = time.time() - t0
 
         rows.append((k, n_docs, n_emb, timings))
         parts = " ".join(f"{q}={s:.2f}s" for q, s in timings.items())
