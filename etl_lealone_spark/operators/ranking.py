@@ -164,3 +164,42 @@ def vocab_top_terms(
         .orderBy(F.col("tf").desc(), F.col("term"))
         .limit(k)
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase matching via positional postings intersection.
+
+    The inverted-index primitive BM25 cannot express: ``phrase`` matches
+    where its terms appear CONSECUTIVELY. Classic positional-postings
+    evaluation (Manning et al., IR book §2.4): build (doc, position)
+    postings for the phrase's terms only, shift term i's positions back
+    by i, and count equi-matches on (doc, start_position).
+
+    Returns (id, n_matches) for documents with >= 1 occurrence.
+
+    Scale shape: the postings build is a map-side explode + a SELECTIVE
+    filter (only the phrase's terms survive — pushed into the exploded
+    stream, so the corpus text is scanned once and only matching tokens
+    are materialized); the m-way intersection is ONE equi-join keyed on
+    (doc, start_pos) — never a positional window over the whole corpus.
+    Posting lists for rare terms are tiny; for a phrase of common terms
+    the join keys on an 8-byte compound and AQE handles the skew.
+    """
+    terms = [t.lower() for t in phrase]
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "w"),
+    ).filter(F.col("w").isin(terms))
+    parts = [
+        tok.filter(F.col("w") == t).select("id", (F.col("pos") - i).alias("p0"))
+        for i, t in enumerate(terms)
+    ]
+    matches = parts[0]
+    for p in parts[1:]:
+        matches = matches.join(p, ["id", "p0"])
+    return matches.groupBy("id").agg(F.count(F.lit(1)).alias("n_matches"))

@@ -332,3 +332,70 @@ def model_quality_score_sql(expr_prefix: str = "") -> str:
         f"+ {w['word_len_dev']!r} * abs(mean_word_len - 5.0))"
     )
     return f"round(greatest(0.0, least(1.0, {z})), 6)"
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document corpus unigram log-probability (perplexity proxy).
+
+    The CCNet-style fluency signal (Wenzek et al. 2020 use a KenLM
+    5-gram; the scale-safe Spark form is the unigram LM over hashed
+    token buckets): tokens hash into ``buckets`` buckets, each bucket
+    gets a Laplace-smoothed corpus probability, and a document's score
+    is the sum of its tokens' log-probs. Documents whose mean token
+    log-prob is far below the corpus norm are gibberish / boilerplate
+    candidates; unusually high means repetitive common-word text.
+
+    Returns (id, n_tokens_lm, logprob_x1e6) — fixed-point BIGINT sum
+    (one rounding per bucket, integer per-doc sum: exact, associative,
+    engine-portable). Mean log-prob is logprob_x1e6 / n_tokens_lm /
+    1e6, left to the caller so this output stays integer-exact.
+
+    Scale shape: identical to DSIR scoring — map-side explode, one
+    ≤``buckets``-row aggregation, broadcast join of the log-prob table
+    back onto the token stream, one per-doc sum with map-side partials.
+    """
+    from .dedup import words
+
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(words(F.col(text_col))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "id",
+            (
+                F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+                % buckets
+            ).alias("b"),
+        )
+    )
+    counts = tok.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(F.sum("c").alias("n"))
+    lp_tbl = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.floor(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("n") + buckets).cast("double")
+            )
+            * scale
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+    return (
+        tok.join(F.broadcast(lp_tbl), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_lm"),
+            F.sum("lp").alias("logprob_x1e6"),
+        )
+    )

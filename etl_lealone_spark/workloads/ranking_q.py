@@ -261,3 +261,43 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search
+# ---------------------------------------------------------------------------
+_FILT_WS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),"
+    " x -> x <> '')"
+)
+
+
+@workload(
+    "phrase_search_postings",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_FILT_WS} AS ws FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM w
+    ),
+    t0 AS (SELECT doc_id, pos AS p0 FROM tok WHERE w = 'table'),
+    t1 AS (SELECT doc_id, pos - 1 AS p0 FROM tok WHERE w = 'scan')
+    SELECT t0.doc_id, count(*) AS n_matches
+    FROM t0 JOIN t1 USING (doc_id, p0)
+    GROUP BY t0.doc_id
+    """,
+    doc="Exact phrase search ('table scan') by positional-postings "
+    "intersection: selective per-term postings from one explode pass, "
+    "one equi-join on (doc, start_pos) — the IR primitive BM25 lacks; "
+    "never a window over the full corpus.",
+)
+def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.ranking import phrase_search
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return phrase_search(d, ["table", "scan"]).select(
+        F.col("id").alias("doc_id"), "n_matches"
+    )

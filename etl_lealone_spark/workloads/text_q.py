@@ -462,3 +462,50 @@ def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus unigram log-probability (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+_UNIGRAM_LP_SQL = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+               x -> x <> '') AS ws
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, ('0x' || substr(md5(wd), 1, 15))::BIGINT % 4096 AS b
+      FROM (SELECT doc_id, unnest(ws) AS wd FROM w)
+    ),
+    counts AS (SELECT b, count(*) AS c FROM tok GROUP BY b),
+    tot AS (SELECT cast(sum(c) as bigint) AS n FROM counts),
+    lp AS (
+      SELECT b,
+             cast(floor(ln(cast(c + 1 as double) / cast(n + 4096 as double))
+                        * 1000000 + 0.5) as bigint) AS lp
+      FROM counts, tot
+    )
+    SELECT doc_id, count(*) AS n_tokens_lm,
+           cast(sum(lp) as bigint) AS logprob_x1e6
+    FROM tok JOIN lp USING (b)
+    GROUP BY doc_id
+    """
+
+
+@workload(
+    "text_unigram_logprob",
+    _UNIGRAM_LP_SQL,
+    doc="Per-document corpus unigram log-probability over hashed token "
+    "buckets (CCNet-style perplexity-proxy fluency signal), in exact "
+    "fixed-point bigint arithmetic; 4096-row LM table broadcast back "
+    "onto the token stream.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import unigram_logprob
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return unigram_logprob(d).select(
+        F.col("id").alias("doc_id"), "n_tokens_lm", "logprob_x1e6"
+    )

@@ -114,3 +114,39 @@ def test_pack_sequence_bins_no_single_partition(spark):
     )
     plan = pack_sequence_bins(d)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search
+# ---------------------------------------------------------------------------
+def test_phrase_search_exact_positions(spark):
+    from etl_lealone_spark.operators.ranking import phrase_search
+
+    d = spark.createDataFrame(
+        [
+            (1, "full table scan is slow"),        # 1 match
+            (2, "scan the table scan table scan"),  # 2 matches
+            (3, "table part scan"),                 # terms present, not adjacent
+            (4, "no relevant words here"),          # no terms
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r["n_matches"]
+        for r in phrase_search(d, ["table", "scan"]).collect()
+    }
+    assert out == {1: 1, 2: 2}
+
+
+def test_phrase_search_three_terms_and_case(spark):
+    from etl_lealone_spark.operators.ranking import phrase_search
+
+    d = spark.createDataFrame(
+        [(1, "The Quick Brown fox; the quick brown dog"), (2, "quick the brown")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r["n_matches"]
+        for r in phrase_search(d, ["the", "quick", "brown"]).collect()
+    }
+    assert out == {1: 2}  # normalization lowercases; punctuation folded

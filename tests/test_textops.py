@@ -118,3 +118,31 @@ def test_mixing_weights_equalize_token_budget(spark):
     assert all(100 + i in kept_ids for i in range(4))
     n_big = sum(1 for i in kept_ids if i < 100)
     assert 0 < n_big < 40
+
+
+# ---------------------------------------------------------------------------
+# unigram log-probability (perplexity proxy)
+# ---------------------------------------------------------------------------
+def test_unigram_logprob_orders_fluency(spark):
+    from etl_lealone_spark.operators.textops import unigram_logprob
+
+    rows = [(i, "the common words appear everywhere") for i in range(20)]
+    rows += [(100, "the common words appear everywhere"),
+             (101, "zzyzx qwfp vexing gibberish tokens")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in unigram_logprob(d).collect()}
+    # equal token counts -> the common-word doc has strictly higher logprob
+    assert out[100]["n_tokens_lm"] == out[101]["n_tokens_lm"] == 5
+    assert out[100]["logprob_x1e6"] > out[101]["logprob_x1e6"]
+    # all log-probs are negative (probabilities < 1)
+    assert all(r["logprob_x1e6"] < 0 for r in out.values())
+
+
+def test_unigram_logprob_partitioning_invariant(spark):
+    from etl_lealone_spark.operators.textops import unigram_logprob
+
+    rows = [(i, f"w{i % 11} w{i % 5} fixed point sums") for i in range(50)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(unigram_logprob(d.coalesce(1)).collect())
+    b = sorted(unigram_logprob(d.repartition(9)).collect())
+    assert a == b
