@@ -58,6 +58,9 @@ HEADLINE = [
     "tpch_q21",                # TPC-H: EXISTS/NOT-EXISTS self-join
     "kmv_distinct_events",     # KMV distinct sketch
     "zorder_curve_keys",       # Z-order clustering key
+    "pretrain_pipeline_e2e",   # composed corpus build (quality->dedup->decon->mix->shard)
+    "dsir_importance_weights", # DSIR target-likeness scoring
+    "phrase_search_postings",  # positional phrase search
 ]
 
 
