@@ -253,12 +253,23 @@ def contamination_hits(
     string, count per train doc. One shuffle keyed by n-gram; the eval
     side is typically tiny (a benchmark suite) so Catalyst broadcasts
     it and the train corpus is never re-partitioned at all.
+
+    The token array is projected FIRST and the n-gram lambda references
+    the materialized column, never the split expression: an expression
+    referenced from inside a higher-order-function lambda re-evaluates
+    on every element access, so inlining the regex split costs one
+    split per n-gram element instead of one per document (same trap as
+    dedup.word_shingles_from; measured ~9s -> ~1s on the sf0.1
+    corpus). The multiply-referenced non-cheap alias survives
+    CollapseProject, so it is computed once per row.
     """
     def grams(df: DataFrame) -> DataFrame:
         return df.select(
+            F.col(id_col), ws_tokens(F.col(text_col)).alias("__ws")
+        ).select(
             F.col(id_col),
             F.explode(
-                F.array_distinct(_word_ngrams(ws_tokens(F.col(text_col)), ngram))
+                F.array_distinct(_word_ngrams(F.col("__ws"), ngram))
             ).alias("g"),
         )
 
@@ -706,15 +717,34 @@ def pretrain_corpus_build(
     keyed by 5-gram with the (tiny) eval side broadcast; sampling and
     sharding map-only. No stage is quadratic; the only full-text
     shuffles are the two keyed joins, both on compact keys.
+
+    The gated+hashed projection is EAGERLY materialized
+    (``localCheckpoint``) before fan-out: four downstream consumers
+    (keeper agg, survivor semi-join, decontamination gram explode, the
+    final select) would each re-evaluate the quality-feature expression
+    tree — ~10 substring scans per document — turning one corpus pass
+    into four (measured 13s -> ~6s at sf0.1). At cluster scale the same
+    cut point is a persist(DISK_ONLY) or an intermediate table write;
+    either way the gate runs exactly once.
     """
     from .dedup import normalized_text
     from .textops import hash_sample, quality_filter
 
     ev = d.filter(F.col("source") == eval_source)
-    base = quality_filter(d.filter(F.col("source") != eval_source))
+    base = (
+        quality_filter(d.filter(F.col("source") != eval_source))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "text",
+            "n_tokens",
+            F.md5(normalized_text(F.col("text"))).alias("ch"),
+        )
+        .localCheckpoint(eager=True)
+    )
     keepers = (
-        base.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("ch"))
-        .groupBy("ch")
+        base.groupBy("ch")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )

@@ -73,24 +73,20 @@ class IncrementalCorpusBuilder:
         # once, keep compact and materialized; per batch it is broadcast
         # into the anti-join (an eval slice is a benchmark suite: small)
         self.eval_grams = (
-            eval_docs.select(
-                F.explode(
-                    F.array_distinct(
-                        _word_ngrams(ws_tokens(F.col(text_col)), ngram)
-                    )
-                ).alias("g")
-            )
-            .distinct()
-            .localCheckpoint(eager=True)
+            self._grams(eval_docs).select("g").distinct().localCheckpoint(eager=True)
         )
 
     def _grams(self, df: DataFrame) -> DataFrame:
+        # project the token array FIRST; the n-gram lambda must reference
+        # a materialized column, not the split expression (re-evaluated
+        # per element access otherwise — see operators.pipeline
+        # contamination_hits)
         return df.select(
+            F.col(self.id_col), ws_tokens(F.col(self.text_col)).alias("__ws")
+        ).select(
             F.col(self.id_col),
             F.explode(
-                F.array_distinct(
-                    _word_ngrams(ws_tokens(F.col(self.text_col)), self.ngram)
-                )
+                F.array_distinct(_word_ngrams(F.col("__ws"), self.ngram))
             ).alias("g"),
         )
 
