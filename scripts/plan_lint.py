@@ -1,0 +1,90 @@
+"""Fleet-wide plan lint: every registered workload's physical plan is
+checked for the scale anti-patterns that would only surface as a cluster
+bill at 100 TB:
+
+- ``CartesianProduct`` — an O(n*m) join stage,
+- ``BroadcastNestedLoopJoin`` — a per-row scan of a broadcast side
+  (degenerate non-equi join),
+- a window function over ``SinglePartition`` — the whole dataset
+  serialized through one task (global ungrouped aggregates legitimately
+  end in a 1-row SinglePartition exchange; the lint only flags plans
+  where a Window node sits above one).
+
+Workloads on the allowlist are individually justified where they are
+listed. Run:
+
+    python scripts/plan_lint.py [name_filter ...]
+
+Exit code 1 if any non-allowlisted workload trips a rule.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from etl_lealone_spark.plans import explain_str  # noqa: E402
+from etl_lealone_spark.plans.lint import lint_plan  # noqa: E402
+from etl_lealone_spark.session import build_spark  # noqa: E402
+from etl_lealone_spark.workloads import all_workloads  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# name -> justification (kept next to the exemption so the lint stays honest)
+ALLOW: dict[str, str] = {
+    "join_cross": "the workload IS a bounded cross join (5-row dims, "
+    "LIMITed output) — reference parity for CROSS JOIN",
+    "values_table": "literal VALUES relation — no scan on either side",
+    "quantified_all_any": "op ALL(subquery) compares against a 1-row "
+    "aggregated subquery — Spark plans the scalar compare as a 1-row "
+    "BroadcastNestedLoopJoin, which is a constant-size broadcast",
+    "scalar_subquery": "1-row scalar subquery joined to the outer query "
+    "— constant-size broadcast by construction",
+    "join_theta_bands": "non-equi (theta) join against a constant 5-row "
+    "bands relation; the broadcast nested-loop over a literal dim IS the "
+    "right plan — the fact side streams once, reference parity for theta "
+    "joins",
+    "cosine_float_topk": "brute-force ANN deliberately broadcasts the "
+    "bounded query-vector set and scores map-only; the nested loop is "
+    "|corpus| x |queries| with a constant query count",
+    "hybrid_rrf_topk": "dense arm broadcasts ONE query vector (1-row "
+    "relation by construction) next to the 1-row BM25 corpus stats — "
+    "both nested-loop sides are constant-size",
+}
+
+
+def lint_one(name: str, plan: str) -> list[str]:
+    return lint_plan(plan)
+
+
+def main() -> None:
+    filters = sys.argv[1:]
+    spark = build_spark(app_name="plan_lint", cores=8, shuffle_partitions=8)
+    wl = all_workloads()
+    bad: list[tuple[str, list[str]]] = []
+    n_checked = 0
+    for name, w in wl.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        try:
+            plan = explain_str(w.build(spark, SF_DIR), "extended")
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, [f"plan-error: {e}"]))
+            continue
+        n_checked += 1
+        hits = lint_one(name, plan)
+        if hits and name in ALLOW:
+            print(f"ALLOW {name}: {hits} — {ALLOW[name]}")
+        elif hits:
+            bad.append((name, hits))
+            print(f"FAIL  {name}: {hits}")
+        else:
+            print(f"OK    {name}")
+    print(f"\n== {n_checked} checked, {len(bad)} violations")
+    if bad:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

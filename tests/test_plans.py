@@ -315,3 +315,44 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_plan_lint_rules(spark, tables):
+    """The lint (scripts/plan_lint.py sweeps all registered workloads
+    with it) must flag planted anti-patterns and pass the legitimate
+    scalar-broadcast shape."""
+    from etl_lealone_spark.plans.lint import lint_df
+
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    ord_ = tables["orders"].select("o_orderkey")
+
+    # planted cartesian: crossJoin of two real relations
+    spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    hits = lint_df(li.crossJoin(ord_.limit(10**9)))
+    assert "cartesian" in hits or "bnl-join" in hits
+
+    # legitimate 1-row scalar broadcast: corpus stat attached to each row
+    stats = li.agg(F.avg("l_quantity").alias("aq"))
+    assert lint_df(li.crossJoin(F.broadcast(stats))) == []
+
+    # clean keyed join passes
+    assert lint_df(li.join(ord_, li.l_orderkey == ord_.o_orderkey)) == []
+
+
+def test_plan_lint_flags_global_window(spark, tables):
+    from pyspark.sql import Window
+
+    from etl_lealone_spark.plans.lint import lint_df
+
+    d = tables["lineitem"]
+    global_w = d.select(
+        F.row_number().over(Window.orderBy("l_orderkey")).alias("rn")
+    )
+    assert "global-window" in lint_df(global_w)
+
+    keyed_w = d.select(
+        F.row_number()
+        .over(Window.partitionBy("l_orderkey").orderBy("l_linenumber"))
+        .alias("rn")
+    )
+    assert "global-window" not in lint_df(keyed_w)
