@@ -1,0 +1,246 @@
+"""Product quantization (PQ) for embeddings — the memory side of the
+100 TB ANN design.
+
+IVF (similarity.py) bounds how much of the corpus a query SCANS;
+PQ bounds how much memory each vector COSTS: the d-dim vector is split
+into ``m`` subspaces, each subspace gets a ``k``-centroid codebook
+(k-means), and a vector is stored as ``m`` small codes (m bytes at
+k<=256) instead of 4d bytes — a 32-64x compression that turns a
+trillion-vector index into something executors can hold. Distances are
+computed asymmetrically (ADC, Jegou et al. 2011): the query stays
+exact, per-subspace distances to every centroid are tabulated ONCE per
+query (an m*k table), and each corpus vector scores as m table lookups.
+
+Spark shapes:
+
+- **Training** (``pq_train``): Lloyd's k-means per subspace, all
+  subspaces in the SAME distributed pass — explode to (subspace,
+  subvector), assign via an Arrow-vectorized argmin against the
+  broadcast codebooks, update with exact integer sums per (subspace,
+  centroid, dim). Centroids live driver-side (m*k*dsub ints — constant
+  size); only assignments are distributed. Determinism: integer-
+  quantized vectors (similarity.quantize), hash-chosen seeds, exact
+  integer sums with floor-division means, lowest-index argmin
+  tie-break — the codebook is identical across partitionings and
+  reruns (pinned by test).
+- **Encoding** (``pq_encode``): map-only — one Arrow batch pass, no
+  shuffle at any corpus size.
+- **Query** (``pq_adc_topk``): the m*k distance table is computed on
+  the driver from the exact query, broadcast in the closure, and the
+  scan is map-only lookups + ``TakeOrderedAndProject``.
+
+Training on the full corpus is unnecessary at scale: ``pq_train`` takes
+a deterministic hash-sample cap (``train_cap``) — the standard practice
+(FAISS trains codebooks on ~100k-1M samples regardless of index size).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .similarity import quantize
+
+
+def _sub_slices(dim: int, m: int) -> list[tuple[int, int]]:
+    """[(start, len)] per subspace; dim need not divide evenly."""
+    base, rem = divmod(dim, m)
+    out, start = [], 0
+    for i in range(m):
+        ln = base + (1 if i < rem else 0)
+        out.append((start, ln))
+        start += ln
+    return out
+
+
+def _seed_order(n: int, tag: str) -> list[int]:
+    """Deterministic pseudo-random order of range(n) by md5 of (tag, i)."""
+    return sorted(range(n), key=lambda i: hashlib.md5(f"{tag}:{i}".encode()).digest())
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 4,
+    train_cap: int = 100_000,
+) -> list[list[list[int]]]:
+    """Learn PQ codebooks; returns ``codebooks[m][k][dsub]`` (int64).
+
+    Seeds for subspace ``s`` are the subvectors of the ``k`` training
+    rows with the smallest md5-of-id hashes (hash-spread — independent
+    of row order); empty clusters keep their previous centroid.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    train = df.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    if train_cap:
+        # deterministic hash-sample: smallest md5 buckets first
+        train = train.withColumn(
+            "__hb",
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+        ).orderBy("__hb").limit(train_cap).drop("__hb")
+    rows = train.collect() if train_cap and train_cap <= 10_000 else None
+    if rows is None:
+        # cap larger than driver comfort: keep distributed; collect ids+vecs
+        # only for seeding (k rows)
+        rows = train.orderBy("id").limit(max(k * 4, 64)).collect()
+    X_seed = np.array([r["qv"] for r in rows], dtype=np.int64)
+    dim = X_seed.shape[1]
+    slices = _sub_slices(dim, m)
+    order = _seed_order(len(rows), "pq-seed")
+    centroids = [
+        np.stack([X_seed[order[j % len(order)], s : s + ln] for j in range(k)])
+        for (s, ln) in slices
+    ]  # m arrays of (k, dsub)
+
+    train = train.localCheckpoint(eager=True)  # training sample reused per iter
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast([c.tolist() for c in centroids])
+
+        def assign(batches):
+            import numpy as np  # noqa: PLC0415
+
+            cents = [np.array(c, dtype=np.int64) for c in bc.value]
+            for pdf in batches:
+                Xb = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+                out = {"sub": [], "cid": [], "svec": []}
+                for s_i, (s, ln) in enumerate(slices):
+                    sub = Xb[:, s : s + ln]
+                    # squared L2 to each centroid: |x|^2 - 2 x.c + |c|^2
+                    d = (
+                        (sub * sub).sum(axis=1, keepdims=True)
+                        - 2 * sub @ cents[s_i].T
+                        + (cents[s_i] * cents[s_i]).sum(axis=1)[None, :]
+                    )
+                    cid = d.argmin(axis=1)  # lowest index wins ties
+                    out["sub"] += [s_i] * len(cid)
+                    out["cid"] += cid.tolist()
+                    out["svec"] += [r.tolist() for r in sub]
+                import pandas as pd  # noqa: PLC0415
+
+                yield pd.DataFrame(out)
+
+        schema = T.StructType(
+            [
+                T.StructField("sub", T.IntegerType()),
+                T.StructField("cid", T.IntegerType()),
+                T.StructField("svec", T.ArrayType(T.LongType())),
+            ]
+        )
+        assigned = train.mapInPandas(assign, schema=schema)
+        # exact integer per-dimension sums -> deterministic means
+        sums = (
+            assigned.select(
+                "sub", "cid", F.posexplode("svec").alias("pos", "v")
+            )
+            .groupBy("sub", "cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        new_cents = [c.copy() for c in centroids]
+        for r in sums:
+            # exact integer mean; clusters with no assignment keep their
+            # previous centroid (no row -> no overwrite)
+            new_cents[r["sub"]][r["cid"], r["pos"]] = r["s"] // r["c"]
+        centroids = new_cents
+        bc.destroy()
+    return [c.tolist() for c in centroids]
+
+
+def _encode_fn(codebooks, slices):
+    def encode(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        cents = [np.array(c, dtype=np.int64) for c in codebooks]
+        for pdf in batches:
+            Xb = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            codes = np.empty((len(Xb), len(slices)), dtype=np.int32)
+            for s_i, (s, ln) in enumerate(slices):
+                sub = Xb[:, s : s + ln]
+                d = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    - 2 * sub @ cents[s_i].T
+                    + (cents[s_i] * cents[s_i]).sum(axis=1)[None, :]
+                )
+                codes[:, s_i] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "codes": [r.tolist() for r in codes]}
+            )
+
+    return encode
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes) — m small ints per vector; map-only, zero shuffle."""
+    import numpy as np
+
+    dim = int(np.sum([len(cb[0]) for cb in codebooks]))
+    slices = _sub_slices(dim, len(codebooks))
+    src = df.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", src.schema["id"].dataType),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    return src.mapInPandas(_encode_fn(codebooks, slices), schema=schema)
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    id_col: str = "id",
+) -> DataFrame:
+    """Top-k nearest codes to the query by asymmetric distance.
+
+    The m*k lookup table is built driver-side from the EXACT query;
+    scoring is ``m`` array lookups per row (JVM expression, no Python)
+    + TakeOrderedAndProject.
+    """
+    import numpy as np
+
+    q = np.array([int(np.floor(x * 1_000_000 + 0.5)) for x in query_vec], dtype=np.int64)
+    dim = int(np.sum([len(cb[0]) for cb in codebooks]))
+    slices = _sub_slices(dim, len(codebooks))
+    table = []  # [m][k] squared distances
+    for s_i, (s, ln) in enumerate(slices):
+        cents = np.array(codebooks[s_i], dtype=np.int64)
+        sub = q[s : s + ln]
+        d = ((cents - sub[None, :]) ** 2).sum(axis=1)
+        table.append(d.tolist())
+    tbl = F.array(*[F.array(*[F.lit(int(v)) for v in row]) for row in table])
+    dist = F.aggregate(
+        F.zip_with(
+            tbl,
+            F.col("codes"),
+            lambda row, code: F.element_at(row, code + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        codes_df.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

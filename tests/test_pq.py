@@ -1,0 +1,74 @@
+"""Product quantization: deterministic training, map-only encoding, ADC
+retrieval quality on separable synthetic clusters."""
+
+from __future__ import annotations
+
+import random
+
+from etl_lealone_spark.operators.pq import (
+    _sub_slices,
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+)
+
+
+def _clustered_vectors(n_per=20, dim=16, centers=((5.0,), (-5.0,), (0.5,))):
+    """Three well-separated clusters; returns (vec_id, embedding) rows."""
+    rnd = random.Random(7)
+    rows = []
+    vid = 0
+    for ci, (base,) in enumerate(centers):
+        for _ in range(n_per):
+            vec = [base + rnd.uniform(-0.3, 0.3) for _ in range(dim)]
+            rows.append((vid, ci, vec))
+            vid += 1
+    return rows
+
+
+def test_sub_slices_cover_dim():
+    assert _sub_slices(16, 4) == [(0, 4), (4, 4), (8, 4), (12, 4)]
+    s = _sub_slices(10, 3)
+    assert sum(ln for _, ln in s) == 10 and s[0] == (0, 4)
+
+
+def test_pq_train_deterministic_across_partitionings(spark):
+    rows = [(i, c, v) for i, c, v in _clustered_vectors()]
+    d = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<double>"
+    )
+    cb1 = pq_train(d.coalesce(1), m=4, k=4, iters=3)
+    cb2 = pq_train(d.repartition(5), m=4, k=4, iters=3)
+    assert cb1 == cb2
+
+
+def test_pq_encode_and_adc_recall(spark):
+    rows = _clustered_vectors()
+    d = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<double>"
+    )
+    cb = pq_train(d, m=4, k=4, iters=3)
+    codes = pq_encode(d, cb)
+    got = {r["id"]: r["codes"] for r in codes.collect()}
+    assert len(got) == len(rows)
+    assert all(len(c) == 4 and max(c) < 4 for c in got.values())
+
+    # query at a cluster center: every top-5 hit belongs to that cluster
+    by_id = {vid: cl for vid, cl, _ in rows}
+    top = pq_adc_topk(codes, [5.0] * 16, cb, k=5).collect()
+    assert len(top) == 5
+    assert all(by_id[r["id"]] == 0 for r in top)
+    # and distances are ordered
+    dists = [r["adc_dist"] for r in top]
+    assert dists == sorted(dists)
+
+
+def test_pq_compression_shape(spark):
+    rows = _clustered_vectors(n_per=5)
+    d = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<double>"
+    )
+    cb = pq_train(d, m=8, k=4, iters=2)
+    assert len(cb) == 8                      # m codebooks
+    assert all(len(c) == 4 for c in cb)      # k centroids each
+    assert sum(len(c[0]) for c in cb) == 16  # subspace dims cover the vector
