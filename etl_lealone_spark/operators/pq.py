@@ -244,3 +244,153 @@ def pq_adc_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+class IvfPqIndex:
+    """Persisted IVF-PQ index: coarse clusters prune the SCAN, PQ codes
+    bound the MEMORY — together the standard billion-vector ANN layout
+    (FAISS IVFPQ), expressed as parquet partitioning + JVM expressions.
+
+    Layout under ``root``:
+      _meta.json — centroids (coarse, ~sqrt(n)) + PQ codebooks (m*k)
+      assign/    — (vec_id, codes) parquet, hive-partitioned by cid
+
+    Build cost: one pass to train codebooks on a hash-sample, one
+    Arrow-vectorized pass assigning every vector to its coarse cluster
+    AND encoding its m PQ codes simultaneously. A probe reads ONLY the
+    ``n_probe`` matching partition directories (parquet partition
+    pruning) and scores them as m table lookups per row — no full
+    vectors are ever read at query time.
+    """
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        m: int = 8,
+        k: int = 16,
+    ):
+        self.spark = spark
+        self.root = root
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.m = m
+        self.k = k
+
+    def _meta_path(self) -> str:
+        import os
+
+        return os.path.join(self.root, "_meta.json")
+
+    def exists(self) -> bool:
+        import os
+
+        return os.path.exists(self._meta_path())
+
+    def build(self, corpus: DataFrame, force: bool = False) -> None:
+        import json
+        import math
+        import os
+        import shutil
+
+        import numpy as np
+        import pandas as pd
+
+        if self.exists() and not force:
+            return
+        codebooks = pq_train(
+            corpus, vec_col=self.vec_col, id_col=self.id_col, m=self.m, k=self.k
+        )
+        cq = corpus.select(
+            F.col(self.id_col).alias("vec_id"),
+            quantize(F.col(self.vec_col)).alias("qv"),
+        )
+        n = cq.count()
+        stride = max(1, int(math.floor(math.sqrt(float(n)))))
+        cent_rows = sorted(
+            cq.filter(F.col("vec_id") % stride == 0).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        cids = np.asarray([r["vec_id"] for r in cent_rows], dtype=np.int64)
+        CENT = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in cent_rows])
+        dim = CENT.shape[1]
+        m = self.m  # locals only below — the closure must not capture self
+        slices = _sub_slices(dim, m)
+        cb = [np.array(c, dtype=np.int64) for c in codebooks]
+
+        def assign_encode(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                Xb = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+                # coarse: exact squared-L2 argmin, lowest cid wins ties
+                d = (
+                    (Xb * Xb).sum(axis=1, keepdims=True)
+                    - 2 * Xb @ CENT.T
+                    + (CENT * CENT).sum(axis=1)[None, :]
+                )
+                best = d.argmin(axis=1)
+                codes = np.empty((len(Xb), m), dtype=np.int32)
+                for s_i, (s, ln) in enumerate(slices):
+                    sub = Xb[:, s : s + ln]
+                    ds = (
+                        (sub * sub).sum(axis=1, keepdims=True)
+                        - 2 * sub @ cb[s_i].T
+                        + (cb[s_i] * cb[s_i]).sum(axis=1)[None, :]
+                    )
+                    codes[:, s_i] = ds.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "codes": [r.tolist() for r in codes],
+                        "cid": cids[best],
+                    }
+                )
+
+        tmp = self.root + ".build"
+        shutil.rmtree(tmp, ignore_errors=True)
+        cq.mapInPandas(
+            assign_encode, schema="vec_id long, codes array<int>, cid long"
+        ).write.mode("overwrite").partitionBy("cid").parquet(
+            os.path.join(tmp, "assign")
+        )
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "n": n,
+                    "stride": stride,
+                    "codebooks": codebooks,
+                    "cids": cids.tolist(),
+                    "centroids": CENT.tolist(),
+                },
+                f,
+            )
+        try:
+            os.rename(tmp, self.root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def topk(self, query_vec: list[float], k: int = 10, n_probe: int = 4) -> DataFrame:
+        """Top-k by ADC distance within the ``n_probe`` best coarse
+        clusters; reads only those partitions (parquet pruning)."""
+        import json
+        import os
+
+        import numpy as np
+
+        with open(self._meta_path()) as f:
+            meta = json.load(f)
+        codebooks = meta["codebooks"]
+        cids = np.asarray(meta["cids"], dtype=np.int64)
+        CENT = np.asarray(meta["centroids"], dtype=np.int64)
+        q = np.array(
+            [int(np.floor(x * 1_000_000 + 0.5)) for x in query_vec], dtype=np.int64
+        )
+        d = ((CENT - q[None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((cids, d))  # dist asc, cid asc on ties
+        probed = sorted(int(c) for c in cids[order[:n_probe]])
+        assign = self.spark.read.parquet(os.path.join(self.root, "assign"))
+        cand = assign.filter(F.col("cid").isin(probed))
+        return pq_adc_topk(cand, query_vec, codebooks, k=k, id_col="vec_id")

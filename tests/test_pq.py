@@ -72,3 +72,36 @@ def test_pq_compression_shape(spark):
     assert len(cb) == 8                      # m codebooks
     assert all(len(c) == 4 for c in cb)      # k centroids each
     assert sum(len(c[0]) for c in cb) == 16  # subspace dims cover the vector
+
+
+def test_ivfpq_index_build_probe(spark, tmp_path):
+    rows = _clustered_vectors(n_per=30)
+    d = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<double>"
+    )
+    from etl_lealone_spark.operators.pq import IvfPqIndex
+
+    idx = IvfPqIndex(spark, str(tmp_path / "ivfpq"), m=4, k=4)
+    idx.build(d)
+    assert idx.exists()
+    idx.build(d)  # idempotent no-op
+
+    by_id = {vid: cl for vid, cl, _ in rows}
+    top = idx.topk([-5.0] * 16, k=5, n_probe=3).collect()
+    assert len(top) == 5
+    assert all(by_id[r["vec_id"]] == 1 for r in top)  # all from the -5 cluster
+
+
+def test_ivfpq_probe_partition_prunes(spark, tmp_path):
+    rows = _clustered_vectors(n_per=30)
+    d = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<double>"
+    )
+    from etl_lealone_spark.operators.pq import IvfPqIndex
+    from etl_lealone_spark.plans import explain_str
+
+    idx = IvfPqIndex(spark, str(tmp_path / "ivfpq2"), m=4, k=4)
+    idx.build(d)
+    plan = explain_str(idx.topk([5.0] * 16, k=3, n_probe=2), "simple")
+    # the cid filter must reach the parquet source as a partition filter
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters", 1)[1][:200]
