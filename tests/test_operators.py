@@ -98,3 +98,103 @@ def test_engine_session_shell(spark):
 
     es.prepare("q1", "SELECT 1 AS one")
     assert es.execute_prepared("q1").collect()[0]["one"] == 1
+
+
+# ---------------------------------------------------------------------------
+# REAL raster decode/resize (netpbm + 24-bit BMP — no codec libs needed)
+# ---------------------------------------------------------------------------
+def _ppm_gradient(w, h):
+    import numpy as np
+
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]          # R = x
+    arr[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None]          # G = y
+    arr[:, :, 2] = 7
+    return arr
+
+
+def _bmp24_bytes(arr):
+    """Minimal uncompressed bottom-up 24-bit BMP writer."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    raster = np.zeros((h, row_bytes), dtype=np.uint8)
+    bgr = arr[:, :, ::-1]                    # RGB -> BGR
+    raster[:, : w * 3] = bgr.reshape(h, -1)
+    raster = raster[::-1]                    # bottom-up
+    data = raster.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    return header + info + data
+
+
+def test_netpbm_roundtrip_and_stats(spark):
+    import numpy as np
+
+    from etl_lealone_spark.operators.multimodal import (
+        decode_raster,
+        encode_ppm,
+        image_stats_features,
+    )
+
+    arr = _ppm_gradient(16, 8)
+    buf = encode_ppm(arr)
+    w, h, c, back = decode_raster(buf)
+    assert (w, h, c) == (16, 8, 3)
+    assert np.array_equal(back, arr)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(buf), ("image", "image/x-portable-pixmap", 16, 8, None))],
+        "media_id long, payload binary, "
+        "meta struct<modality:string,mime:string,width:int,height:int,duration_ms:bigint>",
+    )
+    r = image_stats_features(media).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (16, 8, 3)
+    assert r["mean"][0] == round(float(np.arange(16).mean()), 6)  # R = x ramp
+    assert r["mean"][2] == 7.0                                    # constant B
+
+
+def test_bmp24_decode_matches_source(spark):
+    import numpy as np
+
+    from etl_lealone_spark.operators.multimodal import decode_raster
+
+    arr = _ppm_gradient(5, 3)  # odd width exercises row padding
+    w, h, c, back = decode_raster(_bmp24_bytes(arr))
+    assert (w, h, c) == (5, 3, 3)
+    assert np.array_equal(back, arr)
+
+
+def test_resize_nearest_real(spark):
+    import numpy as np
+
+    from etl_lealone_spark.operators.multimodal import (
+        decode_raster,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    arr = _ppm_gradient(16, 8)
+    media = spark.createDataFrame(
+        [(9, bytearray(encode_ppm(arr)), ("image", "image/x-portable-pixmap", 16, 8, None))],
+        "media_id long, payload binary, "
+        "meta struct<modality:string,mime:string,width:int,height:int,duration_ms:bigint>",
+    )
+    out = resize_nearest(media, width=8, height=4).collect()[0]
+    assert out["meta"]["width"] == 8 and out["meta"]["height"] == 4
+    w, h, c, small = decode_raster(bytes(out["payload"]))
+    assert (w, h, c) == (8, 4, 3)
+    # nearest-neighbor: pixel (y, x) comes from (y*8//4... source mapping)
+    assert np.array_equal(small, arr[::2, ::2])
+
+
+def test_decode_raster_rejects_unknown(spark):
+    import pytest
+
+    from etl_lealone_spark.operators.multimodal import decode_raster
+
+    with pytest.raises(NotImplementedError):
+        decode_raster(b"\x89PNG\r\n\x1a\n....")
