@@ -60,8 +60,8 @@ _PRIORITY: tuple[str, ...] = (
     # capstone pretraining-corpus pipelines (newest — never driver-checked)
     "pretrain_pipeline_e2e", "dsir_importance_weights",
     "split_train_val_test",
-    # IR / LM-fluency additions (newest)
-    "phrase_search_postings", "text_unigram_logprob",
+    # IR / LM-fluency / graph additions (newest)
+    "phrase_search_postings", "text_unigram_logprob", "graph_pagerank",
     # formerly rows-only in r02 — now carrying full cross-engine oracles
     # (xhash family): a driver hash-match row upgrades their evidence
     "dedup_simhash_pairs", "ann_lsh_topk", "dedup_minhash_survivors",
@@ -70,7 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     # q12-q16 judged via check_oracles re-runs)
     "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q9", "tpch_q10",
-    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q17", "tpch_q18", "tpch_q20", "tpch_q21",
     "tpch_q22",
     # sketches / layout / range join / reshape / fuzzy / variant /
     # distribution windows (new this round)

@@ -102,3 +102,75 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
+
+
+# ---------------------------------------------------------------------------
+# fixed-point PageRank over the symmetric co-occurrence graph
+# ---------------------------------------------------------------------------
+def _pagerank_oracle(iters: int = 4, d_num: int = 850) -> str:
+    """Unrolled-iteration DuckDB oracle replaying the EXACT integer
+    arithmetic of operators.graph.pagerank (// is integer division on
+    DuckDB bigints; all masses stay positive)."""
+    cte = (
+        _EDGE_SQL
+        + """
+    , edges AS (
+      SELECT pa AS s, pb AS t FROM e UNION ALL SELECT pb AS s, pa AS t FROM e
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    outdeg AS (SELECT s AS node, count(*) AS deg FROM edges GROUP BY s),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1000000000::BIGINT AS r FROM nodes)
+    """
+    )
+    for i in range(iters):
+        cte += f""",
+    s{i} AS (
+      SELECT r{i}.node, o.deg, (((r{i}.r * {d_num}) // 1000) // o.deg) AS share
+      FROM r{i} JOIN outdeg o ON r{i}.node = o.node
+    ),
+    b{i} AS (
+      SELECT ((SELECT n FROM nn) * 1000000000 - COALESCE(sum(share * deg), 0))
+             // (SELECT n FROM nn) AS base
+      FROM s{i}
+    ),
+    c{i} AS (
+      SELECT ed.t AS node, sum(s{i}.share) AS inflow
+      FROM edges ed JOIN s{i} ON ed.s = s{i}.node
+      GROUP BY ed.t
+    ),
+    r{i + 1} AS (
+      SELECT n.node,
+             (COALESCE(c{i}.inflow, 0) + (SELECT base FROM b{i}))::BIGINT AS r
+      FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node
+    )"""
+    return (
+        cte
+        + f"""
+    SELECT node, r AS rank_x1e9 FROM r{iters}
+    ORDER BY rank_x1e9 DESC, node
+    LIMIT 20
+    """
+    )
+
+
+@workload(
+    "graph_pagerank",
+    _pagerank_oracle(),
+    doc="Fixed-point PageRank (4 rounds, damping 0.85) over the "
+    "symmetric co-occurrence graph — exact integer mass propagation, "
+    "bit-identical across engines/partitionings; one edge-keyed join + "
+    "one destination agg per round (operators/graph.py).",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    e = _edges(spark, sf_dir)
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    return (
+        pagerank(sym, iters=4)
+        .orderBy(F.desc("rank_x1e9"), "node")
+        .limit(20)
+    )
