@@ -356,3 +356,69 @@ def test_plan_lint_flags_global_window(spark, tables):
         .alias("rn")
     )
     assert "global-window" not in lint_df(keyed_w)
+
+
+def test_dynamic_partition_pruning_injects(spark, tables, tmp_path):
+    """A filtered dim joined on a fact's PARTITION column must inject
+    dynamic partition pruning (a runtime subquery on the fact scan) —
+    at 100 TB this skips whole partition directories, the coarse
+    complement of the bloom-filter row pruning."""
+    fact_path = str(tmp_path / "fact")
+    tables["lineitem"].withColumn(
+        "part_mod", F.col("l_partkey") % 10
+    ).write.mode("overwrite").partitionBy("part_mod").parquet(fact_path)
+    dim = (
+        spark.range(10)
+        .select(F.col("id").alias("part_mod"), (F.col("id") * 2).alias("v"))
+        .filter(F.col("v") < 6)
+    )
+    saved = spark.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+            "false",
+        )
+        j = (
+            spark.read.parquet(fact_path)
+            .join(dim, "part_mod")
+            .agg(F.count(F.lit(1)))
+        )
+        assert "dynamicpruning" in explain_str(j, "simple").lower()
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+            saved,
+        )
+
+
+def test_parquet_aggregate_pushdown(spark, tables, tmp_path):
+    """COUNT/MIN/MAX over a parquet scan can be answered from footer
+    statistics alone (v2 source + aggregatePushDown): the plan shows
+    PushedAggregation and no row data is decoded — a full-table COUNT
+    at 100 TB becomes a metadata read."""
+    path = str(tmp_path / "li_v2")
+    tables["lineitem"].write.mode("overwrite").parquet(path)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.parquet.aggregatePushDown",
+            "spark.sql.sources.useV1SourceList",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        agg = spark.read.parquet(path).agg(
+            F.count(F.lit(1)).alias("n"), F.min("l_quantity").alias("mn")
+        )
+        assert "PushedAggregation" in explain_str(agg, "simple")
+        row = agg.collect()[0]
+        assert row["n"] == tables["lineitem"].count() and row["mn"] is not None
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
