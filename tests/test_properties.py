@@ -306,3 +306,81 @@ def test_parse_methods_roundtrip(methods):
         got_args, got_ret = parsed[name]
         assert got_args == list(args)
         assert got_ret == ret
+
+
+# ---------------------------------------------------------------------------
+# BPE merge fold (operators/bpe.py) vs the obvious Python merge
+# ---------------------------------------------------------------------------
+SYMS = st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=0, max_size=12)
+
+
+@given(syms=SYMS)
+@settings(**_SETTINGS)
+def test_bpe_merge_fold_matches_python(spark, syms):
+    from etl_lealone_spark.operators.bpe import _merge_pair_expr
+
+    def py_merge(s, a, b):
+        out, carry = [], None
+        for t in s:
+            if carry == a and t == b:
+                out.append(a + b)
+                carry = None
+            else:
+                if carry is not None:
+                    out.append(carry)
+                carry = t
+        if carry is not None:
+            out.append(carry)
+        return out
+
+    df = spark.createDataFrame([(syms,)], "syms array<string>")
+    got = df.select(_merge_pair_expr(F.col("syms"), "a", "b").alias("m")).collect()[0]["m"]
+    assert got == py_merge(syms, "a", "b")
+    # merging never changes the concatenation (losslessness)
+    assert "".join(got) == "".join(syms)
+
+
+# ---------------------------------------------------------------------------
+# netpbm encode/decode roundtrip (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 9),
+    c=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_netpbm_roundtrip_random(w, h, c, seed):
+    import numpy as np
+
+    from etl_lealone_spark.operators.multimodal import decode_raster, encode_ppm
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    w2, h2, c2, back = decode_raster(encode_ppm(arr))
+    assert (w2, h2, c2) == (w, h, c)
+    assert np.array_equal(back, arr)
+
+
+# ---------------------------------------------------------------------------
+# PageRank mass conservation on random graphs
+# ---------------------------------------------------------------------------
+RAND_EDGES = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)),
+    min_size=1,
+    max_size=20,
+).filter(lambda es: any(s != t for s, t in es))
+
+
+@given(edges=RAND_EDGES)
+@settings(**{**_SETTINGS, "max_examples": 5})  # iterative job per example
+def test_pagerank_mass_conserved_random(spark, edges):
+    from etl_lealone_spark.operators.graph import SCALE, pagerank
+
+    edges = [(s, t) for s, t in edges if s != t]
+    d = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_x1e9"] for r in pagerank(d, iters=3).collect()}
+    n = len(got)
+    assert all(v >= 0 for v in got.values())
+    # total mass stays within the per-round floor dust bound (< n per round)
+    assert abs(sum(got.values()) - n * SCALE) < n * 3
