@@ -250,6 +250,62 @@ def baseline_workloads(spark, n: int = 50_000_000, reps: int = 3) -> dict[str, f
     return out
 
 
+# Extension ops the reference (and DuckDB) has no native operator for —
+# each Spark build is dual-run against ITS OWN DuckDB oracle SQL on the
+# identical parquet, the strongest apples-to-apples the extension surface
+# allows (same results, hash-checked by the correctness gate).
+EXT_DUAL = [
+    "pretrain_pipeline_e2e",
+    "dedup_minhash_pairs",
+    "dsir_importance_weights",
+    "bm25_topk",
+    "phrase_search_postings",
+]
+
+
+def extension_dual_run(spark, wl, reps: int = 2) -> dict[str, float]:
+    """Interleaved Spark-vs-DuckDB timings for oracle-backed extension
+    workloads at SF_DIR; returns {name_spark: s, name_duckdb: s}."""
+    import duckdb
+
+    from etl_lealone_spark.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    out: dict[str, float] = {}
+    for name in EXT_DUAL:
+        w = wl[name]
+        if w.oracle is None:
+            continue
+
+        def s_run():
+            w.build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+        def d_run():
+            con.execute(w.oracle).fetchall()
+
+        try:
+            s_run(), d_run()  # warm both engines
+            st, dt = [], []
+            for _ in range(reps):
+                t0 = time.time()
+                s_run()
+                st.append(time.time() - t0)
+                t0 = time.time()
+                d_run()
+                dt.append(time.time() - t0)
+            out[f"ext_{name}_spark"] = round(min(st), 3)
+            out[f"ext_{name}_duckdb"] = round(min(dt), 3)
+        except Exception:
+            pass
+    con.close()
+    return out
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_spark(
@@ -293,6 +349,7 @@ def main() -> None:
     # throughput, which is what a 100 TB deployment cares about.
     base_rows = int(os.environ.get("SPARK_GRAFT_BASE_ROWS", "50000000"))
     baseline = baseline_workloads(spark, n=base_rows)
+    ext = extension_dual_run(spark, wl)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -300,7 +357,7 @@ def main() -> None:
                 "metric": "headline_suite_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": {**timings, **baseline},
+                "queries": {**timings, **baseline, **ext},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "baseline_rows": base_rows,
             }
