@@ -60,8 +60,9 @@ _PRIORITY: tuple[str, ...] = (
     # capstone pretraining-corpus pipelines (newest — never driver-checked)
     "pretrain_pipeline_e2e", "dsir_importance_weights",
     "split_train_val_test",
-    # IR / LM-fluency / graph additions (newest)
+    # IR / LM-fluency / graph / time-series additions (newest)
     "phrase_search_postings", "text_unigram_logprob", "graph_pagerank",
+    "events_resample_hourly",
     # formerly rows-only in r02 — now carrying full cross-engine oracles
     # (xhash family): a driver hash-match row upgrades their evidence
     "dedup_simhash_pairs", "ann_lsh_topk", "dedup_minhash_survivors",
@@ -70,7 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     # q12-q16 judged via check_oracles re-runs)
     "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q9", "tpch_q10",
-    "tpch_q17", "tpch_q18", "tpch_q20", "tpch_q21",
+    "tpch_q17", "tpch_q18", "tpch_q21",
     "tpch_q22",
     # sketches / layout / range join / reshape / fuzzy / variant /
     # distribution windows (new this round)
@@ -95,7 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     # strongest representatives of families already driver-green in r01/r02
     "dedup_minhash_pairs", "merge_ansi",
     # ---- window boundary (~slot 50) ----
-    "dedup_exact", "ann_ivf_topk",
+    "try_functions", "dedup_exact", "ann_ivf_topk",
     "agg_groupby_having", "recursive_tree_depth",
     "events_cohort_retention", "events_transition_matrix",
     "skew_diagnose_orders",

@@ -228,3 +228,100 @@ def skew_diagnose_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("hot_n"), "hot_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# gap-fill resampling: regular hourly grid + carry-forward interpolation
+# ---------------------------------------------------------------------------
+@workload(
+    "events_resample_hourly",
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+      FROM b
+    ),
+    hourly AS (
+      SELECT user_id, hr, n, value AS last_val FROM (
+        SELECT user_id, date_trunc('hour', ts) AS hr, value,
+               count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts)) AS n,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    j AS (
+      SELECT g.user_id, g.hr,
+             COALESCE(h.n, 0) AS n_events, h.last_val
+      FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+    )
+    SELECT user_id, strftime(hr, '%Y-%m-%d %H:00') AS hour_bucket,
+           cast(n_events as bigint) AS n_events,
+           last_value(last_val IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+    FROM j
+    """,
+    doc="Time-series gap-fill: per-user hourly grid (sequence explode "
+    "between observed bounds), event counts per bucket, and last-value "
+    "carry-forward interpolation. One agg + one keyed left join + one "
+    "per-user window — the grid is generated, never stored; no stage "
+    "exceeds O(active keys x buckets).",
+)
+def events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir)["events"]
+    grid = (
+        e.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    wkey = Window.partitionBy("user_id", "hr")
+    hourly = (
+        e.select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+            "value",
+            "ts",
+            "event_id",
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wkey))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wkey.orderBy(F.desc("ts"), F.desc("event_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hr", "n", F.col("value").alias("last_val"))
+    )
+    j = grid.join(hourly, ["user_id", "hr"], "left").select(
+        "user_id",
+        "hr",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        "last_val",
+    )
+    wff = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour_bucket"),
+        "n_events",
+        F.last("last_val", ignorenulls=True).over(wff).alias("value_ff"),
+    )

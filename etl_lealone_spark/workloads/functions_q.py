@@ -240,3 +240,46 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
         ).alias("arr_contains_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# try_* error-safe evaluation battery (ANSI-mode safety valves)
+# ---------------------------------------------------------------------------
+@workload(
+    "try_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST(l_returnflag AS INTEGER) AS tc_bad_int,
+           TRY_CAST(cast(l_quantity AS VARCHAR) AS DOUBLE) AS tc_good_double,
+           strftime(TRY_CAST('2024-13-40' AS DATE), '%Y-%m-%d') AS tc_bad_date,
+           l_extendedprice / nullif(l_quantity - l_quantity, 0) AS td_zero,
+           round(l_extendedprice / nullif(l_quantity, 0), 6) AS td_ok,
+           [l_orderkey, l_partkey][9] AS tea_oob
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+    doc="Error-safe evaluation: TRY_CAST on malformed ints/dates, "
+    "try_divide by zero, out-of-bounds element access — NULL instead of "
+    "a runtime error, the batch-pipeline-survival semantics (one bad row "
+    "must not kill a 100 TB job). All map-only.",
+)
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"].filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").try_cast("int").alias("tc_bad_int"),
+        F.col("l_quantity").cast("string").try_cast("double").alias(
+            "tc_good_double"
+        ),
+        F.date_format(F.lit("2024-13-40").try_cast("date"), "yyyy-MM-dd").alias("tc_bad_date"),
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
+        ).alias("td_zero"),
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")), 6
+        ).alias("td_ok"),
+        F.try_element_at(
+            F.array(F.col("l_orderkey"), F.col("l_partkey")), F.lit(9)
+        ).alias("tea_oob"),
+    )
