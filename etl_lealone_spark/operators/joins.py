@@ -197,3 +197,66 @@ def range_join_bucketed(
         )
         .drop("__bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Interval-overlap join (both sides are [start, end] ranges) with a
+    manufactured equi-key and NO dedup stage.
+
+    Both sides explode into the ``bucket_days``-wide time buckets they
+    span, candidates meet on the bucket equi-join, and the exact overlap
+    predicate (``l_start <= r_end AND r_start <= l_end``) filters them.
+    A pair overlapping several buckets would match once per shared
+    bucket, so the join keeps a pair ONLY in the bucket containing
+    ``greatest(l_start, r_start)`` — the overlap's first day. Every
+    overlapping pair owns exactly one such bucket, so results are
+    exact-once without a dropDuplicates shuffle (the trick MapReduce
+    spatial joins call the reference-point method).
+
+    Cost: one shuffle on the bucket key; per-side blowup =
+    avg_interval_len / bucket_days. Pick bucket_days near the median
+    interval length.
+    """
+    epoch = F.lit("1990-01-01").cast("date")
+
+    def days(col: str):
+        return F.datediff(F.col(col).cast("date"), epoch)
+
+    lb = left.withColumn(
+        "__lb",
+        F.explode(
+            F.sequence(
+                F.floor(days(l_start) / bucket_days).cast("long"),
+                F.floor(days(l_end) / bucket_days).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__rb",
+        F.explode(
+            F.sequence(
+                F.floor(days(r_start) / bucket_days).cast("long"),
+                F.floor(days(r_end) / bucket_days).cast("long"),
+            )
+        ),
+    )
+    overlap_start_bucket = F.floor(
+        F.greatest(days(l_start), days(r_start)) / bucket_days
+    ).cast("long")
+    return (
+        lb.join(rb, lb["__lb"] == rb["__rb"])
+        .filter(
+            (F.col(l_start).cast("date") <= F.col(r_end).cast("date"))
+            & (F.col(r_start).cast("date") <= F.col(l_end).cast("date"))
+            & (F.col("__lb") == overlap_start_bucket)
+        )
+        .drop("__lb", "__rb")
+    )

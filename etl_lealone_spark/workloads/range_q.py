@@ -64,3 +64,59 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join: promo windows x order-fulfillment windows
+# ---------------------------------------------------------------------------
+@workload(
+    "interval_overlap_orders",
+    """
+    WITH promo AS (
+      SELECT o_orderkey AS promo_id,
+             cast(o_orderdate as date) AS ps,
+             cast(o_orderdate as date) + INTERVAL 21 DAY AS pe
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    win AS (
+      SELECT o_orderkey,
+             cast(o_orderdate as date) AS ws,
+             cast(o_orderdate as date)
+               + to_days(cast(o_orderkey % 14 + 2 as int)) AS we
+      FROM orders WHERE o_totalprice > 300000
+    )
+    SELECT promo_id, count(*) AS n_overlaps,
+           min(o_orderkey) AS first_order
+    FROM promo JOIN win
+      ON promo.ps <= win.we AND win.ws <= promo.pe
+    GROUP BY promo_id
+    """,
+    doc="Interval-overlap join (both sides are date ranges): bucketized "
+    "equi-join with exact-once reference-point ownership (no dedup "
+    "stage) vs the oracle's naive theta join — identical matches, one "
+    "shuffle instead of O(n*m).",
+)
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import interval_overlap_join
+
+    o = load_tables(spark, sf_dir)["orders"]
+    promo = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("promo_id"),
+        F.col("o_orderdate").cast("date").alias("ps"),
+        (F.col("o_orderdate").cast("date") + F.expr("INTERVAL 21 DAY")).alias(
+            "pe"
+        ),
+    )
+    win = o.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("ws"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 14 + 2).cast("int"),
+        ).alias("we"),
+    )
+    joined = interval_overlap_join(promo, win, "ps", "pe", "ws", "we", bucket_days=7)
+    return joined.groupBy("promo_id").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.min("o_orderkey").alias("first_order"),
+    )

@@ -63,3 +63,41 @@ def test_salted_join_matches_plain_join(spark):
     plain = left.join(right, "k").groupBy("tag").count()
     salted = salted_join(left, right, "k", salt=8).groupBy("tag").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_interval_overlap_join_exact_once(spark):
+    """The reference-point bucket ownership must yield each overlapping
+    pair EXACTLY once — including pairs spanning many buckets — and
+    match the naive theta join."""
+    from etl_lealone_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "2024-03-01"),   # long interval, many buckets
+            (2, "2024-01-10", "2024-01-12"),
+            (3, "2024-06-01", "2024-06-02"),   # overlaps nothing
+        ],
+        "lid long, ps string, pe string",
+    ).selectExpr("lid", "cast(ps as date) ps", "cast(pe as date) pe")
+    right = spark.createDataFrame(
+        [
+            (10, "2024-01-05", "2024-02-20"),  # overlaps 1 across buckets
+            (11, "2024-01-11", "2024-01-11"),  # overlaps 1 and 2
+            (12, "2024-05-30", "2024-05-31"),  # overlaps nothing
+        ],
+        "rid long, ws string, we string",
+    ).selectExpr("rid", "cast(ws as date) ws", "cast(we as date) we")
+
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ps", "pe", "ws", "we", bucket_days=7
+        ).collect()
+    )
+    naive = sorted(
+        (r["lid"], r["rid"])
+        for r in left.crossJoin(right)
+        .filter("ps <= we AND ws <= pe")
+        .collect()
+    )
+    assert got == naive == [(1, 10), (1, 11), (2, 10), (2, 11)]
