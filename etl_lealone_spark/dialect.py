@@ -355,9 +355,96 @@ def rewrite(sql: str, session: Optional["EngineSession"] = None) -> str:
     sql = _rewrite_datetime_keywords(sql)
     sql = _rewrite_group_concat(sql)
     sql = _rewrite_csvread(sql, session)
+    sql = _rewrite_pipeline_tvf(sql, session)
     sql = _rewrite_table_constructor(sql)
     sql = _rewrite_sequence_calls(sql, session)
     sql = _rewrite_rownum(sql)
     sql = _strip_for_update(sql)
     sql = _rewrite_fn_aliases(sql, session)
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# built-in pipeline table functions (extension surface in pure SQL):
+# the corpus/graph/IR operators callable straight from FROM, the same
+# registration style as CSVREAD (materialize -> temp view -> substitute).
+# ---------------------------------------------------------------------------
+def _rewrite_pipeline_tvf(sql: str, session: Optional["EngineSession"]) -> str:
+    """``FROM DEDUP_PAIRS('t'[, 0.7]) / PHRASE_SEARCH('t', 'a b') /
+    QUALITY_FILTER('t') / PAGERANK('t', 'src', 'dst'[, iters])`` —
+    pipeline operators as SQL table functions. Each call runs the
+    operator over the named session table/view, registers the result as
+    a deterministic temp view, and substitutes the view name.
+    """
+    if session is None:
+        return sql
+
+    import re as _re
+
+    def _clean(name: str) -> str:
+        return _re.sub(r"[^A-Za-z0-9]", "_", name).strip("_").lower()
+
+    def _tbl(name: str):
+        return session.spark.table(name)
+
+    def r_dedup(m: _re.Match) -> str:
+        from .operators.dedup import minhash_lsh_pairs
+
+        t, thr = m.group(1), float(m.group(2) or 0.7)
+        view = f"dedup_pairs_{_clean(t)}_{int(thr * 100)}"
+        minhash_lsh_pairs(_tbl(t), threshold=thr).createOrReplaceTempView(view)
+        return view
+
+    def r_phrase(m: _re.Match) -> str:
+        from .operators.ranking import phrase_search
+
+        t, phrase = m.group(1), m.group(2)
+        view = f"phrase_{_clean(t)}_{_clean(phrase)}"
+        phrase_search(_tbl(t), phrase.split()).createOrReplaceTempView(view)
+        return view
+
+    def r_quality(m: _re.Match) -> str:
+        from .operators.textops import quality_filter
+
+        t = m.group(1)
+        view = f"quality_{_clean(t)}"
+        quality_filter(_tbl(t)).createOrReplaceTempView(view)
+        return view
+
+    def r_pagerank(m: _re.Match) -> str:
+        from .operators.graph import pagerank
+
+        t, src, dst = m.group(1), m.group(2), m.group(3)
+        iters = int(m.group(4) or 10)
+        view = f"pagerank_{_clean(t)}_{iters}"
+        pagerank(_tbl(t), src=src, dst=dst, iters=iters).createOrReplaceTempView(
+            view
+        )
+        return view
+
+    sql = _re.sub(
+        r"DEDUP_PAIRS\s*\(\s*'([^']+)'\s*(?:,\s*([0-9.]+)\s*)?\)",
+        r_dedup,
+        sql,
+        flags=_re.IGNORECASE,
+    )
+    sql = _re.sub(
+        r"PHRASE_SEARCH\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)",
+        r_phrase,
+        sql,
+        flags=_re.IGNORECASE,
+    )
+    sql = _re.sub(
+        r"QUALITY_FILTER\s*\(\s*'([^']+)'\s*\)",
+        r_quality,
+        sql,
+        flags=_re.IGNORECASE,
+    )
+    sql = _re.sub(
+        r"PAGERANK\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'\s*"
+        r"(?:,\s*([0-9]+)\s*)?\)",
+        r_pagerank,
+        sql,
+        flags=_re.IGNORECASE,
+    )
     return sql

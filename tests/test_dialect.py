@@ -138,3 +138,42 @@ def test_transaction_grammar_noops(es):
         "RELEASE SAVEPOINT sp1", "CHECKPOINT SYNC",
     ):
         assert es.sql(stmt).collect()[0][0] == "ok"
+
+
+# ---------------------------------------------------------------------------
+# pipeline operators as SQL table functions
+# ---------------------------------------------------------------------------
+def test_pipeline_tvfs_in_sql(es, spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today", "en", "s1"),
+            (2, "the quick brown fox jumps over the lazy dog again and again today", "en", "s1"),
+            (3, "totally different text about full table scan strategies in the engine", "en", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    docs.createOrReplaceTempView("tvf_docs")
+
+    pairs = es.sql(
+        "SELECT id_a, id_b FROM DEDUP_PAIRS('tvf_docs', 0.7) ORDER BY id_a"
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+    hits = es.sql(
+        "SELECT id, n_matches FROM PHRASE_SEARCH('tvf_docs', 'table scan')"
+    ).collect()
+    assert [(r["id"], r["n_matches"]) for r in hits] == [(3, 1)]
+
+    kept = es.sql(
+        "SELECT count(*) AS n FROM QUALITY_FILTER('tvf_docs')"
+    ).collect()[0]["n"]
+    assert kept == 3
+
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "s long, d long"
+    ).createOrReplaceTempView("tvf_edges")
+    pr = es.sql(
+        "SELECT node, rank_x1e9 FROM PAGERANK('tvf_edges', 's', 'd', 3) "
+        "ORDER BY rank_x1e9 DESC, node LIMIT 1"
+    ).collect()[0]
+    assert pr["node"] in (1, 2, 3)
