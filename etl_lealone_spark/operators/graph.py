@@ -60,6 +60,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:  # empty edge list -> empty rank table, same schema
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("rank_x1e9")
+        )
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("r"))
     total = n * SCALE

@@ -61,3 +61,15 @@ def test_pagerank_partitioning_invariant(spark):
     a = sorted(pagerank(d.coalesce(1), iters=5).collect())
     b = sorted(pagerank(d.repartition(7), iters=5).collect())
     assert a == b
+
+
+def test_pagerank_empty_and_self_loop_edges(spark):
+    import pyspark.sql.functions as F
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty, iters=2).count() == 0
+
+    # self-loops are legal edges: a node may cite itself
+    d = spark.createDataFrame([(1, 1), (1, 2)], "src long, dst long")
+    got = {r["node"]: r["rank_x1e9"] for r in pagerank(d, iters=2).collect()}
+    assert set(got) == {1, 2} and all(v > 0 for v in got.values())

@@ -101,3 +101,25 @@ def test_interval_overlap_join_exact_once(spark):
         .collect()
     )
     assert got == naive == [(1, 10), (1, 11), (2, 10), (2, 11)]
+
+
+def test_interval_overlap_join_empty_sides(spark):
+    from etl_lealone_spark.operators.joins import interval_overlap_join
+
+    schema_l = "lid long, ps date, pe date"
+    schema_r = "rid long, ws date, we date"
+    left = spark.createDataFrame([], schema_l)
+    right = spark.createDataFrame(
+        [(1, "2024-01-01", "2024-01-02")], "rid long, ws string, we string"
+    ).selectExpr("rid", "cast(ws as date) ws", "cast(we as date) we")
+    assert (
+        interval_overlap_join(left, right, "ps", "pe", "ws", "we").count() == 0
+    )
+    assert (
+        interval_overlap_join(
+            right.selectExpr("rid lid", "ws ps", "we pe"),
+            spark.createDataFrame([], schema_r),
+            "ps", "pe", "ws", "we",
+        ).count()
+        == 0
+    )
