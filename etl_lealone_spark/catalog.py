@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -174,6 +174,10 @@ class Catalog:
     # materialized views: name → defining query (extension; the stored
     # result lives in ``tables`` as a snapshot table)
     mat_views: dict[str, str] = field(default_factory=dict)
+    # incremental-refresh state: mv name → (base table, base version the
+    # stored result reflects) — set when the MV's base is a catalog
+    # snapshot table, advanced by every refresh
+    mv_base: dict[str, tuple[str, int]] = field(default_factory=dict)
 
     def table(self, name: str) -> SnapshotTable:
         key = name.lower()
@@ -628,6 +632,12 @@ class StatementRouter:
             st.create(df)
             self.catalog.tables[name] = st
             self.catalog.mat_views[name] = q
+            base = self._mv_base_table(q)
+            if base is not None:
+                self.catalog.mv_base[name] = (
+                    base,
+                    self.catalog.tables[base].version,
+                )
             self.catalog.table_ddl[name] = s
             self.catalog.constraints[name] = TableConstraints()
             self.catalog.refresh_view(name)
@@ -1919,12 +1929,44 @@ class StatementRouter:
         out = shutil.make_archive(base, "zip", self.catalog.warehouse)
         return self._ok(f"backup written: {out}")
 
-    def _refresh(self, s: str) -> DataFrame:
-        """``REFRESH MATERIALIZED VIEW <name>`` — re-run the defining
-        query into a NEW snapshot (readers of the old snapshot are
-        undisturbed; the refresh is atomic via the version flip)."""
+    def _mv_base_table(self, query: str) -> Optional[str]:
+        """The single catalog snapshot table a simple MV query reads, or
+        None (joins, subqueries, non-catalog sources)."""
         m = re.match(
-            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>{_IDENT})\s*$",
+            rf"\s*SELECT\s+.+?\s+FROM\s+(?P<base>{_IDENT})\s*"
+            rf"(?:WHERE\s+.+?)?(?:GROUP\s+BY\s+.+?)?\s*$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            return None
+        base = m.group("base").lower()
+        return base if base in self.catalog.tables else None
+
+    _MV_AGG = re.compile(
+        r"^\s*(?P<fn>COUNT|SUM|MIN|MAX)\s*\(\s*(?P<arg>\*|[^()]+)\s*\)\s+"
+        r"AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*)\s*$",
+        re.IGNORECASE,
+    )
+
+    def _refresh(self, s: str) -> DataFrame:
+        """``REFRESH MATERIALIZED VIEW <name> [INCREMENTALLY]``.
+
+        Full refresh re-runs the defining query into a NEW snapshot
+        (readers of the old snapshot are undisturbed; the refresh is
+        atomic via the version flip). ``INCREMENTALLY`` consumes ONLY the
+        base table's rows appended since the last refresh (file-level
+        delta — SnapshotTable.inserted_since) and merges their partial
+        aggregates into the stored result: supported for single-table
+        GROUP BY queries whose aggregates are COUNT/SUM/MIN/MAX (the
+        insert-mergeable family); anything else — or a base history that
+        was not append-only — raises with the full-refresh suggestion.
+        At scale this is the difference between re-scanning the whole
+        base and scanning the day's new files.
+        """
+        m = re.match(
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>{_IDENT})"
+            rf"(?P<inc>\s+INCREMENTALLY)?\s*$",
             s,
             re.IGNORECASE,
         )
@@ -1935,13 +1977,87 @@ class StatementRouter:
         name = m.group("name").lower()
         if name not in self.catalog.mat_views:
             raise KeyError(f"materialized view not found: {name}")
+        if m.group("inc"):
+            return self._refresh_incremental(name)
         df = self.spark.sql(
             rewrite(self.catalog.mat_views[name], session=self.session)
         )
         self.catalog.tables[name].write(df)
+        if name in self.catalog.mv_base:
+            base, _ = self.catalog.mv_base[name]
+            self.catalog.mv_base[name] = (base, self.catalog.tables[base].version)
         self.catalog.refresh_view(name)
         self.session.invalidate_cache()
         return self._ok(f"refreshed materialized view {name}")
+
+    def _refresh_incremental(self, name: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from .dialect import rewrite
+
+        query = self.catalog.mat_views[name]
+        if name not in self.catalog.mv_base:
+            raise ValueError(
+                f"materialized view {name} has no snapshot-table base; "
+                "use REFRESH MATERIALIZED VIEW (full)"
+            )
+        base, last_v = self.catalog.mv_base[name]
+        qm = re.match(
+            rf"\s*SELECT\s+(?P<select>.+?)\s+FROM\s+{base}\s*"
+            rf"(?:WHERE\s+(?P<where>.+?))?\s*GROUP\s+BY\s+(?P<gb>.+?)\s*$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not qm:
+            raise ValueError(
+                f"materialized view {name} is not a single-table GROUP BY "
+                "query; use REFRESH MATERIALIZED VIEW (full)"
+            )
+        group_cols = [c.strip().lower() for c in qm.group("gb").split(",")]
+        aggs: dict[str, str] = {}  # alias -> fn
+        for item in qm.group("select").split(","):
+            item = item.strip()
+            if item.lower() in group_cols:
+                continue
+            am = self._MV_AGG.match(item)
+            if not am:
+                raise ValueError(
+                    f"unsupported select item for incremental refresh: "
+                    f"{item!r} (COUNT/SUM/MIN/MAX ... AS alias only)"
+                )
+            aggs[am.group("alias").lower()] = am.group("fn").upper()
+        st = self.catalog.tables[base]
+        delta = st.inserted_since(last_v)  # raises if history not append-only
+        view = f"__mv_delta_{name}"
+        delta.createOrReplaceTempView(view)
+        delta_agg = self.spark.sql(
+            rewrite(
+                re.sub(
+                    rf"\bFROM\s+{base}\b", f"FROM {view}", query, flags=re.IGNORECASE
+                ),
+                session=self.session,
+            )
+        )
+        old = self.catalog.tables[name].read()
+        o, d = old.alias("o"), delta_agg.alias("d")
+        joined = o.join(d, group_cols, "full_outer")
+        combined_cols = [F.coalesce(*[o[c], d[c]]).alias(c) for c in group_cols]
+        for alias, fn in aggs.items():
+            a, b = o[alias], d[alias]
+            if fn in ("COUNT", "SUM"):
+                expr = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+            elif fn == "MIN":
+                expr = F.when(a.isNull(), b).when(b.isNull(), a).otherwise(F.least(a, b))
+            else:  # MAX
+                expr = F.when(a.isNull(), b).when(b.isNull(), a).otherwise(
+                    F.greatest(a, b)
+                )
+            combined_cols.append(expr.alias(alias))
+        self.catalog.tables[name].write(joined.select(*combined_cols))
+        self.catalog.mv_base[name] = (base, st.version)
+        self.catalog.refresh_view(name)
+        self.session.invalidate_cache()
+        return self._ok(f"incrementally refreshed materialized view {name}")
 
     def _vacuum(self, s: str) -> DataFrame:
         """``VACUUM <table> [RETAIN <n> VERSIONS]`` — drop snapshot

@@ -466,6 +466,48 @@ class SnapshotTable:
     def merge(self, source: DataFrame, keys: Sequence[str]) -> int:
         return self.write(merge_by_key(self.read(), source, keys))
 
+    def data_files(self, version: Optional[int] = None) -> set[str]:
+        """Fully-resolved paths of every data file in a snapshot.
+
+        Symlinks (the metadata-only file sharing between insert
+        snapshots) resolve to the file that actually holds the bytes, so
+        two versions sharing a file report the SAME path — the identity
+        the file-level delta below relies on.
+        """
+        v = self._version if version is None else version
+        out: set[str] = set()
+        for dirpath, _dirnames, filenames in os.walk(self._dir(v), followlinks=True):
+            for fn in filenames:
+                if fn.startswith(("_", ".")):
+                    continue
+                out.add(os.path.realpath(os.path.join(dirpath, fn)))
+        return out
+
+    def inserted_since(self, old_version: int) -> DataFrame:
+        """Rows added between ``old_version`` and the current snapshot,
+        read from ONLY the new data files (cost O(new data), the
+        incremental-consumption contract).
+
+        Valid only for an append-only history: if any file of the old
+        snapshot is missing from the current one, some intermediate
+        mutation rewrote data (UPDATE/DELETE/MERGE/overwrite) and a
+        file-level delta cannot represent it — raises ValueError so the
+        caller falls back to a full recomputation.
+        """
+        old = self.data_files(old_version)
+        cur = self.data_files()
+        removed = old - cur
+        if removed:
+            raise ValueError(
+                f"table {self.name} history v{old_version}->v{self._version} "
+                f"is not append-only ({len(removed)} files rewritten); "
+                "use a full refresh"
+            )
+        new_files = sorted(cur - old)
+        if not new_files:
+            return self.read().limit(0)
+        return self.spark.read.parquet(*new_files).select(self.read().columns)
+
     def truncate(self) -> int:
         """TRUNCATE TABLE (TruncateTable.java): empty snapshot, schema kept."""
         empty = self.read().limit(0)

@@ -226,3 +226,46 @@ def test_materialized_view_lifecycle(spark, tmp_path):
 
     with _pytest.raises(Exception):
         s.sql("SELECT * FROM mv").collect()
+
+
+def test_materialized_view_incremental_refresh(spark, tmp_path):
+    """REFRESH ... INCREMENTALLY merges only the appended rows' partial
+    aggregates into the stored result (file-level delta), matching a
+    full recomputation exactly; a non-append-only base history refuses
+    the incremental path."""
+    from etl_lealone_spark.session import EngineSession
+
+    s = EngineSession(spark, warehouse=str(tmp_path))
+    s.sql("CREATE TABLE ev (k int PRIMARY KEY, grp varchar, v int)")
+    s.sql("INSERT INTO ev VALUES (1,'a',10), (2,'a',5), (3,'b',7)")
+    s.sql(
+        "CREATE MATERIALIZED VIEW mv2 AS "
+        "SELECT grp, COUNT(*) AS n, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx "
+        "FROM ev GROUP BY grp"
+    )
+    # append rows incl. a brand-new group, then refresh incrementally
+    s.sql("INSERT INTO ev VALUES (4,'a',99), (5,'c',1)")
+    s.sql("REFRESH MATERIALIZED VIEW mv2 INCREMENTALLY")
+    got = {
+        r["grp"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in s.sql("SELECT * FROM mv2").collect()
+    }
+    assert got == {"a": (3, 114, 5, 99), "b": (1, 7, 7, 7), "c": (1, 1, 1, 1)}
+
+    # the delta really is file-level: only the appended rows are read
+    st = s.catalog.tables["ev"]
+    base, v = s.catalog.mv_base["mv2"]
+    assert base == "ev" and v == st.version
+    delta = st.inserted_since(v - 1)
+    assert sorted(r["k"] for r in delta.collect()) == [4, 5]
+
+    # UPDATE rewrites files -> incremental refresh must refuse
+    s.sql("UPDATE ev SET v = 1000 WHERE k = 1")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="append-only|full"):
+        s.sql("REFRESH MATERIALIZED VIEW mv2 INCREMENTALLY")
+    # full refresh still works and sees the update
+    s.sql("REFRESH MATERIALIZED VIEW mv2")
+    got = {r["grp"]: r["mx"] for r in s.sql("SELECT * FROM mv2").collect()}
+    assert got["a"] == 1000
