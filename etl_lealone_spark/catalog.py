@@ -345,6 +345,7 @@ class StatementRouter:
             "OPTIMIZE": self._optimize,
             "VACUUM": self._vacuum,
             "REFRESH": self._refresh,
+            "CHECKSUM": self._checksum,
             "USE": self._use,
             "SHUTDOWN": self._shutdown,
             # DECLARE GLOBAL TEMPORARY TABLE … is CREATE in the reference
@@ -2111,6 +2112,45 @@ class StatementRouter:
         if not m:
             raise ValueError(f"cannot parse SHUTDOWN: {s[:80]}")
         return self._ok(f"shutdown {(m.group('mode') or 'normal').lower()} (no-op)")
+
+    def _checksum(self, s: str) -> DataFrame:
+        """``CHECKSUM TABLE <name> [, <name> ...]`` — order-insensitive
+        content digest per table (MySQL-compat surface).
+
+        The digest is the sum of per-row xxhash64 over all columns,
+        modulo 2^61-1 — commutative and associative, so it is identical
+        for any row order, partitioning, or executor count, and two
+        replicas/engines holding the same rows agree. One aggregation
+        pass per table, map-side combined; at 100 TB this is the cheap
+        anti-entropy check that replaces a sort-and-compare.
+        """
+        from pyspark.sql import functions as F
+
+        m = re.match(
+            rf"CHECKSUM\s+TABLE\s+(?P<names>{_IDENT}(?:\s*,\s*{_IDENT})*)\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CHECKSUM: {s[:80]}")
+        p61 = (1 << 61) - 1
+        rows = []
+        for name in [n.strip().lower() for n in m.group("names").split(",")]:
+            df = self.spark.table(name)
+            digest = (
+                df.select(
+                    F.xxhash64(*df.columns)
+                    .bitwiseAND(F.lit(p61))
+                    .cast("decimal(38,0)")  # exact sum, no long overflow
+                    .alias("h")
+                )
+                .agg((F.sum("h") % p61).cast("long").alias("d"))
+                .collect()[0]["d"]
+            )
+            rows.append((name, int(digest or 0)))
+        return self.spark.createDataFrame(
+            rows, "table_name string, checksum bigint"
+        )
 
     def _optimize(self, s: str) -> DataFrame:
         """``OPTIMIZE <table> [ZORDER BY (c1, c2, …)]`` — data-layout

@@ -269,3 +269,23 @@ def test_materialized_view_incremental_refresh(spark, tmp_path):
     s.sql("REFRESH MATERIALIZED VIEW mv2")
     got = {r["grp"]: r["mx"] for r in s.sql("SELECT * FROM mv2").collect()}
     assert got["a"] == 1000
+
+
+def test_checksum_table_order_insensitive(spark, tmp_path):
+    from etl_lealone_spark.session import EngineSession
+
+    s = EngineSession(spark, warehouse=str(tmp_path))
+    s.sql("CREATE TABLE ck1 (k int PRIMARY KEY, v varchar)")
+    s.sql("INSERT INTO ck1 VALUES (1,'a'), (2,'b'), (3,'c')")
+    s.sql("CREATE TABLE ck2 (k int PRIMARY KEY, v varchar)")
+    s.sql("INSERT INTO ck2 VALUES (3,'c'), (1,'a'), (2,'b')")  # same rows, other order
+    s.sql("CREATE TABLE ck3 (k int PRIMARY KEY, v varchar)")
+    s.sql("INSERT INTO ck3 VALUES (1,'a'), (2,'b'), (3,'X')")  # one cell differs
+
+    got = {
+        r["table_name"]: r["checksum"]
+        for r in s.sql("CHECKSUM TABLE ck1, ck2, ck3").collect()
+    }
+    assert got["ck1"] == got["ck2"]
+    assert got["ck1"] != got["ck3"]
+    assert got["ck1"] > 0
