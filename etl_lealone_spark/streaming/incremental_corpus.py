@@ -24,9 +24,12 @@ in ascending doc_id order (any chunking), the accepted corpus is
 IDENTICAL to the batch pipeline's output — per-document stages are
 deterministic, and first-seen-wins across batches equals keep-min under
 ordered delivery. Out-of-order delivery keeps the first-seen copy of
-each duplicate family instead (documented at-least-once semantics;
-exactly-once via foreachBatch idempotent-append is the production
-upgrade, same as incremental_dedup).
+each duplicate family instead.
+
+Exactly-once: foreachBatch re-delivers the in-flight batch after a
+restart; a committed-batch-id marker (atomic file flip beside the
+state tables) recognizes the replay and skips the state append, so
+every batch commits exactly once.
 
 State grows with ACCEPTED documents (16-byte hash each), not stream
 length. No stage is quadratic; nothing driver-side but the pointer flip.
@@ -67,6 +70,7 @@ class IncrementalCorpusBuilder:
         self.n_shards = n_shards
         self.shard_seed = shard_seed
         self.ngram = ngram
+        self.state_root = state_root
         self.corpus = SnapshotTable(spark, state_root, "corpus")
         self.hash_state = SnapshotTable(spark, state_root, "content_hashes")
         # the eval gram set is fixed for the life of the builder — compute
@@ -90,10 +94,45 @@ class IncrementalCorpusBuilder:
             ).alias("g"),
         )
 
-    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> DataFrame:
+    # -- exactly-once: foreachBatch re-delivers the in-flight batch after
+    # a restart; a committed-batch-id marker makes the state append
+    # idempotent (the replayed batch is recognized and skipped) ----------
+    def _marker_path(self) -> str:
+        import os
+
+        return os.path.join(self.state_root, "_last_batch")
+
+    def _last_committed(self) -> int:
+        import os
+
+        try:
+            with open(self._marker_path()) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _commit_marker(self, batch_id: int) -> None:
+        import os
+
+        os.makedirs(self.state_root, exist_ok=True)
+        tmp = self._marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, self._marker_path())  # atomic flip
+
+    def process_batch(
+        self, batch: DataFrame, batch_id: int | None = None
+    ) -> DataFrame:
         """Run the pipeline on one batch against state; returns the
         accepted (doc_id, lang, source, n_tokens, shard_id) rows and
-        appends them (plus their content hashes) to state."""
+        appends them (plus their content hashes) to state.
+
+        Exactly-once: when the streaming carrier supplies a ``batch_id``
+        (foreachBatch does), an id at or below the committed marker is a
+        checkpoint replay — state is untouched and an empty frame comes
+        back. Ad-hoc calls without an id skip the marker (batch mode)."""
+        if batch_id is not None and batch_id <= self._last_committed():
+            return self.corpus.read().limit(0)
         base = quality_filter(batch, self.text_col).withColumn(
             "ch", F.md5(normalized_text(F.col(self.text_col)))
         )
@@ -157,6 +196,8 @@ class IncrementalCorpusBuilder:
         else:
             self.hash_state.create(new_hashes)
             self.corpus.create(out)
+        if batch_id is not None:
+            self._commit_marker(batch_id)
         return out
 
     def attach(self, stream: DataFrame, checkpoint_dir: str):

@@ -74,3 +74,34 @@ def test_decontamination_uses_static_eval_grams(spark, tmp_path):
         )
     )
     assert [r["doc_id"] for r in acc.collect()] == [2]
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch re-delivers the in-flight batch after restart; the
+    committed-batch-id marker must make the replay a no-op."""
+    schema = "doc_id long, text string, lang string, source string"
+    text = (
+        "plenty of ordinary words here so the quality gate keeps this "
+        "document in the corpus for the replay test today"
+    )
+    ev = spark.createDataFrame([], schema)
+    b = IncrementalCorpusBuilder(
+        spark, str(tmp_path / "xo"), ev, rates={}, default_rate=1.0
+    )
+    first = b.process_batch(
+        spark.createDataFrame([(1, text, "en", "s1")], schema), batch_id=0
+    )
+    assert first.count() == 1
+    v_corpus = b.corpus.version
+    # replay of the same batch id: no output rows, no new state version
+    replay = b.process_batch(
+        spark.createDataFrame([(1, text, "en", "s1")], schema), batch_id=0
+    )
+    assert replay.count() == 0
+    assert b.corpus.version == v_corpus
+    # the next batch id commits normally
+    nxt = b.process_batch(
+        spark.createDataFrame([(2, text + " two", "en", "s1")], schema),
+        batch_id=1,
+    )
+    assert nxt.count() == 1 and b.corpus.read().count() == 2
