@@ -17,9 +17,8 @@ Plan per micro-batch (foreachBatch):
 State is two snapshot tables (accepted docs + their bands) — at cluster
 scale these live on the shared filesystem and the band table should be
 written bucketed by band_hash so step 2 is shuffle-free on the state
-side. Exactly-once: foreachBatch + idempotent append by batch id is the
-production pattern; this implementation appends directly (at-least-once)
-and documents the upgrade path.
+side. Exactly-once: foreachBatch + the committed-batch-id marker — a
+checkpoint-replayed batch is recognized and its state append skipped.
 """
 
 from __future__ import annotations
@@ -85,13 +84,44 @@ class IncrementalDeduper:
         self.threshold = threshold
         self.num_hashes = num_hashes
         self.bands = bands
+        self.state_root = state_root
         self.docs = SnapshotTable(spark, state_root, "accepted_docs")
         self.band_state = SnapshotTable(spark, state_root, "accepted_bands")
 
+    # -- exactly-once (same marker protocol as IncrementalCorpusBuilder):
+    # foreachBatch re-delivers the in-flight batch after a restart; the
+    # committed-batch-id marker makes the replayed append a no-op -------
+    def _marker_path(self) -> str:
+        import os
+
+        return os.path.join(self.state_root, "_last_batch")
+
+    def _last_committed(self) -> int:
+        try:
+            with open(self._marker_path()) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _commit_marker(self, batch_id: int) -> None:
+        import os
+
+        os.makedirs(self.state_root, exist_ok=True)
+        tmp = self._marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, self._marker_path())
+
     # -- core: process one micro-batch ----------------------------------
-    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> DataFrame:
+    def process_batch(
+        self, batch: DataFrame, batch_id: int | None = None
+    ) -> DataFrame:
         """Dedup a batch against state + itself; returns accepted rows
-        (and appends them to state)."""
+        (and appends them to state). With a ``batch_id`` (the streaming
+        carrier supplies one) commits are exactly-once: a replayed id is
+        recognized and the state append skipped."""
+        if batch_id is not None and batch_id <= self._last_committed():
+            return self.docs.read().limit(0)
         batch = batch.localCheckpoint(eager=True)  # pin: used many times
         sig = minhash_signatures(
             batch, self.text_col, self.id_col, self.num_hashes
@@ -155,6 +185,8 @@ class IncrementalDeduper:
         else:
             self.docs.create(accepted)
             self.band_state.create(acc_bands)
+        if batch_id is not None:
+            self._commit_marker(batch_id)
         return accepted
 
     def _verify(
