@@ -88,3 +88,41 @@ def test_native_hll_within_tolerance(spark, tables):
     exact = ev.select("event_id").distinct().count()
     approx = ev.agg(F.approx_count_distinct("event_id").alias("a")).collect()[0].a
     assert abs(approx - exact) / exact < 0.15
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+def test_heavy_hitters_guarantee(spark):
+    """Every item above the n/(k+1) threshold must be reported, and every
+    reported weight is a lower bound within n/(k+1) of the true count."""
+    from collections import Counter
+
+    from etl_lealone_spark.operators.sketches import heavy_hitters
+
+    # zipf-ish stream: item i appears ~1000/i times
+    items = []
+    for i in range(1, 40):
+        items += [f"it{i}"] * (1000 // i)
+    true = Counter(items)
+    n, k = len(items), 8
+    d = spark.createDataFrame([(x,) for x in items], "v string").repartition(6)
+
+    got = dict(heavy_hitters(d, "v", k=k))
+    thresh = n / (k + 1)
+    for item, cnt in true.items():
+        if cnt > thresh:
+            assert item in got, (item, cnt, thresh)
+    for item, w in got.items():
+        assert w <= true[item]                 # lower bound
+        assert true[item] - w <= thresh + 1    # within the error bound
+    assert len(got) <= k
+
+
+def test_heavy_hitters_single_dominant(spark):
+    from etl_lealone_spark.operators.sketches import heavy_hitters
+
+    rows = [("hot",)] * 900 + [(f"cold{i}",) for i in range(100)]
+    d = spark.createDataFrame(rows, "v string").repartition(5)
+    got = dict(heavy_hitters(d, "v", k=4))
+    assert "hot" in got and got["hot"] >= 900 - 1000 / 5
