@@ -1932,7 +1932,11 @@ class StatementRouter:
 
     def _mv_base_table(self, query: str) -> Optional[str]:
         """The single catalog snapshot table a simple MV query reads, or
-        None (joins, subqueries, non-catalog sources)."""
+        None (joins, subqueries, non-catalog sources). Exactly one FROM
+        may appear — a WHERE-subquery's FROM would otherwise be rewritten
+        onto the delta too and merge wrong partials."""
+        if len(re.findall(r"\bFROM\b", query, re.IGNORECASE)) != 1:
+            return None
         m = re.match(
             rf"\s*SELECT\s+.+?\s+FROM\s+(?P<base>{_IDENT})\s*"
             rf"(?:WHERE\s+.+?)?(?:GROUP\s+BY\s+.+?)?\s*$",
@@ -2009,7 +2013,7 @@ class StatementRouter:
             query,
             re.IGNORECASE | re.DOTALL,
         )
-        if not qm:
+        if not qm or len(re.findall(r"\bFROM\b", query, re.IGNORECASE)) != 1:
             raise ValueError(
                 f"materialized view {name} is not a single-table GROUP BY "
                 "query; use REFRESH MATERIALIZED VIEW (full)"
@@ -2021,10 +2025,16 @@ class StatementRouter:
             if item.lower() in group_cols:
                 continue
             am = self._MV_AGG.match(item)
-            if not am:
+            if not am or re.match(
+                r"\s*DISTINCT\b", am.group("arg"), re.IGNORECASE
+            ):
+                # DISTINCT aggregates are NOT insert-mergeable: adding
+                # old and delta distinct counts double-counts values
+                # seen in both — refuse rather than silently corrupt
                 raise ValueError(
                     f"unsupported select item for incremental refresh: "
-                    f"{item!r} (COUNT/SUM/MIN/MAX ... AS alias only)"
+                    f"{item!r} (non-DISTINCT COUNT/SUM/MIN/MAX ... AS "
+                    "alias only)"
                 )
             aggs[am.group("alias").lower()] = am.group("fn").upper()
         st = self.catalog.tables[base]

@@ -379,10 +379,18 @@ def _rewrite_pipeline_tvf(sql: str, session: Optional["EngineSession"]) -> str:
     if session is None:
         return sql
 
+    import hashlib as _hashlib
     import re as _re
 
     def _clean(name: str) -> str:
         return _re.sub(r"[^A-Za-z0-9]", "_", name).strip("_").lower()
+
+    def _view(prefix: str, *args) -> str:
+        # readable prefix + md5 of the RAW arguments: distinct calls can
+        # never collide on a lossy cleaned name (e.g. 'big cat' vs
+        # 'big.cat', or thresholds 0.7 vs 0.705)
+        tag = _hashlib.md5("|".join(str(a) for a in args).encode()).hexdigest()[:10]
+        return f"{prefix}_{tag}"
 
     def _tbl(name: str):
         return session.spark.table(name)
@@ -391,7 +399,7 @@ def _rewrite_pipeline_tvf(sql: str, session: Optional["EngineSession"]) -> str:
         from .operators.dedup import minhash_lsh_pairs
 
         t, thr = m.group(1), float(m.group(2) or 0.7)
-        view = f"dedup_pairs_{_clean(t)}_{int(thr * 100)}"
+        view = _view(f"dedup_pairs_{_clean(t)}", t, thr)
         minhash_lsh_pairs(_tbl(t), threshold=thr).createOrReplaceTempView(view)
         return view
 
@@ -399,7 +407,7 @@ def _rewrite_pipeline_tvf(sql: str, session: Optional["EngineSession"]) -> str:
         from .operators.ranking import phrase_search
 
         t, phrase = m.group(1), m.group(2)
-        view = f"phrase_{_clean(t)}_{_clean(phrase)}"
+        view = _view(f"phrase_{_clean(t)}", t, phrase)
         phrase_search(_tbl(t), phrase.split()).createOrReplaceTempView(view)
         return view
 
@@ -407,7 +415,7 @@ def _rewrite_pipeline_tvf(sql: str, session: Optional["EngineSession"]) -> str:
         from .operators.textops import quality_filter
 
         t = m.group(1)
-        view = f"quality_{_clean(t)}"
+        view = _view(f"quality_{_clean(t)}", t)
         quality_filter(_tbl(t)).createOrReplaceTempView(view)
         return view
 
@@ -416,7 +424,7 @@ def _rewrite_pipeline_tvf(sql: str, session: Optional["EngineSession"]) -> str:
 
         t, src, dst = m.group(1), m.group(2), m.group(3)
         iters = int(m.group(4) or 10)
-        view = f"pagerank_{_clean(t)}_{iters}"
+        view = _view(f"pagerank_{_clean(t)}", t, src, dst, iters)
         pagerank(_tbl(t), src=src, dst=dst, iters=iters).createOrReplaceTempView(
             view
         )

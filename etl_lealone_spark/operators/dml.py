@@ -466,22 +466,30 @@ class SnapshotTable:
     def merge(self, source: DataFrame, keys: Sequence[str]) -> int:
         return self.write(merge_by_key(self.read(), source, keys))
 
-    def data_files(self, version: Optional[int] = None) -> set[str]:
-        """Fully-resolved paths of every data file in a snapshot.
+    def _file_map(self, version: int) -> dict[str, str]:
+        """{resolved path -> logical path} of every data file in a
+        snapshot.
 
         Symlinks (the metadata-only file sharing between insert
-        snapshots) resolve to the file that actually holds the bytes, so
-        two versions sharing a file report the SAME path — the identity
-        the file-level delta below relies on.
+        snapshots) RESOLVE to the file that actually holds the bytes, so
+        two versions sharing a file report the same resolved key — the
+        identity the file-level delta relies on. The LOGICAL path (under
+        this version's directory, hive partition dirs intact) is what a
+        reader must use so partition columns survive.
         """
-        v = self._version if version is None else version
-        out: set[str] = set()
-        for dirpath, _dirnames, filenames in os.walk(self._dir(v), followlinks=True):
+        out: dict[str, str] = {}
+        for dirpath, _dirnames, filenames in os.walk(self._dir(version), followlinks=True):
             for fn in filenames:
                 if fn.startswith(("_", ".")):
                     continue
-                out.add(os.path.realpath(os.path.join(dirpath, fn)))
+                logical = os.path.join(dirpath, fn)
+                out[os.path.realpath(logical)] = logical
         return out
+
+    def data_files(self, version: Optional[int] = None) -> set[str]:
+        """Fully-resolved paths of every data file in a snapshot."""
+        v = self._version if version is None else version
+        return set(self._file_map(v))
 
     def inserted_since(self, old_version: int) -> DataFrame:
         """Rows added between ``old_version`` and the current snapshot,
@@ -495,18 +503,25 @@ class SnapshotTable:
         caller falls back to a full recomputation.
         """
         old = self.data_files(old_version)
-        cur = self.data_files()
-        removed = old - cur
+        cur_map = self._file_map(self._version)
+        removed = old - set(cur_map)
         if removed:
             raise ValueError(
                 f"table {self.name} history v{old_version}->v{self._version} "
                 f"is not append-only ({len(removed)} files rewritten); "
                 "use a full refresh"
             )
-        new_files = sorted(cur - old)
+        # read via the LOGICAL paths with basePath = this snapshot's dir,
+        # so hive partition columns (stored in the directory names, not
+        # the files) are reconstructed for partitioned tables
+        new_files = sorted(cur_map[r] for r in set(cur_map) - old)
         if not new_files:
             return self.read().limit(0)
-        return self.spark.read.parquet(*new_files).select(self.read().columns)
+        return (
+            self.spark.read.option("basePath", self._dir(self._version))
+            .parquet(*new_files)
+            .select(self.read().columns)
+        )
 
     def truncate(self) -> int:
         """TRUNCATE TABLE (TruncateTable.java): empty snapshot, schema kept."""

@@ -56,6 +56,17 @@ def _sub_slices(dim: int, m: int) -> list[tuple[int, int]]:
     return out
 
 
+def _sq_dists(X, C):
+    """Exact squared-L2 distances of int64 rows X (n, d) to centroids C
+    (k, d): |x|^2 - 2 x.c + |c|^2 — the one expression every assign/
+    encode path shares."""
+    return (
+        (X * X).sum(axis=1, keepdims=True)
+        - 2 * X @ C.T
+        + (C * C).sum(axis=1)[None, :]
+    )
+
+
 def _seed_order(n: int, tag: str) -> list[int]:
     """Deterministic pseudo-random order of range(n) by md5 of (tag, i)."""
     return sorted(range(n), key=lambda i: hashlib.md5(f"{tag}:{i}".encode()).digest())
@@ -117,13 +128,7 @@ def pq_train(
                 out = {"sub": [], "cid": [], "svec": []}
                 for s_i, (s, ln) in enumerate(slices):
                     sub = Xb[:, s : s + ln]
-                    # squared L2 to each centroid: |x|^2 - 2 x.c + |c|^2
-                    d = (
-                        (sub * sub).sum(axis=1, keepdims=True)
-                        - 2 * sub @ cents[s_i].T
-                        + (cents[s_i] * cents[s_i]).sum(axis=1)[None, :]
-                    )
-                    cid = d.argmin(axis=1)  # lowest index wins ties
+                    cid = _sq_dists(sub, cents[s_i]).argmin(axis=1)  # lowest index wins ties
                     out["sub"] += [s_i] * len(cid)
                     out["cid"] += cid.tolist()
                     out["svec"] += [r.tolist() for r in sub]
@@ -168,13 +173,9 @@ def _encode_fn(codebooks, slices):
             Xb = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
             codes = np.empty((len(Xb), len(slices)), dtype=np.int32)
             for s_i, (s, ln) in enumerate(slices):
-                sub = Xb[:, s : s + ln]
-                d = (
-                    (sub * sub).sum(axis=1, keepdims=True)
-                    - 2 * sub @ cents[s_i].T
-                    + (cents[s_i] * cents[s_i]).sum(axis=1)[None, :]
+                codes[:, s_i] = _sq_dists(Xb[:, s : s + ln], cents[s_i]).argmin(
+                    axis=1
                 )
-                codes[:, s_i] = d.argmin(axis=1)
             yield pd.DataFrame(
                 {"id": pdf["id"], "codes": [r.tolist() for r in codes]}
             )
@@ -308,9 +309,23 @@ class IvfPqIndex:
             quantize(F.col(self.vec_col)).alias("qv"),
         )
         n = cq.count()
-        stride = max(1, int(math.floor(math.sqrt(float(n)))))
+        # ~sqrt(n) coarse centroids, chosen by md5-hash order of the id —
+        # a deterministic spread over ACTUAL rows (an id-modulo rule can
+        # select zero rows when ids are sparse/offset)
+        n_cent = max(1, int(math.floor(math.sqrt(float(n)))))
         cent_rows = sorted(
-            cq.filter(F.col("vec_id") % stride == 0).collect(),
+            cq.withColumn(
+                "__hb",
+                F.conv(
+                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+            .orderBy("__hb", "vec_id")
+            .limit(n_cent)
+            .drop("__hb")
+            .collect(),
             key=lambda r: r["vec_id"],
         )
         cids = np.asarray([r["vec_id"] for r in cent_rows], dtype=np.int64)
@@ -326,21 +341,12 @@ class IvfPqIndex:
                     continue
                 Xb = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
                 # coarse: exact squared-L2 argmin, lowest cid wins ties
-                d = (
-                    (Xb * Xb).sum(axis=1, keepdims=True)
-                    - 2 * Xb @ CENT.T
-                    + (CENT * CENT).sum(axis=1)[None, :]
-                )
-                best = d.argmin(axis=1)
+                best = _sq_dists(Xb, CENT).argmin(axis=1)
                 codes = np.empty((len(Xb), m), dtype=np.int32)
                 for s_i, (s, ln) in enumerate(slices):
-                    sub = Xb[:, s : s + ln]
-                    ds = (
-                        (sub * sub).sum(axis=1, keepdims=True)
-                        - 2 * sub @ cb[s_i].T
-                        + (cb[s_i] * cb[s_i]).sum(axis=1)[None, :]
+                    codes[:, s_i] = _sq_dists(Xb[:, s : s + ln], cb[s_i]).argmin(
+                        axis=1
                     )
-                    codes[:, s_i] = ds.argmin(axis=1)
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"],
@@ -360,17 +366,24 @@ class IvfPqIndex:
             json.dump(
                 {
                     "n": n,
-                    "stride": stride,
+                    "n_cent": n_cent,
                     "codebooks": codebooks,
                     "cids": cids.tolist(),
                     "centroids": CENT.tolist(),
                 },
                 f,
             )
+        if force:
+            shutil.rmtree(self.root, ignore_errors=True)  # rebuild replaces
         try:
             os.rename(tmp, self.root)
         except OSError:
+            # lost a concurrent-build race (root appeared): keep the
+            # winner, discard ours — but NEVER mask a failed forced
+            # rebuild as success
             shutil.rmtree(tmp, ignore_errors=True)
+            if not self.exists():
+                raise
 
     def topk(self, query_vec: list[float], k: int = 10, n_probe: int = 4) -> DataFrame:
         """Top-k by ADC distance within the ``n_probe`` best coarse

@@ -27,9 +27,11 @@ ordered delivery. Out-of-order delivery keeps the first-seen copy of
 each duplicate family instead.
 
 Exactly-once: foreachBatch re-delivers the in-flight batch after a
-restart; a committed-batch-id marker (atomic file flip beside the
-state tables) recognizes the replay and skips the state append, so
-every batch commits exactly once.
+restart. A committed-batch-id marker (atomic file flip beside the
+state tables) recognizes fully-applied replays, and the state appends
+themselves are idempotent (anti-joined on their keys) in a
+crash-convergent order — a batch that died between the two state
+appends re-applies cleanly on replay with no loss and no duplication.
 
 State grows with ACCEPTED documents (16-byte hash each), not stream
 length. No stage is quadratic; nothing driver-side but the pointer flip.
@@ -44,6 +46,7 @@ from ..operators.dedup import normalized_text
 from ..operators.dml import SnapshotTable
 from ..operators.pipeline import _word_ngrams, ws_tokens
 from ..operators.textops import hash_sample, quality_filter
+from ._marker import BatchCommitMarker
 
 
 class IncrementalCorpusBuilder:
@@ -71,6 +74,7 @@ class IncrementalCorpusBuilder:
         self.shard_seed = shard_seed
         self.ngram = ngram
         self.state_root = state_root
+        self._marker = BatchCommitMarker(state_root)
         self.corpus = SnapshotTable(spark, state_root, "corpus")
         self.hash_state = SnapshotTable(spark, state_root, "content_hashes")
         # the eval gram set is fixed for the life of the builder — compute
@@ -94,32 +98,6 @@ class IncrementalCorpusBuilder:
             ).alias("g"),
         )
 
-    # -- exactly-once: foreachBatch re-delivers the in-flight batch after
-    # a restart; a committed-batch-id marker makes the state append
-    # idempotent (the replayed batch is recognized and skipped) ----------
-    def _marker_path(self) -> str:
-        import os
-
-        return os.path.join(self.state_root, "_last_batch")
-
-    def _last_committed(self) -> int:
-        import os
-
-        try:
-            with open(self._marker_path()) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            return -1
-
-    def _commit_marker(self, batch_id: int) -> None:
-        import os
-
-        os.makedirs(self.state_root, exist_ok=True)
-        tmp = self._marker_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, self._marker_path())  # atomic flip
-
     def process_batch(
         self, batch: DataFrame, batch_id: int | None = None
     ) -> DataFrame:
@@ -131,7 +109,7 @@ class IncrementalCorpusBuilder:
         (foreachBatch does), an id at or below the committed marker is a
         checkpoint replay — state is untouched and an empty frame comes
         back. Ad-hoc calls without an id skip the marker (batch mode)."""
-        if batch_id is not None and batch_id <= self._last_committed():
+        if batch_id is not None and batch_id <= self._marker.last_committed():
             return self.corpus.read().limit(0)
         base = quality_filter(batch, self.text_col).withColumn(
             "ch", F.md5(normalized_text(F.col(self.text_col)))
@@ -186,18 +164,32 @@ class IncrementalCorpusBuilder:
             F.col("n_tokens").cast("int").alias("n_tokens"),
             shard.alias("shard_id"),
         ).localCheckpoint(eager=True)
-        # state append: hashes of EVERY accepted-content survivor (not
-        # just sampled rows — a duplicate of an unsampled doc must still
-        # be recognized as a duplicate next batch)
+        # state append — crash-convergent ordering and idempotence:
+        # corpus rows first (anti-joined on doc_id so a replay of a
+        # partially-committed batch never duplicates), THEN the content
+        # hashes (anti-joined on ch). Whatever point a previous attempt
+        # died at, the replay re-derives the same deterministic rows and
+        # the anti-joins make every append a no-op for data already
+        # committed; a crash after the hashes but before the marker
+        # leaves the replayed batch fully dropped by the hash anti-join
+        # with its corpus rows ALREADY present from the first attempt.
         new_hashes = surv.select("ch")
+        if self.corpus.exists():
+            self.corpus.insert(
+                out.join(
+                    self.corpus.read().select(self.id_col), self.id_col, "left_anti"
+                )
+            )
+        else:
+            self.corpus.create(out)
         if self.hash_state.exists():
-            self.hash_state.insert(new_hashes)
-            self.corpus.insert(out)
+            self.hash_state.insert(
+                new_hashes.join(self.hash_state.read(), "ch", "left_anti")
+            )
         else:
             self.hash_state.create(new_hashes)
-            self.corpus.create(out)
         if batch_id is not None:
-            self._commit_marker(batch_id)
+            self._marker.commit(batch_id)
         return out
 
     def attach(self, stream: DataFrame, checkpoint_dir: str):

@@ -32,6 +32,7 @@ from ..operators.dedup import (
 )
 from ..operators.dml import SnapshotTable
 from ..operators.xhash import P61, hconsts, mix60
+from ._marker import BatchCommitMarker
 
 
 def _bands_of(sig: DataFrame, num_hashes: int = 32, bands: int = 8) -> DataFrame:
@@ -85,32 +86,9 @@ class IncrementalDeduper:
         self.num_hashes = num_hashes
         self.bands = bands
         self.state_root = state_root
+        self._marker = BatchCommitMarker(state_root)
         self.docs = SnapshotTable(spark, state_root, "accepted_docs")
         self.band_state = SnapshotTable(spark, state_root, "accepted_bands")
-
-    # -- exactly-once (same marker protocol as IncrementalCorpusBuilder):
-    # foreachBatch re-delivers the in-flight batch after a restart; the
-    # committed-batch-id marker makes the replayed append a no-op -------
-    def _marker_path(self) -> str:
-        import os
-
-        return os.path.join(self.state_root, "_last_batch")
-
-    def _last_committed(self) -> int:
-        try:
-            with open(self._marker_path()) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            return -1
-
-    def _commit_marker(self, batch_id: int) -> None:
-        import os
-
-        os.makedirs(self.state_root, exist_ok=True)
-        tmp = self._marker_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, self._marker_path())
 
     # -- core: process one micro-batch ----------------------------------
     def process_batch(
@@ -120,7 +98,7 @@ class IncrementalDeduper:
         (and appends them to state). With a ``batch_id`` (the streaming
         carrier supplies one) commits are exactly-once: a replayed id is
         recognized and the state append skipped."""
-        if batch_id is not None and batch_id <= self._last_committed():
+        if batch_id is not None and batch_id <= self._marker.last_committed():
             return self.docs.read().limit(0)
         batch = batch.localCheckpoint(eager=True)  # pin: used many times
         sig = minhash_signatures(
@@ -179,14 +157,25 @@ class IncrementalDeduper:
             bands.id == F.col("aid"),
             "left_semi",
         )
+        # crash-convergent idempotent appends (see _marker docstring):
+        # a replay of a partially-committed batch re-derives the same
+        # accepted set, and the anti-joins skip whatever already landed
         if self.docs.exists():
-            self.docs.insert(accepted)
-            self.band_state.insert(acc_bands)
+            self.docs.insert(
+                accepted.join(
+                    self.docs.read().select(self.id_col), self.id_col, "left_anti"
+                )
+            )
+            self.band_state.insert(
+                acc_bands.join(
+                    self.band_state.read().select(F.col("id")), "id", "left_anti"
+                )
+            )
         else:
             self.docs.create(accepted)
             self.band_state.create(acc_bands)
         if batch_id is not None:
-            self._commit_marker(batch_id)
+            self._marker.commit(batch_id)
         return accepted
 
     def _verify(

@@ -289,3 +289,50 @@ def test_checksum_table_order_insensitive(spark, tmp_path):
     assert got["ck1"] == got["ck2"]
     assert got["ck1"] != got["ck3"]
     assert got["ck1"] > 0
+
+
+def test_incremental_refresh_rejects_distinct_and_subqueries(spark, tmp_path):
+    """DISTINCT aggregates and subquery-bearing MV queries are NOT
+    insert-mergeable — the incremental path must refuse them instead of
+    silently double-counting."""
+    import pytest as _pytest
+
+    from etl_lealone_spark.session import EngineSession
+
+    s = EngineSession(spark, warehouse=str(tmp_path))
+    s.sql("CREATE TABLE t9 (k int PRIMARY KEY, g varchar, u int)")
+    s.sql("INSERT INTO t9 VALUES (1,'a',7), (2,'a',7), (3,'b',9)")
+    s.sql(
+        "CREATE MATERIALIZED VIEW mvd AS "
+        "SELECT g, COUNT(DISTINCT u) AS n FROM t9 GROUP BY g"
+    )
+    s.sql("INSERT INTO t9 VALUES (4,'a',7)")
+    with _pytest.raises(Exception, match="DISTINCT|unsupported"):
+        s.sql("REFRESH MATERIALIZED VIEW mvd INCREMENTALLY")
+
+    s.sql(
+        "CREATE MATERIALIZED VIEW mvs AS "
+        "SELECT g, COUNT(*) AS n FROM t9 WHERE u > (SELECT min(u) FROM t9) "
+        "GROUP BY g"
+    )
+    s.sql("INSERT INTO t9 VALUES (5,'b',20)")
+    with _pytest.raises(Exception, match="single-table|full"):
+        s.sql("REFRESH MATERIALIZED VIEW mvs INCREMENTALLY")
+
+
+def test_inserted_since_partitioned_table(spark, tmp_path):
+    """File-level delta over a hive-partitioned snapshot table must
+    reconstruct the partition column from the directory names."""
+    from etl_lealone_spark.operators.dml import SnapshotTable
+
+    st = SnapshotTable(spark, str(tmp_path), "pt", partition_by=["p"])
+    st.create(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k long, p string, v long")
+    )
+    v0 = st.version
+    st.insert(
+        spark.createDataFrame([(3, "a", 30), (4, "c", 40)], "k long, p string, v long")
+    )
+    delta = st.inserted_since(v0)
+    got = sorted((r["k"], r["p"], r["v"]) for r in delta.collect())
+    assert got == [(3, "a", 30), (4, "c", 40)]

@@ -177,3 +177,20 @@ def test_pipeline_tvfs_in_sql(es, spark):
         "ORDER BY rank_x1e9 DESC, node LIMIT 1"
     ).collect()[0]
     assert pr["node"] in (1, 2, 3)
+
+
+def test_pipeline_tvf_views_do_not_collide(es, spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta here once", "en", "s1"),
+            (2, "alpha gamma beta apart", "en", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    docs.createOrReplaceTempView("tvf_docs2")
+    # two different phrases whose cleaned names would collide
+    both = es.sql(
+        "SELECT a.id FROM PHRASE_SEARCH('tvf_docs2', 'alpha beta') a "
+        "LEFT JOIN PHRASE_SEARCH('tvf_docs2', 'alpha.gamma') b ON a.id = b.id"
+    ).collect()
+    assert [r["id"] for r in both] == [1]  # 'alpha beta' matches doc 1 only

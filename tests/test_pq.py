@@ -105,3 +105,30 @@ def test_ivfpq_probe_partition_prunes(spark, tmp_path):
     plan = explain_str(idx.topk([5.0] * 16, k=3, n_probe=2), "simple")
     # the cid filter must reach the parquet source as a partition filter
     assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ivfpq_force_rebuild_and_sparse_ids(spark, tmp_path):
+    """force=True must actually replace the index, and centroid seeding
+    must work for id distributions with no multiples of sqrt(n)."""
+    from etl_lealone_spark.operators.pq import IvfPqIndex
+
+    # all-odd ids: an id-modulo centroid rule would select zero rows
+    rows = [
+        (2 * i + 1, c, v) for i, (_, c, v) in enumerate(_clustered_vectors(n_per=20))
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<double>"
+    )
+    idx = IvfPqIndex(spark, str(tmp_path / "odd"), m=4, k=4)
+    idx.build(d)
+    top = idx.topk([5.0] * 16, k=3, n_probe=3).collect()
+    assert len(top) == 3
+
+    # force rebuild on a different corpus must serve the NEW corpus
+    rows2 = [(i + 1000, c, v) for i, (_, c, v) in enumerate(_clustered_vectors(n_per=10))]
+    d2 = spark.createDataFrame(
+        rows2, "vec_id long, cluster int, embedding array<double>"
+    )
+    idx.build(d2, force=True)
+    top2 = idx.topk([5.0] * 16, k=3, n_probe=3).collect()
+    assert all(r["vec_id"] >= 1000 for r in top2)
