@@ -495,10 +495,21 @@ def ivf_topk(
     n = cq.count()
     stride = max(1, int(math.floor(math.sqrt(float(n)))))
 
+    # id-modulo centroid selection is oracle-mirrored (the DuckDB twin
+    # recomputes the identical rule) and assumes reasonably dense ids;
+    # a corpus whose ids share no multiple of the stride would select
+    # zero centroids — fail with the actionable message rather than an
+    # opaque downstream error (IvfPqIndex uses hash-order selection and
+    # has no such contract).
     cent = cq.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"),
         F.col("cvec").alias("centvec"),
     )
+    if cent.isEmpty():
+        raise ValueError(
+            f"ivf_topk: no vec_id is a multiple of stride {stride}; "
+            "ids too sparse for the modulo centroid rule — use IvfPqIndex"
+        )
     cent = cent.withColumn(
         "cnorm", F.sqrt(int_dot(F.col("centvec"), F.col("centvec")).cast("double"))
     )
@@ -612,8 +623,14 @@ class IvfIndex:
         )
         n = cq.count()
         stride = max(1, int(math.floor(math.sqrt(float(n)))))
+        sel = cq.filter(F.col("vec_id") % stride == 0)
+        if sel.isEmpty():
+            raise ValueError(
+                f"IvfIndex: no vec_id is a multiple of stride {stride}; "
+                "ids too sparse for the modulo centroid rule — use IvfPqIndex"
+            )
         cent = (
-            cq.filter(F.col("vec_id") % stride == 0)
+            sel
             .select(F.col("vec_id").alias("cid"), F.col("cvec").alias("centvec"))
             .withColumn(
                 "cnorm",
