@@ -82,3 +82,19 @@ def test_result_cache_eviction(spark, tmp_path):
     for i in range(4):
         es.sql_cached(f"SELECT {i} AS v")
     assert len(es._result_cache) == 2  # LRU bounded at 2 (Query.java:69 size 8)
+
+
+def test_deduper_batch_replay_is_idempotent(spark, tmp_path):
+    """A replayed foreachBatch id must not re-append accepted docs."""
+    d = IncrementalDeduper(spark, str(tmp_path / "xo"), threshold=0.5)
+    b1 = _docs(spark, [(1, D1, "en", "w", len(D1))])
+    acc = d.process_batch(b1, batch_id=0)
+    assert acc.count() == 1
+    v_docs = d.docs.version
+    replay = d.process_batch(b1, batch_id=0)
+    assert replay.count() == 0
+    assert d.docs.version == v_docs  # no new state snapshot
+    nxt = d.process_batch(
+        _docs(spark, [(2, D2, "en", "w", len(D2))]), batch_id=1
+    )
+    assert nxt.count() == 1 and d.docs.read().count() == 2
