@@ -21,3 +21,18 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences: `from etl_lealone_spark import
+    # EngineSession, build_spark` without importing pyspark at package
+    # import time (keeps `import etl_lealone_spark` cheap for tooling)
+    if name in ("EngineSession", "build_spark", "default_parallelism"):
+        from . import session
+
+        return getattr(session, name)
+    if name == "SnapshotTable":
+        from .operators.dml import SnapshotTable
+
+        return SnapshotTable
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
