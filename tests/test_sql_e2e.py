@@ -234,3 +234,16 @@ def test_is_distinct_from_predicate(es):
     assert es.sql(
         "SELECT count(*) FROM t WHERE f3 IS NOT DISTINCT FROM NULL"
     ).collect()[0][0] == 1
+
+
+def test_cache_uncache_table_passthrough(es, spark):
+    """CACHE/UNCACHE TABLE flow through to Spark's native cache manager
+    (the engine's tables are temp views, so storage-level caching works
+    unchanged)."""
+    es.sql("CREATE TABLE cpass (k int PRIMARY KEY, v int)")
+    es.sql("INSERT INTO cpass VALUES (1, 10)")
+    es.sql("CACHE TABLE cpass")
+    assert spark.catalog.isCached("cpass")
+    es.sql("UNCACHE TABLE cpass")
+    assert not spark.catalog.isCached("cpass")
+    es.sql("DROP TABLE cpass")
