@@ -62,7 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "split_train_val_test",
     # IR / LM-fluency / graph / time-series additions (newest)
     "phrase_search_postings", "text_unigram_logprob", "graph_pagerank",
-    "events_resample_hourly", "interval_overlap_orders",
+    "events_resample_hourly", "interval_overlap_orders", "dq_audit_orders",
     # formerly rows-only in r02 — now carrying full cross-engine oracles
     # (xhash family): a driver hash-match row upgrades their evidence
     "dedup_simhash_pairs", "ann_lsh_topk", "dedup_minhash_survivors",
@@ -71,7 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     # q12-q16 judged via check_oracles re-runs)
     "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q9", "tpch_q10",
-    "tpch_q18", "tpch_q21", "tpch_q22",
+    "tpch_q18", "tpch_q21",
     # sketches / layout / range join / reshape / fuzzy / variant /
     # distribution windows (new this round)
     "kmv_distinct_events", "kmv_distinct_by_source", "quantile_hash_sample",

@@ -325,3 +325,74 @@ def events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.last("last_val", ignorenulls=True).over(wff).alias("value_ff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# data-quality audit: the read-side constraint validation a lake runs
+# ---------------------------------------------------------------------------
+@workload(
+    "dq_audit_orders",
+    """
+    SELECT 'orphan_custkey' AS check_name,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_bad
+    UNION ALL
+    SELECT 'dup_orderkey',
+           (SELECT COALESCE(sum(n - 1), 0) FROM
+             (SELECT count(*) AS n FROM orders GROUP BY o_orderkey) WHERE n > 1)
+    UNION ALL
+    SELECT 'null_orderdate',
+           (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+    UNION ALL
+    SELECT 'nonpositive_totalprice',
+           (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    """,
+    doc="Data-quality audit: FK orphans (anti-joins), duplicate-PK "
+    "surplus, NULL and range checks — each check one aggregate or one "
+    "keyed anti-join; the whole audit is a handful of single-pass "
+    "scans, the nightly validation shape for a lake where writers "
+    "cannot be trusted to enforce constraints.",
+)
+def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o, c, li = t["orders"], t["customer"], t["lineitem"]
+
+    def one(name: str, df_cnt) -> DataFrame:
+        return df_cnt.select(
+            F.lit(name).alias("check_name"), F.col("n").cast("long").alias("n_bad")
+        )
+
+    orphan = one(
+        "orphan_custkey",
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    dup = one(
+        "dup_orderkey",
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n")),
+    )
+    nulls = one(
+        "null_orderdate",
+        o.filter(F.col("o_orderdate").isNull()).agg(F.count(F.lit(1)).alias("n")),
+    )
+    rng = one(
+        "nonpositive_totalprice",
+        o.filter(F.col("o_totalprice") <= 0).agg(F.count(F.lit(1)).alias("n")),
+    )
+    li_orphan = one(
+        "lineitem_orphan_orderkey",
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    return orphan.unionAll(dup).unionAll(nulls).unionAll(rng).unionAll(li_orphan)
