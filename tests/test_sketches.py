@@ -126,3 +126,21 @@ def test_heavy_hitters_single_dominant(spark):
     d = spark.createDataFrame(rows, "v string").repartition(5)
     got = dict(heavy_hitters(d, "v", k=4))
     assert "hot" in got and got["hot"] >= 900 - 1000 / 5
+
+
+def test_merge_mg_combines_summaries_with_bound():
+    """Merging per-stream Misra-Gries summaries keeps the combined
+    guarantee: weights add, the (k+1)-th largest is subtracted, and no
+    item's merged weight exceeds its true combined count."""
+    from etl_lealone_spark.operators.sketches import merge_mg
+
+    s1 = {"a": 10, "b": 4, "c": 1}
+    s2 = {"a": 7, "d": 6, "e": 2}
+    merged = merge_mg([s1, s2], k=3)
+    assert len(merged) <= 3
+    assert merged["a"] == 17 - sorted(
+        {"a": 17, "b": 4, "c": 1, "d": 6, "e": 2}.values(), reverse=True
+    )[3]
+    assert all(w > 0 for w in merged.values())
+    # merging with an empty summary is identity-after-cut
+    assert merge_mg([s1, {}], k=3) == merge_mg([s1], k=3)
