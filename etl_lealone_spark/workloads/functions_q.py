@@ -253,7 +253,7 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRY_CAST(cast(l_quantity AS VARCHAR) AS DOUBLE) AS tc_good_double,
            strftime(TRY_CAST('2024-13-40' AS DATE), '%Y-%m-%d') AS tc_bad_date,
            l_extendedprice / nullif(l_quantity - l_quantity, 0) AS td_zero,
-           round(l_extendedprice / nullif(l_quantity, 0), 6) AS td_ok,
+           floor(l_extendedprice / nullif(l_quantity, 0) * 1000000 + 0.5) / 1000000.0 AS td_ok,
            [l_orderkey, l_partkey][9] AS tea_oob
     FROM lineitem
     WHERE l_orderkey < 200
@@ -276,8 +276,13 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(
             F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
         ).alias("td_zero"),
-        F.round(
-            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")), 6
+        (
+            F.floor(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
         ).alias("td_ok"),
         F.try_element_at(
             F.array(F.col("l_orderkey"), F.col("l_partkey")), F.lit(9)
