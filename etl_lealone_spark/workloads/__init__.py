@@ -17,6 +17,12 @@ Cross-engine determinism rules every workload in this package follows:
 3. **Aliases everywhere.** The driver sorts columns by name before hashing;
    every computed column carries the same alias in the Spark build and the
    oracle SQL.
+4. **No native round() on computed doubles.** Each engine applies its own
+   tie rule (Spark HALF_UP vs DuckDB's) and a value landing exactly on a
+   .5 boundary of the rounded digit diverges (caught once at sf0.1).
+   Quantize with ``floor(x * 1e6 + 0.5) / 1e6`` — the identical IEEE
+   sequence in both engines. round() is safe only on values already
+   quantized to fewer digits than the rounding keeps.
 """
 
 from __future__ import annotations
