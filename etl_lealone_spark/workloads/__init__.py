@@ -56,57 +56,52 @@ def workload(name: str, oracle: Optional[str], doc: str = ""):
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
 # only, so registration order decides which operator families get a
-# driver-verified row each round. Round-3 policy: every workload that has
-# NEVER had a driver-green row goes first (the round-3 additions — TPC-H
-# suite, sketches, Z-order, range join, hygiene/ranking/packing, span
-# dedup), then the strongest representatives of the families that were
-# already driver-green in rounds 1-2; everything else stays registered in
-# the tail (still judged via scripts/check_oracles.py re-runs).
+# driver-verified row each round. Round-4 policy: the 4 round-3 driver-red
+# workloads (comparator-contract fixes: oracle BIGINT casts + md5'd array)
+# go FIRST so their conversion to green is recorded, then every workload
+# that has NEVER had a driver row across r1-r3 (computed from
+# CORRECTNESS_r0{1,2,3}.json — 33 of them, incl. the 14 remaining TPC-H
+# queries), then the strongest already-green representatives fill the
+# window to slot 50. After this round every registered workload should
+# have >=1 driver-green row.
 _PRIORITY: tuple[str, ...] = (
-    # capstone pretraining-corpus pipelines (newest — never driver-checked)
+    # round-3 driver-red, fixed this round — convert the red signal first
+    "dq_audit_orders", "dup_span_doc_stats", "embedding_quantize_int8",
+    "text_model_quality",
+    # never driver-checked: remaining TPC-H suite
+    "tpch_q1", "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q19", "tpch_q20", "tpch_q22",
+    # never driver-checked: SQL-surface + window/time-series analytics
+    "try_functions", "lateral_topn_per_nation", "rolling_window_time",
+    "filter_clause_agg", "group_by_all", "window_share_of_total",
+    "array_posexplode", "events_cohort_retention",
+    "events_transition_matrix", "skew_diagnose_orders",
+    # never driver-checked: dedup / embeddings / corpus / graph / sketches
+    "dedup_canonical", "embedding_near_dup", "embedding_l2_normalize",
+    "mix_resample", "shard_balance_stats", "bpe_pair_counts",
+    "corpus_stats_report", "kmv_join_overlap", "graph_degree_topk",
+    # ---- all 37 never/red slots above; 13 representative re-confirms ----
     "pretrain_pipeline_e2e", "dsir_importance_weights",
-    "split_train_val_test",
-    # IR / LM-fluency / graph / time-series additions (newest)
-    "phrase_search_postings", "text_unigram_logprob", "graph_pagerank",
-    "events_resample_hourly", "interval_overlap_orders", "dq_audit_orders",
-    # formerly rows-only in r02 — now carrying full cross-engine oracles
-    # (xhash family): a driver hash-match row upgrades their evidence
-    "dedup_simhash_pairs", "ann_lsh_topk", "dedup_minhash_survivors",
-    "cosine_float_topk",
-    # TPC-H-adapted whole-query suite (14 in-window representatives;
-    # q12-q16 judged via check_oracles re-runs)
-    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q9", "tpch_q10",
-    "tpch_q18", "tpch_q21",
-    # sketches / layout / range join / reshape / fuzzy / variant /
-    # distribution windows (new this round)
+    "dedup_minhash_pairs", "dedup_clusters", "ann_ivf_topk",
+    "bm25_topk", "graph_pagerank", "zorder_curve_keys",
+    "range_join_events", "window_distribution", "merge_ansi",
+    "tpch_q9", "tpch_q18",
+    # ---- window boundary (slot 50) ----
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q21",
+    "split_train_val_test", "phrase_search_postings",
+    "text_unigram_logprob", "events_resample_hourly",
+    "interval_overlap_orders", "dedup_simhash_pairs", "ann_lsh_topk",
+    "dedup_minhash_survivors", "cosine_float_topk",
     "kmv_distinct_events", "kmv_distinct_by_source", "quantile_hash_sample",
-    "zorder_curve_keys", "range_join_events", "unpivot_measures",
-    "fuzzy_name_pairs", "json_variant_agg", "window_distribution",
-    # round-3 span/semantic dedup + corpus hygiene + ranking/packing
-    # (added after the r02 window was recorded — never driver-checked)
-    "dup_ngram_spans", "dup_span_doc_stats", "winnow_fingerprints",
-    "semantic_dedup_survivors", "embedding_quantize_int8",
+    "unpivot_measures", "fuzzy_name_pairs", "json_variant_agg",
+    "dup_ngram_spans", "winnow_fingerprints", "semantic_dedup_survivors",
     "text_repetition_signals", "pii_redaction", "url_extract_normalize",
-    "chunk_token_windows", "decontaminate_ngrams",
-    "mix_sampling_weights",
-    "bm25_topk", "vocab_top_terms", "pack_sequence_bins",
-    "train_order_shards",
-    # hybrid retrieval + graph analytics (newest families; mix_resample
-    # and shard_balance_stats drop to the tail — each is a variant of an
-    # in-window pipeline)
-    "hybrid_rrf_topk", "graph_triangle_count",
-    # model-based quality + event analytics (new this round)
-    "text_model_quality", "events_funnel_steps",
-    # strongest representatives of families already driver-green in r01/r02
-    "dedup_minhash_pairs", "merge_ansi",
-    # ---- window boundary (~slot 50) ----
-    "try_functions", "dedup_exact", "ann_ivf_topk",
-    "agg_groupby_having", "recursive_tree_depth",
-    "events_cohort_retention", "events_transition_matrix",
-    "skew_diagnose_orders",
-    "dedup_simhash_pairs", "ngram_jaccard_blocked", "dedup_clusters",
-    "ann_bruteforce_topk", "ann_lsh_topk",
+    "chunk_token_windows", "decontaminate_ngrams", "mix_sampling_weights",
+    "vocab_top_terms", "pack_sequence_bins", "train_order_shards",
+    "hybrid_rrf_topk", "graph_triangle_count", "events_funnel_steps",
+    "dedup_exact", "agg_groupby_having", "recursive_tree_depth",
+    "ngram_jaccard_blocked", "ann_bruteforce_topk",
     "embedding_near_dup_blocked",
     "text_token_count", "text_language_id", "text_quality_score",
     "text_fingerprint", "text_quality_filter", "sample_hash_stratified",

@@ -180,7 +180,8 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey
     ),
     stats AS (
-      SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n
+      SELECT count(*) AS n_keys, cast(sum(n) as bigint) AS n_rows,
+             max(n) AS max_n
       FROM counts
     ),
     topk AS (
@@ -201,8 +202,6 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted join (operators/joins.py).",
 )
 def skew_diagnose_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     o = load_tables(spark, sf_dir)["orders"]
     counts = o.groupBy(F.col("o_custkey").alias("key")).agg(
         F.count(F.lit(1)).alias("n")
@@ -212,9 +211,10 @@ def skew_diagnose_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_rows"),
         F.max("n").alias("max_n"),
     )
-    topk = counts.withColumn(
-        "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.col("key")))
-    ).filter(F.col("rk") <= 5)
+    # top-5 via sort+limit → TakeOrderedAndProject (per-partition partial
+    # top-k, no SinglePartition window over every distinct key — the
+    # global row_number variant collapses all keys to one task at scale)
+    topk = counts.orderBy(F.desc("n"), F.col("key")).limit(5)
     return (
         topk.crossJoin(F.broadcast(stats))
         .select(
@@ -339,7 +339,7 @@ def events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHERE c.c_custkey = o.o_custkey)) AS n_bad
     UNION ALL
     SELECT 'dup_orderkey',
-           (SELECT COALESCE(sum(n - 1), 0) FROM
+           (SELECT CAST(COALESCE(sum(n - 1), 0) AS BIGINT) FROM
              (SELECT count(*) AS n FROM orders GROUP BY o_orderkey) WHERE n > 1)
     UNION ALL
     SELECT 'null_orderdate',

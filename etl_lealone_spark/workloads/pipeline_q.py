@@ -250,21 +250,52 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding,
                x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS v
       FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v,
+             cast(list_sum(list_transform(v, x -> x * x)) as bigint) AS norm_sq
+      FROM q
     )
     SELECT vec_id,
-           list_transform(v, x -> round(cast(x as double)
-             / sqrt(cast(list_sum([v[i+1]*v[i+1] for i in range(len(v))]) as double)),
-             6)) AS vnorm
-    FROM q
+           norm_sq,
+           md5(array_to_string(list_transform(v,
+             x -> cast(floor(cast(x as double) / sqrt(cast(norm_sq as double))
+                  * 1000000.0 + 0.5) as bigint)), ',')) AS vnorm_md5
+    FROM n
     """,
     doc="Unit-L2 normalization (turns cosine ANN into plain dot products); "
-    "integer-quantized norm for cross-engine determinism, map-only.",
+    "integer-quantized norm for cross-engine determinism, map-only. "
+    "Driver-facing output md5s the 1e-6-quantized unit vector (xhash "
+    "rule: no raw array cells) and adds the exact integer squared norm; "
+    "the raw-array operator l2_normalize is pytest-pinned.",
 )
 def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import l2_normalize
+    from ..operators.similarity import int_dot, quantize
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    return e.select("vec_id", l2_normalize(F.col("embedding")).alias("vnorm"))
+    q = e.select(
+        "vec_id", quantize(F.col("embedding")).alias("v")
+    ).select("vec_id", "v", int_dot(F.col("v"), F.col("v")).cast("bigint").alias("norm_sq"))
+    return q.select(
+        "vec_id",
+        "norm_sq",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    "v",
+                    lambda x: F.floor(
+                        x.cast("double")
+                        / F.sqrt(F.col("norm_sq").cast("double"))
+                        * 1000000.0
+                        + F.lit(0.5)
+                    )
+                    .cast("bigint")
+                    .cast("string"),
+                ),
+                ",",
+            )
+        ).alias("vnorm_md5"),
+    )
 
 
 @workload(
@@ -280,22 +311,33 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM q
     )
     SELECT vec_id,
-           list_transform(v, x -> cast(floor(cast(x as double) * 127.0
-             / cast(mx as double) + 0.5) as int)) AS qvec,
+           md5(array_to_string(list_transform(v, x -> cast(floor(
+             cast(x as double) * 127.0 / cast(mx as double) + 0.5) as int)),
+             ',')) AS qvec_md5,
            round(cast(mx as double) / 1000000.0 / 127.0, 6) AS scale_q
     FROM m
     """,
     doc="Symmetric per-vector int8 quantization (4B→1B per component) with "
-    "dequantization scale — the vector-store storage trade, map-only.",
+    "dequantization scale — the vector-store storage trade, map-only. "
+    "The driver-facing output md5s the int8 vector (repo xhash rule: "
+    "never emit raw array cells to the comparator); the raw-array "
+    "operator is pinned by pytest (tests/test_similarity.py).",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import quantize_int8, quantize_int8_scale
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    return e.select(
+    q = e.select(
         "vec_id",
         quantize_int8(F.col("embedding")).alias("qvec"),
         quantize_int8_scale(F.col("embedding")).alias("scale_q"),
+    )
+    return q.select(
+        "vec_id",
+        F.md5(
+            F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",")
+        ).alias("qvec_md5"),
+        "scale_q",
     )
 
 
@@ -338,8 +380,8 @@ def train_order_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT {_SHARD_SQL} AS shard_id,
            count(*) AS n_docs,
-           sum(cast(len(string_split_regex(trim(text), '{_WS}')) as bigint))
-             AS n_tokens
+           cast(sum(cast(len(string_split_regex(trim(text), '{_WS}'))
+             as bigint)) as bigint) AS n_tokens
     FROM documents
     GROUP BY 1
     """,
@@ -455,7 +497,7 @@ def _gram_cte(n: int) -> str:
     per_doc AS (SELECT id, sum(span_len) AS dup_tokens FROM spans GROUP BY id)
     SELECT t.id AS doc_id,
            cast(len(t.ws) as bigint) AS n_words,
-           coalesce(p.dup_tokens, 0) AS dup_tokens,
+           cast(coalesce(p.dup_tokens, 0) as bigint) AS dup_tokens,
            round(cast(coalesce(p.dup_tokens, 0) as double)
                  / cast(greatest(len(t.ws), 1) as double), 6) AS dup_frac
     FROM toks t LEFT JOIN per_doc p USING (id)

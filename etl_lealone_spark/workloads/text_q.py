@@ -340,7 +340,7 @@ def _oracle_model_quality() -> str:
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN model_score >= 0.5 THEN 1 ELSE 0 END) AS n_kept,
+           cast(sum(CASE WHEN model_score >= 0.5 THEN 1 ELSE 0 END) as bigint) AS n_kept,
            cast(sum(cast(model_score as decimal(18,6))) as double) AS sum_score
     FROM scored
     GROUP BY source

@@ -433,10 +433,10 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12",
     """
     SELECT priority_class,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+           cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) as bigint) AS low_line_count
     FROM (
       SELECT CASE WHEN l_linenumber <= 2 THEN 'EARLY_LINE' ELSE 'LATE_LINE' END
                AS priority_class,

@@ -33,19 +33,36 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+class NonScalarCell(ValueError):
+    """A result cell holds a list/array/dict — the driver comparator
+    crashes on these (round-3 postmortem: embedding_quantize_int8), so
+    the local gate must reject them too. md5/array_join such columns in
+    BOTH engines instead (see operators/xhash.py conventions)."""
+
+
 def canonical(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, normalize cell values, sort rows."""
+    """Sort columns by name, normalize cell values, sort rows.
+
+    Bit-compatible with the driver's comparator (round-3 postmortem):
+    - floats are NEVER int-ified — a DuckDB HUGEINT surfacing as
+      float64 ``0.0`` must mismatch Spark's int ``0`` here exactly as
+      it does in the driver's hash (fix the oracle with an explicit
+      ``CAST(... AS BIGINT)``, not the comparator);
+    - list/array/dict cells raise ``NonScalarCell`` — the driver's
+      hasher dies on them (``unhashable type: 'list'``).
+    """
     df = df[sorted(df.columns)].copy()
 
     def norm(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "<null>"
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
-            return repr(v)
-        if isinstance(v, (list, tuple)):
-            return "[" + ",".join(norm(x) for x in v) + "]"
+            return repr(float(v))
+        if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+            raise NonScalarCell(
+                f"non-scalar result cell {type(v).__name__}: md5/array_join "
+                "it in both engines (xhash rule)"
+            )
         return str(v)
 
     for c in df.columns:
@@ -99,7 +116,13 @@ def main() -> int:
             continue
         odf.columns = [c.lower() for c in odf.columns]
         sdf.columns = [c.lower() for c in sdf.columns]
-        cs, co = canonical(sdf), canonical(odf)
+        try:
+            cs, co = canonical(sdf), canonical(odf)
+        except NonScalarCell as e:
+            print(f"FAIL  {name}: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
         if cs.equals(co):
             print(f"PASS  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
