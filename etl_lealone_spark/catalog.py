@@ -1879,14 +1879,23 @@ class StatementRouter:
             ddl.append(stmt)
         for n, svc in sorted(cat.services.items()):
             ddl.append(svc.ddl)
+        # data dump: stream rows partition-at-a-time (toLocalIterator) —
+        # a SCRIPT of a lake-scale table must not materialize the whole
+        # table on the driver (reference Script.java streams its result
+        # set too). Marked so the file path below can also stream to disk
+        # instead of accumulating INSERT strings in memory.
+        data_marks: list[tuple[int, str]] = []  # (ddl index, table name)
         for name in cat.tables:
             ddl.append(cat.table_ddl.get(name, f"-- external table {name}"))
             if not nodata:
-                df = cat.tables[name].read()
-                cols = ", ".join(df.columns)
-                for row in df.collect():
-                    vals = ", ".join(_sql_literal(v) for v in row)
-                    ddl.append(f"INSERT INTO {name} ({cols}) VALUES ({vals})")
+                data_marks.append((len(ddl), name))
+
+        def _insert_rows(table: str):
+            df = cat.tables[table].read()
+            cols = ", ".join(df.columns)
+            for row in df.toLocalIterator():
+                vals = ", ".join(_sql_literal(v) for v in row)
+                yield f"INSERT INTO {table} ({cols}) VALUES ({vals})"
         for m in cat.indexes.values():
             if not m.name.startswith("__pk_"):
                 uq = "UNIQUE " if m.unique else ""
@@ -1907,13 +1916,37 @@ class StatementRouter:
             kind = "TABLE" if obj in cat.tables else "COLUMN" if "." in obj else "TABLE"
             esc = text.replace("'", "''")
             ddl.append(f"COMMENT ON {kind} {obj} IS '{esc}'")
-        if not ddl:
+        if not ddl and not data_marks:
             ddl = ["-- empty catalog"]
+
+        def _statements():
+            """All script statements in replay order, INSERTs streamed."""
+            marks = dict()
+            for pos, tbl in data_marks:
+                marks.setdefault(pos, []).append(tbl)
+            for i, d in enumerate(ddl):
+                yield d
+                for tbl in marks.get(i + 1, ()):
+                    yield from _insert_rows(tbl)
+
         if to_m:
+            # stream to the file — constant driver memory at any table size
             with open(to_m.group("path"), "w") as f:
-                f.write(";\n".join(ddl) + ";\n")
+                for stmt in _statements():
+                    f.write(stmt + ";\n")
             return self._ok(f"script written: {to_m.group('path')}")
-        return self.spark.createDataFrame([(d,) for d in ddl], "script string")
+        # in-memory result: the driver must hold the rows anyway (the
+        # caller collects them); cap so SCRIPT-without-TO of a lake-scale
+        # table fails loudly instead of OOMing the driver
+        out, cap = [], 1_000_000
+        for stmt in _statements():
+            out.append(stmt)
+            if len(out) > cap:
+                raise RuntimeError(
+                    "SCRIPT result exceeds 1e6 statements; use "
+                    "SCRIPT TO 'file' (streamed) for large catalogs"
+                )
+        return self.spark.createDataFrame([(d,) for d in out], "script string")
 
     def _backup(self, s: str) -> DataFrame:
         """BACKUP TO 'file.zip' (reference: sql/dml/Backup.java — online

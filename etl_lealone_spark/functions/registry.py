@@ -361,7 +361,16 @@ FUNCTIONS: dict[str, Callable[..., Column]] = {
     "LOCK_TIMEOUT": lambda: F.lit(0),
     "MEMORY_FREE": lambda: F.lit(0),
     "MEMORY_USED": lambda: F.lit(0),
+    # engine version string (reference: Function.java:369 registers
+    # LEALONE_VERSION returning Constants.getVersion())
+    "LEALONE_VERSION": lambda: F.lit(_engine_version()),
 }
+
+
+def _engine_version() -> str:
+    from .. import __version__
+
+    return __version__
 
 
 def _sql(x) -> str:
@@ -388,6 +397,13 @@ UNSUPPORTED: dict[str, str] = {
     "LAST_INSERT_ID": "use sequences",
     "CURRVAL": "use EngineSession.sequence(name)",
     "NEXTVAL": "use EngineSession.sequence(name).next_value()",
+    # aliases of the sequence/identity trio above (same OLTP-session
+    # semantics, same replacement)
+    "LASTVAL": "alias of CURRVAL — use EngineSession.sequence(name)",
+    "IDENTITY_VAL_LOCAL": "alias of IDENTITY — use sequences",
+    # remote-database link: out of scope for a lake engine (reads from
+    # another live server); use spark.read against that source instead
+    "LINK_SCHEMA": "no remote-db links — spark.read the source directly",
 }
 
 

@@ -34,19 +34,133 @@ RULES: list[tuple[str, re.Pattern]] = [
     ),
 ]
 
-_SCALAR_BCAST = re.compile(
-    r"BroadcastExchange IdentityBroadcastMode[^\n]*\n"
-    r"(?:[\s:+|-]*(?:Project|Filter|HashAggregate\(keys=\[\]|WholeStageCodegen)[^\n]*\n)*?"
-    r"[\s:+|-]*HashAggregate\(keys=\[\]"
+_PREFIX_CHARS = " :+-"
+
+
+def _tree_nodes(plan: str) -> list[tuple[int, str]]:
+    """Parse explain tree text into (indent_depth, node_text) rows.
+
+    Depth is the length of the structural prefix (spaces and the
+    ``:  +- `` tree-drawing characters); children of a node are the
+    contiguous following rows with strictly greater depth.
+    """
+    nodes: list[tuple[int, str]] = []
+    for line in plan.splitlines():
+        i = 0
+        while i < len(line) and line[i] in _PREFIX_CHARS:
+            i += 1
+        if i < len(line):
+            nodes.append((i, line[i:]))
+    return nodes
+
+
+def _subtree(nodes: list[tuple[int, str]], idx: int) -> list[tuple[int, str]]:
+    """Rows strictly inside the subtree rooted at ``nodes[idx]``."""
+    d = nodes[idx][0]
+    out = []
+    for d2, t2 in nodes[idx + 1:]:
+        if d2 <= d:
+            break
+        out.append((d2, t2))
+    return out
+
+
+_BOUNDED_IN_BCAST = (
+    "HashAggregate(keys=[]",  # ungrouped (1-row) aggregate
+    "SortAggregate(key=[]",
+    "LocalTableScan",  # literal relation (VALUES / createDataFrame)
+    "Scan OneRowRelation",
+    "GlobalLimit",  # explicit LIMIT bound
+    "CollectLimit",
+    "TakeOrderedAndProject",
+    "ReusedExchange",  # reuse of an exchange validated at its origin
+    "Subquery",  # scalar-subquery plumbing
 )
 
 
 def bnl_is_scalar_broadcast(plan: str) -> bool:
-    """True iff every BroadcastNestedLoopJoin in the plan broadcasts an
-    ungrouped (1-row) aggregate subtree."""
-    n_bnl = len(re.findall(r"BroadcastNestedLoopJoin", plan))
-    n_scalar = len(_SCALAR_BCAST.findall(plan))
-    return n_scalar >= n_bnl
+    """True iff EVERY BroadcastNestedLoopJoin in the plan broadcasts a
+    constant-size subtree — judged per BNL node by scanning the indented
+    children of that node, not by comparing global pattern counts (a
+    plan with one genuine table-broadcast BNL plus an unrelated
+    scalar-aggregate broadcast elsewhere must NOT be exempted)."""
+    nodes = _tree_nodes(plan)
+    for idx, (_, txt) in enumerate(nodes):
+        if "BroadcastNestedLoopJoin" not in txt:
+            continue
+        sub = _tree_nodes_exchange_views(nodes, idx)
+        if not sub:
+            return False
+    return True
+
+
+def _tree_nodes_exchange_views(nodes, idx):
+    """For the BNL at nodes[idx], return its DIRECT broadcast-side
+    exchange if it is provably constant-size (see _BOUNDED_IN_BCAST);
+    empty list means the BNL broadcasts something unbounded. Only the
+    BNL's direct children are examined — exchanges nested deeper belong
+    to joins on the streamed side, not to this BNL's build side."""
+    sub = _subtree(nodes, idx)
+    if not sub:
+        return []
+    child_depth = min(d for d, _ in sub)
+    for j, (d2, t2) in enumerate(sub):
+        if d2 != child_depth:
+            continue
+        if "BroadcastExchange" not in t2 and "ReusedExchange" not in t2:
+            continue
+        if "ReusedExchange" in t2:
+            return [t2]
+        inner = []
+        for d3, t3 in sub[j + 1:]:
+            if d3 <= d2:
+                break
+            inner.append(t3)
+        if any(any(m in t3 for m in _BOUNDED_IN_BCAST) for t3 in inner):
+            return [t2]
+        return []
+    return []
+
+
+# --- forced-broadcast scale rule -------------------------------------------
+# Run against a plan built with spark.sql.autoBroadcastJoinThreshold=-1
+# (and the adaptive variant) so that every BroadcastExchange in the plan
+# comes from an explicit F.broadcast()/hint — then any broadcast whose
+# subtree scans one of the big fact/corpus tables WITHOUT a bounding
+# operator (1-row aggregate, LIMIT, literal) is a driver OOM at 100x:
+# the hint forces Spark to materialize a table that scales with the data.
+FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+
+def lint_forced_broadcasts(plan: str) -> list[str]:
+    """Offending forced-broadcast descriptions (empty = clean).
+
+    Only meaningful on a hint-only plan (auto-broadcast disabled); on a
+    normal plan Catalyst's own size-based broadcasts would false-flag.
+    """
+    nodes = _tree_nodes(plan)
+    bad: list[str] = []
+    for idx, (_, txt) in enumerate(nodes):
+        if "BroadcastExchange" not in txt:
+            continue
+        sub = _subtree(nodes, idx)
+        bounded = any(
+            any(m in t for m in _BOUNDED_IN_BCAST) for _, t in sub
+        )
+        if bounded:
+            continue
+        facts = sorted(
+            {
+                f
+                for _, t in sub
+                if "Scan" in t or "FileScan" in t
+                for f in FACT_TABLES
+                if f in t
+            }
+        )
+        if facts:
+            bad.append(f"forced broadcast scans fact table(s) {facts}")
+    return bad
 
 
 def lint_plan(plan: str) -> list[str]:

@@ -56,7 +56,7 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s1), "user_id")
+        .join(s1, "user_id")
         .filter(
             (F.col("ts") > F.col("t1"))
             & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAY"))
@@ -66,7 +66,7 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), "user_id")
+        .join(s2, "user_id")
         .filter(
             (F.col("ts") > F.col("t2"))
             & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAY"))

@@ -269,7 +269,7 @@ def semi_join_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(
-            F.broadcast(small_parts),
+            small_parts,
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )

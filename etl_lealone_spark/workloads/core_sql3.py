@@ -82,7 +82,7 @@ def join_seven_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))

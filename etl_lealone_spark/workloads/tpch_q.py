@@ -70,7 +70,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+            t["customer"].filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -153,9 +153,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(t["customer"]),
+            t["customer"],
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -235,10 +235,10 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
     )
     return (
-        li.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .withColumn("l_year", F.year("l_shipdate").cast("int"))
@@ -307,12 +307,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")),
+            t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_nr), F.col("o_custkey") == F.col("c_custkey"), "leftsemi")
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_nr, F.col("o_custkey") == F.col("c_custkey"), "leftsemi")
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
             _rev().alias("volume"),
@@ -367,16 +367,14 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(
-            F.broadcast(
-                t["part"].filter(F.col("p_name").like("%red%")).select(
-                    "p_partkey", "p_retailprice"
-                )
+            t["part"].filter(F.col("p_name").like("%red%")).select(
+                "p_partkey", "p_retailprice"
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(t["orders"].select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "nation",
             F.year("o_orderdate").cast("int").alias("o_year"),
@@ -416,7 +414,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"].filter(F.col("l_returnflag") == "R")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(_rev(), 4).alias("revenue"))
@@ -534,7 +532,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     return (
-        li.join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+        li.join(t["part"].select("p_partkey", "p_type"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
@@ -581,7 +579,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
         rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(t["supplier"]), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -617,8 +615,8 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        links.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        links.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -646,13 +644,13 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM")
     ).select("p_partkey")
     li = t["lineitem"].join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+        p, F.col("l_partkey") == F.col("p_partkey")
     )
     avg_q = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
         davg(F.col("l_quantity")).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("ap_key"))
+        li.join(avg_q, F.col("l_partkey") == F.col("ap_key"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"))
     )
@@ -688,9 +686,9 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(big), F.col("l_orderkey") == F.col("big_key"), "leftsemi")
+        .join(big, F.col("l_orderkey") == F.col("big_key"), "leftsemi")
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
@@ -738,7 +736,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+        .join(t["part"].select("p_partkey", "p_brand", "p_size"),
               F.col("l_partkey") == F.col("p_partkey"))
         .filter(band)
         .agg(dsum(_rev(), 4).alias("revenue"))
@@ -777,7 +775,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(promo, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
         .filter(F.col("q") > 120)
@@ -787,7 +785,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["supplier"]
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "leftsemi")
-        .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name", "s_acctbal")
     )
@@ -832,7 +830,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .drop("o_orderkey")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     l2 = t["lineitem"].select(
         F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
@@ -1008,7 +1006,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name")
     )
     costed = (
-        ps.join(F.broadcast(t["supplier"]), F.col("suppkey") == F.col("s_suppkey"))
+        ps.join(t["supplier"], F.col("suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("partkey", "suppkey", "s_acctbal", "s_name", "n_name")
     )
@@ -1018,11 +1016,11 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t["part"].filter((F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
     return (
         costed.join(
-            F.broadcast(min_cost),
+            min_cost,
             (F.col("partkey") == F.col("mc_key"))
             & (F.col("s_acctbal") == F.col("min_bal")),
         )
-        .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .join(p, F.col("partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -1069,9 +1067,9 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pv = (
         t["lineitem"]
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(t["part"].select("p_partkey", "p_retailprice")),
+            t["part"].select("p_partkey", "p_retailprice"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy(F.col("l_partkey").alias("partkey"))

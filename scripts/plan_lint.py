@@ -25,7 +25,7 @@ import sys
 sys.path.insert(0, ".")
 
 from etl_lealone_spark.plans import explain_str  # noqa: E402
-from etl_lealone_spark.plans.lint import lint_plan  # noqa: E402
+from etl_lealone_spark.plans.lint import lint_forced_broadcasts, lint_plan  # noqa: E402
 from etl_lealone_spark.session import build_spark  # noqa: E402
 from etl_lealone_spark.workloads import all_workloads  # noqa: E402
 
@@ -54,6 +54,19 @@ ALLOW: dict[str, str] = {
 }
 
 
+# forced-broadcast rule exemptions: broadcasts of fact-table-derived sets
+# that are bounded by construction but not visibly bounded in plan text
+BCAST_ALLOW: dict[str, str] = {
+    "cosine_float_topk": "broadcasts the query-vector set — bounded by "
+    "an equality/range filter on vec_id (constant query count), scored "
+    "map-only against the corpus",
+    "hybrid_rrf_topk": "broadcasts ONE query vector (vec_id equality "
+    "filter) for the dense arm, plus the bounded BM25 term stats",
+    "ann_lsh_topk": "broadcasts query probes — |queries| x |probes| "
+    "rows, both constants",
+}
+
+
 def lint_one(name: str, plan: str) -> list[str]:
     return lint_plan(plan)
 
@@ -73,7 +86,21 @@ def main() -> None:
             bad.append((name, [f"plan-error: {e}"]))
             continue
         n_checked += 1
-        hits = lint_one(name, plan)
+        # second pass: hint-only plan (auto-broadcast off) — any
+        # BroadcastExchange left comes from an explicit F.broadcast();
+        # flag ones whose subtree scans a fact table without a bound
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            hint_plan = explain_str(w.build(spark, SF_DIR), "extended")
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        bcast_hits = lint_forced_broadcasts(hint_plan)
+        if bcast_hits and name in BCAST_ALLOW:
+            print(f"ALLOW {name}: {bcast_hits} — {BCAST_ALLOW[name]}")
+            bcast_hits = []
+        hits = lint_one(name, plan) + bcast_hits
         if hits and name in ALLOW:
             print(f"ALLOW {name}: {hits} — {ALLOW[name]}")
         elif hits:

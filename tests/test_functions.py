@@ -160,6 +160,16 @@ def test_unsupported_raises(spark):
         call("CANCEL_SESSION", F.lit(1))
     with pytest.raises(KeyError, match="unknown function"):
         call("NO_SUCH_FN")
+    # sequence/identity aliases + remote-db link: documented, clear errors
+    for name in ("LASTVAL", "IDENTITY_VAL_LOCAL", "LINK_SCHEMA"):
+        with pytest.raises(NotImplementedError):
+            call(name)
+
+
+def test_lealone_version(spark):
+    from etl_lealone_spark import __version__
+
+    assert one(spark, call("LEALONE_VERSION")) == __version__
 
 
 def test_crypto_compress_functions(spark):

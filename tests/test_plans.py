@@ -339,6 +339,70 @@ def test_plan_lint_rules(spark, tables):
     assert lint_df(li.join(ord_, li.l_orderkey == ord_.o_orderkey)) == []
 
 
+def test_bnl_exemption_is_subtree_anchored(spark, tables):
+    """A plan with one genuine table-broadcast BNL *plus* an unrelated
+    scalar-aggregate broadcast elsewhere must still be flagged — the
+    scalar exemption is judged per BNL build side, not by comparing
+    global pattern counts (round-3 advice)."""
+    from etl_lealone_spark.plans.lint import lint_df
+
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    ord_ = tables["orders"].select("o_orderkey", "o_totalprice")
+    stats = li.agg(F.avg("l_quantity").alias("aq"))  # 1-row scalar
+
+    # genuine table-broadcast BNL (non-equi on a real relation) + the
+    # legitimate scalar broadcast in the same plan
+    bad = (
+        li.join(F.broadcast(ord_), li.l_quantity < ord_.o_totalprice)
+        .crossJoin(F.broadcast(stats))
+    )
+    assert "bnl-join" in lint_df(bad)
+
+    # both BNLs scalar → exempt
+    ok = li.crossJoin(F.broadcast(stats)).crossJoin(
+        F.broadcast(li.agg(F.max("l_quantity").alias("mx")))
+    )
+    assert "bnl-join" not in lint_df(ok)
+
+
+def test_forced_broadcast_rule(spark, tables):
+    """Hint-only rule: a forced broadcast whose subtree scans a fact
+    table without a bounding operator is flagged; 1-row aggregates and
+    LIMIT-bounded broadcasts pass."""
+    from etl_lealone_spark.plans import explain_str
+    from etl_lealone_spark.plans.lint import lint_forced_broadcasts
+
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    ord_ = tables["orders"].select("o_orderkey")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        # unbounded: broadcast of a per-key aggregate of the fact table
+        agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        bad = ord_.join(F.broadcast(agg), ord_.o_orderkey == agg.l_orderkey)
+        assert lint_forced_broadcasts(explain_str(bad, "extended"))
+
+        # bounded: scalar aggregate broadcast
+        stats = li.agg(F.max("l_quantity").alias("mx"))
+        ok1 = ord_.crossJoin(F.broadcast(stats))
+        assert lint_forced_broadcasts(explain_str(ok1, "extended")) == []
+
+        # bounded: LIMITed broadcast
+        ok2 = ord_.join(
+            F.broadcast(li.limit(10)), ord_.o_orderkey == li.l_orderkey
+        )
+        assert lint_forced_broadcasts(explain_str(ok2, "extended")) == []
+
+        # no hint → no broadcast in plan → clean
+        ok3 = ord_.join(agg, ord_.o_orderkey == agg.l_orderkey)
+        assert lint_forced_broadcasts(explain_str(ok3, "extended")) == []
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_plan_lint_flags_global_window(spark, tables):
     from pyspark.sql import Window
 

@@ -198,6 +198,24 @@ def test_script_nodata(es):
     assert not any(r.startswith("INSERT") for r in rows)
 
 
+def test_script_data_dump_streams(es, tmp_path, monkeypatch):
+    """The data dump must never df.collect() a whole table to the driver
+    (lake-scale tables would OOM it) — it streams via toLocalIterator.
+    Poison collect() during the dump to prove the path is never taken."""
+    from pyspark.sql import DataFrame
+
+    def _no_collect(self):
+        raise AssertionError("SCRIPT dump called DataFrame.collect()")
+
+    path = tmp_path / "dump_stream.sql"
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    es.sql(f"SCRIPT TO '{path}'")
+    monkeypatch.undo()
+    text = path.read_text()
+    assert "INSERT INTO t (id, name, amt) VALUES (1, 'x', 1.5)" in text
+    assert text.index("CREATE TABLE") < text.index("INSERT INTO t")
+
+
 def test_drop_all_objects(es):
     es.sql("CREATE SEQUENCE sq_all START WITH 1")
     es.sql("CREATE CONSTANT c_all VALUE 1")
