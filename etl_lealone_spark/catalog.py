@@ -2053,9 +2053,14 @@ class StatementRouter:
             )
         group_cols = [c.strip().lower() for c in qm.group("gb").split(",")]
         aggs: dict[str, str] = {}  # alias -> fn
+        # output columns in the ORIGINAL select-list order — an
+        # incremental refresh must store the same column order a full
+        # refresh would, or the MV's schema flips between refresh modes
+        out_order: list[str] = []
         for item in qm.group("select").split(","):
             item = item.strip()
             if item.lower() in group_cols:
+                out_order.append(item.lower())
                 continue
             am = self._MV_AGG.match(item)
             if not am or re.match(
@@ -2070,6 +2075,7 @@ class StatementRouter:
                     "alias only)"
                 )
             aggs[am.group("alias").lower()] = am.group("fn").upper()
+            out_order.append(am.group("alias").lower())
         st = self.catalog.tables[base]
         delta = st.inserted_since(last_v)  # raises if history not append-only
         view = f"__mv_delta_{name}"
@@ -2085,19 +2091,34 @@ class StatementRouter:
         old = self.catalog.tables[name].read()
         o, d = old.alias("o"), delta_agg.alias("d")
         joined = o.join(d, group_cols, "full_outer")
-        combined_cols = [F.coalesce(*[o[c], d[c]]).alias(c) for c in group_cols]
-        for alias, fn in aggs.items():
-            a, b = o[alias], d[alias]
-            if fn in ("COUNT", "SUM"):
+
+        def _merged(colname: str):
+            if colname in group_cols:
+                return F.coalesce(o[colname], d[colname]).alias(colname)
+            fn, a, b = aggs[colname], o[colname], d[colname]
+            if fn == "COUNT":
                 expr = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+            elif fn == "SUM":
+                # SUM over an all-NULL input is NULL, not 0 — a brand-new
+                # group whose summed column is entirely NULL must store
+                # NULL exactly like a full refresh would; the result is 0
+                # only if some side actually summed to 0
+                expr = F.when(a.isNull() & b.isNull(), F.lit(None)).otherwise(
+                    F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+                )
             elif fn == "MIN":
-                expr = F.when(a.isNull(), b).when(b.isNull(), a).otherwise(F.least(a, b))
+                expr = F.when(a.isNull(), b).when(b.isNull(), a).otherwise(
+                    F.least(a, b)
+                )
             else:  # MAX
                 expr = F.when(a.isNull(), b).when(b.isNull(), a).otherwise(
                     F.greatest(a, b)
                 )
-            combined_cols.append(expr.alias(alias))
-        self.catalog.tables[name].write(joined.select(*combined_cols))
+            return expr.alias(colname)
+
+        self.catalog.tables[name].write(
+            joined.select(*[_merged(c) for c in out_order])
+        )
         self.catalog.mv_base[name] = (base, st.version)
         self.catalog.refresh_view(name)
         self.session.invalidate_cache()

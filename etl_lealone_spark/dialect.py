@@ -322,6 +322,39 @@ def _strip_for_update(sql: str) -> str:
     return re.sub(r"\s+FOR\s+UPDATE\s*$", "", sql, flags=re.IGNORECASE)
 
 
+# engine-shell nullary functions (reference Function.java system group):
+# rewritten to literals only in explicit call form NAME() — a column that
+# happens to share the name is never touched
+_NULLARY_LITERALS = {
+    "LEALONE_VERSION": None,  # filled lazily (engine __version__)
+    "DATABASE": "'spark'",
+    "CURRENT_USER": "'spark'",
+    "SCHEMA": "'default'",
+    "SESSION_ID": "0",
+    "AUTOCOMMIT": "true",
+    "READONLY": "false",
+    "LOCK_TIMEOUT": "0",
+    "MEMORY_FREE": "0",
+    "MEMORY_USED": "0",
+}
+
+
+def _rewrite_nullary_system_fns(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        name = m.group(1).upper()
+        lit = _NULLARY_LITERALS[name]
+        if lit is None:
+            from . import __version__
+
+            lit = f"'{__version__}'"
+        return lit
+
+    pattern = (
+        r"\b(" + "|".join(_NULLARY_LITERALS) + r")\s*\(\s*\)"
+    )
+    return re.sub(pattern, repl, sql, flags=re.IGNORECASE)
+
+
 def _rewrite_fn_aliases(sql: str, session: Optional["EngineSession"]) -> str:
     """CREATE ALIAS names bound to Java Math methods rewrite to the
     equivalent Spark builtin call (CreateFunctionAlias.java FOR form) —
@@ -360,6 +393,7 @@ def rewrite(sql: str, session: Optional["EngineSession"] = None) -> str:
     sql = _rewrite_sequence_calls(sql, session)
     sql = _rewrite_rownum(sql)
     sql = _strip_for_update(sql)
+    sql = _rewrite_nullary_system_fns(sql)
     sql = _rewrite_fn_aliases(sql, session)
     return sql
 

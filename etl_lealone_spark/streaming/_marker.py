@@ -7,6 +7,15 @@ the last marker and a crash must themselves be idempotent (anti-join
 on the state's key before inserting) so that a replay CONVERGES no
 matter where the previous attempt died — the marker alone only
 prevents double-commits of fully-applied batches.
+
+The marker is keyed by BOTH the batch id and a query identity (the
+checkpoint location), mirroring the Delta Lake txn-version pattern
+(appId + version). Batch ids are scoped to a checkpoint: a stream
+restarted with a FRESH checkpoint dir over the same state_root restarts
+ids at 0, and a batch-id-only marker would classify every new batch as
+a replay (batch_id <= last_committed) and silently drop it — data loss,
+not duplication. With the identity stored alongside, a different
+query/checkpoint never matches and processing proceeds.
 """
 
 from __future__ import annotations
@@ -19,16 +28,29 @@ class BatchCommitMarker:
         self.state_root = state_root
         self._path = os.path.join(state_root, "_last_batch")
 
-    def last_committed(self) -> int:
+    def last_committed(self, query_key: str = "") -> int:
+        """Last committed batch id for this query identity, -1 if none.
+
+        ``query_key`` identifies the stream (use the checkpoint
+        location). A marker written by a DIFFERENT query identity
+        reports -1: its batch-id sequence is unrelated to ours.
+        """
         try:
             with open(self._path) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
+                lines = f.read().splitlines()
+            if len(lines) == 1:  # legacy single-line marker: no identity
+                stored_key, stored_id = "", lines[0]
+            else:
+                stored_key, stored_id = lines[0], lines[1]
+            if stored_key != query_key:
+                return -1
+            return int(stored_id)
+        except (OSError, ValueError, IndexError):
             return -1
 
-    def commit(self, batch_id: int) -> None:
+    def commit(self, batch_id: int, query_key: str = "") -> None:
         os.makedirs(self.state_root, exist_ok=True)
         tmp = self._path + ".tmp"
         with open(tmp, "w") as f:
-            f.write(str(batch_id))
+            f.write(f"{query_key}\n{batch_id}")
         os.replace(tmp, self._path)  # atomic flip

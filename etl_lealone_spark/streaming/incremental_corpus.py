@@ -99,7 +99,10 @@ class IncrementalCorpusBuilder:
         )
 
     def process_batch(
-        self, batch: DataFrame, batch_id: int | None = None
+        self,
+        batch: DataFrame,
+        batch_id: int | None = None,
+        query_key: str = "",
     ) -> DataFrame:
         """Run the pipeline on one batch against state; returns the
         accepted (doc_id, lang, source, n_tokens, shard_id) rows and
@@ -109,7 +112,9 @@ class IncrementalCorpusBuilder:
         (foreachBatch does), an id at or below the committed marker is a
         checkpoint replay — state is untouched and an empty frame comes
         back. Ad-hoc calls without an id skip the marker (batch mode)."""
-        if batch_id is not None and batch_id <= self._marker.last_committed():
+        if batch_id is not None and batch_id <= self._marker.last_committed(
+            query_key
+        ):
             return self.corpus.read().limit(0)
         base = quality_filter(batch, self.text_col).withColumn(
             "ch", F.md5(normalized_text(F.col(self.text_col)))
@@ -189,15 +194,21 @@ class IncrementalCorpusBuilder:
         else:
             self.hash_state.create(new_hashes)
         if batch_id is not None:
-            self._marker.commit(batch_id)
+            self._marker.commit(batch_id, query_key)
         return out
 
     def attach(self, stream: DataFrame, checkpoint_dir: str):
         """Attach to a streaming DataFrame via foreachBatch; returns the
-        StreamingQuery."""
+        StreamingQuery. The checkpoint dir doubles as the marker's query
+        identity: batch ids are scoped to a checkpoint, so a restart
+        with a FRESH checkpoint (ids restart at 0) must not be mistaken
+        for a replay of the old sequence."""
         return (
             stream.writeStream.foreachBatch(
-                lambda df, bid: self.process_batch(df, bid) and None
+                lambda df, bid: self.process_batch(
+                    df, bid, query_key=checkpoint_dir
+                )
+                and None
             )
             .option("checkpointLocation", checkpoint_dir)
             .start()

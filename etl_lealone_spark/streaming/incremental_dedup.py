@@ -92,13 +92,18 @@ class IncrementalDeduper:
 
     # -- core: process one micro-batch ----------------------------------
     def process_batch(
-        self, batch: DataFrame, batch_id: int | None = None
+        self,
+        batch: DataFrame,
+        batch_id: int | None = None,
+        query_key: str = "",
     ) -> DataFrame:
         """Dedup a batch against state + itself; returns accepted rows
         (and appends them to state). With a ``batch_id`` (the streaming
         carrier supplies one) commits are exactly-once: a replayed id is
         recognized and the state append skipped."""
-        if batch_id is not None and batch_id <= self._marker.last_committed():
+        if batch_id is not None and batch_id <= self._marker.last_committed(
+            query_key
+        ):
             return self.docs.read().limit(0)
         batch = batch.localCheckpoint(eager=True)  # pin: used many times
         sig = minhash_signatures(
@@ -175,7 +180,7 @@ class IncrementalDeduper:
             self.docs.create(accepted)
             self.band_state.create(acc_bands)
         if batch_id is not None:
-            self._marker.commit(batch_id)
+            self._marker.commit(batch_id, query_key)
         return accepted
 
     def _verify(
@@ -206,10 +211,16 @@ class IncrementalDeduper:
     # -- streaming carrier ----------------------------------------------
     def attach(self, stream: DataFrame, checkpoint_dir: str):
         """Attach to a streaming DataFrame via foreachBatch; returns the
-        StreamingQuery."""
+        StreamingQuery. The checkpoint dir doubles as the marker's query
+        identity: batch ids are scoped to a checkpoint, so a restart
+        with a FRESH checkpoint (ids restart at 0) must not be mistaken
+        for a replay of the old sequence."""
         return (
             stream.writeStream.foreachBatch(
-                lambda df, bid: self.process_batch(df, bid) and None
+                lambda df, bid: self.process_batch(
+                    df, bid, query_key=checkpoint_dir
+                )
+                and None
             )
             .option("checkpointLocation", checkpoint_dir)
             .start()

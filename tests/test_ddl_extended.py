@@ -271,6 +271,32 @@ def test_materialized_view_incremental_refresh(spark, tmp_path):
     assert got["a"] == 1000
 
 
+def test_incremental_refresh_column_order_and_null_sum(spark, tmp_path):
+    """Two full-vs-incremental fidelity cases: (1) an MV whose select
+    list puts aggregates BEFORE group columns must keep that stored
+    column order across an incremental refresh; (2) a brand-new group
+    whose SUM input is entirely NULL must store NULL (what a full
+    refresh computes), not 0."""
+    from etl_lealone_spark.session import EngineSession
+
+    s = EngineSession(spark, warehouse=str(tmp_path))
+    s.sql("CREATE TABLE evo (k int PRIMARY KEY, grp varchar, v int)")
+    s.sql("INSERT INTO evo VALUES (1,'a',10), (2,'a',5)")
+    s.sql(
+        "CREATE MATERIALIZED VIEW mvo AS "
+        "SELECT COUNT(*) AS n, SUM(v) AS sm, grp FROM evo GROUP BY grp"
+    )
+    cols_before = s.sql("SELECT * FROM mvo").columns
+    assert cols_before == ["n", "sm", "grp"]
+    # new group 'z' with an all-NULL summed column
+    s.sql("INSERT INTO evo VALUES (3,'z',NULL), (4,'z',NULL), (5,'a',1)")
+    s.sql("REFRESH MATERIALIZED VIEW mvo INCREMENTALLY")
+    assert s.sql("SELECT * FROM mvo").columns == cols_before
+    got = {r["grp"]: (r["n"], r["sm"]) for r in s.sql("SELECT * FROM mvo").collect()}
+    assert got["a"] == (3, 16)
+    assert got["z"] == (2, None)  # full refresh stores NULL, so must we
+
+
 def test_checksum_table_order_insensitive(spark, tmp_path):
     from etl_lealone_spark.session import EngineSession
 

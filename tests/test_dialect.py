@@ -194,3 +194,22 @@ def test_pipeline_tvf_views_do_not_collide(es, spark):
         "LEFT JOIN PHRASE_SEARCH('tvf_docs2', 'alpha.gamma') b ON a.id = b.id"
     ).collect()
     assert [r["id"] for r in both] == [1]  # 'alpha beta' matches doc 1 only
+
+
+def test_nullary_system_functions_in_sql(es):
+    """Engine-shell nullary functions (Function.java system group) work
+    in SELECT position through the dialect; a COLUMN sharing a name is
+    never rewritten (call-form () required)."""
+    from etl_lealone_spark import __version__
+
+    row = es.sql(
+        "SELECT LEALONE_VERSION() AS v, DATABASE() AS d, MEMORY_FREE() AS m"
+    ).collect()[0]
+    assert row["v"] == __version__
+    assert row["d"] == "spark"
+    assert row["m"] == 0
+    # a column named schema is untouched (no parens)
+    es.sql("CREATE TABLE nullary_t (id int PRIMARY KEY, schema varchar)")
+    es.sql("INSERT INTO nullary_t VALUES (1, 'keep')")
+    got = es.sql("SELECT schema FROM nullary_t").collect()
+    assert got[0]["schema"] == "keep"

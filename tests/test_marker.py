@@ -17,6 +17,23 @@ def test_marker_lifecycle(tmp_path):
     assert BatchCommitMarker(str(tmp_path / "s")).last_committed() == 5
 
 
+def test_marker_query_identity(tmp_path):
+    """Batch ids are scoped to a checkpoint: a marker committed under one
+    query identity must report 'nothing committed' to a different one —
+    otherwise a stream restarted with a fresh checkpoint dir (ids restart
+    at 0) silently drops every batch as a 'replay'."""
+    m = BatchCommitMarker(str(tmp_path / "s3"))
+    m.commit(7, query_key="/ckpt/run1")
+    assert m.last_committed("/ckpt/run1") == 7
+    # fresh checkpoint → different identity → not a replay
+    assert m.last_committed("/ckpt/run2") == -1
+    assert m.last_committed() == -1
+    # the new run takes over the marker under its own identity
+    m.commit(0, query_key="/ckpt/run2")
+    assert m.last_committed("/ckpt/run2") == 0
+    assert m.last_committed("/ckpt/run1") == -1
+
+
 def test_marker_tolerates_corruption(tmp_path):
     import os
 
