@@ -164,9 +164,11 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, strict: bool = False) -
 
 
 # ---------------------------------------------------------------------------
-# REAL decoders — uncompressed raster formats parse with numpy alone
-# (netpbm P5/P6, 24-bit BMP); compressed formats (jpeg/png/...) remain
-# gated behind strict-NotImplementedError since no codec lib ships here.
+# REAL decoders — netpbm P5/P6 and 24-bit BMP parse with numpy alone;
+# PNG (8-bit, non-interlaced, all five scanline filters, color types
+# 0/2/3/4/6) decodes with stdlib zlib + numpy unfiltering. JPEG/video
+# remain gated behind strict-NotImplementedError (entropy decode needs a
+# real codec lib, none ships here).
 # ---------------------------------------------------------------------------
 
 
@@ -225,14 +227,160 @@ def _parse_bmp24(buf: bytes):
     return w, h, 3, raster[:, :, ::-1]  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(buf: bytes):
+    """Yield (type, data) for each chunk; stops after IEND."""
+    import struct
+
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            break
+
+
+def _png_unfilter(raw, h: int, stride: int, bpp: int):
+    """Reverse PNG scanline filtering (spec filters 0-4) -> h x stride
+    uint8. ``raw`` is the decompressed stream: h rows of (1 filter byte
+    + stride pixel bytes). Filter math is defined on bytes mod 256.
+
+    None/Up rows are whole-row numpy ops; Sub is a per-lane cumsum
+    (out[i] = raw[i] + out[i-bpp] telescopes within each i%bpp lane);
+    Average/Paeth depend on the just-decoded left neighbor, so they walk
+    the row — still vectorized across channels per pixel.
+    """
+    import numpy as np
+
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            out[y] = line
+        elif ftype == 1:  # Sub
+            lanes = line.reshape(-1, bpp).astype(np.uint64)
+            out[y] = (
+                np.cumsum(lanes, axis=0, dtype=np.uint64) % 256
+            ).astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            out[y] = line + prev  # uint8 wraps = mod 256
+        elif ftype == 3:  # Average
+            o = out[y]
+            for x in range(stride):
+                left = int(o[x - bpp]) if x >= bpp else 0
+                o[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            o = out[y]
+            for x in range(stride):
+                a = int(o[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                o[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+def _parse_png(buf: bytes):
+    """Decode an 8-bit non-interlaced PNG (stdlib zlib + numpy
+    unfiltering; PNG spec is public) -> (w, h, channels, HxWxC uint8).
+
+    Color types: 0 gray, 2 RGB, 3 palette (expanded to RGB), 4
+    gray+alpha, 6 RGBA. 16-bit and Adam7-interlaced payloads raise —
+    same strict-gate policy as the other codecs.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not buf.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    ihdr = palette = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(bytes(buf)):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError("only 8-bit PNG supported")
+    if interlace:
+        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    arr = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        arr = palette[arr.reshape(h, w)]
+        channels = 3
+    return w, h, channels, arr
+
+
+def encode_png(arr) -> bytes:
+    """HxWxC uint8 -> PNG payload (filter 0, one zlib stream) for
+    roundtrip tests; C in {1: gray, 2: gray+alpha, 3: rgb, 4: rgba}."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * c)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_raster(buf: bytes):
     """(w, h, channels, HxWxC uint8) for any supported payload."""
     if buf and buf[:2] in (b"P5", b"P6"):
         return _parse_netpbm(buf)
     if buf and buf[:2] == b"BM":
         return _parse_bmp24(buf)
+    if buf and bytes(buf[:8]) == _PNG_SIG:
+        return _parse_png(buf)
     raise NotImplementedError(
-        "compressed/unknown image format — plug a codec (PIL/cv2) in prod"
+        "compressed/unknown image format (jpeg/video need a real codec "
+        "— PIL/cv2 in prod; PNG/BMP/netpbm decode natively here)"
     )
 
 

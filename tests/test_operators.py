@@ -197,4 +197,178 @@ def test_decode_raster_rejects_unknown(spark):
     from etl_lealone_spark.operators.multimodal import decode_raster
 
     with pytest.raises(NotImplementedError):
-        decode_raster(b"\x89PNG\r\n\x1a\n....")
+        decode_raster(b"\xff\xd8\xff\xe0....")  # JPEG magic: still gated
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG decode (stdlib zlib + numpy unfiltering; PNG spec is public)
+# ---------------------------------------------------------------------------
+def _png_with_filters(arr, filters):
+    """Encode HxWxC uint8 as a PNG using the given per-row filter types
+    (forward-filtering per the spec) — exercises the decoder's
+    unfiltering paths, which the filter-0-only encode_png cannot."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+    flat = arr.reshape(h, w * c).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        line = flat[y]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(w * c):
+            a = int(line[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            cc = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] - a
+            elif f == 2:
+                v = line[x] - b
+            elif f == 3:
+                v = line[x] - ((a + b) >> 1)
+            else:  # paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                v = line[x] - pred
+            raw.append(v & 0xFF)
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_all_color_types(spark):
+    import numpy as np
+
+    from etl_lealone_spark.operators.multimodal import decode_raster, encode_png
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(9, 13, c), dtype=np.uint8)
+        w, h, ch, back = decode_raster(encode_png(arr))
+        assert (w, h, ch) == (13, 9, c)
+        assert np.array_equal(back, arr)
+
+
+def test_png_unfiltering_every_filter_type(spark):
+    import numpy as np
+
+    from etl_lealone_spark.operators.multimodal import decode_raster
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        w, h, c, back = decode_raster(_png_with_filters(arr, filters))
+        assert (w, h, c) == (7, 10, 3), filters
+        assert np.array_equal(back, arr), f"filters {filters}"
+
+
+def test_png_palette_expands_to_rgb(spark):
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etl_lealone_spark.operators.multimodal import decode_raster
+
+    # 2x3 palette image: indices 0..5 into a 6-color palette
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9], [1, 2, 3], [250, 40, 7]],
+        dtype=np.uint8,
+    )
+    idx = np.array([[0, 1, 2], [3, 4, 5]], dtype=np.uint8)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)  # color type 3
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, c, back = decode_raster(buf)
+    assert (w, h, c) == (3, 2, 3)
+    assert np.array_equal(back, palette[idx])
+
+
+def test_png_gates_16bit_and_interlaced(spark):
+    import struct
+    import zlib
+
+    import pytest
+
+    from etl_lealone_spark.operators.multimodal import decode_raster
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    for depth, interlace, msg in ((16, 0, "8-bit"), (8, 1, "interlaced")):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
+        buf = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match=msg):
+            decode_raster(buf)
+
+
+def test_png_through_image_stats_and_resize(spark):
+    import numpy as np
+
+    from etl_lealone_spark.operators.multimodal import (
+        decode_raster,
+        encode_png,
+        image_stats_features,
+        resize_nearest,
+    )
+
+    arr = _ppm_gradient(16, 8)
+    media = spark.createDataFrame(
+        [(4, bytearray(encode_png(arr)), ("image", "image/png", 16, 8, None))],
+        "media_id long, payload binary, "
+        "meta struct<modality:string,mime:string,width:int,height:int,duration_ms:bigint>",
+    )
+    r = image_stats_features(media).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (16, 8, 3)
+    assert r["mean"][2] == 7.0
+    out = resize_nearest(media, width=8, height=4).collect()[0]
+    w, h, c, small = decode_raster(bytes(out["payload"]))
+    assert np.array_equal(small, arr[::2, ::2])
