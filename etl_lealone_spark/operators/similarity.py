@@ -604,6 +604,51 @@ class IvfIndex:
 
         return os.path.exists(self._meta_path)
 
+    # -- shared kernels ---------------------------------------------------
+    def _load_centroids(self, root: str | None = None):
+        """(cids, CENT, cn) numpy views of the trained centroid table,
+        cid-ascending (ties in the assigner pick the lowest cid)."""
+        import os
+
+        import numpy as np
+
+        cent_rows = sorted(
+            self.spark.read.parquet(
+                os.path.join(root or self.root, "centroids")
+            ).collect(),
+            key=lambda r: r["cid"],
+        )
+        cids = np.asarray([r["cid"] for r in cent_rows], dtype=np.int64)
+        CENT = np.asarray([r["centvec"] for r in cent_rows], dtype=np.int64)
+        cn = np.asarray([r["cnorm"] for r in cent_rows], dtype=np.float64)
+        return cids, CENT, cn
+
+    @staticmethod
+    def _assign_fn(cids, CENT, cn):
+        """mapInPandas kernel: best-centroid assignment by exact int64
+        dot products; ties pick the lowest cid (argmax takes the first
+        max and CENT rows are cid-ascending) — matches the oracle's
+        ORDER BY sim DESC, cid."""
+        import numpy as np
+        import pandas as pd
+
+        def assign(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                C = _np_rows(pdf["cvec"])
+                sims = (C @ CENT.T).astype(np.float64) / cn[None, :]
+                best = np.argmax(sims, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cvec": pdf["cvec"],
+                        "cid": cids[best],
+                    }
+                )
+
+        return assign
+
     # -- build ----------------------------------------------------------
     def build(self, corpus: DataFrame, force: bool = False) -> None:
         """Quantize, pick stride centroids, assign every vector to its
@@ -640,32 +685,7 @@ class IvfIndex:
         tmp = self.root + ".build"
         shutil.rmtree(tmp, ignore_errors=True)
         cent.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
-        cent_rows = sorted(
-            self.spark.read.parquet(os.path.join(tmp, "centroids")).collect(),
-            key=lambda r: r["cid"],
-        )
-        cids = np.asarray([r["cid"] for r in cent_rows], dtype=np.int64)
-        CENT = np.asarray([r["centvec"] for r in cent_rows], dtype=np.int64)
-        cn = np.asarray([r["cnorm"] for r in cent_rows], dtype=np.float64)
-
-        def assign(batches):
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                C = _np_rows(pdf["cvec"])
-                # exact int64 dots; ties pick the lowest cid (argmax takes
-                # the first max and CENT rows are cid-ascending) — matches
-                # the oracle's ORDER BY sim DESC, cid
-                sims = (C @ CENT.T).astype(np.float64) / cn[None, :]
-                best = np.argmax(sims, axis=1)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"],
-                        "cvec": pdf["cvec"],
-                        "cid": cids[best],
-                    }
-                )
-
+        assign = self._assign_fn(*self._load_centroids(tmp))
         cq.mapInPandas(
             assign, schema="vec_id long, cvec array<bigint>, cid long"
         ).write.mode("overwrite").partitionBy("cid").parquet(os.path.join(tmp, "assign"))
@@ -675,6 +695,52 @@ class IvfIndex:
             os.rename(tmp, self.root)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent build race
+
+    # -- incremental maintenance -----------------------------------------
+    def append(self, batch: DataFrame) -> int:
+        """Assign NEW vectors to the existing trained centroids and
+        append them to the inverted lists; returns the number added.
+
+        The FAISS train-once/add-many contract: centroids stay fixed
+        (probe results remain comparable across appends), new vectors
+        land in their centroid's parquet partition directory — the only
+        writes are to the probed-at-read, partition-pruned assign/ table,
+        so maintenance cost is O(|batch| x sqrt(n_train)) with no touch
+        of existing lists. Idempotent by vec_id: already-indexed ids are
+        anti-joined away, so a replayed (crashed/retried) append
+        converges — the streaming carrier
+        (streaming.ann_maintenance.StreamingIvfMaintainer) relies on
+        this for its exactly-once story. Re-train by rebuilding with
+        ``build(corpus, force=True)`` when drift warrants it.
+        """
+        import json
+        import os
+
+        if not self.exists():
+            raise ValueError("IvfIndex.append: build() an index first")
+        cq = batch.select(
+            F.col(self.id_col).alias("vec_id"),
+            quantize(F.col(self.vec_col)).alias("cvec"),
+        )
+        existing = self.spark.read.parquet(os.path.join(self.root, "assign"))
+        cq = cq.join(existing.select("vec_id"), "vec_id", "left_anti")
+        assign = self._assign_fn(*self._load_centroids())
+        out = cq.mapInPandas(
+            assign, schema="vec_id long, cvec array<bigint>, cid long"
+        ).localCheckpoint(eager=True)  # one compute: count + write
+        n_new = out.count()
+        if n_new:
+            out.write.mode("append").partitionBy("cid").parquet(
+                os.path.join(self.root, "assign")
+            )
+            with open(self._meta_path) as f:
+                meta = json.load(f)
+            meta["n"] = int(meta["n"]) + int(n_new)
+            tmp = self._meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, self._meta_path)
+        return int(n_new)
 
     # -- probe ----------------------------------------------------------
     def topk(
@@ -697,13 +763,7 @@ class IvfIndex:
         Q = np.asarray([r[query_vec_col] for r in q_rows], dtype=np.int64)
         qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
 
-        cent_rows = sorted(
-            self.spark.read.parquet(os.path.join(self.root, "centroids")).collect(),
-            key=lambda r: r["cid"],
-        )
-        cids = np.asarray([r["cid"] for r in cent_rows], dtype=np.int64)
-        CENT = np.asarray([r["centvec"] for r in cent_rows], dtype=np.int64)
-        cn = np.asarray([r["cnorm"] for r in cent_rows], dtype=np.float64)
+        cids, CENT, cn = self._load_centroids()
 
         # rank centroids per query driver-side (m × sqrt(n) — tiny)
         csims = (Q @ CENT.T).astype(np.float64) / cn[None, :]

@@ -6,6 +6,7 @@ watermarked windowed aggregation, streaming exact dedup, and a stateful
 sessionizer.
 """
 
+from .ann_maintenance import StreamingIvfMaintainer
 from .incremental_dedup import IncrementalDeduper
 from .ingest import (
     enrich_stream,
@@ -21,6 +22,7 @@ from .ingest import (
 
 __all__ = [
     "IncrementalDeduper",
+    "StreamingIvfMaintainer",
     "enrich_stream",
     "join_streams_interval",
     "running_user_totals",
