@@ -1,0 +1,149 @@
+"""Settle run for the W2/W3 substrate-gap question (round-3 verdict #4).
+
+BASELINE.md's 5e7-row runs put W2 (scan+predicate) at 4-5x and W3
+(group-by) at 5-7x DuckDB with verified-minimal plans; the claim is that
+the gap is JVM parquet-decode throughput plus fixed per-query overhead
+that AMORTIZES at scale. This script measures the same shapes at 5e8
+rows (10x), where decode bandwidth dominates, plus two extension shapes
+(BM25, DSIR) on a K-replicated corpus — the ext_* dual-runs in
+BENCH_r3 ran on a 5,000-doc corpus where Spark's per-stage overhead
+dominates.
+
+Run on an IDLE machine:
+    python scripts/bench_settle.py            # 5e8 rows, K=10 corpus
+    SPARK_GRAFT_SETTLE_ROWS=100000000 python scripts/bench_settle.py
+
+Prints one JSON line; paste the table into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from bench import baseline_workloads  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_lealone_spark.session import build_spark, default_parallelism  # noqa: E402
+from etl_lealone_spark.tables import TABLE_NAMES, load_tables  # noqa: E402
+from etl_lealone_spark.workloads import all_workloads  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+EXT_AT_SCALE = ["bm25_topk", "dsir_importance_weights"]
+
+
+def build_scaled_dir(spark, k: int) -> str:
+    """A sf-dir clone whose documents table is K-replicated (distinct
+    ids, per-copy token salt — same trick as scripts/scale_probe.py);
+    all other tables symlink to SF_DIR so load_tables and the DuckDB
+    views read identical data."""
+    out = tempfile.mkdtemp(prefix=f"settle_sf_x{k}_")
+    for t in TABLE_NAMES:
+        src = os.path.join(SF_DIR, f"{t}.parquet")
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, os.path.join(out, f"{t}.parquet"))
+    d = load_tables(spark, SF_DIR)["documents"]
+    copies = [
+        d.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" copysalt{i}")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(k)
+    ]
+    docs = copies[0]
+    for c in copies[1:]:
+        docs = docs.unionAll(c)
+    docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    return out
+
+
+def ext_dual_at_scale(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue
+        # testdata tables are single files; the Spark-rewritten documents
+        # table is a directory of part files — glob those
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    wl = all_workloads()
+    out: dict[str, float] = {}
+    for name in EXT_AT_SCALE:
+        w = wl[name]
+
+        def s_run():
+            w.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+        def d_run():
+            con.execute(w.oracle).fetchall()
+
+        s_run(), d_run()  # warm
+        st, dt = [], []
+        for _ in range(reps):
+            t0 = time.time()
+            s_run()
+            st.append(time.time() - t0)
+            t0 = time.time()
+            d_run()
+            dt.append(time.time() - t0)
+        out[f"ext_{name}_spark"] = round(min(st), 3)
+        out[f"ext_{name}_duckdb"] = round(min(dt), 3)
+    con.close()
+    return out
+
+
+def main() -> None:
+    n = int(os.environ.get("SPARK_GRAFT_SETTLE_ROWS", "500000000"))
+    k = int(os.environ.get("SPARK_GRAFT_SETTLE_K", "10"))
+    spark = build_spark(app_name="bench_settle", cores=default_parallelism())
+    base = baseline_workloads(spark, n=n, reps=2)
+    scaled = build_scaled_dir(spark, k)
+    try:
+        ext = ext_dual_at_scale(spark, scaled)
+    finally:
+        shutil.rmtree(scaled, ignore_errors=True)
+    ratios = {}
+    spark_keys = {
+        "w1": "w1_bulk_insert",
+        "w2": "w2_scan_predicate",
+        "w3": "w3_groupby_having",
+        "w4": "w4_joins",
+        "w5": "w5_topk_offset",
+    }
+    for wnum, skey in spark_keys.items():
+        s, d = base.get(skey), base.get(f"{wnum}_duckdb")
+        if s and d:
+            ratios[wnum] = round(s / d, 2)
+    for name in EXT_AT_SCALE:
+        s, d = ext.get(f"ext_{name}_spark"), ext.get(f"ext_{name}_duckdb")
+        if s and d:
+            ratios[f"ext_{name}"] = round(s / d, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "settle_run",
+                "rows": n,
+                "corpus_k": k,
+                "timings": {**base, **ext},
+                "ratios": ratios,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
