@@ -6,11 +6,17 @@ the scaling CLAIM — near-linear wall growth for the bucketed/banded
 pipelines (MinHash-LSH, exact dedup, BM25, brute-force ANN) as data
 grows 10×, i.e. no hidden quadratic term waiting at 100 TB.
 
-Corpus scaling: documents are replicated K× with distinct doc_ids and a
-per-copy token salt appended, so near-dup structure is preserved (each
-copy family keeps its within-family similarity) while content hashes
-stay distinct across copies — the workload does MORE work, not
-deduplicated-away work. Embeddings are replicated with vec_id offsets.
+Corpus scaling: documents are replicated K× with distinct doc_ids and
+every WORD prefixed with a per-copy tag, so each copy keeps the
+original's within-copy near-dup structure (the same transformation hits
+every doc) while copies of the same doc share NO shingles — duplicate
+DENSITY stays constant as the corpus grows. This matters: an
+append-a-trailing-salt replication (the first version of this probe)
+leaves copies ~98% shingle-identical, so the true near-dup pair count
+grows K² and the probe measures output size, not the algorithm —
+minhash shuffle bytes measured 103x for 30x data that way, vs linear
+with per-word tags. Embeddings are replicated with vec_id offsets and
+a per-copy deterministic component nudge for the same reason.
 
 Usage: python scripts/scale_probe.py [K ...]   (default: 1 3 10)
 """
@@ -43,7 +49,11 @@ def scaled_docs(t, k: int):
     copies = [
         d.select(
             (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(f" copysalt{i}")).alias("text"),
+            # per-word copy tag: every shingle differs across copies
+            # (constant duplicate density), within-copy structure intact
+            F.regexp_replace(
+                F.col("text"), r"(^|\s)(\S)", rf"$1c{i}q$2"
+            ).alias("text"),
             "lang",
             "source",
             "n_chars",
@@ -63,7 +73,9 @@ def scaled_embeddings(t, k: int):
     copies = [
         e.select(
             (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
-            "embedding",
+            F.transform(
+                "embedding", lambda x: (x + F.lit(i) * F.lit(0.003)).cast("float")
+            ).alias("embedding"),
             "label",
         )
         for i in range(k)
