@@ -166,9 +166,10 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, strict: bool = False) -
 # ---------------------------------------------------------------------------
 # REAL decoders — netpbm P5/P6 and 24-bit BMP parse with numpy alone;
 # PNG (8-bit, non-interlaced, all five scanline filters, color types
-# 0/2/3/4/6) decodes with stdlib zlib + numpy unfiltering. JPEG/video
-# remain gated behind strict-NotImplementedError (entropy decode needs a
-# real codec lib, none ships here).
+# 0/2/3/4/6) decodes with stdlib zlib + numpy unfiltering; baseline
+# sequential JPEG (incl. subsampling + restart markers) decodes via the
+# from-spec codec in operators/jpeg.py. Progressive JPEG and video
+# remain gated behind strict-NotImplementedError.
 # ---------------------------------------------------------------------------
 
 
@@ -378,9 +379,13 @@ def decode_raster(buf: bytes):
         return _parse_bmp24(buf)
     if buf and bytes(buf[:8]) == _PNG_SIG:
         return _parse_png(buf)
+    if buf and bytes(buf[:2]) == b"\xff\xd8":
+        from etl_lealone_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(buf))
     raise NotImplementedError(
-        "compressed/unknown image format (jpeg/video need a real codec "
-        "— PIL/cv2 in prod; PNG/BMP/netpbm decode natively here)"
+        "unknown image format (video needs a real codec — PIL/cv2 in "
+        "prod; JPEG/PNG/BMP/netpbm decode natively here)"
     )
 
 

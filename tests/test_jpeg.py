@@ -1,0 +1,132 @@
+"""Baseline JPEG codec tests (pure numpy — no SparkSession needed).
+
+Roundtrip strategy mirrors the PNG/netpbm tests: the in-repo encoder
+produces spec-shaped files the in-repo decoder must read back. JPEG is
+lossy, so pixel checks are PSNR thresholds except where the math is
+exact (flat blocks quantize losslessly); structural checks (restart
+framing, subsampled geometry, gated SOF types) are exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_lealone_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    quality_tables,
+)
+
+
+def _test_image(h, w, channels=3, seed=7):
+    """Deterministic smooth gradient + low-amplitude texture — a
+    natural-image stand-in (pure noise is the JPEG worst case and not
+    what the corpus looks like)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 96 + 64 * np.sin(xx / 17.0) + 48 * np.cos(yy / 23.0)
+    img = np.stack(
+        [base + 18 * np.sin((xx + yy) / (11.0 + c)) for c in range(channels)],
+        axis=-1,
+    )
+    img += rng.normal(0, 3.0, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_rgb_roundtrip_non_multiple_of_8():
+    img = _test_image(41, 57)  # forces edge padding + crop
+    buf = encode_jpeg(img, quality=90)
+    w, h, c, back = decode_jpeg(buf)
+    assert (w, h, c) == (57, 41, 3)
+    assert back.shape == (41, 57, 3)
+    assert _psnr(img, back) > 33.0
+
+
+def test_grayscale_roundtrip():
+    img = _test_image(64, 48, channels=1)
+    buf = encode_jpeg(img[:, :, 0], quality=85)
+    w, h, c, back = decode_jpeg(buf)
+    assert (w, h, c) == (48, 64, 1)
+    assert _psnr(img, back) > 33.0
+
+
+def test_flat_image_roundtrips_exactly():
+    # A flat block's only nonzero coefficient is DC; at quality 75 the
+    # luma DC quantizer is 8 and (200-128)*8 = 576 divides exactly, so
+    # grayscale decode must be bit-identical.
+    img = np.full((32, 32), 200, dtype=np.uint8)
+    w, h, c, back = decode_jpeg(encode_jpeg(img, quality=75))
+    assert (w, h, c) == (32, 32, 1)
+    assert np.array_equal(back[:, :, 0], img)
+
+
+def test_quality_ladder_monotone_size_and_fidelity():
+    img = _test_image(64, 64)
+    sizes, psnrs = [], []
+    for q in (30, 60, 90):
+        buf = encode_jpeg(img, quality=q)
+        _, _, _, back = decode_jpeg(buf)
+        sizes.append(len(buf))
+        psnrs.append(_psnr(img, back))
+    assert sizes[0] < sizes[1] < sizes[2]
+    assert psnrs[0] < psnrs[1] < psnrs[2]
+
+
+def test_420_subsampling_roundtrip_and_geometry():
+    img = _test_image(50, 70)  # not multiples of the 16-pixel MCU
+    buf = encode_jpeg(img, quality=90, sampling="4:2:0")
+    w, h, c, back = decode_jpeg(buf)
+    assert (w, h, c) == (70, 50, 3)
+    # chroma is box-averaged 2x2 then replicated back: luma detail must
+    # survive, so the threshold is only slightly looser than 4:4:4
+    assert _psnr(img, back) > 30.0
+    # and 4:2:0 must actually be smaller than 4:4:4 at equal quality
+    assert len(buf) < len(encode_jpeg(img, quality=90, sampling="4:4:4"))
+
+
+def test_restart_markers_do_not_change_pixels():
+    # Restart intervals only re-frame the entropy stream (byte-align +
+    # DC predictor reset); the quantized coefficients are identical, so
+    # the decoded pixels must be EXACTLY equal, not just close.
+    img = _test_image(48, 64)
+    plain = decode_jpeg(encode_jpeg(img, quality=75))[3]
+    restarted_buf = encode_jpeg(img, quality=75, restart_interval=3)
+    assert b"\xff\xd0" in restarted_buf or b"\xff\xd1" in restarted_buf
+    restarted = decode_jpeg(restarted_buf)[3]
+    assert np.array_equal(plain, restarted)
+
+
+def test_progressive_is_gated():
+    # Take a real baseline file and flip SOF0 (0xC0) to SOF2 (0xC2):
+    # the decoder must refuse loudly, not misparse.
+    buf = bytearray(encode_jpeg(_test_image(16, 16), quality=75))
+    idx = buf.find(b"\xff\xc0")
+    assert idx > 0
+    buf[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive|baseline"):
+        decode_jpeg(bytes(buf))
+
+
+def test_truncated_entropy_data_raises():
+    buf = encode_jpeg(_test_image(32, 32), quality=75)
+    with pytest.raises(ValueError):
+        decode_jpeg(buf[: len(buf) // 2])
+
+
+def test_not_a_jpeg_raises():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\nnope")
+
+
+def test_quality_tables_scale():
+    lum50, _ = quality_tables(50)
+    lum90, _ = quality_tables(90)
+    lum10, _ = quality_tables(10)
+    assert np.all(lum90 <= lum50) and np.all(lum50 <= lum10)
+    assert lum50.min() >= 1 and lum10.max() <= 255

@@ -197,7 +197,49 @@ def test_decode_raster_rejects_unknown(spark):
     from etl_lealone_spark.operators.multimodal import decode_raster
 
     with pytest.raises(NotImplementedError):
-        decode_raster(b"\xff\xd8\xff\xe0....")  # JPEG magic: still gated
+        decode_raster(b"\x00\x01unknown-magic....")  # no codec for this
+
+
+def test_decode_raster_dispatches_jpeg(spark):
+    import numpy as np
+
+    from etl_lealone_spark.operators.jpeg import encode_jpeg
+    from etl_lealone_spark.operators.multimodal import decode_raster
+
+    arr = np.full((24, 16, 3), 200, dtype=np.uint8)
+    w, h, c, back = decode_raster(encode_jpeg(arr, quality=90))
+    assert (w, h, c) == (16, 24, 3)
+    # flat color survives the DCT near-exactly (only DC, exact quantize)
+    assert int(np.abs(back.astype(int) - 200).max()) <= 2
+
+
+def test_image_stats_features_on_jpeg_payloads(spark):
+    import numpy as np
+
+    from etl_lealone_spark.operators.jpeg import encode_jpeg
+    from etl_lealone_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_stats_features,
+    )
+
+    imgs = {
+        11: np.full((16, 16, 3), 64, dtype=np.uint8),
+        12: np.full((8, 24), 200, dtype=np.uint8),  # grayscale
+    }
+    rows = [
+        (
+            mid,
+            bytearray(encode_jpeg(a, quality=90)),
+            ("image", "image/jpeg", a.shape[1], a.shape[0], None),
+        )
+        for mid, a in imgs.items()
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in image_stats_features(media).collect()}
+    assert got[11]["width"] == 16 and got[11]["channels"] == 3
+    assert got[12]["width"] == 24 and got[12]["channels"] == 1
+    assert abs(got[11]["mean"][0] - 64.0) < 2.5
+    assert abs(got[12]["mean"][0] - 200.0) < 2.5
 
 
 # ---------------------------------------------------------------------------
