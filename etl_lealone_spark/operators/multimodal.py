@@ -396,6 +396,200 @@ def encode_ppm(arr) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
 
 
+# ---------------------------------------------------------------------------
+# REAL audio: RIFF/WAVE PCM parse + encode with numpy alone (the WAV
+# container and PCM layouts are public spec). Compressed audio (mp3/ogg/
+# aac) stays gated — entropy codecs need real libs.
+# ---------------------------------------------------------------------------
+
+
+def _parse_wav(buf: bytes):
+    """Decode RIFF/WAVE -> (sample_rate, channels, float64 samples in
+    [-1, 1] shaped (n_frames, channels)).
+
+    PCM 8-bit unsigned, 16/24/32-bit signed little-endian, and IEEE
+    float32 (format 3); WAVE_FORMAT_EXTENSIBLE resolves through its
+    sub-format tag. Anything else (ADPCM, mp3-in-wav) raises."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(buf)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid = buf[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, channels, rate, _bps, _align, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag == 0xFFFE:  # extensible: real tag is the first 2 GUID bytes
+        (tag,) = struct.unpack_from("<H", fmt, 24)
+    if tag == 1:  # integer PCM
+        if bits == 8:
+            raw = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+            samples = (raw - 128.0) / 128.0
+        elif bits == 16:
+            samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            v = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            samples = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            samples = np.frombuffer(data, dtype="<i4").astype(np.float64) / float(
+                1 << 31
+            )
+        else:
+            raise NotImplementedError(f"{bits}-bit PCM WAV unsupported")
+    elif tag == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            samples = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(f"{bits}-bit float WAV unsupported")
+    else:
+        raise NotImplementedError(
+            f"compressed WAV format tag {tag} (ADPCM/mp3 need a codec lib)"
+        )
+    frames = samples.size // channels
+    return rate, channels, samples[: frames * channels].reshape(frames, channels)
+
+
+def encode_wav(samples, sample_rate: int, bits: int = 16) -> bytes:
+    """(n_frames, channels) float in [-1, 1] -> PCM WAV bytes (16-bit
+    signed or 32-bit IEEE float)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    if bits == 16:
+        data = (
+            np.clip(np.round(arr * 32768.0), -32768, 32767)
+            .astype("<i2")
+            .tobytes()
+        )
+        tag, bps = 1, 2
+    elif bits == 32:
+        data = arr.astype("<f4").tobytes()
+        tag, bps = 3, 4
+    else:
+        raise ValueError("encode_wav writes 16-bit PCM or 32-bit float")
+    fmt = struct.pack(
+        "<HHIIHH",
+        tag,
+        channels,
+        sample_rate,
+        sample_rate * channels * bps,
+        channels * bps,
+        bits,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def audio_stats_features(media: DataFrame) -> DataFrame:
+    """REAL WAV decode + per-clip signal statistics: (media_id,
+    sample_rate, channels, n_frames, duration_ms, rms, peak,
+    zero_crossing_rate). Map-only Arrow pass — the audio analog of
+    image_stats_features."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+            T.StructField("zero_crossing_rate", T.DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in schema}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, s = _parse_wav(bytes(p))
+                mono = s.mean(axis=1)
+                zc = (
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if mono.size > 1
+                    else 0.0
+                )
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["n_frames"].append(s.shape[0])
+                rows["duration_ms"].append(int(s.shape[0] * 1000 / rate))
+                rows["rms"].append(float(np.sqrt(np.mean(s**2))))
+                rows["peak"].append(float(np.abs(s).max(initial=0.0)))
+                rows["zero_crossing_rate"].append(zc)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+def audio_resample(media: DataFrame, target_rate: int = 16000) -> DataFrame:
+    """REAL linear-interpolation resample of WAV payloads to
+    ``target_rate`` (the cheap training-pipeline normalizer — a
+    windowed-sinc filter is the production upgrade, same plumbing);
+    re-emits the media schema with 16-bit PCM payloads."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                rate, ch, s = _parse_wav(bytes(p))
+                n_out = max(1, int(round(s.shape[0] * target_rate / rate)))
+                t_out = np.arange(n_out) * (rate / target_rate)
+                src = np.arange(s.shape[0], dtype=np.float64)
+                out = np.stack(
+                    [np.interp(t_out, src, s[:, c]) for c in range(ch)], axis=1
+                )
+                payloads.append(encode_wav(out, target_rate))
+                metas.append(
+                    {
+                        **m,
+                        "mime": "audio/wav",
+                        "duration_ms": int(n_out * 1000 / target_rate),
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads, "meta": metas}
+            )
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def image_stats_features(media: DataFrame) -> DataFrame:
     """REAL decode + statistics for netpbm/BMP payloads:
     (media_id, width, height, channels, mean per channel, std per
