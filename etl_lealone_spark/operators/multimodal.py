@@ -590,6 +590,115 @@ def audio_resample(media: DataFrame, target_rate: int = 16000) -> DataFrame:
     return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL video: MJPEG-in-AVI. The AVI RIFF container is public spec and
+# each '00dc' chunk is a standalone baseline JPEG, so frame splitting +
+# per-frame decode compose from the RIFF walk below and operators/jpeg.
+# Inter-frame codecs (h264 etc.) stay gated — motion decode needs real
+# libs.
+# ---------------------------------------------------------------------------
+
+
+def _parse_avi_mjpeg(buf: bytes):
+    """Decode a minimal MJPEG AVI -> (usec_per_frame, [jpeg_bytes, ...]).
+
+    Walks the RIFF tree: 'avih' gives the frame period, the 'movi' LIST
+    holds one '00dc'/'00db' chunk per frame (each a complete JPEG)."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    usec_per_frame = 33333  # 30 fps default if avih is absent
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int):
+        nonlocal usec_per_frame
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", buf, pos + 4)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + clen)
+            elif cid == b"avih":
+                (usec_per_frame,) = struct.unpack_from("<I", buf, body_start)
+            elif cid in (b"00dc", b"00db") and clen:
+                frames.append(buf[body_start : body_start + clen])
+            pos = body_start + clen + (clen & 1)  # word-aligned
+
+    walk(12, len(buf))
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    for f in frames:
+        if f[:2] != b"\xff\xd8":
+            raise NotImplementedError(
+                "non-MJPEG AVI stream (inter-frame codecs need a real lib)"
+            )
+    return usec_per_frame, frames
+
+
+def encode_avi_mjpeg(jpeg_frames, fps: int = 10, width: int = 0, height: int = 0) -> bytes:
+    """[jpeg_bytes, ...] -> minimal spec-shaped MJPEG AVI (avih + one
+    'vids'/'MJPG' stream + movi '00dc' chunks) for hermetic tests."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    n = len(jpeg_frames)
+    usec = max(1, 1_000_000 // max(1, fps))
+    avih = struct.pack("<14I", usec, 0, 0, 0, n, 0, 1, 0, width, height, 0, 0, 0, 0)
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame_bytes", T.BinaryType(), False),
+    ]
+)
+
+
+def frame_sample_mjpeg(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling for MJPEG AVI payloads: emits one
+    (media_id, frame_idx, ts_ms, frame_bytes) row per sampled frame —
+    frame_bytes is a standalone JPEG that decode_raster handles. The
+    sampler keeps the first frame at-or-after each ``every_ms`` tick
+    (the standard training-data keyframe grid). Map-only Arrow pass;
+    output size is bounded by duration/every_ms per clip, not by fps."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in VIDEO_FRAME_SCHEMA}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                usec, frames = _parse_avi_mjpeg(bytes(p))
+                next_tick = 0.0
+                for i, f in enumerate(frames):
+                    ts_ms = i * usec / 1000.0
+                    if ts_ms + 1e-9 >= next_tick:
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(i)
+                        rows["ts_ms"].append(int(ts_ms))
+                        rows["frame_bytes"].append(f)
+                        next_tick += every_ms
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
+
+
 def image_stats_features(media: DataFrame) -> DataFrame:
     """REAL decode + statistics for netpbm/BMP payloads:
     (media_id, width, height, channels, mean per channel, std per

@@ -1,0 +1,63 @@
+"""MJPEG-AVI container tests: the in-repo AVI writer wraps frames from
+the in-repo JPEG encoder, the parser splits them back, and the sampled
+frames decode through the raster path — a fully hermetic video
+pipeline (inter-frame codecs stay gated)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_lealone_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from etl_lealone_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    _parse_avi_mjpeg,
+    encode_avi_mjpeg,
+    frame_sample_mjpeg,
+)
+
+
+def _frames(n=6, h=16, w=16):
+    # each frame a distinct flat gray level so identity survives the DCT
+    return [
+        encode_jpeg(np.full((h, w), 40 + 24 * i, dtype=np.uint8), quality=90)
+        for i in range(n)
+    ]
+
+
+def test_avi_roundtrip_preserves_frames():
+    frames = _frames(6)
+    usec, back = _parse_avi_mjpeg(encode_avi_mjpeg(frames, fps=4, width=16, height=16))
+    assert usec == 250_000
+    assert back == frames  # byte-identical container roundtrip
+
+
+def test_avi_rejects_non_riff_and_non_mjpeg():
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        _parse_avi_mjpeg(b"\x00" * 32)
+    # a well-formed AVI whose frame chunk is not a JPEG must gate loudly
+    fake = encode_avi_mjpeg([b"\x00\x01notjpeg"], fps=10)
+    with pytest.raises(NotImplementedError, match="non-MJPEG"):
+        _parse_avi_mjpeg(fake)
+
+
+def test_frame_sample_mjpeg_grid_and_decode(spark):
+    # 6 frames at 4 fps = 250ms apart; sampling every 500ms keeps
+    # frames 0, 2, 4
+    frames = _frames(6)
+    media = spark.createDataFrame(
+        [(3, bytearray(encode_avi_mjpeg(frames, fps=4)), ("video", "video/x-msvideo", 16, 16, 1500))],
+        MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        frame_sample_mjpeg(media, every_ms=500).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert [r["ts_ms"] for r in rows] == [0, 500, 1000]
+    # every sampled frame is a decodable JPEG carrying its gray level
+    for r in rows:
+        w, h, c, arr = decode_jpeg(bytes(r["frame_bytes"]))
+        assert (w, h) == (16, 16)
+        expect = 40 + 24 * r["frame_idx"]
+        assert abs(int(arr.mean()) - expect) <= 2
