@@ -383,9 +383,11 @@ def decode_raster(buf: bytes):
         from etl_lealone_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(bytes(buf))
+    if buf and bytes(buf[:6]) in (b"GIF87a", b"GIF89a"):
+        return _parse_gif(bytes(buf))
     raise NotImplementedError(
-        "unknown image format (video needs a real codec — PIL/cv2 in "
-        "prod; JPEG/PNG/BMP/netpbm decode natively here)"
+        "unknown image format (PIL/cv2 in prod; JPEG/PNG/GIF/BMP/netpbm "
+        "decode natively here)"
     )
 
 
@@ -588,6 +590,202 @@ def audio_resample(media: DataFrame, target_rate: int = 16000) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF-variant LZW decode -> list of palette indices (spec 89a
+    appendix F: variable code width 3..12 bits, clear + EOI codes,
+    dictionary rebuilt on clear)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    # bit cursor over the concatenated sub-block data, LSB-first
+    acc = nbits = pos = 0
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                return out  # truncated stream: emit what we have
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode (the writer half, for hermetic tests)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, size: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    put(clear, code_size)
+    w = b""
+    for idx in bytes(indices):
+        wk = w + bytes([idx])
+        if wk in table:
+            w = wk
+            continue
+        put(table[w], code_size)
+        if next_code < 4096:
+            table[wk] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:  # table full: emit clear and restart (spec-sanctioned)
+            put(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = bytes([idx])
+    if w:
+        put(table[w], code_size)
+    put(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _parse_gif(buf: bytes):
+    """Decode the FIRST frame of a GIF87a/89a -> (w, h, 3, HxWx3 uint8).
+
+    Global/local color tables, interlacing, and the 89a extension
+    blocks are handled; animation frames beyond the first are ignored
+    (frame iteration belongs to the video path)."""
+    import struct
+
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    try:
+        return _parse_gif_body(buf)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"GIF payload truncated: {e}") from e
+
+
+def _parse_gif_body(buf: bytes):
+    import struct
+
+    import numpy as np
+
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        global_pal = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", buf, pos + 1)
+        pos += 10
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(-1, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        min_code = buf[pos]
+        pos += 1
+        data = bytearray()
+        while buf[pos]:
+            ln = buf[pos]
+            data += buf[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data truncated")
+        grid = np.asarray(idx, dtype=np.uint8).reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = [y for y in range(0, h, 8)] + [y for y in range(4, h, 8)] \
+                + [y for y in range(2, h, 4)] + [y for y in range(1, h, 2)]
+            de = np.empty_like(grid)
+            de[order] = grid
+            grid = de
+        return w, h, 3, pal[grid]
+    raise ValueError("GIF has no image block")
+
+
+def encode_gif(arr, interlace: bool = False) -> bytes:
+    """HxWx3 uint8 (<=256 distinct colors) -> GIF89a bytes for
+    roundtrip tests; GIF is palette-limited so callers quantize first."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("encode_gif needs <=256 distinct colors")
+    depth = max(1, int(len(pal) - 1).bit_length())
+    pal_full = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal_full[: len(pal)] = pal
+    grid = inv.reshape(h, w)
+    if interlace:
+        order = [y for y in range(0, h, 8)] + [y for y in range(4, h, 8)] \
+            + [y for y in range(2, h, 4)] + [y for y in range(1, h, 2)]
+        grid = grid[order]
+    min_code = max(2, depth)
+    lzw = _gif_lzw_encode(grid.reshape(-1).astype(np.uint8).tobytes(), min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal_full.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
