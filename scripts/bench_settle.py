@@ -111,6 +111,12 @@ def main() -> None:
     k = int(os.environ.get("SPARK_GRAFT_SETTLE_K", "10"))
     spark = build_spark(app_name="bench_settle", cores=default_parallelism())
     base = baseline_workloads(spark, n=n, reps=2)
+    # Fresh JVM for the ext phase: after the 5e8-row W-suite the executor
+    # heap/shuffle state inflates small-corpus walls ~3x (dsir measured
+    # 11.5s stale vs 3.7s fresh at identical data) — restart so the ext
+    # ratios measure the queries, not the session's history.
+    spark.stop()
+    spark = build_spark(app_name="bench_settle_ext", cores=default_parallelism())
     scaled = build_scaled_dir(spark, k)
     try:
         ext = ext_dual_at_scale(spark, scaled)
