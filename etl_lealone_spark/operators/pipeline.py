@@ -636,16 +636,22 @@ def dsir_log_weights(
     rule #1). The single ``ln`` per bucket is evaluated on the same IEEE
     double ratio in any engine.
 
-    Scale shape: token explode is map-side; bucket counting is one
-    partial+final aggregation on a ≤``buckets``-row key; the lr table is
-    broadcast back onto the token stream (map-side join); the per-document
-    sum shuffles on the document id with map-side partial aggregation.
-    Nothing is quadratic and no stage holds more than ``buckets`` rows of
-    state beyond the corpus itself.
+    Scale shape: the token explode runs ONCE — it feeds a per-(doc,
+    bucket) count aggregation whose output is bounded by
+    |docs| × ``buckets`` regardless of document length, and that compact
+    table is eagerly materialized (``localCheckpoint``, same cut-point
+    policy as pretrain_corpus_build — persist(DISK_ONLY) or a table
+    write on a cluster) because BOTH the bucket totals and the scoring
+    join consume it; without the cut, each consumer would re-explode the
+    whole corpus. Bucket counting then aggregates ≤``buckets`` rows; the
+    lr table is broadcast; the per-document weight is a
+    count-weighted sum over the per-doc bucket rows (identical integer
+    result as summing per token). Nothing is quadratic and no stage
+    holds more than |docs| × ``buckets`` rows beyond the corpus itself.
     """
     from .dedup import words
 
-    tok = (
+    per_doc_bucket = (
         df.select(
             F.col(id_col).alias("id"),
             target_pred.alias("is_t"),
@@ -660,10 +666,13 @@ def dsir_log_weights(
                 % buckets
             ).alias("b"),
         )
+        .groupBy("id", "is_t", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
-    counts = tok.groupBy("b").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
-        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("c_r"),
+    counts = per_doc_bucket.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), F.col("n")).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(F.col("n"))).alias("c_r"),
     )
     totals = counts.agg(
         F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
@@ -687,12 +696,12 @@ def dsir_log_weights(
         .alias("lr"),
     )
     return (
-        tok.filter(~F.col("is_t"))
+        per_doc_bucket.filter(~F.col("is_t"))
         .join(F.broadcast(lr_tbl), "b")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_scored_tokens"),
-            F.sum("lr").alias("log_weight_x1e6"),
+            F.sum("n").alias("n_scored_tokens"),
+            F.sum(F.col("n") * F.col("lr")).alias("log_weight_x1e6"),
         )
     )
 
