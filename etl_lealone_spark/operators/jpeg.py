@@ -512,8 +512,17 @@ def decode_jpeg(buf: bytes):
 
     1 component -> grayscale; 3 -> YCbCr->RGB (JFIF); 4 -> raises (CMYK
     needs an Adobe transform table). Progressive raises
-    NotImplementedError."""
-    buf = bytes(buf)
+    NotImplementedError. Malformed payloads always raise ValueError —
+    low-level parse faults (bad offsets, dangling table refs) are
+    converted at this boundary so corrupt corpus rows fail typed, not
+    with arbitrary exceptions (pinned by the codec fuzz test)."""
+    try:
+        return _decode_jpeg_impl(bytes(buf))
+    except (KeyError, IndexError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG payload: {type(e).__name__} {e}") from e
+
+
+def _decode_jpeg_impl(buf: bytes):
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2

@@ -372,19 +372,31 @@ def encode_png(arr) -> bytes:
 
 
 def decode_raster(buf: bytes):
-    """(w, h, channels, HxWxC uint8) for any supported payload."""
-    if buf and buf[:2] in (b"P5", b"P6"):
-        return _parse_netpbm(buf)
-    if buf and buf[:2] == b"BM":
-        return _parse_bmp24(buf)
-    if buf and bytes(buf[:8]) == _PNG_SIG:
-        return _parse_png(buf)
-    if buf and bytes(buf[:2]) == b"\xff\xd8":
-        from etl_lealone_spark.operators.jpeg import decode_jpeg
+    """(w, h, channels, HxWxC uint8) for any supported payload.
 
-        return decode_jpeg(bytes(buf))
-    if buf and bytes(buf[:6]) in (b"GIF87a", b"GIF89a"):
-        return _parse_gif(bytes(buf))
+    Malformed payloads always raise ValueError (or NotImplementedError
+    for recognized-but-gated formats): low-level parse faults from
+    corrupt bytes — bad offsets, zlib errors, short reads — are
+    converted at this boundary so a poisoned corpus row fails typed
+    (pinned by the codec fuzz test)."""
+    import struct
+    import zlib
+
+    try:
+        if buf and buf[:2] in (b"P5", b"P6"):
+            return _parse_netpbm(buf)
+        if buf and buf[:2] == b"BM":
+            return _parse_bmp24(buf)
+        if buf and bytes(buf[:8]) == _PNG_SIG:
+            return _parse_png(buf)
+        if buf and bytes(buf[:2]) == b"\xff\xd8":
+            from etl_lealone_spark.operators.jpeg import decode_jpeg
+
+            return decode_jpeg(bytes(buf))
+        if buf and bytes(buf[:6]) in (b"GIF87a", b"GIF89a"):
+            return _parse_gif(bytes(buf))
+    except (KeyError, IndexError, struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt image payload: {type(e).__name__} {e}") from e
     raise NotImplementedError(
         "unknown image format (PIL/cv2 in prod; JPEG/PNG/GIF/BMP/netpbm "
         "decode natively here)"
@@ -411,7 +423,18 @@ def _parse_wav(buf: bytes):
 
     PCM 8-bit unsigned, 16/24/32-bit signed little-endian, and IEEE
     float32 (format 3); WAVE_FORMAT_EXTENSIBLE resolves through its
-    sub-format tag. Anything else (ADPCM, mp3-in-wav) raises."""
+    sub-format tag. Anything else (ADPCM, mp3-in-wav) raises; corrupt
+    payloads always raise ValueError (same boundary contract as
+    decode_raster)."""
+    import struct
+
+    try:
+        return _parse_wav_impl(buf)
+    except (KeyError, IndexError, struct.error) as e:
+        raise ValueError(f"corrupt WAV payload: {type(e).__name__} {e}") from e
+
+
+def _parse_wav_impl(buf: bytes):
     import struct
 
     import numpy as np

@@ -130,3 +130,45 @@ def test_quality_tables_scale():
     lum10, _ = quality_tables(10)
     assert np.all(lum90 <= lum50) and np.all(lum50 <= lum10)
     assert lum50.min() >= 1 and lum10.max() <= 255
+
+
+# --- adversarial robustness: decoders must fail loudly, never crash -------
+
+
+def test_codecs_never_crash_on_mutated_payloads():
+    """Bit-flip / truncate / splice valid payloads of every format:
+    decode must either succeed or raise ValueError/NotImplementedError —
+    any other exception is a parser bug. (Deterministic mutation sweep;
+    hypothesis-style but reproducible by construction.)"""
+    from etl_lealone_spark.operators.multimodal import (
+        decode_raster,
+        encode_gif,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+        _parse_wav,
+    )
+
+    img = _test_image(17, 13)
+    seeds = {
+        "jpeg": encode_jpeg(img, quality=70),
+        "png": encode_png(img),
+        "gif": encode_gif((img // 64) * 64),
+        "ppm": encode_ppm(img),
+        "wav": encode_wav(np.linspace(-0.5, 0.5, 300)[:, None], 8000),
+    }
+    rng = np.random.default_rng(11)
+    for kind, buf in seeds.items():
+        decoder = _parse_wav if kind == "wav" else decode_raster
+        mutants = [buf[:k] for k in (0, 3, 9, len(buf) // 2, len(buf) - 1)]
+        for _ in range(40):
+            b = bytearray(buf)
+            for _ in range(rng.integers(1, 6)):
+                b[rng.integers(0, len(b))] = rng.integers(0, 256)
+            mutants.append(bytes(b))
+        mutants.append(buf + buf[:7])
+        for m in mutants:
+            try:
+                decoder(m)
+            except (ValueError, NotImplementedError):
+                pass  # loud, typed failure: the contract
