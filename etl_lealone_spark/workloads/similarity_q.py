@@ -427,3 +427,114 @@ def semantic_dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir)["embeddings"]
     return semantic_dedup_survivors(e, threshold=0.3)
+
+
+def _recall_oracle_sql() -> str:
+    """Compose the LSH and brute-force chains (distinct CTE names) and
+    join their top-k sets: recall@k of the approximate index against
+    exact ground truth, per query."""
+    from ..operators.xhash import rademacher_signs
+
+    signs = rademacher_signs("lsh-plane", LSH_PLANES, 64)
+    projs = []
+    for row in signs:
+        terms = " ".join(
+            ("+ " if s > 0 else "- ") + f"v[{j + 1}]" for j, s in enumerate(row)
+        )
+        projs.append(f"(0 {terms})")
+    bucket = " | ".join(
+        f"(CASE WHEN {proj} > 0 THEN (1::BIGINT << {p}) ELSE 0::BIGINT END)"
+        for p, proj in enumerate(projs)
+    )
+    probe_flips = "\n      UNION ALL\n      ".join(
+        f"SELECT query_id, qvec, xor(qbucket, {1 << p}) AS bucket FROM lq"
+        for p in range(LSH_PLANES)
+    )
+    cos_cp = (
+        "cast(list_sum([c.v[i+1] * p.qvec[i+1] for i in range(len(c.v))]) as double)"
+        " / (sqrt(cast(list_sum([c.v[i+1] * c.v[i+1] for i in range(len(c.v))]) as double))"
+        " * sqrt(cast(list_sum([p.qvec[i+1] * p.qvec[i+1] for i in range(len(p.qvec))]) as double)))"
+    )
+    cos_cb = (
+        "cast(list_sum([c.v[i+1] * bq.qvec[i+1] for i in range(len(c.v))]) as double)"
+        " / (sqrt(cast(list_sum([c.v[i+1] * c.v[i+1] for i in range(len(c.v))]) as double))"
+        " * sqrt(cast(list_sum([bq.qvec[i+1] * bq.qvec[i+1] for i in range(len(bq.qvec))]) as double)))"
+    )
+    return f"""
+    WITH cq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS v
+      FROM embeddings
+    ),
+    bkt AS (SELECT vec_id, v, ({bucket}) AS bucket FROM cq),
+    lq AS (
+      SELECT vec_id AS query_id, v AS qvec, bucket AS qbucket
+      FROM bkt WHERE vec_id < {N_QUERIES}
+    ),
+    probes AS (
+      SELECT query_id, qvec, qbucket AS bucket FROM lq
+      UNION ALL
+      {probe_flips}
+    ),
+    lsh_scored AS (
+      SELECT p.query_id, c.vec_id, {cos_cp} AS cs
+      FROM bkt c JOIN probes p ON c.bucket = p.bucket
+    ),
+    lsh_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rnk
+        FROM lsh_scored
+      ) t WHERE rnk <= {TOP_K}
+    ),
+    bq AS (SELECT vec_id AS query_id, v AS qvec FROM cq WHERE vec_id < {N_QUERIES}),
+    brute_scored AS (
+      SELECT bq.query_id, c.vec_id, {cos_cb} AS cs
+      FROM cq c CROSS JOIN bq
+    ),
+    brute_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rnk
+        FROM brute_scored
+      ) t WHERE rnk <= {TOP_K}
+    )
+    SELECT bt.query_id AS query_id,
+           CAST(sum(CASE WHEN lt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(CAST(sum(CASE WHEN lt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / {TOP_K}.0 AS recall_at_k
+    FROM brute_top bt
+    LEFT JOIN lsh_top lt ON lt.query_id = bt.query_id AND lt.vec_id = bt.vec_id
+    GROUP BY bt.query_id"""
+
+
+@workload(
+    "ann_lsh_recall",
+    _recall_oracle_sql(),
+    doc="Measured recall@10 of the LSH index against exact brute-force "
+    "ground truth, per query — the quality metric that justifies an "
+    "approximate index. Both pipelines and the recall join are "
+    "recomputed bit-for-bit by the DuckDB oracle (integer-quantized "
+    "cosines; n_hits CAST to BIGINT per the HUGEINT rule; recall is one "
+    "exact small-int division, identical IEEE in both engines).",
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk_int, lsh_topk_int
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    lsh = lsh_topk_int(
+        e, k=TOP_K, n_queries=N_QUERIES, dim=64, num_planes=LSH_PLANES
+    ).select("query_id", "vec_id", F.lit(1).alias("hit"))
+    brute = brute_force_topk_int(e, k=TOP_K, n_queries=N_QUERIES).select(
+        "query_id", "vec_id"
+    )
+    return (
+        brute.join(lsh, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / float(TOP_K)).alias("recall_at_k"),
+        )
+    )
