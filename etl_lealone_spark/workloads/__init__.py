@@ -68,8 +68,8 @@ _PRIORITY: tuple[str, ...] = (
     # round-3 driver-red, fixed this round — convert the red signal first
     "dq_audit_orders", "dup_span_doc_stats", "embedding_quantize_int8",
     "text_model_quality",
-    # new this round (never driver-checked): recall@k quality metric
-    "ann_lsh_recall",
+    # new this round (never driver-checked): recall@k quality metrics
+    "ann_lsh_recall", "ann_ivf_recall",
     # never driver-checked: remaining TPC-H suite
     "tpch_q1", "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",

@@ -538,3 +538,130 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits").cast("double") / float(TOP_K)).alias("recall_at_k"),
         )
     )
+
+
+def _recall_vs_truth(brute: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """(query_id, n_hits, recall_at_k): how much of the exact top-k the
+    approximate index recovered. Shared by the LSH and IVF recall
+    workloads — both tiny inputs (n_queries x k rows)."""
+    hits = approx.select("query_id", "vec_id", F.lit(1).alias("hit"))
+    return (
+        brute.select("query_id", "vec_id")
+        .join(hits, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / float(k)).alias("recall_at_k"),
+        )
+    )
+
+
+def _ivf_recall_oracle_sql() -> str:
+    """Brute-force chain + the IVF chain (sqrt(n) modulo centroids,
+    4-cluster probe) + the recall join, all in one WITH tree."""
+    cos_aq = (
+        "cast(list_sum([a.cvec[i+1]*iq.qvec[i+1] for i in range(len(a.cvec))]) as double)"
+        " / (sqrt(cast(list_sum([a.cvec[i+1]*a.cvec[i+1] for i in range(len(a.cvec))]) as double))"
+        " * sqrt(cast(list_sum([iq.qvec[i+1]*iq.qvec[i+1] for i in range(len(iq.qvec))]) as double)))"
+    )
+    cos_cb = (
+        "cast(list_sum([c.cvec[i+1] * bq.qvec[i+1] for i in range(len(c.cvec))]) as double)"
+        " / (sqrt(cast(list_sum([c.cvec[i+1] * c.cvec[i+1] for i in range(len(c.cvec))]) as double))"
+        " * sqrt(cast(list_sum([bq.qvec[i+1] * bq.qvec[i+1] for i in range(len(bq.qvec))]) as double)))"
+    )
+    return f"""
+    WITH cq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS cvec
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, cvec AS centvec,
+             sqrt(cast(list_sum([cvec[i+1]*cvec[i+1] for i in range(len(cvec))]) as double)) AS cnorm
+      FROM cq
+      WHERE vec_id % (SELECT greatest(1, cast(floor(sqrt(cast(count(*) as double))) as bigint)) FROM embeddings) = 0
+    ),
+    assign AS (
+      SELECT vec_id, cvec, cid FROM (
+        SELECT c.vec_id, c.cvec, ct.cid,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                 cast(list_sum([c.cvec[i+1]*ct.centvec[i+1] for i in range(len(c.cvec))]) as double) / ct.cnorm DESC,
+                 ct.cid) AS rn
+        FROM cq c CROSS JOIN cent ct
+      ) t WHERE rn = 1
+    ),
+    iq AS (SELECT vec_id AS query_id, cvec AS qvec FROM cq WHERE vec_id < {N_QUERIES}),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT iq.query_id, ct.cid,
+               row_number() OVER (PARTITION BY iq.query_id ORDER BY
+                 cast(list_sum([iq.qvec[i+1]*ct.centvec[i+1] for i in range(len(iq.qvec))]) as double) / ct.cnorm DESC,
+                 ct.cid) AS rn
+        FROM iq CROSS JOIN cent ct
+      ) t WHERE rn <= 4
+    ),
+    ivf_scored AS (
+      SELECT p.query_id, a.vec_id, {cos_aq} AS cs
+      FROM probe p
+      JOIN assign a ON a.cid = p.cid
+      JOIN iq ON iq.query_id = p.query_id
+    ),
+    ivf_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rnk
+        FROM ivf_scored
+      ) t WHERE rnk <= {TOP_K}
+    ),
+    bq AS (SELECT vec_id AS query_id, cvec AS qvec FROM cq WHERE vec_id < {N_QUERIES}),
+    brute_scored AS (
+      SELECT bq.query_id, c.vec_id, {cos_cb} AS cs
+      FROM cq c CROSS JOIN bq
+    ),
+    brute_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rnk
+        FROM brute_scored
+      ) t WHERE rnk <= {TOP_K}
+    )
+    SELECT bt.query_id AS query_id,
+           CAST(sum(CASE WHEN it.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(CAST(sum(CASE WHEN it.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / {TOP_K}.0 AS recall_at_k
+    FROM brute_top bt
+    LEFT JOIN ivf_top it ON it.query_id = bt.query_id AND it.vec_id = bt.vec_id
+    GROUP BY bt.query_id"""
+
+
+@workload(
+    "ann_ivf_recall",
+    _ivf_recall_oracle_sql(),
+    doc="Measured recall@10 of the persisted IVF index (4-probe) against "
+    "exact brute-force truth per query — quantifies the cluster-pruning "
+    "trade the same way ann_lsh_recall quantifies the hash trade; both "
+    "pipelines and the recall join recomputed bit-for-bit in DuckDB.",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.similarity import IvfIndex, brute_force_topk_int
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "etl_lealone_ivf",
+        hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:16],
+    )
+    idx = IvfIndex(spark, root)
+    idx.build(e)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _quantized(F.col("embedding")).alias("qvec")
+    )
+    approx = idx.topk(q, k=TOP_K, n_probe=4)
+    brute = brute_force_topk_int(e, k=TOP_K, n_queries=N_QUERIES)
+    return _recall_vs_truth(brute, approx, TOP_K)
