@@ -95,6 +95,30 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     exercised end to end.
     """
 
+    def _features(payload, meta) -> list[float]:
+        # real path first: any payload the from-spec codecs decode gets
+        # genuine pixel statistics; opaque blobs keep the deterministic
+        # fake so plumbing tests stay format-independent
+        b = bytes(payload or b"")
+        try:
+            w, h, c, arr = decode_raster(b)
+        except (ValueError, NotImplementedError):
+            return _fake_decode(payload, meta["width"], meta["height"])
+        import numpy as np
+
+        flat = arr.reshape(-1, c).astype(np.float64)
+        mean = flat.mean(axis=0)
+        return [
+            float(w),
+            float(h),
+            float(c),
+            float(mean[0]),
+            float(mean[min(1, c - 1)]),
+            float(mean[min(2, c - 1)]),
+            float(flat.std(axis=0).mean()),
+            float(arr.size),
+        ]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if strict:
             raise NotImplementedError(
@@ -103,7 +127,7 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
             )
         for pdf in it:
             feats = [
-                _fake_decode(p, m["width"], m["height"])
+                _features(p, m)
                 for p, m in zip(pdf["payload"], pdf["meta"])
             ]
             yield pd.DataFrame(
@@ -119,26 +143,39 @@ def resize(
     """Image resize via mapInPandas — same media schema out, metadata
     updated to the target dimensions.
 
-    Deterministic fake (no codec in this container): the payload is
-    truncated/padded to ``width*height // 64`` bytes, a stand-in with the
-    real operator's cost shape (per-row byte work, output size bounded by
-    the target resolution, not the input). Replace the inner loop with
-    PIL/cv2 in prod; the Arrow batching, schema, and partition behavior
-    are what this function actually tests.
+    Payloads the from-spec codecs decode get a REAL nearest-neighbor
+    resize (re-encoded as netpbm, the uncompressed interchange format —
+    resize_nearest's path); opaque blobs keep the deterministic fake
+    (payload truncated/padded to ``width*height // 64`` bytes, a
+    stand-in with the real operator's cost shape) so plumbing tests
+    stay format-independent. Swap PIL/cv2 into the same loop in prod.
     """
+    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if strict:
             raise NotImplementedError("resize requires an image codec")
         target = max(1, width * height // 64)
         for pdf in it:
-            payloads = []
-            for p in pdf["payload"]:
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
                 b = bytes(p or b"")
-                payloads.append((b * (target // max(len(b), 1) + 1))[:target])
-            metas = [
-                {**m, "width": width, "height": height} for m in pdf["meta"]
-            ]
+                try:
+                    w, h, c, arr = decode_raster(b)
+                    yi = np.minimum((np.arange(height) * h) // height, h - 1)
+                    xi = np.minimum((np.arange(width) * w) // width, w - 1)
+                    payloads.append(encode_ppm(arr[yi][:, xi]))
+                    mime = (
+                        "image/x-portable-graymap"
+                        if c == 1
+                        else "image/x-portable-pixmap"
+                    )
+                    metas.append(
+                        {**m, "mime": mime, "width": width, "height": height}
+                    )
+                except (ValueError, NotImplementedError):
+                    payloads.append((b * (target // max(len(b), 1) + 1))[:target])
+                    metas.append({**m, "width": width, "height": height})
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads, "meta": metas}
             )

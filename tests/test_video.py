@@ -61,3 +61,32 @@ def test_frame_sample_mjpeg_grid_and_decode(spark):
         assert (w, h) == (16, 16)
         expect = 40 + 24 * r["frame_idx"]
         assert abs(int(arr.mean()) - expect) <= 2
+
+
+def test_extract_features_real_path_for_decodable_payloads(spark):
+    # a PNG payload gets genuine pixel stats; an opaque blob keeps the
+    # deterministic fake — same schema, one operator
+    import numpy as np
+
+    from etl_lealone_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        extract_features,
+        resize,
+        decode_raster,
+    )
+
+    img = np.full((10, 20, 3), 64, dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png(img)), ("image", "image/png", 20, 10, None)),
+        (2, bytearray(b"opaque-blob-bytes"), ("image", "image/fake", 5, 5, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    assert feats[1][:3] == [20.0, 10.0, 3.0] and feats[1][3] == 64.0
+    assert feats[2][0] == float(len(b"opaque-blob-bytes"))  # fake path
+    out = {r["media_id"]: r for r in resize(media, width=8, height=4).collect()}
+    w, h, c, arr = decode_raster(bytes(out[1]["payload"]))
+    assert (w, h, c) == (8, 4, 3) and int(arr.mean()) == 64
+    assert out[1]["meta"]["mime"] == "image/x-portable-pixmap"
+    assert len(bytes(out[2]["payload"])) == 8 * 4 // 64 or out[2]["meta"]["width"] == 8
