@@ -339,6 +339,23 @@ _NULLARY_LITERALS = {
 }
 
 
+_SQL_STRING_SPAN = re.compile(r"'(?:[^']|'')*'")
+
+
+def _sub_outside_literals(pattern: str, repl, sql: str, flags: int = 0) -> str:
+    """re.sub applied only OUTSIDE single-quoted SQL string literals
+    (''-escaping respected): names like DATABASE() appearing inside a
+    quoted string must never be rewritten — the replacement's own
+    quotes would terminate the literal and corrupt the statement."""
+    out, pos = [], 0
+    for m in _SQL_STRING_SPAN.finditer(sql):
+        out.append(re.sub(pattern, repl, sql[pos : m.start()], flags=flags))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(re.sub(pattern, repl, sql[pos:], flags=flags))
+    return "".join(out)
+
+
 def _rewrite_nullary_system_fns(sql: str) -> str:
     def repl(m: re.Match) -> str:
         name = m.group(1).upper()
@@ -352,7 +369,7 @@ def _rewrite_nullary_system_fns(sql: str) -> str:
     pattern = (
         r"\b(" + "|".join(_NULLARY_LITERALS) + r")\s*\(\s*\)"
     )
-    return re.sub(pattern, repl, sql, flags=re.IGNORECASE)
+    return _sub_outside_literals(pattern, repl, sql, flags=re.IGNORECASE)
 
 
 def _rewrite_fn_aliases(sql: str, session: Optional["EngineSession"]) -> str:

@@ -167,7 +167,7 @@ def resize(
                     payloads.append(encode_ppm(arr[yi][:, xi]))
                     mime = (
                         "image/x-portable-graymap"
-                        if c == 1
+                        if c in (1, 2)  # alpha dropped by encode_ppm
                         else "image/x-portable-pixmap"
                     )
                     metas.append(
@@ -441,7 +441,14 @@ def decode_raster(buf: bytes):
 
 
 def encode_ppm(arr) -> bytes:
-    """HxWxC uint8 -> binary netpbm payload (P5 gray / P6 rgb)."""
+    """HxWxC uint8 -> binary netpbm payload (P5 gray / P6 rgb).
+    netpbm has no alpha: 2/4-channel input (gray+alpha / RGBA from PNG
+    decode) drops the alpha plane — writing it under a P6 header would
+    be a silently corrupt payload."""
+    if arr.shape[2] == 2:
+        arr = arr[:, :, :1]
+    elif arr.shape[2] == 4:
+        arr = arr[:, :, :3]
     h, w, c = arr.shape
     magic = b"P5" if c == 1 else b"P6"
     return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
@@ -492,6 +499,8 @@ def _parse_wav_impl(buf: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     tag, channels, rate, _bps, _align, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if channels < 1 or rate < 1:
+        raise ValueError(f"corrupt WAV fmt: channels={channels} rate={rate}")
     if tag == 0xFFFE:  # extensible: real tag is the first 2 GUID bytes
         (tag,) = struct.unpack_from("<H", fmt, 24)
     if tag == 1:  # integer PCM
@@ -611,7 +620,9 @@ def audio_stats_features(media: DataFrame) -> DataFrame:
                 rows["channels"].append(ch)
                 rows["n_frames"].append(s.shape[0])
                 rows["duration_ms"].append(int(s.shape[0] * 1000 / rate))
-                rows["rms"].append(float(np.sqrt(np.mean(s**2))))
+                rows["rms"].append(
+                    float(np.sqrt(np.mean(s**2))) if s.size else 0.0
+                )
                 rows["peak"].append(float(np.abs(s).max(initial=0.0)))
                 rows["zero_crossing_rate"].append(zc)
             yield pd.DataFrame(rows)
@@ -861,16 +872,28 @@ def _parse_avi_mjpeg(buf: bytes):
     """Decode a minimal MJPEG AVI -> (usec_per_frame, [jpeg_bytes, ...]).
 
     Walks the RIFF tree: 'avih' gives the frame period, the 'movi' LIST
-    holds one '00dc'/'00db' chunk per frame (each a complete JPEG)."""
+    holds one '00dc'/'00db' chunk per frame (each a complete JPEG).
+    Corrupt payloads raise ValueError (same boundary contract as
+    decode_raster/_parse_wav)."""
     import struct
 
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
+    try:
+        return _parse_avi_mjpeg_impl(buf)
+    except (IndexError, struct.error, RecursionError) as e:
+        raise ValueError(f"corrupt AVI payload: {type(e).__name__} {e}") from e
+
+
+def _parse_avi_mjpeg_impl(buf: bytes):
+    import struct
+
     usec_per_frame = 33333  # 30 fps default if avih is absent
     frames: list[bytes] = []
 
     def walk(pos: int, end: int):
         nonlocal usec_per_frame
+        end = min(end, len(buf))  # corrupt LIST lengths can't run past EOF
         while pos + 8 <= end:
             cid = buf[pos : pos + 4]
             (clen,) = struct.unpack_from("<I", buf, pos + 4)
@@ -1006,7 +1029,9 @@ def resize_nearest(media: DataFrame, width: int = 32, height: int = 32) -> DataF
                 metas.append(
                     {
                         **m,
-                        "mime": "image/x-portable-graymap" if c == 1 else "image/x-portable-pixmap",
+                        "mime": "image/x-portable-graymap"
+                        if c in (1, 2)  # alpha dropped by encode_ppm
+                        else "image/x-portable-pixmap",
                         "width": width,
                         "height": height,
                     }

@@ -689,12 +689,29 @@ class IvfIndex:
         cq.mapInPandas(
             assign, schema="vec_id long, cvec array<bigint>, cid long"
         ).write.mode("overwrite").partitionBy("cid").parquet(os.path.join(tmp, "assign"))
+        max_id = cq.agg(F.max("vec_id")).collect()[0][0]
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
-            json.dump({"n": n, "stride": stride}, f)
-        try:
-            os.rename(tmp, self.root)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent build race
+            json.dump({"n": n, "stride": stride, "max_id": int(max_id)}, f)
+        # publish: a force-rebuild must replace the existing directory
+        # (os.rename onto a non-empty dir raises, which would silently
+        # keep the STALE index); swap via .old so a crash leaves either
+        # the old or the new index, never neither
+        if os.path.exists(self.root):
+            old = self.root + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(self.root, old)
+            try:
+                os.rename(tmp, self.root)
+            except OSError:
+                os.rename(old, self.root)  # restore; lost a concurrent race
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            try:
+                os.rename(tmp, self.root)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # lost a build race
 
     # -- incremental maintenance -----------------------------------------
     def append(self, batch: DataFrame) -> int:
@@ -706,12 +723,17 @@ class IvfIndex:
         land in their centroid's parquet partition directory — the only
         writes are to the probed-at-read, partition-pruned assign/ table,
         so maintenance cost is O(|batch| x sqrt(n_train)) with no touch
-        of existing lists. Idempotent by vec_id: already-indexed ids are
-        anti-joined away, so a replayed (crashed/retried) append
-        converges — the streaming carrier
-        (streaming.ann_maintenance.StreamingIvfMaintainer) relies on
-        this for its exactly-once story. Re-train by rebuilding with
-        ``build(corpus, force=True)`` when drift warrants it.
+        of existing lists. Idempotent by vec_id WITHOUT a full-index
+        scan per batch: the meta file tracks the max indexed id, so ids
+        above it are provably new and skip the duplicate check entirely
+        — for monotone id streams (the normal ingest shape) steady-state
+        cost is O(|batch|) no matter how big the index grows. Only ids
+        at-or-below the high-water mark (replay suspects) anti-join
+        against the index's id column (column-pruned scan). The
+        streaming carrier (streaming.ann_maintenance.
+        StreamingIvfMaintainer) relies on this for its exactly-once
+        story. Re-train by rebuilding with ``build(corpus, force=True)``
+        when drift warrants it.
         """
         import json
         import os
@@ -721,9 +743,26 @@ class IvfIndex:
         cq = batch.select(
             F.col(self.id_col).alias("vec_id"),
             quantize(F.col(self.vec_col)).alias("cvec"),
-        )
-        existing = self.spark.read.parquet(os.path.join(self.root, "assign"))
-        cq = cq.join(existing.select("vec_id"), "vec_id", "left_anti")
+        ).dropDuplicates(["vec_id"])
+        with open(self._meta_path) as f:
+            meta = json.load(f)
+        max_id = meta.get("max_id")
+        if max_id is not None:
+            suspects = cq.filter(F.col("vec_id") <= max_id)
+            fresh = cq.filter(F.col("vec_id") > max_id)
+            if not suspects.isEmpty():
+                existing = self.spark.read.parquet(
+                    os.path.join(self.root, "assign")
+                )
+                suspects = suspects.join(
+                    existing.select("vec_id"), "vec_id", "left_anti"
+                )
+                cq = fresh.unionByName(suspects)
+            else:
+                cq = fresh
+        else:  # pre-max_id index layout: full anti-join fallback
+            existing = self.spark.read.parquet(os.path.join(self.root, "assign"))
+            cq = cq.join(existing.select("vec_id"), "vec_id", "left_anti")
         assign = self._assign_fn(*self._load_centroids())
         out = cq.mapInPandas(
             assign, schema="vec_id long, cvec array<bigint>, cid long"
@@ -733,9 +772,16 @@ class IvfIndex:
             out.write.mode("append").partitionBy("cid").parquet(
                 os.path.join(self.root, "assign")
             )
-            with open(self._meta_path) as f:
-                meta = json.load(f)
             meta["n"] = int(meta["n"]) + int(n_new)
+            batch_max = out.agg(F.max("vec_id")).collect()[0][0]
+            if max_id is not None:
+                meta["max_id"] = max(int(max_id), int(batch_max))
+            else:
+                meta["max_id"] = int(
+                    self.spark.read.parquet(os.path.join(self.root, "assign"))
+                    .agg(F.max("vec_id"))
+                    .collect()[0][0]
+                )
             tmp = self._meta_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(meta, f)

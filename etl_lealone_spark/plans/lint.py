@@ -144,22 +144,22 @@ def lint_forced_broadcasts(plan: str) -> list[str]:
         if "BroadcastExchange" not in txt:
             continue
         sub = _subtree(nodes, idx)
-        bounded = any(
-            any(m in t for m in _BOUNDED_IN_BCAST) for _, t in sub
-        )
-        if bounded:
-            continue
-        facts = sorted(
-            {
-                f
-                for _, t in sub
-                if "Scan" in t or "FileScan" in t
-                for f in FACT_TABLES
-                if f in t
-            }
-        )
+        # A bounding operator only counts if it DOMINATES the fact scan
+        # (is an ancestor on its path inside the broadcast subtree): a
+        # LIMIT on an unrelated sibling branch must not exempt an
+        # unbounded fact scan elsewhere in the same broadcast.
+        facts: set[str] = set()
+        stack: list[tuple[int, bool]] = []  # (depth, is_bounding)
+        for d, t in sub:
+            while stack and stack[-1][0] >= d:
+                stack.pop()
+            if "Scan" in t or "FileScan" in t:
+                hit = [f for f in FACT_TABLES if f in t]
+                if hit and not any(b for _, b in stack):
+                    facts.update(hit)
+            stack.append((d, any(m in t for m in _BOUNDED_IN_BCAST)))
         if facts:
-            bad.append(f"forced broadcast scans fact table(s) {facts}")
+            bad.append(f"forced broadcast scans fact table(s) {sorted(facts)}")
     return bad
 
 

@@ -83,13 +83,14 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_canonical", "embedding_near_dup", "embedding_l2_normalize",
     "mix_resample", "shard_balance_stats", "bpe_pair_counts",
     "corpus_stats_report", "kmv_join_overlap", "graph_degree_topk",
-    # ---- all 37 never/red slots above; 13 representative re-confirms ----
+    # ---- all 39 never/red slots above (4 reds + 2 new recalls + 33
+    # never-checked); 11 representative re-confirms fill to slot 50 ----
     "pretrain_pipeline_e2e", "dsir_importance_weights",
     "dedup_minhash_pairs", "dedup_clusters", "ann_ivf_topk",
     "bm25_topk", "graph_pagerank", "zorder_curve_keys",
     "range_join_events", "window_distribution", "merge_ansi",
-    "tpch_q9", "tpch_q18",
     # ---- window boundary (slot 50) ----
+    "tpch_q9", "tpch_q18",
     "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q21",
     "split_train_val_test", "phrase_search_postings",
     "text_unigram_logprob", "events_resample_hourly",

@@ -306,6 +306,26 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_index_root(sf_dir: str) -> str:
+    """Persisted-index location keyed by sf_dir path AND a content
+    fingerprint (size + mtime of the embeddings parquet): regenerated
+    testdata at the same path must never silently reuse a stale index —
+    the DuckDB oracle always reads the fresh files."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+    parts = [p] if os.path.isfile(p) else sorted(
+        os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+    ) if os.path.isdir(p) else []
+    fp = ";".join(
+        f"{os.path.getsize(f)}:{os.path.getmtime(f):.0f}" for f in parts
+    )
+    key = hashlib.md5(f"{p}|{fp}".encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "etl_lealone_ivf", key)
+
+
 @workload(
     "ann_ivf_topk",
     f"""
@@ -362,22 +382,13 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DataFrame ops; fully oracle-checked.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
     from ..operators.similarity import IvfIndex
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    # build/probe split: the index persists across runs (testdata is
-    # immutable, keyed by sf_dir), so each query pays only the
-    # partition-pruned probe — the actual IVF trade, not a rebuild
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "etl_lealone_ivf",
-        hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:16],
-    )
-    idx = IvfIndex(spark, root)
+    # build/probe split: the index persists across runs (keyed by path +
+    # content fingerprint), so each query pays only the partition-pruned
+    # probe — the actual IVF trade, not a rebuild
+    idx = IvfIndex(spark, _ivf_index_root(sf_dir))
     idx.build(e)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _quantized(F.col("embedding")).alias("qvec")
@@ -522,22 +533,9 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import brute_force_topk_int, lsh_topk_int
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    lsh = lsh_topk_int(
-        e, k=TOP_K, n_queries=N_QUERIES, dim=64, num_planes=LSH_PLANES
-    ).select("query_id", "vec_id", F.lit(1).alias("hit"))
-    brute = brute_force_topk_int(e, k=TOP_K, n_queries=N_QUERIES).select(
-        "query_id", "vec_id"
-    )
-    return (
-        brute.join(lsh, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"))
-        .select(
-            "query_id",
-            "n_hits",
-            (F.col("n_hits").cast("double") / float(TOP_K)).alias("recall_at_k"),
-        )
-    )
+    lsh = lsh_topk_int(e, k=TOP_K, n_queries=N_QUERIES, dim=64, num_planes=LSH_PLANES)
+    brute = brute_force_topk_int(e, k=TOP_K, n_queries=N_QUERIES)
+    return _recall_vs_truth(brute, lsh, TOP_K)
 
 
 def _recall_vs_truth(brute: DataFrame, approx: DataFrame, k: int) -> DataFrame:
@@ -645,19 +643,10 @@ def _ivf_recall_oracle_sql() -> str:
     "pipelines and the recall join recomputed bit-for-bit in DuckDB.",
 )
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
     from ..operators.similarity import IvfIndex, brute_force_topk_int
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "etl_lealone_ivf",
-        hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:16],
-    )
-    idx = IvfIndex(spark, root)
+    idx = IvfIndex(spark, _ivf_index_root(sf_dir))
     idx.build(e)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _quantized(F.col("embedding")).alias("qvec")

@@ -67,6 +67,14 @@ BCAST_ALLOW: dict[str, str] = {
     "ann_lsh_recall": "composes ann_lsh_topk + the integer brute-force "
     "scorer; every broadcast is a query-set/probe-set slice bounded by "
     "the vec_id < N_QUERIES filter (constant query count)",
+    # surfaced by the r04 dominance-strict rule (bound must be an
+    # ancestor of the fact scan): both broadcasts are keyed aggregates
+    # whose key space is hard-capped by construction — invisible in
+    # plan text, bounded in math
+    "mix_resample": "broadcasts the mixing-weight table — one row per "
+    "group (languages), a groupBy(group_col) aggregate of the corpus",
+    "text_unigram_logprob": "broadcasts the log-prob table — hashed "
+    "modulo `buckets` (4096), so <=4096 rows regardless of corpus size",
 }
 
 

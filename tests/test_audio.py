@@ -106,3 +106,17 @@ def test_audio_resample_preserves_signal(spark):
     assert out["meta"]["duration_ms"] == 500
     # a 200 Hz tone is far below the new nyquist: rms must survive
     assert abs(float(np.sqrt(np.mean(back**2))) - 0.4 / np.sqrt(2)) < 5e-3
+
+
+def test_wav_zero_rate_or_channels_rejected():
+    import struct
+
+    for ch, rate in ((0, 8000), (1, 0)):
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, 8000, 2, 16)
+        buf = (
+            b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0)
+        )
+        with pytest.raises(ValueError, match="corrupt WAV"):
+            _parse_wav(buf)

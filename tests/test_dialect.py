@@ -213,3 +213,17 @@ def test_nullary_system_functions_in_sql(es):
     es.sql("INSERT INTO nullary_t VALUES (1, 'keep')")
     got = es.sql("SELECT schema FROM nullary_t").collect()
     assert got[0]["schema"] == "keep"
+
+
+def test_nullary_rewrite_skips_string_literals():
+    from etl_lealone_spark.dialect import _rewrite_nullary_system_fns
+
+    # inside a literal: untouched (the old code corrupted the quoting)
+    sql = "SELECT 'see DATABASE() docs' AS note, DATABASE() AS db"
+    out = _rewrite_nullary_system_fns(sql)
+    assert "'see DATABASE() docs'" in out
+    assert out.count("DATABASE()") == 1  # only the literal occurrence left
+    # ''-escaped literals keep their span
+    sql2 = "SELECT 'it''s SCHEMA() here', SCHEMA()"
+    out2 = _rewrite_nullary_system_fns(sql2)
+    assert "'it''s SCHEMA() here'" in out2 and not out2.rstrip().endswith("SCHEMA()")

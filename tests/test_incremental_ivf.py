@@ -98,3 +98,41 @@ def test_append_requires_built_index(spark, emb, tmp_path):
     idx = IvfIndex(spark, str(tmp_path / "ivf_none"))
     with pytest.raises(ValueError, match="build"):
         idx.append(emb.limit(5))
+
+
+def test_force_rebuild_replaces_existing_index(spark, emb, tmp_path):
+    # force=True onto an EXISTING index must publish the new build —
+    # os.rename onto a non-empty dir raises, and the old code swallowed
+    # that as a "lost race" and silently kept the stale index
+    root = str(tmp_path / "ivf_force")
+    idx = IvfIndex(spark, root)
+    idx.build(emb.filter(F.col("vec_id") < 200))
+    n_before = len(_assign_map(spark, root))
+    assert n_before == 200
+    idx.build(emb.filter(F.col("vec_id") < 500), force=True)
+    assert len(_assign_map(spark, root)) == 500
+
+
+def test_append_skips_index_scan_for_fresh_ids(spark, emb, tmp_path):
+    # monotone ids above the high-water mark must not read assign/ at
+    # all; replayed ids below it still anti-join away
+    import json
+    import os
+
+    root = str(tmp_path / "ivf_hwm")
+    idx = IvfIndex(spark, root)
+    idx.build(emb.filter(F.col("vec_id") < 300))
+    meta = json.load(open(os.path.join(root, "_meta.json")))
+    assert meta["max_id"] == 299
+    batch = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 350))
+    assert idx.append(batch) == 50
+    meta = json.load(open(os.path.join(root, "_meta.json")))
+    assert meta["max_id"] == 349 and meta["n"] == 350
+    # replay the same batch (all ids <= max_id now): zero added
+    assert idx.append(batch) == 0
+    # mixed batch: one replayed id + fresh ids, within-batch duplicate
+    mixed = emb.filter(
+        (F.col("vec_id") == 320) | ((F.col("vec_id") >= 350) & (F.col("vec_id") < 360))
+    )
+    assert idx.append(mixed.union(mixed)) == 10
+    assert len(_assign_map(spark, root)) == 360

@@ -142,10 +142,12 @@ def test_codecs_never_crash_on_mutated_payloads():
     hypothesis-style but reproducible by construction.)"""
     from etl_lealone_spark.operators.multimodal import (
         decode_raster,
+        encode_avi_mjpeg,
         encode_gif,
         encode_png,
         encode_ppm,
         encode_wav,
+        _parse_avi_mjpeg,
         _parse_wav,
     )
 
@@ -156,10 +158,12 @@ def test_codecs_never_crash_on_mutated_payloads():
         "gif": encode_gif((img // 64) * 64),
         "ppm": encode_ppm(img),
         "wav": encode_wav(np.linspace(-0.5, 0.5, 300)[:, None], 8000),
+        "avi": encode_avi_mjpeg([encode_jpeg(img, quality=70)] * 3, fps=5),
     }
+    decoders = {"wav": _parse_wav, "avi": _parse_avi_mjpeg}
     rng = np.random.default_rng(11)
     for kind, buf in seeds.items():
-        decoder = _parse_wav if kind == "wav" else decode_raster
+        decoder = decoders.get(kind, decode_raster)
         mutants = [buf[:k] for k in (0, 3, 9, len(buf) // 2, len(buf) - 1)]
         for _ in range(40):
             b = bytearray(buf)

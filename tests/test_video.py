@@ -90,3 +90,35 @@ def test_extract_features_real_path_for_decodable_payloads(spark):
     assert (w, h, c) == (8, 4, 3) and int(arr.mean()) == 64
     assert out[1]["meta"]["mime"] == "image/x-portable-pixmap"
     assert len(bytes(out[2]["payload"])) == 8 * 4 // 64 or out[2]["meta"]["width"] == 8
+
+
+def test_resize_drops_alpha_channels(spark):
+    # RGBA PNG -> netpbm has no alpha: resize must emit a valid 3-channel
+    # P6, not 4-byte pixels under a P6 header (silent corruption)
+    import numpy as np
+
+    from etl_lealone_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_raster,
+        encode_png,
+        resize,
+    )
+
+    rgba = np.dstack([np.full((12, 8), 64, np.uint8)] * 3 + [np.full((12, 8), 200, np.uint8)])
+    ga = np.dstack([np.full((6, 6), 100, np.uint8), np.full((6, 6), 50, np.uint8)])
+    rows = [
+        (1, bytearray(encode_png(rgba)), ("image", "image/png", 8, 12, None)),
+        (2, bytearray(encode_png(ga)), ("image", "image/png", 6, 6, None)),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in resize(
+            spark.createDataFrame(rows, MEDIA_SCHEMA), width=4, height=4
+        ).collect()
+    }
+    w, h, c, arr = decode_raster(bytes(out[1]["payload"]))
+    assert (w, h, c) == (4, 4, 3) and int(arr.mean()) == 64  # alpha gone
+    assert out[1]["meta"]["mime"] == "image/x-portable-pixmap"
+    w, h, c, arr = decode_raster(bytes(out[2]["payload"]))
+    assert (w, h, c) == (4, 4, 1) and int(arr.mean()) == 100
+    assert out[2]["meta"]["mime"] == "image/x-portable-graymap"
