@@ -518,7 +518,7 @@ def decode_jpeg(buf: bytes):
     with arbitrary exceptions (pinned by the codec fuzz test)."""
     try:
         return _decode_jpeg_impl(bytes(buf))
-    except (KeyError, IndexError, struct.error) as e:
+    except (KeyError, IndexError, struct.error, OverflowError, MemoryError) as e:
         raise ValueError(f"corrupt JPEG payload: {type(e).__name__} {e}") from e
 
 
@@ -607,6 +607,22 @@ def _decode_scan(frame, qtables, htables, scan_tabs, segments, restart_interval)
     mcus_y = -(-fh // (8 * vmax))
     total_mcus = mcus_x * mcus_y
 
+    # Decompression-bomb guard: every coded block consumes at least 2
+    # bits of entropy data (a 1-bit DC symbol + a 1-bit EOB), so a frame
+    # whose declared block count exceeds 4 bits-per-byte * entropy bytes
+    # cannot be a real scan — reject BEFORE allocating the coefficient
+    # store (a crafted ~100-byte SOF 65500x65500 would otherwise attempt
+    # a 16 GiB np.zeros).
+    total_blocks = sum(
+        (mcus_x * sh) * (mcus_y * sv) for _, sh, sv, _ in comps
+    )
+    entropy_bytes = sum(len(s) for s in segments)
+    if total_blocks > max(1024, entropy_bytes * 4):
+        raise ValueError(
+            "JPEG frame dimensions inconsistent with entropy data "
+            f"({total_blocks} blocks declared, {entropy_bytes} entropy bytes)"
+        )
+
     # zigzag coefficient store per component
     comp_state = []
     for cid, sh, sv, tq in comps:
@@ -647,6 +663,11 @@ def _decode_scan(frame, qtables, htables, scan_tabs, segments, restart_interval)
                     idx = (my * st["sv"] + by) * st["bpr"] + (mx * st["sh"] + bx)
                     row = st["zz"][idx]
                     t = rd.decode(st["dc"])
+                    # T.81 F.1.2.1.2: baseline 8-bit DC categories are
+                    # 0..11 — a corrupt DHT can emit arbitrary symbols,
+                    # which would build huge Python ints in receive().
+                    if t > 11:
+                        raise ValueError("JPEG DC category out of range")
                     st["pred"] += _extend(rd.receive(t), t)
                     row[0] = st["pred"]
                     k = 1
@@ -658,6 +679,8 @@ def _decode_scan(frame, qtables, htables, scan_tabs, segments, restart_interval)
                                 k += 16
                                 continue
                             break  # EOB
+                        if s > 10:  # T.81 F.1.2.2.1: AC SSSS is 1..10
+                            raise ValueError("JPEG AC category out of range")
                         k += r
                         if k > 63:
                             raise ValueError("JPEG AC coefficient overrun")

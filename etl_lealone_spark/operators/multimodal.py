@@ -2,11 +2,18 @@
 
 Media are opaque ``binary`` columns with a typed metadata struct
 (modality, mime, width/height/duration, …) — the columnar pattern for
-multimodal training data. The Spark-side plumbing (schemas, batch
-iteration via mapInPandas, partition sizing) is real and tested; the
-actual codec work is stubbed because no image/audio libraries exist in
-this container — each stub either raises NotImplementedError (strict
-mode) or produces a deterministic fake (plumbing-test mode).
+multimodal training data. Both the Spark-side plumbing (schemas, batch
+iteration via mapInPandas, partition sizing) AND the codecs are real:
+from-spec stdlib+numpy implementations of netpbm/BMP/PNG raster decode
+(zlib inflate via stdlib), RIFF/WAVE audio (PCM + float, stats,
+resample), MJPEG-in-AVI frame sampling here, and baseline-sequential
+JPEG (huffman, subsampling, restart markers, plus an encoder for
+hermetic roundtrips) in :mod:`.jpeg` — no external codec libraries are
+used or needed. Formats outside those envelopes (progressive JPEG
+SOF2, interlaced PNG, inter-frame video codecs) are STRICT GATES: they
+raise a typed NotImplementedError rather than guessing, and corrupt
+payloads always fail with ValueError at the decode boundary
+(fuzz-pinned in tests/test_jpeg.py, test_gif.py, test_video.py).
 
 Scale notes: decode/feature-extract runs as mapInPandas over Arrow
 batches — per-partition streaming, no shuffle; partition size should be
@@ -974,7 +981,13 @@ def frame_sample_mjpeg(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         rows["frame_idx"].append(i)
                         rows["ts_ms"].append(int(ts_ms))
                         rows["frame_bytes"].append(f)
-                        next_tick += every_ms
+                        # Advance PAST the emitted frame, not by one
+                        # fixed step: after a frame lands several ticks
+                        # late (low fps), a single += every_ms would
+                        # leave next_tick behind ts and every later
+                        # frame would be emitted (oversampling).
+                        while next_tick <= ts_ms + 1e-9:
+                            next_tick += every_ms
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)

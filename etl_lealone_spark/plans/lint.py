@@ -94,12 +94,26 @@ def bnl_is_scalar_broadcast(plan: str) -> bool:
     return True
 
 
+# Scans whose size scales with the data (unlike LocalTableScan /
+# OneRowRelation / ExistingRDD, which are driver-materialized already).
+_UNBOUNDED_SCAN = re.compile(
+    r"FileScan|BatchScan|Scan parquet|Scan csv|Scan json|Scan orc"
+)
+
+
 def _tree_nodes_exchange_views(nodes, idx):
     """For the BNL at nodes[idx], return its DIRECT broadcast-side
-    exchange if it is provably constant-size (see _BOUNDED_IN_BCAST);
-    empty list means the BNL broadcasts something unbounded. Only the
-    BNL's direct children are examined — exchanges nested deeper belong
-    to joins on the streamed side, not to this BNL's build side."""
+    exchange if it is provably constant-size; empty list means the BNL
+    broadcasts something unbounded. Only the BNL's direct children are
+    examined — exchanges nested deeper belong to joins on the streamed
+    side, not to this BNL's build side.
+
+    Constant-size uses the same ancestor-stack dominance rule as
+    :func:`lint_forced_broadcasts`: EVERY data-scaling scan inside the
+    exchange subtree must have a bounding ancestor (1-row aggregate,
+    LIMIT, scalar subquery) on its own path. A bound on a sibling branch
+    — e.g. broadcasting ``fact JOIN (1-row agg)`` — does NOT exempt the
+    fact scan (r4 advisor finding)."""
     sub = _subtree(nodes, idx)
     if not sub:
         return []
@@ -111,14 +125,18 @@ def _tree_nodes_exchange_views(nodes, idx):
             continue
         if "ReusedExchange" in t2:
             return [t2]
-        inner = []
+        stack: list[tuple[int, bool]] = []  # (depth, is_bounding)
+        seen_any = False
         for d3, t3 in sub[j + 1:]:
             if d3 <= d2:
                 break
-            inner.append(t3)
-        if any(any(m in t3 for m in _BOUNDED_IN_BCAST) for t3 in inner):
-            return [t2]
-        return []
+            seen_any = True
+            while stack and stack[-1][0] >= d3:
+                stack.pop()
+            if _UNBOUNDED_SCAN.search(t3) and not any(b for _, b in stack):
+                return []
+            stack.append((d3, any(m in t3 for m in _BOUNDED_IN_BCAST)))
+        return [t2] if seen_any else []
     return []
 
 

@@ -20,7 +20,18 @@ query/checkpoint never matches and processing proceeds.
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def _key_digest(query_key: str) -> str:
+    """Fixed-width identity token for the marker file. Keys are
+    caller-supplied checkpoint paths and may contain newlines; embedding
+    them verbatim would corrupt the line-oriented marker format, and the
+    resulting silent key mismatch would re-process every batch on every
+    restart. Hashing makes the stored token newline-free by
+    construction."""
+    return hashlib.md5(query_key.encode("utf-8")).hexdigest()
 
 
 class BatchCommitMarker:
@@ -39,10 +50,11 @@ class BatchCommitMarker:
             with open(self._path) as f:
                 lines = f.read().splitlines()
             if len(lines) == 1:  # legacy single-line marker: no identity
-                stored_key, stored_id = "", lines[0]
+                stored_key, stored_id = _key_digest(""), lines[0]
             else:
                 stored_key, stored_id = lines[0], lines[1]
-            if stored_key != query_key:
+            # Accept the raw key too, for markers written pre-digest.
+            if stored_key not in (_key_digest(query_key), query_key):
                 return -1
             return int(stored_id)
         except (OSError, ValueError, IndexError):
@@ -52,5 +64,5 @@ class BatchCommitMarker:
         os.makedirs(self.state_root, exist_ok=True)
         tmp = self._path + ".tmp"
         with open(tmp, "w") as f:
-            f.write(f"{query_key}\n{batch_id}")
+            f.write(f"{_key_digest(query_key)}\n{batch_id}")
         os.replace(tmp, self._path)  # atomic flip

@@ -124,6 +124,42 @@ def test_not_a_jpeg_raises():
         decode_jpeg(b"\x89PNG\r\n\x1a\nnope")
 
 
+def test_sof_dimension_bomb_rejected_before_allocation():
+    """A ~300-byte payload whose SOF declares 65500x65500 would allocate
+    a ~16 GiB coefficient store if the decoder trusted the header; the
+    guard must reject it with a typed ValueError BEFORE allocating
+    (r4 advisor: decompression-bomb DoS, escaped as MemoryError)."""
+    buf = bytearray(encode_jpeg(_test_image(16, 16), quality=75))
+    idx = buf.find(b"\xff\xc0")
+    assert idx > 0
+    # SOF payload: len(2) prec(1) fh(2) fw(2) — patch fh/fw to 65500.
+    import struct
+
+    buf[idx + 5 : idx + 9] = struct.pack(">HH", 65500, 65500)
+    with pytest.raises(ValueError, match="inconsistent with entropy"):
+        decode_jpeg(bytes(buf))
+
+
+def test_corrupt_dht_symbols_fail_typed_not_overflow():
+    """A DHT whose value list contains symbols > 15 makes the entropy
+    decoder request huge bit counts, building Python ints too large for
+    the int32 coefficient store. The decode boundary must convert that
+    to ValueError (r4 advisor: OverflowError escaped the typed-error
+    contract)."""
+    buf = bytearray(encode_jpeg(_test_image(16, 16, channels=1), quality=75))
+    idx = buf.find(b"\xff\xc4")  # first DHT (DC luminance)
+    assert idx > 0
+    # DHT payload: len(2) tc/th(1) bits(16) vals(...) — poison the first
+    # few DC category symbols with out-of-range values.
+    for k in range(3):
+        buf[idx + 21 + k] = 0xC8  # 200: receive(200) would be a 200-bit int
+    try:
+        decode_jpeg(bytes(buf))
+    except (ValueError, NotImplementedError):
+        pass  # typed failure: the contract
+    # any other exception type propagates and fails the test
+
+
 def test_quality_tables_scale():
     lum50, _ = quality_tables(50)
     lum90, _ = quality_tables(90)
@@ -165,7 +201,11 @@ def test_codecs_never_crash_on_mutated_payloads():
     for kind, buf in seeds.items():
         decoder = decoders.get(kind, decode_raster)
         mutants = [buf[:k] for k in (0, 3, 9, len(buf) // 2, len(buf) - 1)]
-        for _ in range(40):
+        # 400 random 1-6-byte mutations per format: the r4 advisor
+        # reproduced an OverflowError escape at ~34/2000 mutants, which a
+        # 40-mutant sweep missed by luck — the count is sized so that
+        # failure class cannot slip through again.
+        for _ in range(400):
             b = bytearray(buf)
             for _ in range(rng.integers(1, 6)):
                 b[rng.integers(0, len(b))] = rng.integers(0, 256)

@@ -34,6 +34,31 @@ def test_marker_query_identity(tmp_path):
     assert m.last_committed("/ckpt/run1") == -1
 
 
+def test_marker_key_with_newline_roundtrips(tmp_path):
+    """Keys are caller-supplied paths and may contain newlines; the
+    marker stores a digest so the line-oriented format cannot be
+    corrupted (r4 advisor: a raw embedded key broke the format and the
+    silent mismatch re-processed every batch on every restart)."""
+    m = BatchCommitMarker(str(tmp_path / "s4"))
+    weird = "/ckpt/line1\nline2"
+    m.commit(9, query_key=weird)
+    assert m.last_committed(weird) == 9
+    assert m.last_committed("/ckpt/line1") == -1
+
+
+def test_marker_reads_legacy_raw_key(tmp_path):
+    """Markers written before the digest change stored the raw key; they
+    must still be honored after an upgrade (no full reprocessing)."""
+    import os
+
+    root = str(tmp_path / "s5")
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "_last_batch"), "w") as f:
+        f.write("/ckpt/old\n4")
+    assert BatchCommitMarker(root).last_committed("/ckpt/old") == 4
+    assert BatchCommitMarker(root).last_committed("/ckpt/new") == -1
+
+
 def test_marker_tolerates_corruption(tmp_path):
     import os
 

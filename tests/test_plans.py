@@ -365,6 +365,32 @@ def test_bnl_exemption_is_subtree_anchored(spark, tables):
     assert "bnl-join" not in lint_df(ok)
 
 
+def test_bnl_exemption_requires_dominating_bound(spark, tables):
+    """r4 advice: a broadcast of ``fact JOIN (1-row aggregate)`` has a
+    bounded node somewhere INSIDE the exchange subtree, but the fact
+    scan is not dominated by it — the BNL must NOT be classified as a
+    constant-size scalar broadcast. Every unbounded scan needs a
+    bounding ANCESTOR on its own path, same dominance rule as
+    lint_forced_broadcasts."""
+    from etl_lealone_spark.plans.lint import lint_df
+
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    ord_ = tables["orders"].select("o_orderkey")
+    stats = li.agg(F.avg("l_quantity").alias("aq"))  # 1-row scalar
+
+    # fact table joined with the scalar, then force-broadcast whole
+    fact_plus_scalar = ord_.crossJoin(stats)
+    bad = li.join(
+        F.broadcast(fact_plus_scalar),
+        li.l_quantity < fact_plus_scalar.o_orderkey,
+    )
+    assert "bnl-join" in lint_df(bad)
+
+    # the same scalar DOMINATING the scan (agg above it) stays exempt
+    ok = li.crossJoin(F.broadcast(stats))
+    assert "bnl-join" not in lint_df(ok)
+
+
 def test_forced_broadcast_rule(spark, tables):
     """Hint-only rule: a forced broadcast whose subtree scans a fact
     table without a bounding operator is flagged; 1-row aggregates and
