@@ -262,6 +262,41 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "dedup_clusters_lp",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+    )
+    SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+    """,
+    doc="dedup_clusters twin that FORCES the distributed "
+    "label-propagation + pointer-jumping branch "
+    "(small_graph_threshold=0) — the code path that runs at 100 TB "
+    "pair graphs — against the same transitive-closure oracle "
+    "(r4 verdict: the at-scale branch had zero driver coverage).",
+)
+def dedup_clusters_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    d = load_tables(spark, sf_dir)["documents"]
+    pairs = ngram_jaccard_pairs_blocked(d, threshold=0.5)
+    # threshold=0 makes the small-graph gate (n_pairs <= 0//2)
+    # unsatisfiable for any non-empty pair set, so label propagation
+    # provably executes (its labels are test-pinned identical to the
+    # union-find path in tests/test_dedup.py + test_properties.py).
+    return connected_components(pairs, small_graph_threshold=0)
+
+
+@workload(
     "dedup_canonical",
     f"""
     WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),

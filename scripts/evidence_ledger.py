@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Per-workload driver-evidence ledger + staleness-driven window policy.
+
+The driver's correctness gate checks only the FIRST 50 entries of
+``queries()`` each round, so registration order (workloads/__init__.py
+``_PRIORITY``) decides which workloads get fresh driver evidence. This
+script makes that policy auditable and mechanical:
+
+1. **ledger**: read every ``CORRECTNESS_r0*.json`` at the repo root and
+   print, per workload, the most recent round with a fully-green row
+   (rows+schema+hash match, no err) and the resulting evidence age.
+2. **window**: propose the next round's 50-slot window,
+   oldest-evidence-first — never-checked workloads lead, then ascending
+   last-green round (ties broken by name for determinism).
+
+Round-5 policy (r4 verdict task 2): the window can hold 50 of the 118
+workloads whose last green row predates r04, so one round cannot reach
+age<=1 for all 168 — the ledger states exactly who is covered when, and
+each subsequent round drains the oldest stratum first. Workloads whose
+implementing module changed since their last driver row are flagged
+(evidence for OLD code) so they can be promoted manually.
+
+Usage:
+  python scripts/evidence_ledger.py            # ledger table
+  python scripts/evidence_ledger.py window     # proposed next window
+  python scripts/evidence_ledger.py check      # verify _PRIORITY window
+                                               # matches the policy
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def load_ledger() -> tuple[dict[str, int], int]:
+    """{workload: last_green_round (0 = never green)}, latest_round."""
+    rounds: dict[int, dict] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rno = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+        with open(path) as f:
+            rounds[rno] = json.load(f)
+    last_green: dict[str, int] = {}
+    for rno, data in sorted(rounds.items()):
+        for name, res in data.items():
+            ok = (
+                res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match")
+                and not res.get("err")
+            )
+            if ok:
+                last_green[name] = max(last_green.get(name, 0), rno)
+            else:
+                last_green.setdefault(name, 0)
+    return last_green, (max(rounds) if rounds else 0)
+
+
+def registered() -> list[str]:
+    sys.path.insert(0, REPO)
+    from etl_lealone_spark.workloads import all_workloads
+
+    return list(all_workloads())
+
+
+# Workloads whose implementing module changed materially since their
+# last driver-green row — promoted WITHIN their staleness stratum
+# (their old evidence certifies code that no longer exists). Updated per
+# round from `git diff --stat <last-verdict>..HEAD -- etl_lealone_spark`:
+# r04 touched multimodal/jpeg/similarity/pipeline/joins/catalog;
+# r05 touched dedup (connected components) and multimodal.
+MODULE_CHANGED: frozenset[str] = frozenset(
+    {
+        "multimodal_metadata",           # multimodal.py (r04 codecs, r05 tick fix)
+        "ann_bruteforce_topk",           # similarity.py (r04 recall/IVF work)
+        "embedding_near_dup_blocked",    # similarity.py
+        "sample_hash_stratified",        # pipeline.py (r04 DSIR single-pass)
+        "ngram_jaccard_blocked",         # dedup.py (r05 CC branch work)
+        "dedup_exact",                   # dedup.py
+        "dedup_exact_normalized",        # dedup.py
+        "asof_join_events",              # joins.py (r04 bucketed-SMJ fix)
+        "merge_upsert",                  # catalog.py DML surface (r04)
+        "update_projection",             # catalog.py DML surface (r04)
+    }
+)
+
+
+def propose_window(last_green: dict[str, int], names: list[str]) -> list[str]:
+    """Oldest-evidence-first: never-checked (incl. brand-new) workloads,
+    then ascending last-green round; within a stratum, workloads whose
+    module changed since that green row come first (their evidence
+    certifies old code); names break remaining ties deterministically."""
+    return propose_priority(last_green, names)[:WINDOW]
+
+
+def propose_priority(last_green: dict[str, int], names: list[str]) -> list[str]:
+    """Full registration order: the window policy applied to ALL
+    workloads, so the tail is already sorted for the NEXT round's
+    rotation."""
+    return sorted(
+        names,
+        key=lambda n: (
+            last_green.get(n, 0),
+            0 if n in MODULE_CHANGED else 1,
+            n,
+        ),
+    )
+
+
+def main() -> int:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "ledger"
+    last_green, latest = load_ledger()
+    names = registered()
+
+    if mode == "ledger":
+        print(f"{'workload':40s} last_green  age(rounds)")
+        for n in sorted(names, key=lambda n: (last_green.get(n, 0), n)):
+            lg = last_green.get(n, 0)
+            age = "never" if lg == 0 else str(latest - lg)
+            print(f"{n:40s} r{lg:02d}        {age}")
+        from collections import Counter
+
+        dist = Counter(last_green.get(n, 0) for n in names)
+        print("\nlast-green distribution:", dict(sorted(dist.items())))
+        return 0
+
+    if mode == "window":
+        for n in propose_window(last_green, names):
+            print(n)
+        return 0
+
+    if mode == "priority":
+        # emit the full _PRIORITY tuple body, window first, ready to
+        # paste into workloads/__init__.py
+        ordered = propose_priority(last_green, names)
+        for i, n in enumerate(ordered):
+            sep = "    # ---- window boundary (slot 50) ----"
+            if i == WINDOW:
+                print(sep)
+            print(f'    "{n}",')
+        return 0
+
+    if mode == "check":
+        from etl_lealone_spark.workloads import _PRIORITY
+
+        actual = [n for n in _PRIORITY if n in set(names)][:WINDOW]
+        proposed = set(propose_window(last_green, names))
+        extra = [n for n in actual if n not in proposed]
+        stale_out = sorted(
+            (n for n in names if n not in set(actual)),
+            key=lambda n: last_green.get(n, 0),
+        )[: len(extra)]
+        if extra:
+            print(
+                f"NOTE: {len(extra)} window slots deviate from strict "
+                f"oldest-first: {extra}"
+            )
+            print(f"      (displacing, by policy, oldest-out: {stale_out})")
+        in_window_never = [n for n in actual if last_green.get(n, 0) == 0]
+        print(f"window size: {len(actual)}; never-checked in window: "
+              f"{len(in_window_never)}")
+        oldest_covered = min(
+            (last_green.get(n, 0) for n in actual if last_green.get(n, 0)),
+            default=0,
+        )
+        oldest_out = min(
+            (last_green.get(n, 0) for n in names if n not in set(actual)),
+            default=0,
+        )
+        print(f"oldest evidence inside window: r{oldest_covered:02d}; "
+              f"oldest left outside: r{oldest_out:02d}")
+        return 0
+
+    print(__doc__)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -162,6 +162,38 @@ def test_connected_components_match_union_find(spark, edges):
     assert got == want
 
 
+def test_connected_components_distributed_branch_matches_union_find(spark):
+    """Force the label-propagation + pointer-jumping branch
+    (small_graph_threshold=0) — the path that runs at 100 TB — and pin
+    its labels against the driver-side union-find on a seeded graph
+    mixing long chains, stars, cycles and singleton pairs (r4 verdict:
+    this branch previously had zero coverage)."""
+    import random
+
+    from etl_lealone_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    edges = [(i, i + 1) for i in range(0, 17)]              # long chain
+    edges += [(100, 100 + k) for k in range(1, 8)]           # star
+    edges += [(200, 201), (201, 202), (202, 200)]            # cycle
+    edges += [(300 + 2 * k, 301 + 2 * k) for k in range(6)]  # pair islands
+    edges += [
+        (rng.randrange(400, 430), rng.randrange(400, 430)) for _ in range(25)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, small_graph_threshold=0).collect()
+    }
+    small = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert dist == small and len(dist) > 40
+
+
 # ---------------------------------------------------------------------------
 # deterministic-kernel properties (Z-order / mix60 / dialect / services)
 # ---------------------------------------------------------------------------
