@@ -604,6 +604,15 @@ class IvfIndex:
 
         return os.path.exists(self._meta_path)
 
+    # process-wide centroid cache: centroids are train-once (append()
+    # never changes them) and ~sqrt(n) rows, so re-collecting them on
+    # every probe call is pure fixed cost (~0.15-0.2s/probe measured at
+    # sf0.1). Keyed by (root, _meta.json mtime): build() publishes via
+    # directory swap which rewrites meta, invalidating the entry. FAISS
+    # keeps the coarse quantizer in RAM for the same reason.
+    _CENTROID_CACHE: dict = {}
+    _CENTROID_CACHE_MAX = 8
+
     # -- shared kernels ---------------------------------------------------
     def _load_centroids(self, root: str | None = None):
         """(cids, CENT, cn) numpy views of the trained centroid table,
@@ -612,16 +621,29 @@ class IvfIndex:
 
         import numpy as np
 
+        r = root or self.root
+        meta = os.path.join(r, "_meta.json")
+        key = None
+        if os.path.exists(meta):
+            key = (os.path.realpath(r), os.path.getmtime(meta))
+            hit = IvfIndex._CENTROID_CACHE.get(key)
+            if hit is not None:
+                return hit
         cent_rows = sorted(
-            self.spark.read.parquet(
-                os.path.join(root or self.root, "centroids")
-            ).collect(),
+            self.spark.read.parquet(os.path.join(r, "centroids")).collect(),
             key=lambda r: r["cid"],
         )
         cids = np.asarray([r["cid"] for r in cent_rows], dtype=np.int64)
         CENT = np.asarray([r["centvec"] for r in cent_rows], dtype=np.int64)
         cn = np.asarray([r["cnorm"] for r in cent_rows], dtype=np.float64)
-        return cids, CENT, cn
+        out = (cids, CENT, cn)
+        if key is not None:
+            if len(IvfIndex._CENTROID_CACHE) >= IvfIndex._CENTROID_CACHE_MAX:
+                IvfIndex._CENTROID_CACHE.pop(
+                    next(iter(IvfIndex._CENTROID_CACHE))
+                )
+            IvfIndex._CENTROID_CACHE[key] = out
+        return out
 
     @staticmethod
     def _assign_fn(cids, CENT, cn):
