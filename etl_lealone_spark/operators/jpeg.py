@@ -8,13 +8,22 @@ format of essentially every training-corpus JPEG):
 
 - ``decode_jpeg(buf)``: baseline DCT, 8-bit, 1-4 components, any
   integer-ratio sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...),
-  restart markers (DRI/RSTn), multiple DQT/DHT segments. Progressive
-  (SOF2) and the exotic SOF types raise NotImplementedError — the
-  same strict-gate policy as 16-bit PNG.
+  restart markers (DRI/RSTn), multiple DQT/DHT segments, AND
+  PROGRESSIVE (SOF2) per T.81 Annex G — spectral selection +
+  successive approximation, interleaved DC scans, non-interleaved AC
+  scans with EOBn runs and refinement correction bits (the scan
+  scripts libjpeg emits for ~10% of web JPEGs). The remaining exotic
+  SOF types (hierarchical, lossless, arithmetic-coded) raise
+  NotImplementedError — the same strict-gate policy as 16-bit PNG.
 - ``encode_jpeg(arr, quality, sampling, restart_interval)``: the
-  matching encoder (Annex K quantization + huffman tables, libjpeg
-  quality scaling) so roundtrips are testable hermetically. Grayscale
-  and RGB, 4:4:4 or 4:2:0.
+  matching baseline encoder (Annex K quantization + huffman tables,
+  libjpeg quality scaling) so roundtrips are testable hermetically.
+  Grayscale and RGB, 4:4:4 or 4:2:0.
+- ``encode_jpeg_progressive(arr, quality, scans=...)``: progressive
+  encoder driven by an explicit (components, Ss, Se, Ah, Al) scan
+  script, so the decoder's spectral-selection AND
+  successive-approximation paths roundtrip hermetically against the
+  SAME quantized coefficients the baseline encoder produces.
 
 Everything here is public knowledge: the T.81 spec defines the
 marker grammar, zigzag order, huffman canonical-code construction,
@@ -324,17 +333,10 @@ def _category(v: int) -> int:
 # --- encoder ----------------------------------------------------------------
 
 
-def encode_jpeg(
-    arr,
-    quality: int = 75,
-    sampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """HxWx1 (grayscale) or HxWx3 (RGB) uint8 -> baseline JFIF bytes.
-
-    ``sampling`` is '4:4:4' or '4:2:0' (color only). ``restart_interval``
-    > 0 emits DRI + RSTn markers every that-many MCUs (what real encoders
-    do for error resilience; exercises the decoder's restart path)."""
+def _prepare_frame(arr, quality: int, sampling: str):
+    """Shared encoder front half: color transform, subsample, pad,
+    DCT+quantize. Returns (h, w, nc, samps, qsel, lum_q, chroma_q,
+    comp_zz, mcus_x, mcus_y, hmax, vmax)."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -381,6 +383,49 @@ def encode_jpeg(
         plane = _pad_to(plane, target_h, target_w)[:target_h, :target_w]
         q = lum_q if qi == 0 else chroma_q
         comp_zz.append((target_w // 8, _fdct_quant(plane, q)))
+    return (
+        h, w, nc, samps, qsel, lum_q, chroma_q, comp_zz,
+        mcus_x, mcus_y, hmax, vmax,
+    )
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def _frame_headers(
+    sof_marker: int, h, w, nc, samps, qsel, lum_q, chroma_q
+) -> bytearray:
+    """SOI + APP0 + DQT(s) + SOF — shared by both encoders."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(lum_q[ZIGZAG].astype(np.uint8)))
+    if nc == 3:
+        out += _seg(
+            0xDB, bytes([0x01]) + bytes(chroma_q[ZIGZAG].astype(np.uint8))
+        )
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (sh, sv) in enumerate(samps):
+        sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
+    out += _seg(sof_marker, sof)
+    return out
+
+
+def encode_jpeg(
+    arr,
+    quality: int = 75,
+    sampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """HxWx1 (grayscale) or HxWx3 (RGB) uint8 -> baseline JFIF bytes.
+
+    ``sampling`` is '4:4:4' or '4:2:0' (color only). ``restart_interval``
+    > 0 emits DRI + RSTn markers every that-many MCUs (what real encoders
+    do for error resilience; exercises the decoder's restart path)."""
+    (
+        h, w, nc, samps, qsel, lum_q, chroma_q, comp_zz,
+        mcus_x, mcus_y, hmax, vmax,
+    ) = _prepare_frame(arr, quality, sampling)
 
     dc_tabs = [
         _huff_encode_table(DC_LUM_BITS, DC_LUM_VALS),
@@ -392,7 +437,7 @@ def encode_jpeg(
     ]
 
     wr = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * nc
     mcu_count = 0
     rst_idx = 0
 
@@ -445,36 +490,308 @@ def encode_jpeg(
     wr.byte_align()
 
     # --- headers ---
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0x00]) + bytes(lum_q[ZIGZAG].astype(np.uint8)))
-    if nc == 3:
-        out += seg(0xDB, bytes([0x01]) + bytes(chroma_q[ZIGZAG].astype(np.uint8)))
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for ci, (sh, sv) in enumerate(samps):
-        sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
-    out += seg(0xC0, sof)
+    out = _frame_headers(0xC0, h, w, nc, samps, qsel, lum_q, chroma_q)
     for tc, (bits, vals) in enumerate(
         [(DC_LUM_BITS, DC_LUM_VALS), (AC_LUM_BITS, AC_LUM_VALS)]
     ):
-        out += seg(0xC4, bytes([tc << 4]) + bytes(bits) + bytes(vals))
+        out += _seg(0xC4, bytes([tc << 4]) + bytes(bits) + bytes(vals))
     if nc == 3:
         for tc, (bits, vals) in enumerate(
             [(DC_CHROMA_BITS, DC_CHROMA_VALS), (AC_CHROMA_BITS, AC_CHROMA_VALS)]
         ):
-            out += seg(0xC4, bytes([(tc << 4) | 1]) + bytes(bits) + bytes(vals))
+            out += _seg(0xC4, bytes([(tc << 4) | 1]) + bytes(bits) + bytes(vals))
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
     for ci in range(nc):
         ti = 0 if ci == 0 or nc == 1 else 1
         sos += bytes([ci + 1, (ti << 4) | ti])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += wr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder (T.81 Annex G) -------------------------------------
+
+# libjpeg's default progressive scan script (jcparam.c — public source):
+# DC of all components at Al=1, luma AC 1-5 at Al=2, chroma AC full band
+# at Al=1, luma AC 6-63 at Al=2, luma refinement to Al=1, DC refinement,
+# chroma + luma AC refinements to Al=0.
+DEFAULT_SCANS_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+DEFAULT_SCANS_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+class _SymbolRun:
+    """One encoding pass over a scan. With ``collect=True`` it only
+    tallies the huffman symbols (so a minimal DHT can be emitted); with
+    a real table it writes codes + raw bits into the _BitWriter."""
+
+    def __init__(self, wr: _BitWriter | None, table: dict | None):
+        self.wr = wr
+        self.table = table
+        self.symbols: list[int] = []
+
+    def sym(self, s: int):
+        if self.table is None:
+            self.symbols.append(s)
+        else:
+            code, length = self.table[s]
+            self.wr.put(code, length)
+
+    def bits(self, v: int, n: int):
+        if n and self.table is not None:
+            self.wr.put(v, n)
+
+
+def _flat_huff_spec(symbols):
+    """(bits, vals) for a spec-valid table containing exactly the used
+    symbols, all at one code length L with 2^L > |vals| (canonical codes
+    then never reach the forbidden all-ones code). Compression is
+    deliberately not the point — decode-path coverage is."""
+    vals = sorted(set(symbols))
+    if not vals:
+        vals = [0x00]
+    length = max(2, len(vals).bit_length() + (1 if len(vals).bit_length() < 2 else 0))
+    while (1 << length) <= len(vals):
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = len(vals)
+    return bits, vals
+
+
+def _enc_dc_scan(run: _SymbolRun, blocks, al: int, first: bool, preds):
+    """blocks yields (ci, zz_row); DC point transform is an arithmetic
+    right shift (T.81 G.1.2.1)."""
+    for ci, row in blocks:
+        v = int(row[0]) >> al
+        if first:
+            diff = v - preds[ci]
+            preds[ci] = v
+            t = _category(diff)
+            run.sym(t)
+            if t:
+                run.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        else:
+            run.bits(v & 1, 1)
+
+
+def _enc_ac_first(run: _SymbolRun, rows, ss: int, se: int, al: int):
+    """Initial AC scan with EOBn run accumulation (G.1.2.2); AC point
+    transform truncates toward zero."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun > 0:
+            nb = eobrun.bit_length() - 1
+            run.sym(nb << 4)
+            if nb:
+                run.bits(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for row in rows:
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(row[k])
+            vals.append(v >> al if v >= 0 else -((-v) >> al))
+        last = -1
+        for i, v in enumerate(vals):
+            if v:
+                last = i
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        r = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                run.sym(0xF0)
+                r -= 16
+            s = _category(v)
+            run.sym((r << 4) | s)
+            run.bits(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if last < len(vals) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(run: _SymbolRun, rows, ss: int, se: int, al: int):
+    """AC successive-approximation refinement (G.1.2.3): newly
+    significant coefficients carry a sign bit; already-nonzero history
+    coefficients contribute interleaved correction bits; trailing
+    corrections ride with the next EOBn."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits deferred with the EOB run
+
+    def flush():
+        nonlocal eobrun, pending
+        if eobrun > 0:
+            nb = eobrun.bit_length() - 1
+            run.sym(nb << 4)
+            if nb:
+                run.bits(eobrun - (1 << nb), nb)
+            for b in pending:
+                run.bits(b, 1)
+            eobrun = 0
+            pending = []
+
+    for row in rows:
+        coefs = [int(row[k]) for k in range(ss, se + 1)]
+        absv = [abs(c) >> al for c in coefs]
+        eob_i = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob_i = i
+        r = 0
+        br: list[int] = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob_i:
+                flush()
+                run.sym(0xF0)
+                for b in br:
+                    run.bits(b, 1)
+                br = []
+                r -= 16
+            if a > 1:  # history coefficient: correction bit only
+                br.append(a & 1)
+                continue
+            # newly significant (|coef| >> al == 1)
+            flush()
+            run.sym((r << 4) | 1)
+            run.bits(1 if coefs[i] >= 0 else 0, 1)
+            for b in br:
+                run.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def encode_jpeg_progressive(
+    arr,
+    quality: int = 75,
+    sampling: str = "4:4:4",
+    scans: list | None = None,
+) -> bytes:
+    """HxWx1 / HxWx3 uint8 -> progressive (SOF2) JFIF bytes.
+
+    ``scans`` is a list of ``(component_indices, Ss, Se, Ah, Al)``
+    tuples (the libjpeg scan-script shape); default is libjpeg's
+    standard progressive script. Quantized coefficients are IDENTICAL
+    to :func:`encode_jpeg` at the same quality/sampling, so a
+    progressive decode must reproduce the baseline decode bit-for-bit
+    — the hermetic roundtrip the tests pin."""
+    (
+        h, w, nc, samps, qsel, lum_q, chroma_q, comp_zz,
+        mcus_x, mcus_y, hmax, vmax,
+    ) = _prepare_frame(arr, quality, sampling)
+    if scans is None:
+        scans = DEFAULT_SCANS_COLOR if nc == 3 else DEFAULT_SCANS_GRAY
+
+    out = _frame_headers(0xC2, h, w, nc, samps, qsel, lum_q, chroma_q)
+
+    def scan_blocks(comp_ids, interleaved):
+        if interleaved:
+            for m in range(mcus_x * mcus_y):
+                my, mx = divmod(m, mcus_x)
+                for ci in comp_ids:
+                    sh, sv = samps[ci]
+                    bpr, zz = comp_zz[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            yield ci, zz[
+                                (my * sv + by) * bpr + (mx * sh + bx)
+                            ]
+        else:
+            ci = comp_ids[0]
+            sh, sv = samps[ci]
+            bpr, zz = comp_zz[ci]
+            bw = -(-((w * sh + hmax - 1) // hmax) // 8)
+            bh = -(-((h * sv + vmax - 1) // vmax) // 8)
+            for by in range(bh):
+                for bx in range(bw):
+                    yield ci, zz[by * bpr + bx]
+
+    for comp_ids, ss, se, ah, al in scans:
+        comp_ids = tuple(comp_ids)
+        if any(ci >= nc for ci in comp_ids):
+            raise ValueError("scan script references missing component")
+        if ss == 0 and se != 0:
+            raise ValueError("DC scan must have Se == 0")
+        if ss > 0 and len(comp_ids) != 1:
+            raise ValueError("AC scan must be single-component")
+        interleaved = len(comp_ids) > 1
+        first = ah == 0
+        tc = 0 if ss == 0 else 1
+        uses_table = not (ss == 0 and not first)  # DC refine: raw bits
+
+        def run_pass(run: _SymbolRun):
+            if ss == 0:
+                preds = [0] * nc
+                _enc_dc_scan(
+                    run, scan_blocks(comp_ids, interleaved), al, first, preds
+                )
+            else:
+                rows = (row for _, row in scan_blocks(comp_ids, False))
+                if first:
+                    _enc_ac_first(run, rows, ss, se, al)
+                else:
+                    _enc_ac_refine(run, rows, ss, se, al)
+
+        if uses_table:
+            collector = _SymbolRun(None, None)
+            run_pass(collector)
+            bits, vals = _flat_huff_spec(collector.symbols)
+            out += _seg(0xC4, bytes([tc << 4]) + bytes(bits) + bytes(vals))
+            table = _huff_encode_table(bits, vals)
+        else:
+            table = {}  # unused: DC refinement is raw bits
+        wr = _BitWriter()
+        run_pass(_SymbolRun(wr, table))
+        wr.byte_align()
+
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, (0 << 4) | 0])  # table slot 0 for tc
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        out += wr.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -529,6 +846,8 @@ def _decode_jpeg_impl(buf: bytes):
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
+    states = None  # persistent per-component coeff stores (progressive)
     restart_interval = 0
     n = len(buf)
     while pos + 4 <= n:
@@ -562,7 +881,7 @@ def _decode_jpeg_impl(buf: bytes):
                     raise ValueError("JPEG DHT segment truncated")
                 htables[(tc, th)] = _huff_decode_table(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -571,9 +890,11 @@ def _decode_jpeg_impl(buf: bytes):
                 cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 15, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/hierarchical/lossless JPEG unsupported (baseline only)"
+                "hierarchical/lossless/arithmetic JPEG unsupported "
+                "(baseline sequential + progressive only)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
@@ -581,23 +902,38 @@ def _decode_jpeg_impl(buf: bytes):
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = payload[0]
-            scan_tabs = {}
+            scan_comps = []
             for i in range(ns):
                 cid, tt = payload[1 + 2 * i : 3 + 2 * i]
-                scan_tabs[cid] = (tt >> 4, tt & 15)
+                scan_comps.append((cid, tt >> 4, tt & 15))
+            if len(payload) < 4 + 2 * ns:
+                raise ValueError("JPEG SOS header truncated")
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
             segments, pos = _split_entropy(buf, pos)
-            return _decode_scan(
-                frame, qtables, htables, scan_tabs, segments, restart_interval
+            if not progressive:
+                scan_tabs = {cid: (td, ta) for cid, td, ta in scan_comps}
+                return _decode_scan(
+                    frame, qtables, htables, scan_tabs, segments,
+                    restart_interval,
+                )
+            if states is None:
+                if ss != 0:
+                    raise ValueError("progressive AC scan before DC scan")
+                states = _init_states(frame, segments)
+            _decode_progressive_scan(
+                frame, states, htables, scan_comps, ss, se, ah, al,
+                segments, restart_interval,
             )
         # other markers (APPn, COM): skipped
+    if progressive and states is not None:
+        return _reconstruct(frame, states, qtables)
     raise ValueError("JPEG has no scan data")
 
 
-def _decode_scan(frame, qtables, htables, scan_tabs, segments, restart_interval):
+def _geometry(frame):
+    """(hmax, vmax, mcus_x, mcus_y) for a parsed SOF frame."""
     fh, fw, comps = frame
-    nc = len(comps)
-    if nc not in (1, 3):
-        raise NotImplementedError("1- or 3-component JPEG only (no CMYK)")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     for _, sh, sv, _ in comps:
@@ -605,6 +941,84 @@ def _decode_scan(frame, qtables, htables, scan_tabs, segments, restart_interval)
             raise NotImplementedError("fractional JPEG sampling ratios")
     mcus_x = -(-fw // (8 * hmax))
     mcus_y = -(-fh // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _init_states(frame, segments):
+    """Per-component persistent coefficient stores for a progressive
+    frame, with the same decompression-bomb guard as the baseline path:
+    the FIRST scan (required to be DC) codes every block of its
+    components at >= 1 bit each, so a block count beyond 8 bits-per-byte
+    x entropy bytes cannot be real — reject before allocating."""
+    fh, fw, comps = frame
+    if len(comps) not in (1, 3):
+        raise NotImplementedError("1- or 3-component JPEG only (no CMYK)")
+    hmax, vmax, mcus_x, mcus_y = _geometry(frame)
+    total_blocks = sum(
+        (mcus_x * sh) * (mcus_y * sv) for _, sh, sv, _ in comps
+    )
+    entropy_bytes = sum(len(s) for s in segments)
+    if total_blocks > max(1024, entropy_bytes * 8):
+        raise ValueError(
+            "JPEG frame dimensions inconsistent with entropy data "
+            f"({total_blocks} blocks declared, {entropy_bytes} entropy bytes)"
+        )
+    states = []
+    for cid, sh, sv, tq in comps:
+        bpr = mcus_x * sh
+        nblocks = bpr * mcus_y * sv
+        states.append(
+            {
+                "cid": cid,
+                "zz": np.zeros((nblocks, 64), dtype=np.int32),
+                "bpr": bpr,
+                "sh": sh,
+                "sv": sv,
+                "tq": tq,
+                "pred": 0,
+                # TRUE block grid, ceil(ceil(dim*samp/max)/8): T.81
+                # A.2.2 — non-interleaved scans iterate this, not the
+                # MCU-padded grid
+                "bw": -(-((fw * sh + hmax - 1) // hmax) // 8),
+                "bh": -(-((fh * sv + vmax - 1) // vmax) // 8),
+            }
+        )
+    return states
+
+
+def _reconstruct(frame, states, qtables):
+    """Dequantize + IDCT + upsample + crop — shared by the baseline and
+    progressive paths (both accumulate into the same zigzag stores)."""
+    fh, fw, comps = frame
+    nc = len(comps)
+    hmax, vmax, _, _ = _geometry(frame)
+    planes = []
+    for st in states:
+        q = qtables.get(st["tq"])
+        if q is None:
+            raise ValueError("JPEG component references missing quant table")
+        ph = (st["zz"].shape[0] // st["bpr"]) * 8
+        pw = st["bpr"] * 8
+        plane = _dequant_idct(st["zz"], q[UNZIGZAG], ph, pw)
+        ry, rx = vmax // st["sv"], hmax // st["sh"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:fh, :fw])
+    if nc == 1:
+        out = np.clip(planes[0].round(), 0, 255).astype(np.uint8)[:, :, None]
+        return fw, fh, 1, out
+    rgb = _ycbcr_to_rgb(*planes)
+    return fw, fh, 3, rgb
+
+
+def _decode_scan(frame, qtables, htables, scan_tabs, segments, restart_interval):
+    fh, fw, comps = frame
+    nc = len(comps)
+    if nc not in (1, 3):
+        raise NotImplementedError("1- or 3-component JPEG only (no CMYK)")
+    hmax, vmax, mcus_x, mcus_y = _geometry(frame)
     total_mcus = mcus_x * mcus_y
 
     # Decompression-bomb guard: every coded block consumes at least 2
@@ -639,7 +1053,7 @@ def _decode_scan(frame, qtables, htables, scan_tabs, segments, restart_interval)
                 "bpr": bpr,
                 "sh": sh,
                 "sv": sv,
-                "q": qtables[tq],
+                "tq": tq,
                 "dc": dc,
                 "ac": ac,
                 "pred": 0,
@@ -687,20 +1101,180 @@ def _decode_scan(frame, qtables, htables, scan_tabs, segments, restart_interval)
                         row[k] = _extend(rd.receive(s), s)
                         k += 1
 
-    planes = []
-    for st in comp_state:
-        ph = (st["zz"].shape[0] // st["bpr"]) * 8
-        pw = st["bpr"] * 8
-        plane = _dequant_idct(st["zz"], st["q"][UNZIGZAG], ph, pw)
-        ry, rx = vmax // st["sv"], hmax // st["sh"]
-        if ry > 1:
-            plane = np.repeat(plane, ry, axis=0)
-        if rx > 1:
-            plane = np.repeat(plane, rx, axis=1)
-        planes.append(plane[:fh, :fw])
+    return _reconstruct(frame, comp_state, qtables)
 
-    if nc == 1:
-        out = np.clip(planes[0].round(), 0, 255).astype(np.uint8)[:, :, None]
-        return fw, fh, 1, out
-    rgb = _ycbcr_to_rgb(*planes)
-    return fw, fh, 3, rgb
+
+# --- progressive (SOF2) scan decoding: T.81 Annex G -------------------------
+
+
+def _ac_first_band(rd, ac, row, ss, se, al, eobrun):
+    """Initial AC scan for one block's band; returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.decode(ac)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.receive(r)
+            break
+        if s > 10:  # T.81 F.1.2.2.1: AC SSSS is 1..10
+            raise ValueError("JPEG AC category out of range")
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC coefficient overrun")
+        row[k] = _extend(rd.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_band(rd, ac, row, ss, se, al, eobrun):
+    """Successive-approximation AC refinement for one block's band
+    (T.81 G.1.2.3: correction bits for history coefficients interleave
+    with newly-significant insertions); returns the new EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.decode(ac)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.receive(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history positions below
+            else:
+                if s != 1:
+                    raise ValueError("JPEG refinement magnitude must be 1")
+                val = p1 if rd.bit() else m1
+            while k <= se:
+                c = int(row[k])
+                if c != 0:
+                    if rd.bit() and (c & p1) == 0:
+                        row[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                row[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(row[k])
+            if c != 0:
+                if rd.bit() and (c & p1) == 0:
+                    row[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    frame, states, htables, scan_comps, ss, se, ah, al, segments,
+    restart_interval,
+):
+    """Apply one progressive SOS to the persistent coefficient stores."""
+    hmax, vmax, mcus_x, mcus_y = _geometry(frame)
+    by_cid = {st["cid"]: st for st in states}
+    sel = []
+    for cid, td, ta in scan_comps:
+        st = by_cid.get(cid)
+        if st is None:
+            raise ValueError("JPEG scan references unknown component")
+        if ss == 0:
+            if ah == 0:
+                dc = htables.get((0, td))
+                if dc is None:
+                    raise ValueError(
+                        "JPEG scan references missing huffman table"
+                    )
+                st["_tab"] = dc
+        else:
+            ac = htables.get((1, ta))
+            if ac is None:
+                raise ValueError("JPEG scan references missing huffman table")
+            st["_tab"] = ac
+        sel.append(st)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG DC scan with Se != 0")
+    else:
+        if len(sel) != 1:
+            raise ValueError("JPEG progressive AC scan must be one component")
+        if not (1 <= ss <= se <= 63):
+            raise ValueError("JPEG spectral band out of range")
+    if ah and ah != al + 1:  # G.1.1.1.2: refinements step precision by 1
+        raise ValueError("JPEG successive approximation Ah != Al+1")
+
+    # Units: an MCU for interleaved scans (ns > 1), a single block of
+    # the component's TRUE grid for non-interleaved scans (T.81 A.2.2).
+    if len(sel) > 1:
+        def units():
+            for m in range(mcus_x * mcus_y):
+                my, mx = divmod(m, mcus_x)
+                blocks = []
+                for st in sel:
+                    for by in range(st["sv"]):
+                        for bx in range(st["sh"]):
+                            blocks.append(
+                                (
+                                    st,
+                                    (my * st["sv"] + by) * st["bpr"]
+                                    + (mx * st["sh"] + bx),
+                                )
+                            )
+                yield blocks
+    else:
+        only = sel[0]
+
+        def units():
+            for by in range(only["bh"]):
+                for bx in range(only["bw"]):
+                    yield [(only, by * only["bpr"] + bx)]
+
+    seg_idx = 0
+    rd = _BitReader(segments[0])
+    eobrun = 0
+    for st in sel:
+        st["pred"] = 0  # DC prediction restarts per scan
+    for u, blocks in enumerate(units()):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            rd = _BitReader(segments[seg_idx])
+            eobrun = 0
+            for st in sel:
+                st["pred"] = 0
+        for st, idx in blocks:
+            row = st["zz"][idx]
+            if ss == 0:
+                if ah == 0:  # initial DC scan
+                    t = rd.decode(st["_tab"])
+                    if t > 11:
+                        raise ValueError("JPEG DC category out of range")
+                    st["pred"] += _extend(rd.receive(t), t)
+                    row[0] = st["pred"] << al
+                else:  # DC refinement: one raw bit per block
+                    if rd.bit():
+                        row[0] = int(row[0]) | (1 << al)
+            else:
+                if ah == 0:
+                    eobrun = _ac_first_band(
+                        rd, st["_tab"], row, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine_band(
+                        rd, st["_tab"], row, ss, se, al, eobrun
+                    )

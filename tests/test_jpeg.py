@@ -102,15 +102,110 @@ def test_restart_markers_do_not_change_pixels():
     assert np.array_equal(plain, restarted)
 
 
-def test_progressive_is_gated():
-    # Take a real baseline file and flip SOF0 (0xC0) to SOF2 (0xC2):
-    # the decoder must refuse loudly, not misparse.
+def test_exotic_sof_types_are_gated():
+    # Lossless (SOF3) and arithmetic-coded (SOF9) remain strict gates.
+    for sof in (0xC3, 0xC9):
+        buf = bytearray(encode_jpeg(_test_image(16, 16), quality=75))
+        idx = buf.find(b"\xff\xc0")
+        assert idx > 0
+        buf[idx + 1] = sof
+        with pytest.raises(NotImplementedError, match="lossless|arithmetic"):
+            decode_jpeg(bytes(buf))
+
+
+def test_baseline_scan_under_sof2_fails_typed():
+    # Flipping SOF0 -> SOF2 leaves a full-band interleaved scan, which
+    # is malformed as progressive (DC scan must have Se == 0): the
+    # decoder must refuse loudly, not misparse.
     buf = bytearray(encode_jpeg(_test_image(16, 16), quality=75))
     idx = buf.find(b"\xff\xc0")
-    assert idx > 0
     buf[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive|baseline"):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(buf))
+
+
+# --- progressive (SOF2): decode must match baseline bit-for-bit ------------
+
+
+@pytest.mark.parametrize(
+    "channels,sampling",
+    [(1, "4:4:4"), (3, "4:4:4"), (3, "4:2:0")],
+)
+def test_progressive_roundtrip_identical_to_baseline(channels, sampling):
+    """Progressive encode uses the SAME quantized coefficients as
+    baseline, so decoding the progressive stream (spectral selection +
+    successive approximation, libjpeg default script) must reproduce
+    the baseline decode EXACTLY — any drift is a scan-accumulation bug."""
+    from etl_lealone_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _test_image(50, 70, channels=channels)
+    if channels == 1:
+        img = img[:, :, 0]
+    base = decode_jpeg(encode_jpeg(img, quality=80, sampling=sampling))
+    prog_buf = encode_jpeg_progressive(img, quality=80, sampling=sampling)
+    prog = decode_jpeg(prog_buf)
+    assert prog[:3] == base[:3]
+    assert np.array_equal(prog[3], base[3])
+    # and it really is a progressive stream with multiple scans
+    assert b"\xff\xc2" in prog_buf
+    assert prog_buf.count(b"\xff\xda") >= 6
+
+
+def test_progressive_spectral_only_script():
+    """Spectral selection without successive approximation (Ah=Al=0
+    everywhere) — the EOBn-run path without refinement bits."""
+    from etl_lealone_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _test_image(41, 57)
+    scans = [
+        ((0, 1, 2), 0, 0, 0, 0),
+        ((0,), 1, 9, 0, 0),
+        ((0,), 10, 63, 0, 0),
+        ((1,), 1, 63, 0, 0),
+        ((2,), 1, 63, 0, 0),
+    ]
+    base = decode_jpeg(encode_jpeg(img, quality=75))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=75, scans=scans))
+    assert np.array_equal(prog[3], base[3])
+
+
+def test_progressive_deep_successive_approximation():
+    """Three successive-approximation levels on the full AC band plus a
+    DC refinement — exercises long EOB runs, ZRL-in-refinement, and
+    correction-bit interleaving at every level."""
+    from etl_lealone_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _test_image(48, 64, channels=1)[:, :, 0]
+    scans = [
+        ((0,), 0, 0, 0, 2),
+        ((0,), 1, 63, 0, 3),
+        ((0,), 1, 63, 3, 2),
+        ((0,), 0, 0, 2, 1),
+        ((0,), 1, 63, 2, 1),
+        ((0,), 0, 0, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+    base = decode_jpeg(encode_jpeg(img, quality=60))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=60, scans=scans))
+    assert np.array_equal(prog[3], base[3])
+
+
+def test_progressive_truncated_and_mutated_fail_typed():
+    from etl_lealone_spark.operators.jpeg import encode_jpeg_progressive
+
+    buf = encode_jpeg_progressive(_test_image(17, 13), quality=70)
+    rng = np.random.default_rng(23)
+    mutants = [buf[: len(buf) // 3], buf[: len(buf) - 2]]
+    for _ in range(300):
+        b = bytearray(buf)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        mutants.append(bytes(b))
+    for m in mutants:
+        try:
+            decode_jpeg(m)
+        except (ValueError, NotImplementedError):
+            pass  # typed failure: the contract
 
 
 def test_truncated_entropy_data_raises():
