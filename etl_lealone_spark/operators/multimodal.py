@@ -6,14 +6,16 @@ multimodal training data. Both the Spark-side plumbing (schemas, batch
 iteration via mapInPandas, partition sizing) AND the codecs are real:
 from-spec stdlib+numpy implementations of netpbm/BMP/PNG raster decode
 (zlib inflate via stdlib), RIFF/WAVE audio (PCM + float, stats,
-resample), MJPEG-in-AVI frame sampling here, and baseline-sequential
-JPEG (huffman, subsampling, restart markers, plus an encoder for
-hermetic roundtrips) in :mod:`.jpeg` — no external codec libraries are
-used or needed. Formats outside those envelopes (progressive JPEG
-SOF2, interlaced PNG, inter-frame video codecs) are STRICT GATES: they
-raise a typed NotImplementedError rather than guessing, and corrupt
-payloads always fail with ValueError at the decode boundary
-(fuzz-pinned in tests/test_jpeg.py, test_gif.py, test_video.py).
+resample), MJPEG-in-AVI frame sampling here, and JPEG — baseline
+sequential AND progressive SOF2 (huffman, subsampling, restart
+markers, spectral selection + successive approximation, plus matching
+encoders for hermetic roundtrips) — in :mod:`.jpeg`. No external codec
+libraries are used or needed. Formats outside those envelopes
+(interlaced PNG, lossless/arithmetic JPEG, inter-frame video codecs)
+are STRICT GATES: they raise a typed NotImplementedError rather than
+guessing, and corrupt payloads always fail with ValueError at the
+decode boundary (fuzz-pinned in tests/test_jpeg.py, test_gif.py,
+test_video.py).
 
 Scale notes: decode/feature-extract runs as mapInPandas over Arrow
 batches — per-partition streaming, no shuffle; partition size should be
@@ -209,10 +211,11 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, strict: bool = False) -
 
 # ---------------------------------------------------------------------------
 # REAL decoders — netpbm P5/P6 and 24-bit BMP parse with numpy alone;
-# PNG (8-bit, non-interlaced, all five scanline filters, color types
-# 0/2/3/4/6) decodes with stdlib zlib + numpy unfiltering; baseline
-# sequential JPEG (incl. subsampling + restart markers) decodes via the
-# from-spec codec in operators/jpeg.py. Progressive JPEG and video
+# PNG (8-bit, non-interlaced AND Adam7-interlaced, all five scanline
+# filters, color types 0/2/3/4/6) decodes with stdlib zlib + numpy
+# unfiltering; JPEG (baseline sequential incl. subsampling + restart
+# markers, and progressive SOF2) decodes via the from-spec codec in
+# operators/jpeg.py. Inter-frame video and lossless/arithmetic JPEG
 # remain gated behind strict-NotImplementedError.
 # ---------------------------------------------------------------------------
 
@@ -337,13 +340,28 @@ def _png_unfilter(raw, h: int, stride: int, bpp: int):
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def _parse_png(buf: bytes):
-    """Decode an 8-bit non-interlaced PNG (stdlib zlib + numpy
-    unfiltering; PNG spec is public) -> (w, h, channels, HxWxC uint8).
+    """Decode an 8-bit PNG, non-interlaced OR Adam7-interlaced (stdlib
+    zlib + numpy unfiltering; PNG spec is public) ->
+    (w, h, channels, HxWxC uint8).
 
     Color types: 0 gray, 2 RGB, 3 palette (expanded to RGB), 4
-    gray+alpha, 6 RGBA. 16-bit and Adam7-interlaced payloads raise —
-    same strict-gate policy as the other codecs.
+    gray+alpha, 6 RGBA. Adam7 decodes each of the 7 reduced images with
+    its own scanline filtering, then scatters into the strided pixel
+    grid. 16-bit payloads raise — same strict-gate policy as the other
+    codecs.
     """
     import struct
     import zlib
@@ -366,16 +384,37 @@ def _parse_png(buf: bytes):
     w, h, depth, color, _comp, _filt, interlace = ihdr
     if depth != 8:
         raise NotImplementedError("only 8-bit PNG supported")
-    if interlace:
-        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"unknown PNG color type {color}")
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
-    if len(raw) != h * (1 + stride):
-        raise ValueError("PNG pixel data length mismatch")
-    arr = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if interlace == 0:
+        if len(raw) != h * (1 + stride):
+            raise ValueError("PNG pixel data length mismatch")
+        arr = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    elif interlace == 1:  # Adam7
+        arr = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass for small images: no bytes at all
+            pstride = pw * channels
+            need = ph * (1 + pstride)
+            part = raw[pos : pos + need]
+            if len(part) != need:
+                raise ValueError("PNG interlaced pass data truncated")
+            pos += need
+            sub = _png_unfilter(part, ph, pstride, channels).reshape(
+                ph, pw, channels
+            )
+            arr[y0::dy, x0::dx] = sub
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
@@ -384,9 +423,11 @@ def _parse_png(buf: bytes):
     return w, h, channels, arr
 
 
-def encode_png(arr) -> bytes:
+def encode_png(arr, interlace: bool = False) -> bytes:
     """HxWxC uint8 -> PNG payload (filter 0, one zlib stream) for
-    roundtrip tests; C in {1: gray, 2: gray+alpha, 3: rgb, 4: rgba}."""
+    roundtrip tests; C in {1: gray, 2: gray+alpha, 3: rgb, 4: rgba}.
+    ``interlace=True`` emits the Adam7 pass sequence (the hermetic twin
+    for the interlaced decode path)."""
     import struct
     import zlib
 
@@ -403,10 +444,28 @@ def encode_png(arr) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    raw = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * c)], axis=1
-    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            parts.append(
+                np.concatenate(
+                    [
+                        np.zeros((ph, 1), dtype=np.uint8),
+                        np.ascontiguousarray(sub).reshape(ph, pw * c),
+                    ],
+                    axis=1,
+                ).tobytes()
+            )
+        raw = b"".join(parts)
+    else:
+        raw = np.concatenate(
+            [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * c)], axis=1
+        ).tobytes()
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

@@ -66,20 +66,42 @@ def scaled_docs(t, k: int):
     return out.repartition(32)
 
 
-def scaled_embeddings(t, k: int):
+def scaled_embeddings(t, k: int, dim: int = 64):
+    """K copies with DISTINCT directions: copy i applies a per-copy
+    deterministic coordinate permutation + sign flips. A permuted copy
+    of a vector points somewhere else entirely, so a query's true
+    neighbors stay in its own copy and every added copy is pure
+    distractor mass — the regime a growing real corpus presents. (The
+    first version nudged every component by +0.003i, which made the 29
+    replicas of the query itself its entire top-10 and pinned measured
+    recall at a meaningless 1.0.)"""
+    import random
+
     e = t["embeddings"]
     if k == 1:
         return e
-    copies = [
-        e.select(
-            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
-            F.transform(
-                "embedding", lambda x: (x + F.lit(i) * F.lit(0.003)).cast("float")
-            ).alias("embedding"),
-            "label",
+    copies = []
+    for i in range(k):
+        if i == 0:
+            copies.append(e)
+            continue
+        rng = random.Random(9000 + i)
+        perm = list(range(dim))
+        rng.shuffle(perm)
+        signs = [rng.choice((-1.0, 1.0)) for _ in range(dim)]
+        vec = F.array(
+            *[
+                (F.col("embedding")[perm[j]] * F.lit(signs[j])).cast("float")
+                for j in range(dim)
+            ]
         )
-        for i in range(k)
-    ]
+        copies.append(
+            e.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
+        )
     out = copies[0]
     for c in copies[1:]:
         out = out.unionAll(c)
@@ -241,5 +263,88 @@ def main() -> None:
             )
 
 
+def recall_probe(ks) -> None:
+    """recall@10 of the approximate ANN indexes vs exact ground truth
+    as the corpus scales (r4 verdict task 6): the LSH auto-tune
+    (planes = log2(n/64)) changes bucket geometry with n, and IVF's
+    probed fraction n_probe/sqrt(n) shrinks — the recall floor must be
+    MEASURED, not assumed. n_queries=20, mean over queries."""
+    import math
+    import shutil
+    import tempfile
+
+    from etl_lealone_spark.operators.similarity import (
+        IvfIndex,
+        brute_force_topk_int,
+        lsh_topk_int,
+        quantize,
+    )
+
+    spark = build_spark(
+        app_name="scale_probe_recall", cores=default_parallelism()
+    )
+    t = load_tables(spark, SF_DIR)
+    nq = 20
+    print("recall@10 vs corpus scale (mean over 20 queries):")
+    for k in ks:
+        emb = scaled_embeddings(t, k).localCheckpoint()
+        n = emb.count()
+        truth = brute_force_topk_int(emb, k=10, n_queries=nq).select(
+            "query_id", "vec_id"
+        )
+        # replicate lsh_topk's auto-tune so the probe measures the
+        # geometry a user gets at this corpus size
+        planes = min(
+            24, max(4, int(math.log2(max(n, 2) / 64)) if n > 128 else 4)
+        )
+        lsh = lsh_topk_int(
+            emb, k=10, n_queries=nq, num_planes=planes
+        ).select("query_id", "vec_id")
+
+        def mean_recall(approx):
+            j = truth.join(
+                approx.withColumn("h", F.lit(1)),
+                ["query_id", "vec_id"],
+                "left",
+            )
+            r = j.agg(
+                (
+                    F.sum(F.coalesce(F.col("h"), F.lit(0)))
+                    / F.count(F.lit(1))
+                ).alias("r")
+            ).collect()[0]["r"]
+            return round(float(r), 3)
+
+        root = tempfile.mkdtemp(prefix="probe_ivf_recall_") + "/idx"
+        idx = IvfIndex(spark, root)
+        idx.build(emb)
+        q = emb.filter(F.col("vec_id") < nq).select(
+            F.col("vec_id").alias("query_id"),
+            quantize(F.col("embedding")).alias("qvec"),
+        )
+        out = {
+            "lsh": mean_recall(lsh),
+            "ivf_p4": mean_recall(
+                idx.topk(q, k=10, n_probe=4).select("query_id", "vec_id")
+            ),
+            "ivf_p8": mean_recall(
+                idx.topk(q, k=10, n_probe=8).select("query_id", "vec_id")
+            ),
+            "ivf_p16": mean_recall(
+                idx.topk(q, k=10, n_probe=16).select("query_id", "vec_id")
+            ),
+        }
+        shutil.rmtree(root, ignore_errors=True)
+        print(
+            f"K={k} n_emb={n} lsh_planes={planes} "
+            + " ".join(f"{m}={v}" for m, v in out.items()),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if "--recall" in sys.argv:
+        ks = [int(a) for a in sys.argv[1:] if a != "--recall"] or [1, 3, 10, 30]
+        recall_probe(ks)
+    else:
+        main()

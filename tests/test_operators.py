@@ -380,16 +380,49 @@ def test_png_gates_16bit_and_interlaced(spark):
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    for depth, interlace, msg in ((16, 0, "8-bit"), (8, 1, "interlaced")):
-        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
-        buf = (
-            b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
-            + chunk(b"IEND", b"")
-        )
-        with pytest.raises(NotImplementedError, match=msg):
-            decode_raster(buf)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_raster(buf)
+    # truncated Adam7 stream (now a SUPPORTED format) fails typed
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlaced pass"):
+        decode_raster(buf)
+
+
+def test_png_adam7_interlaced_roundtrip(spark):
+    """Adam7 encode -> decode must reproduce the array exactly for every
+    color type, including sizes where late passes dominate (odd dims)
+    and tiny images where most passes are EMPTY."""
+    import numpy as np
+
+    from etl_lealone_spark.operators.multimodal import decode_raster, encode_png
+
+    rng = np.random.default_rng(31)
+    for h, w, c in [(13, 17, 3), (8, 8, 1), (21, 5, 4), (3, 3, 2), (1, 9, 3), (2, 2, 1)]:
+        arr = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        dw, dh, dc, back = decode_raster(encode_png(arr, interlace=True))
+        assert (dw, dh) == (w, h)
+        if c == 2:  # gray+alpha keeps 2 channels
+            assert dc == 2 and np.array_equal(back, arr)
+        elif c in (1, 3, 4):
+            assert dc == c and np.array_equal(back, arr)
+    # interlaced and plain encodes of the same array decode identically
+    arr = rng.integers(0, 256, (19, 23, 3), dtype=np.uint8)
+    plain = decode_raster(encode_png(arr))
+    inter = decode_raster(encode_png(arr, interlace=True))
+    assert np.array_equal(plain[3], inter[3])
 
 
 def test_png_through_image_stats_and_resize(spark):
