@@ -122,6 +122,19 @@ def hyperplane_sketch(vec: Column, dim: int, num_planes: int = 16, seed: int = 4
     return bucket
 
 
+def _probe_masks(num_planes: int, depth: int) -> list[int]:
+    """XOR masks for all non-empty bucket perturbations of <= depth
+    bits (depth 1 or 2)."""
+    masks = [1 << p for p in range(num_planes)]
+    if depth >= 2:
+        masks += [
+            (1 << p) | (1 << r)
+            for p in range(num_planes)
+            for r in range(p + 1, num_planes)
+        ]
+    return masks
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -132,6 +145,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    multiprobe: int = 2,
 ) -> DataFrame:
     """Approximate top-k: candidates from the query's LSH bucket plus all
     1-bit multiprobe neighbors, re-ranked by exact cosine.
@@ -141,8 +155,10 @@ def lsh_topk(
     bucket load |corpus| * (probes / 2^planes).
 
     ``num_planes=None`` auto-tunes to ~64 vectors per bucket: planes =
-    log2(n/64). More planes → smaller buckets → faster but lower recall;
-    the 1-bit multiprobe keeps recall usable as buckets shrink.
+    log2(n/64). More planes → smaller buckets → faster but lower
+    recall; ``multiprobe`` (1 or 2 bit flips, default 2) counteracts
+    the shrink — SCALE.md's recall probe shows the depth-1 floor
+    decaying with corpus size while depth-2 holds roughly flat.
     """
     if num_planes is None:
         import math
@@ -158,7 +174,13 @@ def lsh_topk(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(query_vec_col)).alias("qvec"),
     ).withColumn("qbucket", hyperplane_sketch(F.col("qvec"), dim, num_planes))
-    # multiprobe: the bucket itself + each 1-bit flip
+    # multiprobe: the bucket itself + every <=multiprobe-bit flip. The
+    # probe count is 1 + C(planes,1) [+ C(planes,2)] — still a tiny
+    # broadcast — while the candidate fraction rises from ~planes/2^planes
+    # to ~planes^2/2^planes: the recall-vs-scale probe (SCALE.md)
+    # measured the auto-tuned 1-bit probe decaying from 0.58 to 0.22
+    # recall@10 over a 30x corpus; depth 2 holds the floor ~2x higher
+    # at a cost that still vanishes next to the scan.
     probes = q.select(
         "query_id",
         "qvec",
@@ -166,8 +188,8 @@ def lsh_topk(
             F.array(
                 F.col("qbucket"),
                 *[
-                    F.col("qbucket").bitwiseXOR(F.lit(1 << p).cast("long"))
-                    for p in range(num_planes)
+                    F.col("qbucket").bitwiseXOR(F.lit(m).cast("long"))
+                    for m in _probe_masks(num_planes, multiprobe)
                 ],
             )
         ).alias("bucket"),
@@ -247,6 +269,7 @@ def lsh_topk_int(
     num_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Sign-random-projection LSH top-k, fully oracle-checkable.
 
@@ -280,8 +303,8 @@ def lsh_topk_int(
             F.array(
                 F.col("qbucket"),
                 *[
-                    F.col("qbucket").bitwiseXOR(F.lit(1 << p).cast("long"))
-                    for p in range(num_planes)
+                    F.col("qbucket").bitwiseXOR(F.lit(m).cast("long"))
+                    for m in _probe_masks(num_planes, multiprobe)
                 ],
             )
         ).alias("bucket"),

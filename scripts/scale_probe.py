@@ -293,12 +293,16 @@ def recall_probe(ks) -> None:
             "query_id", "vec_id"
         )
         # replicate lsh_topk's auto-tune so the probe measures the
-        # geometry a user gets at this corpus size
+        # geometry a user gets at this corpus size; depth-1 vs depth-2
+        # multiprobe quantifies the recall the probe depth buys back
         planes = min(
             24, max(4, int(math.log2(max(n, 2) / 64)) if n > 128 else 4)
         )
-        lsh = lsh_topk_int(
-            emb, k=10, n_queries=nq, num_planes=planes
+        lsh1 = lsh_topk_int(
+            emb, k=10, n_queries=nq, num_planes=planes, multiprobe=1
+        ).select("query_id", "vec_id")
+        lsh2 = lsh_topk_int(
+            emb, k=10, n_queries=nq, num_planes=planes, multiprobe=2
         ).select("query_id", "vec_id")
 
         def mean_recall(approx):
@@ -323,7 +327,8 @@ def recall_probe(ks) -> None:
             quantize(F.col("embedding")).alias("qvec"),
         )
         out = {
-            "lsh": mean_recall(lsh),
+            "lsh_mp1": mean_recall(lsh1),
+            "lsh_mp2": mean_recall(lsh2),
             "ivf_p4": mean_recall(
                 idx.topk(q, k=10, n_probe=4).select("query_id", "vec_id")
             ),
