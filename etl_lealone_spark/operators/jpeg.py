@@ -571,7 +571,7 @@ def _flat_huff_spec(symbols):
     vals = sorted(set(symbols))
     if not vals:
         vals = [0x00]
-    length = max(2, len(vals).bit_length() + (1 if len(vals).bit_length() < 2 else 0))
+    length = max(2, len(vals).bit_length())
     while (1 << length) <= len(vals):
         length += 1
     bits = [0] * 16
@@ -920,13 +920,24 @@ def _decode_jpeg_impl(buf: bytes):
             if states is None:
                 if ss != 0:
                     raise ValueError("progressive AC scan before DC scan")
-                states = _init_states(frame, segments)
+                states = _init_states(frame, segments, scan_comps)
             _decode_progressive_scan(
                 frame, states, htables, scan_comps, ss, se, ah, al,
                 segments, restart_interval,
             )
         # other markers (APPn, COM): skipped
     if progressive and states is not None:
+        # A progressive image is only complete at EOI: a payload cut at
+        # a scan boundary parses cleanly but is missing refinement /
+        # spectral scans — that must fail typed (corruption contract),
+        # not silently yield degraded pixels. (The loop never *enters*
+        # for a trailing 2-byte EOI — pos+4 > n — so also check the
+        # bytes where parsing stopped.)
+        saw_eoi = marker == 0xD9 or (
+            pos + 2 <= n and buf[pos] == 0xFF and buf[pos + 1] == 0xD9
+        )
+        if not saw_eoi:
+            raise ValueError("progressive JPEG truncated before EOI")
         return _reconstruct(frame, states, qtables)
     raise ValueError("JPEG has no scan data")
 
@@ -944,24 +955,33 @@ def _geometry(frame):
     return hmax, vmax, mcus_x, mcus_y
 
 
-def _init_states(frame, segments):
+def _init_states(frame, segments, scan_comps):
     """Per-component persistent coefficient stores for a progressive
-    frame, with the same decompression-bomb guard as the baseline path:
-    the FIRST scan (required to be DC) codes every block of its
-    components at >= 1 bit each, so a block count beyond 8 bits-per-byte
-    x entropy bytes cannot be real — reject before allocating."""
+    frame, with the same decompression-bomb guard as the baseline path.
+    The guard counts only the FIRST scan's OWN components (T.81 allows
+    a non-interleaved single-component first DC scan, whose entropy
+    bytes bound only that component's blocks): each coded block costs
+    >= 1 bit, so scan blocks beyond 8 bits-per-byte x entropy bytes
+    cannot be real — and the full allocation is at most a small
+    sampling-factor multiple of any one component's block count, so
+    bounding the first scan bounds the allocation too."""
     fh, fw, comps = frame
     if len(comps) not in (1, 3):
         raise NotImplementedError("1- or 3-component JPEG only (no CMYK)")
     hmax, vmax, mcus_x, mcus_y = _geometry(frame)
-    total_blocks = sum(
-        (mcus_x * sh) * (mcus_y * sv) for _, sh, sv, _ in comps
+    scan_cids = {cid for cid, _, _ in scan_comps}
+    scan_blocks = sum(
+        (mcus_x * sh) * (mcus_y * sv)
+        for cid, sh, sv, _ in comps
+        if cid in scan_cids
     )
+    if scan_blocks == 0:
+        raise ValueError("JPEG scan references unknown component")
     entropy_bytes = sum(len(s) for s in segments)
-    if total_blocks > max(1024, entropy_bytes * 8):
+    if scan_blocks > max(1024, entropy_bytes * 8):
         raise ValueError(
             "JPEG frame dimensions inconsistent with entropy data "
-            f"({total_blocks} blocks declared, {entropy_bytes} entropy bytes)"
+            f"({scan_blocks} blocks declared, {entropy_bytes} entropy bytes)"
         )
     states = []
     for cid, sh, sv, tq in comps:

@@ -4,15 +4,16 @@ Media are opaque ``binary`` columns with a typed metadata struct
 (modality, mime, width/height/duration, …) — the columnar pattern for
 multimodal training data. Both the Spark-side plumbing (schemas, batch
 iteration via mapInPandas, partition sizing) AND the codecs are real:
-from-spec stdlib+numpy implementations of netpbm/BMP/PNG raster decode
-(zlib inflate via stdlib), RIFF/WAVE audio (PCM + float, stats,
-resample), MJPEG-in-AVI frame sampling here, and JPEG — baseline
-sequential AND progressive SOF2 (huffman, subsampling, restart
-markers, spectral selection + successive approximation, plus matching
-encoders for hermetic roundtrips) — in :mod:`.jpeg`. No external codec
-libraries are used or needed. Formats outside those envelopes
-(interlaced PNG, lossless/arithmetic JPEG, inter-frame video codecs)
-are STRICT GATES: they raise a typed NotImplementedError rather than
+from-spec stdlib+numpy implementations of netpbm/BMP raster decode,
+PNG (zlib inflate via stdlib; non-interlaced AND Adam7-interlaced),
+RIFF/WAVE audio (PCM + float, stats, resample), MJPEG-in-AVI frame
+sampling here, and JPEG — baseline sequential AND progressive SOF2
+(huffman, subsampling, restart markers, spectral selection +
+successive approximation, plus matching encoders for hermetic
+roundtrips) — in :mod:`.jpeg`. No external codec libraries are used
+or needed. Formats outside those envelopes (16-bit PNG,
+lossless/arithmetic/hierarchical JPEG, inter-frame video codecs) are
+STRICT GATES: they raise a typed NotImplementedError rather than
 guessing, and corrupt payloads always fail with ValueError at the
 decode boundary (fuzz-pinned in tests/test_jpeg.py, test_gif.py,
 test_video.py).

@@ -630,11 +630,30 @@ class IvfIndex:
     # process-wide centroid cache: centroids are train-once (append()
     # never changes them) and ~sqrt(n) rows, so re-collecting them on
     # every probe call is pure fixed cost (~0.15-0.2s/probe measured at
-    # sf0.1). Keyed by (root, _meta.json mtime): build() publishes via
-    # directory swap which rewrites meta, invalidating the entry. FAISS
-    # keeps the coarse quantizer in RAM for the same reason.
+    # sf0.1). Keyed by the centroids directory LISTING (part-file names
+    # are unique per write, plus sizes and ns-mtimes) — a force-rebuild
+    # always changes the key even within one coarse-mtime tick, which a
+    # _meta.json-mtime key could miss (r5 advisor). FAISS keeps the
+    # coarse quantizer in RAM for the same reason.
     _CENTROID_CACHE: dict = {}
     _CENTROID_CACHE_MAX = 8
+
+    @staticmethod
+    def _centroid_cache_key(root: str):
+        import os
+
+        cdir = os.path.join(root, "centroids")
+        try:
+            entries = tuple(
+                sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in os.scandir(cdir)
+                    if e.name.endswith(".parquet")
+                )
+            )
+        except OSError:
+            return None
+        return (os.path.realpath(root), entries) if entries else None
 
     # -- shared kernels ---------------------------------------------------
     def _load_centroids(self, root: str | None = None):
@@ -645,10 +664,8 @@ class IvfIndex:
         import numpy as np
 
         r = root or self.root
-        meta = os.path.join(r, "_meta.json")
-        key = None
-        if os.path.exists(meta):
-            key = (os.path.realpath(r), os.path.getmtime(meta))
+        key = self._centroid_cache_key(r)
+        if key is not None:
             hit = IvfIndex._CENTROID_CACHE.get(key)
             if hit is not None:
                 return hit

@@ -94,11 +94,23 @@ def bnl_is_scalar_broadcast(plan: str) -> bool:
     return True
 
 
-# Scans whose size scales with the data (unlike LocalTableScan /
-# OneRowRelation / ExistingRDD, which are driver-materialized already).
-_UNBOUNDED_SCAN = re.compile(
-    r"FileScan|BatchScan|Scan parquet|Scan csv|Scan json|Scan orc"
+# Leaf sources whose size is NOT known to be driver-bounded: file/table
+# scans, cached relations, JDBC, spark.range, distributed RDD scans.
+# LocalTableScan and OneRowRelation (literal relations, already
+# driver-materialized) are the only sources bounded by construction —
+# everything else needs a dominating bound (r5 advisor: the r4-draft
+# rule recognized only file formats, silently exempting a broadcast of
+# Range(1e9) or an InMemoryTableScan).
+_SOURCE_NODE = re.compile(
+    r"FileScan|BatchScan|InMemoryTableScan|Range \(|\bScan \w"
 )
+_BOUNDED_SOURCE = ("LocalTableScan", "Scan OneRowRelation")
+
+
+def _is_unbounded_source(node_text: str) -> bool:
+    if not _SOURCE_NODE.search(node_text):
+        return False
+    return not any(m in node_text for m in _BOUNDED_SOURCE)
 
 
 def _tree_nodes_exchange_views(nodes, idx):
@@ -133,7 +145,7 @@ def _tree_nodes_exchange_views(nodes, idx):
             seen_any = True
             while stack and stack[-1][0] >= d3:
                 stack.pop()
-            if _UNBOUNDED_SCAN.search(t3) and not any(b for _, b in stack):
+            if _is_unbounded_source(t3) and not any(b for _, b in stack):
                 return []
             stack.append((d3, any(m in t3 for m in _BOUNDED_IN_BCAST)))
         return [t2] if seen_any else []

@@ -146,22 +146,34 @@ def streaming_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.incremental_corpus import IncrementalCorpusBuilder
 
+    import shutil
+
     d = load_tables(spark, sf_dir)["documents"]
     ev = d.filter(F.col("source") == "src0")
     raw = d.filter(F.col("source") != "src0")
     state_root = tempfile.mkdtemp(prefix="stream_corpus_state_")
-    builder = IncrementalCorpusBuilder(spark, state_root, ev)
-    # three ascending-doc_id chunks: the ordered-delivery contract under
-    # which streaming output is pinned identical to the batch build
-    max_id = raw.agg(F.max("doc_id")).collect()[0][0] or 0
-    cuts = [0, max_id // 3 + 1, 2 * max_id // 3 + 1, max_id + 1]
-    for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
-        batch = raw.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        builder.process_batch(batch, batch_id=i, query_key=state_root)
-        # replay the same id: the marker must make it a no-op (the
-        # foreachBatch restart path), or the corpus would double
-        builder.process_batch(batch, batch_id=i, query_key=state_root)
-    return builder.corpus.read()
+    try:
+        builder = IncrementalCorpusBuilder(spark, state_root, ev)
+        # three ascending-doc_id chunks: the ordered-delivery contract
+        # under which streaming output is pinned identical to the batch
+        # build
+        max_id = raw.agg(F.max("doc_id")).collect()[0][0] or 0
+        cuts = [0, max_id // 3 + 1, 2 * max_id // 3 + 1, max_id + 1]
+        for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
+            batch = raw.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            builder.process_batch(batch, batch_id=i, query_key=state_root)
+            # replay the same id: the marker must make it a no-op (the
+            # foreachBatch restart path), or the corpus would double
+            builder.process_batch(batch, batch_id=i, query_key=state_root)
+        # materialize the (small) accepted corpus driver-side so the
+        # state directory can be removed before returning — mkdtemp
+        # state otherwise accumulates across every gate run
+        final = builder.corpus.read()
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(state_root, ignore_errors=True)
 
 
 _DSIR_SQL = """

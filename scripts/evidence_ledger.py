@@ -148,19 +148,21 @@ def main() -> int:
     if mode == "check":
         from etl_lealone_spark.workloads import _PRIORITY
 
-        actual = [n for n in _PRIORITY if n in set(names)][:WINDOW]
+        registered_set = set(names)
+        actual = [n for n in _PRIORITY if n in registered_set][:WINDOW]
+        actual_set = set(actual)
         proposed = set(propose_window(last_green, names))
         extra = [n for n in actual if n not in proposed]
         stale_out = sorted(
-            (n for n in names if n not in set(actual)),
+            (n for n in names if n not in actual_set),
             key=lambda n: last_green.get(n, 0),
         )[: len(extra)]
         if extra:
             print(
-                f"NOTE: {len(extra)} window slots deviate from strict "
-                f"oldest-first: {extra}"
+                f"DEVIATION: {len(extra)} window slots deviate from "
+                f"strict oldest-first: {extra}"
             )
-            print(f"      (displacing, by policy, oldest-out: {stale_out})")
+            print(f"           (displacing, by policy, oldest-out: {stale_out})")
         in_window_never = [n for n in actual if last_green.get(n, 0) == 0]
         print(f"window size: {len(actual)}; never-checked in window: "
               f"{len(in_window_never)}")
@@ -169,12 +171,13 @@ def main() -> int:
             default=0,
         )
         oldest_out = min(
-            (last_green.get(n, 0) for n in names if n not in set(actual)),
+            (last_green.get(n, 0) for n in names if n not in actual_set),
             default=0,
         )
         print(f"oldest evidence inside window: r{oldest_covered:02d}; "
               f"oldest left outside: r{oldest_out:02d}")
-        return 0
+        # non-zero on deviation so 'check' can actually gate (r5 advisor)
+        return 1 if extra else 0
 
     print(__doc__)
     return 2

@@ -190,6 +190,27 @@ def test_progressive_deep_successive_approximation():
     assert np.array_equal(prog[3], base[3])
 
 
+def test_progressive_truncated_at_scan_boundary_raises():
+    """A progressive payload cut at a scan boundary parses cleanly but
+    is missing refinement scans — it must raise (r5 review: it used to
+    return silently degraded pixels), and stripping just the EOI also
+    counts as truncation."""
+    from etl_lealone_spark.operators.jpeg import encode_jpeg_progressive
+
+    buf = encode_jpeg_progressive(_test_image(24, 24), quality=70)
+    # cut right before the 4th SOS
+    idx = -1
+    for _ in range(4):
+        idx = buf.find(b"\xff\xda", idx + 1)
+    assert idx > 0
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(buf[:idx])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(buf[:-2])  # EOI stripped
+    # the intact stream still decodes
+    assert decode_jpeg(buf)[3] is not None
+
+
 def test_progressive_truncated_and_mutated_fail_typed():
     from etl_lealone_spark.operators.jpeg import encode_jpeg_progressive
 

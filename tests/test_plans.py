@@ -391,6 +391,25 @@ def test_bnl_exemption_requires_dominating_bound(spark, tables):
     assert "bnl-join" not in lint_df(ok)
 
 
+def test_bnl_flags_unbounded_non_file_sources(spark, tables):
+    """r5 review: sources that are not FileScans (Range, cached
+    relations) must still count as unbounded inside a broadcast — a
+    forced broadcast of spark.range(1e9) is a driver OOM at scale."""
+    from etl_lealone_spark.plans.lint import lint_df
+
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    big_range = spark.range(10**9).select(F.col("id").alias("r_id"))
+    bad = li.join(F.broadcast(big_range), li.l_quantity < big_range.r_id)
+    assert "bnl-join" in lint_df(bad)
+
+    # a literal relation (LocalTableScan) broadcast stays exempt; a
+    # createDataFrame-backed `Scan ExistingRDD` is NOT (it can wrap an
+    # arbitrary distributed RDD, so it counts as unbounded)
+    lit = spark.sql("SELECT * FROM VALUES (1), (2) AS t(v)")
+    ok = li.crossJoin(F.broadcast(lit))
+    assert "bnl-join" not in lint_df(ok)
+
+
 def test_forced_broadcast_rule(spark, tables):
     """Hint-only rule: a forced broadcast whose subtree scans a fact
     table without a bounding operator is flagged; 1-row aggregates and
