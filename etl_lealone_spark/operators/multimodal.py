@@ -5,13 +5,14 @@ Media are opaque ``binary`` columns with a typed metadata struct
 multimodal training data. Both the Spark-side plumbing (schemas, batch
 iteration via mapInPandas, partition sizing) AND the codecs are real:
 from-spec stdlib+numpy implementations of netpbm/BMP raster decode,
-PNG (zlib inflate via stdlib; non-interlaced AND Adam7-interlaced),
+PNG (zlib inflate via stdlib; 8/16-bit, non-interlaced AND
+Adam7-interlaced),
 RIFF/WAVE audio (PCM + float, stats, resample), MJPEG-in-AVI frame
 sampling here, and JPEG — baseline sequential AND progressive SOF2
 (huffman, subsampling, restart markers, spectral selection +
 successive approximation, plus matching encoders for hermetic
 roundtrips) — in :mod:`.jpeg`. No external codec libraries are used
-or needed. Formats outside those envelopes (16-bit PNG,
+or needed. Formats outside those envelopes (sub-8-bit PNG,
 lossless/arithmetic/hierarchical JPEG, inter-frame video codecs) are
 STRICT GATES: they raise a typed NotImplementedError rather than
 guessing, and corrupt payloads always fail with ValueError at the
@@ -212,7 +213,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, strict: bool = False) -
 
 # ---------------------------------------------------------------------------
 # REAL decoders — netpbm P5/P6 and 24-bit BMP parse with numpy alone;
-# PNG (8-bit, non-interlaced AND Adam7-interlaced, all five scanline
+# PNG (8/16-bit, non-interlaced AND Adam7-interlaced, all five scanline
 # filters, color types 0/2/3/4/6) decodes with stdlib zlib + numpy
 # unfiltering; JPEG (baseline sequential incl. subsampling + restart
 # markers, and progressive SOF2) decodes via the from-spec codec in
@@ -354,15 +355,16 @@ _ADAM7 = (
 
 
 def _parse_png(buf: bytes):
-    """Decode an 8-bit PNG, non-interlaced OR Adam7-interlaced (stdlib
+    """Decode an 8- or 16-bit PNG, non-interlaced OR Adam7-interlaced (stdlib
     zlib + numpy unfiltering; PNG spec is public) ->
     (w, h, channels, HxWxC uint8).
 
     Color types: 0 gray, 2 RGB, 3 palette (expanded to RGB), 4
     gray+alpha, 6 RGBA. Adam7 decodes each of the 7 reduced images with
     its own scanline filtering, then scatters into the strided pixel
-    grid. 16-bit payloads raise — same strict-gate policy as the other
-    codecs.
+    grid. 16-bit samples (big-endian) downconvert to 8-bit by high
+    byte; sub-8-bit depths raise — same strict-gate policy as the
+    other codecs.
     """
     import struct
     import zlib
@@ -383,39 +385,48 @@ def _parse_png(buf: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError("only 8-bit PNG supported")
+    if depth not in (8, 16):
+        raise NotImplementedError("only 8- or 16-bit PNG supported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"unknown PNG color type {color}")
+    if depth == 16 and color == 3:
+        raise ValueError("16-bit palette PNG is not a valid combination")
+    # PNG filters operate on BYTES with bpp = bytes per pixel, so the
+    # 16-bit path reuses the same unfiltering; samples are big-endian,
+    # and decode downconverts to 8-bit by keeping the high byte (the
+    # standard reduction — identical to value // 257 within rounding).
+    bpp = channels * (depth // 8)
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
+    stride = w * bpp
     if interlace == 0:
         if len(raw) != h * (1 + stride):
             raise ValueError("PNG pixel data length mismatch")
-        arr = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+        arr = _png_unfilter(raw, h, stride, bpp).reshape(h, w, bpp)
     elif interlace == 1:  # Adam7
-        arr = np.zeros((h, w, channels), dtype=np.uint8)
+        arr = np.zeros((h, w, bpp), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass for small images: no bytes at all
-            pstride = pw * channels
+            pstride = pw * bpp
             need = ph * (1 + pstride)
             part = raw[pos : pos + need]
             if len(part) != need:
                 raise ValueError("PNG interlaced pass data truncated")
             pos += need
-            sub = _png_unfilter(part, ph, pstride, channels).reshape(
-                ph, pw, channels
+            sub = _png_unfilter(part, ph, pstride, bpp).reshape(
+                ph, pw, bpp
             )
             arr[y0::dy, x0::dx] = sub
         if pos != len(raw):
             raise ValueError("PNG pixel data length mismatch")
     else:
         raise ValueError(f"unknown PNG interlace method {interlace}")
+    if depth == 16:
+        arr = arr[:, :, 0::2]  # big-endian high byte per sample
     if color == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
@@ -424,11 +435,12 @@ def _parse_png(buf: bytes):
     return w, h, channels, arr
 
 
-def encode_png(arr, interlace: bool = False) -> bytes:
-    """HxWxC uint8 -> PNG payload (filter 0, one zlib stream) for
+def encode_png(arr, interlace: bool = False, depth: int = 8) -> bytes:
+    """HxWxC array -> PNG payload (filter 0, one zlib stream) for
     roundtrip tests; C in {1: gray, 2: gray+alpha, 3: rgb, 4: rgba}.
-    ``interlace=True`` emits the Adam7 pass sequence (the hermetic twin
-    for the interlaced decode path)."""
+    ``interlace=True`` emits the Adam7 pass sequence; ``depth=16``
+    takes a uint16 array and writes big-endian 16-bit samples (the
+    hermetic twins for the interlaced and deep-sample decode paths)."""
     import struct
     import zlib
 
@@ -436,6 +448,16 @@ def encode_png(arr, interlace: bool = False) -> bytes:
 
     h, w, c = arr.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if depth == 8:
+        byte_arr = np.asarray(arr, dtype=np.uint8)
+    elif depth == 16:
+        a16 = np.asarray(arr, dtype=np.uint16)
+        byte_arr = (
+            a16.astype(">u2").view(np.uint8).reshape(h, w, c * 2)
+        )
+    else:
+        raise ValueError("encode_png writes depth 8 or 16")
+    bpp = byte_arr.shape[2]
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -445,11 +467,13 @@ def encode_png(arr, interlace: bool = False) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0
+    )
     if interlace:
         parts = []
         for x0, y0, dx, dy in _ADAM7:
-            sub = arr[y0::dy, x0::dx]
+            sub = byte_arr[y0::dy, x0::dx]
             ph, pw = sub.shape[:2]
             if ph == 0 or pw == 0:
                 continue
@@ -457,7 +481,7 @@ def encode_png(arr, interlace: bool = False) -> bytes:
                 np.concatenate(
                     [
                         np.zeros((ph, 1), dtype=np.uint8),
-                        np.ascontiguousarray(sub).reshape(ph, pw * c),
+                        np.ascontiguousarray(sub).reshape(ph, pw * bpp),
                     ],
                     axis=1,
                 ).tobytes()
@@ -465,7 +489,8 @@ def encode_png(arr, interlace: bool = False) -> bytes:
         raw = b"".join(parts)
     else:
         raw = np.concatenate(
-            [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * c)], axis=1
+            [np.zeros((h, 1), dtype=np.uint8), byte_arr.reshape(h, w * bpp)],
+            axis=1,
         ).tobytes()
     return (
         _PNG_SIG
@@ -528,15 +553,78 @@ def encode_ppm(arr) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+# --- G.711 companding (ITU-T G.711; algorithm per the public-domain
+# Sun g711.c reference implementation). Decode is a 256-entry LUT;
+# encode does the segment search. Both directions are exact integer
+# maps, so re-encoding any decoded level returns the original code —
+# the bijectivity the roundtrip test pins.
+def _g711_build_luts():
+    import numpy as np
+
+    ulaw = np.empty(256, dtype=np.float64)
+    alaw = np.empty(256, dtype=np.float64)
+    for code in range(256):
+        u = ~code & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw[code] = (0x84 - t if u & 0x80 else t - 0x84) / 32768.0
+        a = code ^ 0x55
+        seg = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[code] = (t if a & 0x80 else -t) / 32768.0
+    return ulaw, alaw
+
+
+_ULAW_DECODE_LUT, _ALAW_DECODE_LUT = _g711_build_luts()
+
+
+def _linear_to_ulaw(pcm):
+    """int16-range numpy array -> mu-law codes (G.711 segment search:
+    bias, locate the highest set bit above bit 7, keep 4 mantissa
+    bits, invert)."""
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    # segment = bit_length(mag) - 8, clipped to 0..7
+    seg = np.clip(
+        np.floor(np.log2(mag)).astype(np.int64) - 7, 0, 7
+    )
+    mant = (mag >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def _linear_to_alaw(pcm):
+    """int16-range numpy array -> A-law codes (G.711: 13-bit domain,
+    segment search, XOR 0x55)."""
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.int64) >> 3  # 16 -> 13 bit domain
+    sign = np.where(x >= 0, 0xD5, 0x55)
+    mag = np.where(x >= 0, x, -x - 1)
+    seg = np.clip(
+        np.floor(np.log2(np.maximum(mag, 1))).astype(np.int64) - 4, 0, 7
+    )
+    mant = np.where(seg < 2, (mag >> 1) & 0x0F, (mag >> seg) & 0x0F)
+    return (((seg << 4) | mant) ^ sign).astype(np.uint8)
+
+
 def _parse_wav(buf: bytes):
     """Decode RIFF/WAVE -> (sample_rate, channels, float64 samples in
     [-1, 1] shaped (n_frames, channels)).
 
-    PCM 8-bit unsigned, 16/24/32-bit signed little-endian, and IEEE
-    float32 (format 3); WAVE_FORMAT_EXTENSIBLE resolves through its
-    sub-format tag. Anything else (ADPCM, mp3-in-wav) raises; corrupt
-    payloads always raise ValueError (same boundary contract as
-    decode_raster)."""
+    PCM 8-bit unsigned, 16/24/32-bit signed little-endian, IEEE
+    float32/64 (format 3), and G.711 mu-law/A-law (formats 7/6 — the
+    telephony-corpus encodings); WAVE_FORMAT_EXTENSIBLE resolves
+    through its sub-format tag. Anything else (ADPCM, mp3-in-wav)
+    raises; corrupt payloads always raise ValueError (same boundary
+    contract as decode_raster)."""
     import struct
 
     try:
@@ -598,6 +686,10 @@ def _parse_wav_impl(buf: bytes):
             samples = np.frombuffer(data, dtype="<f8").astype(np.float64)
         else:
             raise NotImplementedError(f"{bits}-bit float WAV unsupported")
+    elif tag == 6:  # G.711 A-law (telephony corpora)
+        samples = _ALAW_DECODE_LUT[np.frombuffer(data, dtype=np.uint8)]
+    elif tag == 7:  # G.711 mu-law
+        samples = _ULAW_DECODE_LUT[np.frombuffer(data, dtype=np.uint8)]
     else:
         raise NotImplementedError(
             f"compressed WAV format tag {tag} (ADPCM/mp3 need a codec lib)"
@@ -606,9 +698,12 @@ def _parse_wav_impl(buf: bytes):
     return rate, channels, samples[: frames * channels].reshape(frames, channels)
 
 
-def encode_wav(samples, sample_rate: int, bits: int = 16) -> bytes:
-    """(n_frames, channels) float in [-1, 1] -> PCM WAV bytes (16-bit
-    signed or 32-bit IEEE float)."""
+def encode_wav(
+    samples, sample_rate: int, bits: int = 16, companding: str | None = None
+) -> bytes:
+    """(n_frames, channels) float in [-1, 1] -> WAV bytes: 16-bit
+    signed PCM, 32-bit IEEE float, or (``companding`` = 'ulaw'/'alaw')
+    8-bit G.711 telephony encoding."""
     import struct
 
     import numpy as np
@@ -617,7 +712,18 @@ def encode_wav(samples, sample_rate: int, bits: int = 16) -> bytes:
     if arr.ndim == 1:
         arr = arr[:, None]
     channels = arr.shape[1]
-    if bits == 16:
+    if companding is not None:
+        pcm = np.clip(np.round(arr * 32768.0), -32768, 32767).astype(np.int64)
+        if companding == "ulaw":
+            data = _linear_to_ulaw(pcm).tobytes()
+            tag = 7
+        elif companding == "alaw":
+            data = _linear_to_alaw(pcm).tobytes()
+            tag = 6
+        else:
+            raise ValueError("companding must be 'ulaw' or 'alaw'")
+        bits, bps = 8, 1
+    elif bits == 16:
         data = (
             np.clip(np.round(arr * 32768.0), -32768, 32767)
             .astype("<i2")

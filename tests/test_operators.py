@@ -380,6 +380,17 @@ def test_png_gates_16bit_and_interlaced(spark):
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
+    # sub-8-bit depths stay gated (16-bit is now a supported decode)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="8- or 16-bit"):
+        decode_raster(buf)
+    # truncated 16-bit stream fails typed
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     buf = (
         b"\x89PNG\r\n\x1a\n"
@@ -387,7 +398,7 @@ def test_png_gates_16bit_and_interlaced(spark):
         + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="8-bit"):
+    with pytest.raises(ValueError, match="length mismatch"):
         decode_raster(buf)
     # truncated Adam7 stream (now a SUPPORTED format) fails typed
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
@@ -399,6 +410,61 @@ def test_png_gates_16bit_and_interlaced(spark):
     )
     with pytest.raises(ValueError, match="interlaced pass"):
         decode_raster(buf)
+
+
+def test_png_16bit_decodes_high_byte(spark):
+    """16-bit big-endian samples downconvert to their high byte; the
+    encoder writes real deep samples so the low bytes genuinely differ
+    from the high bytes (catching an endianness mixup), in both plain
+    and Adam7 layouts."""
+    import numpy as np
+
+    from etl_lealone_spark.operators.multimodal import decode_raster, encode_png
+
+    rng = np.random.default_rng(37)
+    for c in (1, 3, 4):
+        arr16 = rng.integers(0, 65536, (11, 7, c), dtype=np.uint16)
+        for interlace in (False, True):
+            w, h, dc, back = decode_raster(
+                encode_png(arr16, interlace=interlace, depth=16)
+            )
+            assert (w, h, dc) == (7, 11, c)
+            assert np.array_equal(back, (arr16 >> 8).astype(np.uint8))
+
+
+def test_wav_g711_companding_roundtrip(spark):
+    """G.711 mu-law / A-law WAV decode: encode->decode->re-encode is
+    code-identical for every reachable code (companding is bijective on
+    the code space; mu-law's two zero codes both decode to 0), and the
+    decoded signal matches the source within the companding error."""
+    import numpy as np
+
+    from etl_lealone_spark.operators.multimodal import (
+        _ALAW_DECODE_LUT,
+        _ULAW_DECODE_LUT,
+        _linear_to_alaw,
+        _linear_to_ulaw,
+        _parse_wav,
+        encode_wav,
+    )
+
+    t = np.linspace(0, 1, 800)
+    sig = (0.6 * np.sin(2 * np.pi * 13 * t))[:, None]
+    for comp in ("ulaw", "alaw"):
+        buf = encode_wav(sig, 8000, companding=comp)
+        rate, ch, back = _parse_wav(buf)
+        assert (rate, ch) == (8000, 1)
+        assert back.shape == sig.shape
+        # companding SNR: coarse, but the waveform must track closely
+        err = float(np.abs(back - sig).max())
+        assert err < 0.05, err
+    # bijectivity over the code space (modulo mu-law's +0/-0 pair)
+    codes = np.arange(256, dtype=np.uint8)
+    u_lin = np.round(_ULAW_DECODE_LUT[codes] * 32768).astype(np.int64)
+    a_lin = np.round(_ALAW_DECODE_LUT[codes] * 32768).astype(np.int64)
+    u_back = _linear_to_ulaw(u_lin)
+    assert all(b == c or (c == 0x7F and b == 0xFF) for c, b in zip(codes, u_back))
+    assert np.array_equal(_linear_to_alaw(a_lin), codes)
 
 
 def test_png_adam7_interlaced_roundtrip(spark):
