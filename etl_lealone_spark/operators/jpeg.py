@@ -888,7 +888,13 @@ def _decode_jpeg_impl(buf: bytes):
             comps = []
             for i in range(nc):
                 cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
-                comps.append((cid, samp >> 4, samp & 15, tq))
+                sh, sv = samp >> 4, samp & 15
+                # T.81 A.1.1: sampling factors are 1..4. Enforcing the
+                # spec range also bounds the bomb-guard amplification a
+                # crafted large-factor SOF could otherwise buy.
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError("JPEG sampling factor out of range")
+                comps.append((cid, sh, sv, tq))
             frame = (fh, fw, comps)
             progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -920,7 +926,7 @@ def _decode_jpeg_impl(buf: bytes):
             if states is None:
                 if ss != 0:
                     raise ValueError("progressive AC scan before DC scan")
-                states = _init_states(frame, segments, scan_comps)
+                states = _init_states(frame, segments, scan_comps, len(buf))
             _decode_progressive_scan(
                 frame, states, htables, scan_comps, ss, se, ah, al,
                 segments, restart_interval,
@@ -955,16 +961,20 @@ def _geometry(frame):
     return hmax, vmax, mcus_x, mcus_y
 
 
-def _init_states(frame, segments, scan_comps):
+def _init_states(frame, segments, scan_comps, buf_len):
     """Per-component persistent coefficient stores for a progressive
-    frame, with the same decompression-bomb guard as the baseline path.
-    The guard counts only the FIRST scan's OWN components (T.81 allows
-    a non-interleaved single-component first DC scan, whose entropy
-    bytes bound only that component's blocks): each coded block costs
-    >= 1 bit, so scan blocks beyond 8 bits-per-byte x entropy bytes
-    cannot be real — and the full allocation is at most a small
-    sampling-factor multiple of any one component's block count, so
-    bounding the first scan bounds the allocation too."""
+    frame, with a two-part decompression-bomb guard:
+
+    - the FIRST scan's own components (T.81 allows a non-interleaved
+      single-component first DC scan, whose entropy bytes bound only
+      that component's blocks) must fit >= 1 coded bit per block in the
+      scan's entropy data;
+    - TOTAL blocks across all components must fit >= 1 bit per block in
+      the WHOLE payload — every component eventually needs a DC scan,
+      so a complete file carries at least that much entropy. Without
+      this second bound a crafted high-sampling-factor SOF plus a tiny
+      single-component first scan could pass the per-scan check while
+      the all-components allocation runs to gigabytes (r5 review)."""
     fh, fw, comps = frame
     if len(comps) not in (1, 3):
         raise NotImplementedError("1- or 3-component JPEG only (no CMYK)")
@@ -982,6 +992,14 @@ def _init_states(frame, segments, scan_comps):
         raise ValueError(
             "JPEG frame dimensions inconsistent with entropy data "
             f"({scan_blocks} blocks declared, {entropy_bytes} entropy bytes)"
+        )
+    total_blocks = sum(
+        (mcus_x * sh) * (mcus_y * sv) for _, sh, sv, _ in comps
+    )
+    if total_blocks > max(1024, buf_len * 8):
+        raise ValueError(
+            "JPEG frame dimensions inconsistent with payload size "
+            f"({total_blocks} blocks declared, {buf_len} payload bytes)"
         )
     states = []
     for cid, sh, sv, tq in comps:

@@ -124,9 +124,13 @@ def hyperplane_sketch(vec: Column, dim: int, num_planes: int = 16, seed: int = 4
 
 def _probe_masks(num_planes: int, depth: int) -> list[int]:
     """XOR masks for all non-empty bucket perturbations of <= depth
-    bits (depth 1 or 2)."""
+    bits. Only depths 1 and 2 are meaningful trades; anything else is
+    a caller error, rejected loudly rather than silently probing the
+    wrong candidate set (r5 review)."""
+    if depth not in (1, 2):
+        raise ValueError("multiprobe depth must be 1 or 2")
     masks = [1 << p for p in range(num_planes)]
-    if depth >= 2:
+    if depth == 2:
         masks += [
             (1 << p) | (1 << r)
             for p in range(num_planes)
@@ -147,8 +151,9 @@ def lsh_topk(
     query_vec_col: str = "query_vec",
     multiprobe: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: candidates from the query's LSH bucket plus all
-    1-bit multiprobe neighbors, re-ranked by exact cosine.
+    """Approximate top-k: candidates from the query's LSH bucket plus
+    all <= ``multiprobe``-bit perturbation neighbors, re-ranked by
+    exact cosine.
 
     The corpus is sketched once (map-only) and joined on the 8-byte
     bucket key — the scan per query drops from |corpus| to the expected
@@ -175,15 +180,17 @@ def lsh_topk(
         _as_double(F.col(query_vec_col)).alias("qvec"),
     ).withColumn("qbucket", hyperplane_sketch(F.col("qvec"), dim, num_planes))
     # multiprobe: the bucket itself + every <=multiprobe-bit flip. The
-    # probe count is 1 + C(planes,1) [+ C(planes,2)] — still a tiny
-    # broadcast — while the candidate fraction rises from ~planes/2^planes
-    # to ~planes^2/2^planes: the recall-vs-scale probe (SCALE.md)
-    # measured the auto-tuned 1-bit probe decaying from 0.58 to 0.22
-    # recall@10 over a 30x corpus; depth 2 holds the floor ~2x higher
-    # at a cost that still vanishes next to the scan.
+    # probe count is 1 + C(planes,1) [+ C(planes,2)] while the candidate
+    # fraction rises from ~planes/2^planes to ~planes^2/2^planes: the
+    # recall-vs-scale probe (SCALE.md) measured the auto-tuned 1-bit
+    # probe decaying from 0.58 to 0.22 recall@10 over a 30x corpus;
+    # depth 2 holds the floor ~2x higher. The broadcast probe table
+    # carries ONLY (query_id, bucket) — 16 bytes/row — and qvec joins
+    # back from the small query set after the bucket match, so the
+    # depth-2 fan-out multiplies skinny rows, not 520-byte vectors
+    # (r5 review: qvec-in-probes made the broadcast ~8-12x heavier).
     probes = q.select(
         "query_id",
-        "qvec",
         F.explode(
             F.array(
                 F.col("qbucket"),
@@ -194,10 +201,14 @@ def lsh_topk(
             )
         ).alias("bucket"),
     )
-    scored = c.join(F.broadcast(probes), on="bucket").select(
-        "query_id",
-        "vec_id",
-        cosine(F.col("cvec"), F.col("qvec")).alias("cosine_sim"),
+    scored = (
+        c.join(F.broadcast(probes), on="bucket")
+        .join(F.broadcast(q.select("query_id", "qvec")), on="query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("cvec"), F.col("qvec")).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id")
@@ -296,9 +307,10 @@ def lsh_topk_int(
         vec_col="qvec",
         out_col="qbucket",
     )
+    # skinny (query_id, bucket) broadcast; qvec joins back post-match
+    # (same shape rationale as lsh_topk)
     probes = q.select(
         "query_id",
-        "qvec",
         F.explode(
             F.array(
                 F.col("qbucket"),
@@ -309,16 +321,20 @@ def lsh_topk_int(
             )
         ).alias("bucket"),
     )
-    scored = c.join(F.broadcast(probes), on="bucket").select(
-        "query_id",
-        "vec_id",
-        (
-            int_dot(F.col("cvec"), F.col("qvec")).cast("double")
-            / (
-                F.sqrt(int_dot(F.col("cvec"), F.col("cvec")).cast("double"))
-                * F.sqrt(int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
-            )
-        ).alias("cosine_sim"),
+    scored = (
+        c.join(F.broadcast(probes), on="bucket")
+        .join(F.broadcast(q.select("query_id", "qvec")), on="query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                int_dot(F.col("cvec"), F.col("qvec")).cast("double")
+                / (
+                    F.sqrt(int_dot(F.col("cvec"), F.col("cvec")).cast("double"))
+                    * F.sqrt(int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
+                )
+            ).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id")
