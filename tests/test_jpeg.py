@@ -256,6 +256,39 @@ def test_sof_dimension_bomb_rejected_before_allocation():
         decode_jpeg(bytes(buf))
 
 
+def test_progressive_sampling_factor_bomb_rejected():
+    """r5 review: a progressive SOF with a high-sampling-factor luma
+    component plus a tiny SINGLE-component first DC scan used to pass
+    the per-scan bomb guard while the all-components allocation ran to
+    gigabytes. The whole-payload bound must reject it BEFORE allocating;
+    out-of-spec sampling factors (>4) fail typed too."""
+    import struct
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def craft(samp_luma):
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDB, bytes([0x00]) + bytes(64))  # all-zero quant ok for parse
+        sof = struct.pack(">BHHB", 8, 20000, 20000, 3)
+        sof += bytes([1, samp_luma, 0])  # luma: (samp>>4, samp&15)
+        sof += bytes([2, 0x11, 0])
+        sof += bytes([3, 0x11, 0])
+        out += seg(0xC2, sof)
+        # DC huffman table: single 1-bit code for category 0
+        out += seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0]))
+        # single-component (chroma) DC-first scan with ~64KB junk entropy
+        out += seg(0xDA, bytes([1, 2, 0x00, 0, 0, 0]))
+        out += b"\x55" * 65536
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    with pytest.raises(ValueError, match="payload size"):
+        decode_jpeg(craft(0x44))  # legal 4x4 luma: amplification attack
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg(craft(0x55))  # 5x5: outside T.81's 1..4
+
+
 def test_corrupt_dht_symbols_fail_typed_not_overflow():
     """A DHT whose value list contains symbols > 15 makes the entropy
     decoder request huge bit counts, building Python ints too large for
