@@ -396,6 +396,107 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(q, k=TOP_K, n_probe=4)
 
 
+_IVF_STREAM_CUT = (
+    "(SELECT cast(floor(max(vec_id) / 3.0) as bigint) + 1 FROM embeddings)"
+)
+
+_IVF_STREAM_SQL = f"""
+    WITH cq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS cvec
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, cvec AS centvec,
+             sqrt(cast(list_sum([cvec[i+1]*cvec[i+1] for i in range(len(cvec))]) as double)) AS cnorm
+      FROM cq
+      WHERE vec_id < {_IVF_STREAM_CUT}
+        AND vec_id % (SELECT greatest(1, cast(floor(sqrt(cast(count(*) as double))) as bigint))
+                      FROM embeddings WHERE vec_id < {_IVF_STREAM_CUT}) = 0
+    ),
+    assign AS (
+      SELECT vec_id, cvec, cid FROM (
+        SELECT c.vec_id, c.cvec, ct.cid,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                 cast(list_sum([c.cvec[i+1]*ct.centvec[i+1] for i in range(len(c.cvec))]) as double) / ct.cnorm DESC,
+                 ct.cid) AS rn
+        FROM cq c CROSS JOIN cent ct
+      ) t WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, cvec AS qvec FROM cq WHERE vec_id < {N_QUERIES}),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, ct.cid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 cast(list_sum([q.qvec[i+1]*ct.centvec[i+1] for i in range(len(q.qvec))]) as double) / ct.cnorm DESC,
+                 ct.cid) AS rn
+        FROM q CROSS JOIN cent ct
+      ) t WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             cast(list_sum([a.cvec[i+1]*q.qvec[i+1] for i in range(len(a.cvec))]) as double)
+             / (sqrt(cast(list_sum([a.cvec[i+1]*a.cvec[i+1] for i in range(len(a.cvec))]) as double))
+                * sqrt(cast(list_sum([q.qvec[i+1]*q.qvec[i+1] for i in range(len(q.qvec))]) as double)))
+               AS cosine_sim
+      FROM probe p
+      JOIN assign a ON a.cid = p.cid
+      JOIN q ON q.query_id = p.query_id
+    )
+    SELECT query_id, vec_id, cosine_sim, rnk FROM (
+      SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= {TOP_K}
+    """
+
+
+@workload(
+    "ann_ivf_stream_build",
+    _IVF_STREAM_SQL,
+    doc="IVF index built through the STREAMING maintenance path: train "
+    "on the first third of the corpus (FAISS train-once), then append "
+    "the remaining two thirds as micro-batches via "
+    "StreamingIvfMaintainer — including a commit-marker replay that "
+    "must be a no-op — and probe. The oracle recomputes the "
+    "chunk-trained quantizer + full-corpus assignment + probe exactly, "
+    "so the stream-maintained inverted lists are hash-checked against "
+    "SQL, not just pytest-pinned batch-equal (r4 verdict task 8 "
+    "follow-through for the ANN surface).",
+)
+def ann_ivf_stream_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import IvfIndex
+    from ..streaming.ann_maintenance import StreamingIvfMaintainer
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    max_id = e.agg(F.max("vec_id")).collect()[0][0] or 0
+    cut = max_id // 3 + 1
+    root = tempfile.mkdtemp(prefix="ivf_stream_") + "/idx"
+    try:
+        idx = IvfIndex(spark, root)
+        idx.build(e.filter(F.col("vec_id") < cut))
+        maint = StreamingIvfMaintainer(idx)
+        b1 = e.filter((F.col("vec_id") >= cut) & (F.col("vec_id") < 2 * cut))
+        b2 = e.filter(F.col("vec_id") >= 2 * cut)
+        maint.process_batch(b1, batch_id=0, query_key=root)
+        # replay of the same batch id: the marker must no-op it, or the
+        # inverted lists would double
+        maint.process_batch(b1, batch_id=0, query_key=root)
+        maint.process_batch(b2, batch_id=1, query_key=root)
+        q = e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            _quantized(F.col("embedding")).alias("qvec"),
+        )
+        out = idx.topk(q, k=TOP_K, n_probe=4)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @workload(
     "semantic_dedup_survivors",
     """
