@@ -162,6 +162,44 @@ def test_connected_components_match_union_find(spark, edges):
     assert got == want
 
 
+TOPK_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),  # f1 (unique-ified below)
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(rows=TOPK_ROWS, k=st.integers(0, 6), offset=st.integers(0, 4),
+       descending=st.booleans())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_threshold_topk_matches_plain_plan(spark, rows, k, offset, descending):
+    """threshold_topk == orderBy/offset/limit for arbitrary data: heavy
+    ties, nulls, tiny inputs (fallback), both directions, any k/offset.
+    The sample parameters are set low so BOTH code paths (threshold and
+    fallback) get exercised across examples."""
+    from etl_lealone_spark.operators.topk import threshold_topk
+
+    data = [(i, v) for i, (_, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "f1 int, f2 long").repartition(4)
+    got = [
+        tuple(r)
+        for r in threshold_topk(
+            df, "f2", k, offset, descending,
+            tiebreak=[F.col("f1")], sample_fraction=0.5, sample_k=8,
+        ).collect()
+    ]
+    order = [
+        F.col("f2").desc() if descending else F.col("f2").asc(),
+        F.col("f1"),
+    ]
+    want = [tuple(r) for r in df.orderBy(*order).offset(offset).limit(k).collect()]
+    assert got == want
+
+
 def test_connected_components_distributed_branch_matches_union_find(spark):
     """Force the label-propagation + pointer-jumping branch
     (small_graph_threshold=0) — the path that runs at 100 TB — and pin
