@@ -88,6 +88,21 @@ def test_k_exceeds_rowcount(spark):
     assert len(got) == 10
 
 
+def test_string_primary_key(spark):
+    # tau comparisons work on any orderable type, not just numerics
+    df = spark.range(5_000).select(
+        F.col("id").cast("int").alias("f1"),
+        F.concat(F.lit("k"), F.lpad((F.xxhash64("id") % 1000).cast("string"), 6, "0")).alias("f2"),
+    )
+    got = _rows(
+        threshold_topk(
+            df, "f2", 4, 1, True,
+            tiebreak=[F.col("f1")], sample_fraction=0.1, sample_k=32,
+        )
+    )
+    assert got == _plain(df, "f2", 4, 1, True, [F.col("f1")])
+
+
 def test_zero_k(spark):
     df = spark.range(10).select(F.col("id").alias("f1"), F.col("id").alias("f2"))
     assert threshold_topk(df, "f2", 0, 3, True).count() == 0
