@@ -181,6 +181,18 @@ def main() -> None:
             .save(),
         )
         timed(
+            "dedup_clusters_lp",
+            # small_graph_threshold=0 forces the distributed
+            # label-propagation branch — the 100 TB code path — so its
+            # wall scaling is measured alongside the union-find route
+            lambda: dedup.connected_components(
+                dedup.minhash_lsh_pairs(docs), small_graph_threshold=0
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        timed(
             "bm25_topk",
             lambda: bm25_scores(docs, ["widget", "gear", "ring"])
             .orderBy(F.desc("bm25"), "doc_id")

@@ -336,16 +336,33 @@ def test_codecs_never_crash_on_mutated_payloads():
         _parse_wav,
     )
 
+    from etl_lealone_spark.operators.jpeg import encode_jpeg_progressive
+
     img = _test_image(17, 13)
+    img16 = (img.astype(np.uint16) << 8) | 0x5A
     seeds = {
         "jpeg": encode_jpeg(img, quality=70),
+        "jpeg_prog": encode_jpeg_progressive(img, quality=70),
         "png": encode_png(img),
+        "png_adam7": encode_png(img, interlace=True),
+        "png16": encode_png(img16, depth=16),
         "gif": encode_gif((img // 64) * 64),
         "ppm": encode_ppm(img),
         "wav": encode_wav(np.linspace(-0.5, 0.5, 300)[:, None], 8000),
+        "wav_ulaw": encode_wav(
+            np.linspace(-0.5, 0.5, 300)[:, None], 8000, companding="ulaw"
+        ),
+        "wav_alaw": encode_wav(
+            np.linspace(-0.5, 0.5, 300)[:, None], 8000, companding="alaw"
+        ),
         "avi": encode_avi_mjpeg([encode_jpeg(img, quality=70)] * 3, fps=5),
     }
-    decoders = {"wav": _parse_wav, "avi": _parse_avi_mjpeg}
+    decoders = {
+        "wav": _parse_wav,
+        "wav_ulaw": _parse_wav,
+        "wav_alaw": _parse_wav,
+        "avi": _parse_avi_mjpeg,
+    }
     rng = np.random.default_rng(11)
     for kind, buf in seeds.items():
         decoder = decoders.get(kind, decode_raster)
