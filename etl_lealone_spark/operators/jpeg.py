@@ -343,8 +343,8 @@ def _prepare_frame(arr, quality: int, sampling: str):
     h, w, nc = arr.shape
     if nc not in (1, 3):
         raise ValueError("encode_jpeg supports 1 or 3 channels")
-    if sampling not in ("4:4:4", "4:2:0"):
-        raise ValueError("sampling must be 4:4:4 or 4:2:0")
+    if sampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError("sampling must be 4:4:4, 4:2:2 or 4:2:0")
     lum_q, chroma_q = quality_tables(quality)
 
     if nc == 1:
@@ -365,6 +365,14 @@ def _prepare_frame(arr, quality: int, sampling: str):
 
             planes = [y, down(cb), down(cr)]
             samps = [(2, 2), (1, 1), (1, 1)]
+        elif sampling == "4:2:2":
+            # horizontal-only 1x2 box-average (the video-derived layout)
+            def down_h(p):
+                p = _pad_to(p, 1, 2)
+                return p.reshape(p.shape[0], p.shape[1] // 2, 2).mean(axis=2)
+
+            planes = [y, down_h(cb), down_h(cr)]
+            samps = [(2, 1), (1, 1), (1, 1)]
         else:
             planes = [y, cb, cr]
             samps = [(1, 1), (1, 1), (1, 1)]
@@ -419,7 +427,7 @@ def encode_jpeg(
 ) -> bytes:
     """HxWx1 (grayscale) or HxWx3 (RGB) uint8 -> baseline JFIF bytes.
 
-    ``sampling`` is '4:4:4' or '4:2:0' (color only). ``restart_interval``
+    ``sampling`` is '4:4:4', '4:2:2' or '4:2:0' (color only). ``restart_interval``
     > 0 emits DRI + RSTn markers every that-many MCUs (what real encoders
     do for error resilience; exercises the decoder's restart path)."""
     (

@@ -78,6 +78,30 @@ def test_quality_ladder_monotone_size_and_fidelity():
     assert psnrs[0] < psnrs[1] < psnrs[2]
 
 
+def test_422_subsampling_roundtrip():
+    # horizontal-only chroma subsampling (2,1) — the video-derived
+    # layout; exercises asymmetric sampling ratios in the decoder
+    img = _test_image(50, 70)
+    buf = encode_jpeg(img, quality=90, sampling="4:2:2")
+    w, h, c, back = decode_jpeg(buf)
+    assert (w, h, c) == (70, 50, 3)
+    assert _psnr(img, back) > 31.0
+    # sits between 4:4:4 and 4:2:0 in size at equal quality
+    assert len(buf) < len(encode_jpeg(img, quality=90, sampling="4:4:4"))
+    assert len(buf) > len(encode_jpeg(img, quality=90, sampling="4:2:0"))
+
+
+def test_422_progressive_roundtrip_identical_to_baseline():
+    from etl_lealone_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _test_image(41, 57)
+    base = decode_jpeg(encode_jpeg(img, quality=80, sampling="4:2:2"))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=80, sampling="4:2:2")
+    )
+    assert np.array_equal(base[3], prog[3])
+
+
 def test_420_subsampling_roundtrip_and_geometry():
     img = _test_image(50, 70)  # not multiples of the 16-pixel MCU
     buf = encode_jpeg(img, quality=90, sampling="4:2:0")
