@@ -14,11 +14,11 @@ format of essentially every training-corpus JPEG):
   scans with EOBn runs and refinement correction bits (the scan
   scripts libjpeg emits for ~10% of web JPEGs). The remaining exotic
   SOF types (hierarchical, lossless, arithmetic-coded) raise
-  NotImplementedError — the same strict-gate policy as 16-bit PNG.
+  NotImplementedError — the same strict-gate policy as sub-8-bit PNG.
 - ``encode_jpeg(arr, quality, sampling, restart_interval)``: the
   matching baseline encoder (Annex K quantization + huffman tables,
   libjpeg quality scaling) so roundtrips are testable hermetically.
-  Grayscale and RGB, 4:4:4 or 4:2:0.
+  Grayscale and RGB; 4:4:4, 4:2:2 or 4:2:0.
 - ``encode_jpeg_progressive(arr, quality, scans=...)``: progressive
   encoder driven by an explicit (components, Ss, Se, Ah, Al) scan
   script, so the decoder's spectral-selection AND
