@@ -475,7 +475,8 @@ def ann_ivf_stream_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["embeddings"]
     max_id = e.agg(F.max("vec_id")).collect()[0][0] or 0
     cut = max_id // 3 + 1
-    root = tempfile.mkdtemp(prefix="ivf_stream_") + "/idx"
+    tmp_root = tempfile.mkdtemp(prefix="ivf_stream_")
+    root = tmp_root + "/idx"
     try:
         idx = IvfIndex(spark, root)
         idx.build(e.filter(F.col("vec_id") < cut))
@@ -494,7 +495,9 @@ def ann_ivf_stream_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = idx.topk(q, k=TOP_K, n_probe=4)
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        # remove the mkdtemp PARENT (root is a subdir of it) so gate
+        # runs don't accumulate empty /tmp dirs (r5 review)
+        shutil.rmtree(tmp_root, ignore_errors=True)
 
 
 @workload(
