@@ -71,6 +71,17 @@ def build_spark(
         # testdata parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
         # read as long and convert at load (tables.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Off-heap column vectors for the parquet reader: decode lands
+        # outside the GC'd heap (standard columnar-engine practice at
+        # cluster scale). Measured at 5e8 rows: W3 1.77 -> 1.36s, W2
+        # 0.76 -> 0.67s — a 10-23% cut to the scan-shape substrate gap
+        # (docs/BENCHLOG.md r05).
+        .config("spark.memory.offHeap.enabled", "true")
+        .config(
+            "spark.memory.offHeap.size",
+            os.environ.get("SPARK_GRAFT_OFFHEAP", "8g"),
+        )
+        .config("spark.sql.columnVector.offheap.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
