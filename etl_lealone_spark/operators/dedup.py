@@ -373,7 +373,9 @@ def connected_components(
     # labels only ever decrease, so sum(lbl) strictly decreases on any
     # change — convergence is detected from an aggregate of the (already
     # checkpointed) label table instead of an old-vs-new join + count,
-    # saving one join and one action per round
+    # saving one join and one action per round. The sum is taken in
+    # decimal(38,0): a long sum over ~1e9 nodes with 60-bit ids could
+    # wrap, and a wrap collision would end the loop one round early.
     prev_sum = None
     for _ in range(max_iterations):
         # min over self ∪ neighbor labels as ONE union+groupBy (a single
@@ -398,7 +400,9 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        cur_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -833,11 +833,13 @@ def _split_entropy(buf: bytes, pos: int):
 
 
 def decode_jpeg(buf: bytes):
-    """Baseline JPEG -> (w, h, channels, HxWxC uint8).
+    """JPEG -> (w, h, channels, HxWxC uint8).
 
-    1 component -> grayscale; 3 -> YCbCr->RGB (JFIF); 4 -> raises (CMYK
-    needs an Adobe transform table). Progressive raises
-    NotImplementedError. Malformed payloads always raise ValueError —
+    Baseline sequential (SOF0) and progressive (SOF2) are both decoded;
+    only hierarchical / lossless / arithmetic-coded frames raise
+    NotImplementedError. 1 component -> grayscale; 3 -> YCbCr->RGB
+    (JFIF); 4 -> raises (CMYK needs an Adobe transform table).
+    Malformed payloads always raise ValueError —
     low-level parse faults (bad offsets, dangling table refs) are
     converted at this boundary so corrupt corpus rows fail typed, not
     with arbitrary exceptions (pinned by the codec fuzz test)."""

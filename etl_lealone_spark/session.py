@@ -28,11 +28,30 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _default_offheap() -> str:
+    """Off-heap pool size: SPARK_GRAFT_OFFHEAP env if set, else min(8g,
+    ~1/8 of physical RAM, floored at 1g). Off-heap is ADDITIVE to the JVM
+    heap, so an unconditional 8g can over-commit small hosts; sizing
+    relative to RAM keeps the column-vector fast path on big hosts while
+    staying safe on constrained ones (r5 advisor finding)."""
+    env = os.environ.get("SPARK_GRAFT_OFFHEAP")
+    if env:
+        return env
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES")
+        page_size = os.sysconf("SC_PAGE_SIZE")
+        total_gib = pages * page_size / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        total_gib = 64.0
+    return f"{max(1, min(8, int(total_gib // 8)))}g"
+
+
 def build_spark(
     app_name: str = "etl_lealone_spark",
     cores: Optional[int] = None,
     shuffle_partitions: Optional[int] = None,
     extra_conf: Optional[dict[str, str]] = None,
+    offheap_size: Optional[str] = None,
 ) -> SparkSession:
     """Create a SparkSession tuned for this engine.
 
@@ -75,12 +94,10 @@ def build_spark(
         # outside the GC'd heap (standard columnar-engine practice at
         # cluster scale). Measured at 5e8 rows: W3 1.77 -> 1.36s, W2
         # 0.76 -> 0.67s — a 10-23% cut to the scan-shape substrate gap
-        # (docs/BENCHLOG.md r05).
+        # (docs/BENCHLOG.md r05). Sized to the host (see _default_offheap;
+        # SPARK_GRAFT_OFFHEAP or the offheap_size parameter override).
         .config("spark.memory.offHeap.enabled", "true")
-        .config(
-            "spark.memory.offHeap.size",
-            os.environ.get("SPARK_GRAFT_OFFHEAP", "8g"),
-        )
+        .config("spark.memory.offHeap.size", offheap_size or _default_offheap())
         .config("spark.sql.columnVector.offheap.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():

@@ -85,7 +85,8 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_PLANES = 6
 
 
-def _lsh_oracle_sql() -> str:
+def _lsh_oracle_sql(multiprobe: int = 1) -> str:
+    from ..operators.similarity import _probe_masks
     from ..operators.xhash import rademacher_signs
 
     signs = rademacher_signs("lsh-plane", LSH_PLANES, 64)
@@ -99,9 +100,13 @@ def _lsh_oracle_sql() -> str:
         f"(CASE WHEN {proj} > 0 THEN (1::BIGINT << {p}) ELSE 0::BIGINT END)"
         for p, proj in enumerate(projs)
     )
+    # identical mask enumeration to the Spark side (_probe_masks): the
+    # bucket + every <=multiprobe-bit XOR perturbation. All masks are
+    # distinct, so a candidate matches at most one probe per query —
+    # the probe union stays duplicate-free at any depth.
     probe_flips = "\n      UNION ALL\n      ".join(
-        f"SELECT query_id, qvec, xor(qbucket, {1 << p}) AS bucket FROM q"
-        for p in range(LSH_PLANES)
+        f"SELECT query_id, qvec, xor(qbucket, {m}) AS bucket FROM q"
+        for m in _probe_masks(LSH_PLANES, multiprobe)
     )
     return f"""
     WITH cq AS (
@@ -149,6 +154,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir)["embeddings"]
     return lsh_topk_int(e, k=TOP_K, n_queries=N_QUERIES, dim=64, num_planes=LSH_PLANES)
+
+
+@workload(
+    "ann_lsh_topk_mp2",
+    _lsh_oracle_sql(multiprobe=2),
+    doc="The PRODUCTION multiprobe depth: same Rademacher LSH as "
+    "ann_lsh_topk but probing the bucket plus all 1-bit AND 2-bit "
+    "perturbations — the default lsh_topk ships (multiprobe=2) after "
+    "the recall-vs-scale probe (SCALE.md) showed depth-1 recall "
+    "decaying 0.58->0.22 over a 30x corpus while depth-2 holds ~2x "
+    "higher. Probe masks are enumerated by the same _probe_masks in "
+    "both engines, so candidate sets and the exact integer-cosine "
+    "re-rank stay bit-identical (r5 verdict task 3: the shipped "
+    "default now has its own driver oracle).",
+)
+def ann_lsh_topk_mp2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_topk_int
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return lsh_topk_int(
+        e, k=TOP_K, n_queries=N_QUERIES, dim=64, num_planes=LSH_PLANES, multiprobe=2
+    )
 
 
 def _near_dup_oracle_sql(threshold: float = 0.3) -> str:

@@ -38,11 +38,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 
-def load_ledger() -> tuple[dict[str, int], int]:
-    """{workload: last_green_round (0 = never green)}, latest_round."""
+def load_ledger(as_of: int | None = None) -> tuple[dict[str, int], int]:
+    """{workload: last_green_round (0 = never green)}, latest_round.
+
+    ``as_of`` restricts the ledger to rounds <= as_of — used by ``check``
+    to validate a window against the evidence that existed when the
+    window was authored (r5 advisor: a freshly-landed results file should
+    mean "rotation due", not "policy violation")."""
     rounds: dict[int, dict] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rno = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+        if as_of is not None and rno > as_of:
+            continue
         with open(path) as f:
             rounds[rno] = json.load(f)
     last_green: dict[str, int] = {}
@@ -72,20 +79,16 @@ def registered() -> list[str]:
 # last driver-green row — promoted WITHIN their staleness stratum
 # (their old evidence certifies code that no longer exists). Updated per
 # round from `git diff --stat <last-verdict>..HEAD -- etl_lealone_spark`:
-# r04 touched multimodal/jpeg/similarity/pipeline/joins/catalog;
-# r05 touched dedup (connected components) and multimodal.
+# r04 touched multimodal/jpeg/similarity/pipeline/joins/catalog (entries
+# whose workloads got r05-green rows under that code were dropped);
+# r06 touched dedup.py connected-components convergence (decimal-sum
+# wrap hardening) — only the CC-cluster workloads run that path.
 MODULE_CHANGED: frozenset[str] = frozenset(
     {
-        "multimodal_metadata",           # multimodal.py (r04 codecs, r05 tick fix)
-        "ann_bruteforce_topk",           # similarity.py (r04 recall/IVF work)
-        "embedding_near_dup_blocked",    # similarity.py
         "sample_hash_stratified",        # pipeline.py (r04 DSIR single-pass)
-        "ngram_jaccard_blocked",         # dedup.py (r05 CC branch work)
-        "dedup_exact",                   # dedup.py
-        "dedup_exact_normalized",        # dedup.py
-        "asof_join_events",              # joins.py (r04 bucketed-SMJ fix)
-        "merge_upsert",                  # catalog.py DML surface (r04)
         "update_projection",             # catalog.py DML surface (r04)
+        "dedup_clusters",                # dedup.py CC convergence (r06)
+        "dedup_clusters_lp",             # dedup.py CC convergence (r06)
     }
 )
 
@@ -113,8 +116,14 @@ def propose_priority(last_green: dict[str, int], names: list[str]) -> list[str]:
 
 
 def main() -> int:
-    mode = sys.argv[1] if len(sys.argv) > 1 else "ledger"
-    last_green, latest = load_ledger()
+    argv = sys.argv[1:]
+    as_of = None
+    if "--as-of" in argv:
+        i = argv.index("--as-of")
+        as_of = int(argv[i + 1])
+        del argv[i : i + 2]
+    mode = argv[0] if argv else "ledger"
+    last_green, latest = load_ledger(as_of)
     names = registered()
 
     if mode == "ledger":
@@ -153,6 +162,23 @@ def main() -> int:
         actual_set = set(actual)
         proposed = set(propose_window(last_green, names))
         extra = [n for n in actual if n not in proposed]
+        if extra and as_of is None and latest > 1:
+            # A window is authored from the evidence available at authoring
+            # time; the next round's results file landing does not make it
+            # retroactively wrong. If the window matches the as-of-previous-
+            # round policy, report "rotation due" (exit 0) instead of a
+            # violation (r5 advisor finding).
+            prev_green, _ = load_ledger(latest - 1)
+            prev_proposed = set(propose_window(prev_green, names))
+            if not [n for n in actual if n not in prev_proposed]:
+                print(
+                    f"ROTATION DUE: window matched policy as of r{latest - 1:02d}; "
+                    f"CORRECTNESS_r{latest:02d}.json has landed since — regenerate "
+                    f"_PRIORITY with 'python scripts/evidence_ledger.py priority' "
+                    f"before the next driver run."
+                )
+                print(f"window size: {len(actual)}")
+                return 0
         stale_out = sorted(
             (n for n in names if n not in actual_set),
             key=lambda n: last_green.get(n, 0),

@@ -64,6 +64,9 @@ BCAST_ALLOW: dict[str, str] = {
     "filter) for the dense arm, plus the bounded BM25 term stats",
     "ann_lsh_topk": "broadcasts query probes — |queries| x |probes| "
     "rows, both constants",
+    "ann_lsh_topk_mp2": "broadcasts query probes — |queries| x |probes| "
+    "rows, both constants (depth-2 probe set: 1 + C(p,1) + C(p,2) masks, "
+    "still a constant per query)",
     "ann_lsh_recall": "composes ann_lsh_topk + the integer brute-force "
     "scorer; every broadcast is a query-set/probe-set slice bounded by "
     "the vec_id < N_QUERIES filter (constant query count)",

@@ -217,8 +217,8 @@ def main() -> None:
             import shutil
             import tempfile
 
-            root = tempfile.mkdtemp(prefix="probe_ivf_") + "/idx"
-            idx = similarity.IvfIndex(spark, root)
+            tmp_parent = tempfile.mkdtemp(prefix="probe_ivf_")
+            idx = similarity.IvfIndex(spark, tmp_parent + "/idx")
             idx.build(emb)
             q = emb.filter(F.col("vec_id") < 5).select(
                 F.col("vec_id").alias("query_id"),
@@ -227,7 +227,7 @@ def main() -> None:
             idx.topk(q, k=10, n_probe=4).write.format("noop").mode(
                 "overwrite"
             ).save()
-            shutil.rmtree(root, ignore_errors=True)
+            shutil.rmtree(tmp_parent, ignore_errors=True)
 
         timed("ann_ivf_build_probe", ivf_build_and_probe)
         timed(
@@ -331,7 +331,8 @@ def recall_probe(ks) -> None:
             ).collect()[0]["r"]
             return round(float(r), 3)
 
-        root = tempfile.mkdtemp(prefix="probe_ivf_recall_") + "/idx"
+        tmp_parent = tempfile.mkdtemp(prefix="probe_ivf_recall_")
+        root = tmp_parent + "/idx"
         idx = IvfIndex(spark, root)
         idx.build(emb)
         q = emb.filter(F.col("vec_id") < nq).select(
@@ -351,7 +352,7 @@ def recall_probe(ks) -> None:
                 idx.topk(q, k=10, n_probe=16).select("query_id", "vec_id")
             ),
         }
-        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(tmp_parent, ignore_errors=True)
         print(
             f"K={k} n_emb={n} lsh_planes={planes} "
             + " ".join(f"{m}={v}" for m, v in out.items()),
