@@ -204,6 +204,44 @@ def _parse_codegen_extras(extras: str) -> tuple[str, str]:
     return (pkg.group(1) if pkg else "", path.group(1) if path else "")
 
 
+# Named-collation mapping (reference: lealone-common/.../db/value/
+# CompareMode.java + CompareModeIcu4J.java; dml/Set.java COLLATION).
+# Language names map to ICU locales; STRENGTH PRIMARY ignores
+# case+accents (_CI_AI), SECONDARY ignores case (_CI), TERTIARY /
+# IDENTICAL keep full sensitivity. Used by both SET COLLATION
+# (database-level, applies to new tables) and per-column
+# ``COLLATE <name>`` in CREATE TABLE DDL.
+_COLLATION_LOCALES = {
+    "ENGLISH": "en", "FRENCH": "fr", "GERMAN": "de", "SPANISH": "es",
+    "ITALIAN": "it", "PORTUGUESE": "pt", "CHINESE": "zh",
+    "JAPANESE": "ja", "KOREAN": "ko", "RUSSIAN": "ru", "DUTCH": "nl",
+    "SWEDISH": "sv", "NORWEGIAN": "no", "DANISH": "da",
+    "FINNISH": "fi", "POLISH": "pl", "TURKISH": "tr",
+}
+
+
+def collation_to_spark(name: str, strength: str | None = None) -> str | None:
+    """H2/ICU collation name [+ strength] → Spark 4 collation identifier
+    (None = UTF8_BINARY, the default). Unknown language names pass
+    through lowercased as ICU locale ids — Spark validates them at the
+    compare/DDL site and the caller converts that to a typed error."""
+    up = name.upper()
+    if up in ("OFF", "BINARY"):
+        return None  # UTF8_BINARY, the default
+    if up.startswith("ICU4J_"):
+        up = up[len("ICU4J_"):]
+    base = _COLLATION_LOCALES.get(up)
+    if base is None:
+        base = "UNICODE" if up in ("DEFAULT", "UNICODE") else name.lower()
+    suffix = {
+        "PRIMARY": "_CI_AI",
+        "SECONDARY": "_CI",
+        "TERTIARY": "",
+        "IDENTICAL": "",
+    }.get((strength or "").upper(), "")
+    return f"{base}{suffix}"
+
+
 def _parse_columns(cols_sql: str) -> tuple[str, list[str], "TableConstraints"]:
     """'(a int primary key, b varchar(10) not null default 5, ...)' →
     (spark schema DDL, primary-key column list, constraints)."""
@@ -282,6 +320,19 @@ def _parse_columns(cols_sql: str) -> tuple[str, list[str], "TableConstraints"]:
             spark_type = f"decimal{args}"
         else:
             spark_type = TYPE_MAP.get(typ, "string")
+        # per-column named collation: ``w VARCHAR(20) COLLATE GERMAN
+        # [STRENGTH SECONDARY]`` → ``w string collate de_CI`` (Spark 4
+        # native collation — ordering and equality are then JVM-side at
+        # every compare site; reference CompareMode.java semantics)
+        cm = re.search(
+            rf"COLLATE\s+(?P<cname>{_IDENT})(?:\s+STRENGTH\s+(?P<cstr>\w+))?",
+            rest,
+            re.IGNORECASE,
+        )
+        if cm and spark_type == "string":
+            sc = collation_to_spark(cm.group("cname"), cm.group("cstr"))
+            if sc is not None:
+                spark_type = f"string collate {sc}"
         fields.append(f"{name} {spark_type}")
         if typ in ("identity", "serial") or re.search(
             r"AUTO_INCREMENT|IDENTITY", rest, re.IGNORECASE
@@ -523,7 +574,17 @@ class StatementRouter:
                     schema_ddl,
                 )
             st = SnapshotTable(self.spark, self.catalog.warehouse, name)
-            empty = self.spark.createDataFrame([], schema_ddl)
+            try:
+                empty = self.spark.createDataFrame([], schema_ddl)
+            except Exception as exc:
+                # unknown ICU locale in a per-column COLLATE fails here;
+                # reject typed like SET COLLATION does (DbException
+                # INVALID_VALUE in the reference)
+                if "collat" in str(exc).lower():
+                    raise ValueError(
+                        f"unknown collation in column DDL: {exc}"
+                    ) from exc
+                raise
             st.create(empty)
             self.catalog.tables[name] = st
             self.catalog.table_ddl[name] = s
@@ -1745,33 +1806,11 @@ class StatementRouter:
         )
 
     # SET COLLATION name → Spark 4 native ICU collation (reference:
-    # dml/Set.java COLLATION branch + CompareModeIcu4J.java). Language
-    # names map to ICU locales; STRENGTH PRIMARY ignores case+accents
-    # (_CI_AI), SECONDARY ignores case (_CI), TERTIARY is full-sensitivity.
-    _COLLATION_LOCALES = {
-        "ENGLISH": "en", "FRENCH": "fr", "GERMAN": "de", "SPANISH": "es",
-        "ITALIAN": "it", "PORTUGUESE": "pt", "CHINESE": "zh",
-        "JAPANESE": "ja", "KOREAN": "ko", "RUSSIAN": "ru", "DUTCH": "nl",
-        "SWEDISH": "sv", "NORWEGIAN": "no", "DANISH": "da",
-        "FINNISH": "fi", "POLISH": "pl", "TURKISH": "tr",
-    }
-
+    # dml/Set.java COLLATION branch + CompareModeIcu4J.java). Mapping
+    # shared with per-column DDL COLLATE — see module-level
+    # collation_to_spark above _parse_columns.
     def _collation_to_spark(self, name: str, strength: str | None) -> str | None:
-        up = name.upper()
-        if up in ("OFF", "BINARY"):
-            return None  # UTF8_BINARY, the default
-        if up.startswith("ICU4J_"):
-            up = up[len("ICU4J_"):]
-        base = self._COLLATION_LOCALES.get(up)
-        if base is None:
-            base = "UNICODE" if up in ("DEFAULT", "UNICODE") else name.lower()
-        suffix = {
-            "PRIMARY": "_CI_AI",
-            "SECONDARY": "_CI",
-            "TERTIARY": "",
-            "IDENTICAL": "",
-        }.get((strength or "").upper(), "")
-        return f"{base}{suffix}"
+        return collation_to_spark(name, strength)
 
     def _set(self, s: str) -> DataFrame:
         m = re.match(

@@ -5,19 +5,19 @@ Media are opaque ``binary`` columns with a typed metadata struct
 multimodal training data. Both the Spark-side plumbing (schemas, batch
 iteration via mapInPandas, partition sizing) AND the codecs are real:
 from-spec stdlib+numpy implementations of netpbm/BMP raster decode,
-PNG (zlib inflate via stdlib; 8/16-bit, non-interlaced AND
-Adam7-interlaced),
+PNG (zlib inflate via stdlib; every spec bit depth 1/2/4/8/16,
+non-interlaced AND Adam7-interlaced),
 RIFF/WAVE audio (PCM + float, stats, resample), MJPEG-in-AVI frame
 sampling here, and JPEG — baseline sequential AND progressive SOF2
 (huffman, subsampling, restart markers, spectral selection +
 successive approximation, plus matching encoders for hermetic
 roundtrips) — in :mod:`.jpeg`. No external codec libraries are used
-or needed. Formats outside those envelopes (sub-8-bit PNG,
-lossless/arithmetic/hierarchical JPEG, inter-frame video codecs) are
-STRICT GATES: they raise a typed NotImplementedError rather than
-guessing, and corrupt payloads always fail with ValueError at the
-decode boundary (fuzz-pinned in tests/test_jpeg.py, test_gif.py,
-test_video.py).
+or needed. Formats outside those envelopes
+(lossless/arithmetic/hierarchical JPEG, inter-frame video codecs) are
+STRICT GATES — and PERMANENT NON-GOALS (COVERAGE.md): they raise a
+typed NotImplementedError rather than guessing, and corrupt payloads
+always fail with ValueError at the decode boundary (fuzz-pinned in
+tests/test_jpeg.py, test_gif.py, test_video.py).
 
 Scale notes: decode/feature-extract runs as mapInPandas over Arrow
 batches — per-partition streaming, no shuffle; partition size should be
@@ -342,6 +342,22 @@ def _png_unfilter(raw, h: int, stride: int, bpp: int):
     return out
 
 
+def _png_unpack_sub8(rows, w: int, depth: int):
+    """h x stride unfiltered bytes -> h x w x 1 samples for bit depths
+    1/2/4 (PNG spec §7.2: samples pack MSB-first within a byte; row ends
+    are zero-padded to the byte boundary). Pure numpy: unpack to bits,
+    regroup ``depth`` bits per sample, dot with place weights."""
+    import numpy as np
+
+    h = rows.shape[0]
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits[:, : w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8).reshape(
+        h, w, 1
+    )
+
+
 # Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG spec §8.2
 _ADAM7 = (
     (0, 0, 8, 8),
@@ -355,16 +371,16 @@ _ADAM7 = (
 
 
 def _parse_png(buf: bytes):
-    """Decode an 8- or 16-bit PNG, non-interlaced OR Adam7-interlaced (stdlib
-    zlib + numpy unfiltering; PNG spec is public) ->
-    (w, h, channels, HxWxC uint8).
+    """Decode a PNG at any spec bit depth (1/2/4/8/16), non-interlaced
+    OR Adam7-interlaced (stdlib zlib + numpy unfiltering; PNG spec is
+    public) -> (w, h, channels, HxWxC uint8).
 
     Color types: 0 gray, 2 RGB, 3 palette (expanded to RGB), 4
     gray+alpha, 6 RGBA. Adam7 decodes each of the 7 reduced images with
     its own scanline filtering, then scatters into the strided pixel
     grid. 16-bit samples (big-endian) downconvert to 8-bit by high
-    byte; sub-8-bit depths raise — same strict-gate policy as the
-    other codecs.
+    byte; 1/2/4-bit rows bit-unpack after unfiltering, gray samples
+    rescale so the max code maps to 255 exactly.
     """
     import struct
     import zlib
@@ -385,40 +401,52 @@ def _parse_png(buf: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError("only 8- or 16-bit PNG supported")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"unknown PNG color type {color}")
     if depth == 16 and color == 3:
         raise ValueError("16-bit palette PNG is not a valid combination")
-    # PNG filters operate on BYTES with bpp = bytes per pixel, so the
-    # 16-bit path reuses the same unfiltering; samples are big-endian,
-    # and decode downconverts to 8-bit by keeping the high byte (the
-    # standard reduction — identical to value // 257 within rounding).
-    bpp = channels * (depth // 8)
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(
+            f"bit depth {depth} is only valid for gray/palette PNG (spec §11.2.2)"
+        )
+    # PNG filters operate on BYTES: bpp (the filter's left-neighbor
+    # distance) is bytes per pixel for depths >= 8 and 1 for packed
+    # sub-8-bit rows (spec §9.2), so every depth reuses the same
+    # unfiltering. 16-bit samples are big-endian and downconvert to
+    # 8-bit by keeping the high byte (identical to value // 257 within
+    # rounding); 1/2/4-bit rows bit-unpack after unfiltering.
+    sub8 = depth < 8
+    bpp = 1 if sub8 else channels * (depth // 8)
     raw = zlib.decompress(bytes(idat))
-    stride = w * bpp
+    stride = (w * channels * depth + 7) // 8
+    out_c = 1 if sub8 else bpp
     if interlace == 0:
         if len(raw) != h * (1 + stride):
             raise ValueError("PNG pixel data length mismatch")
-        arr = _png_unfilter(raw, h, stride, bpp).reshape(h, w, bpp)
+        rows = _png_unfilter(raw, h, stride, bpp)
+        arr = _png_unpack_sub8(rows, w, depth) if sub8 else rows.reshape(h, w, bpp)
     elif interlace == 1:  # Adam7
-        arr = np.zeros((h, w, bpp), dtype=np.uint8)
+        arr = np.zeros((h, w, out_c), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass for small images: no bytes at all
-            pstride = pw * bpp
+            pstride = (pw * channels * depth + 7) // 8
             need = ph * (1 + pstride)
             part = raw[pos : pos + need]
             if len(part) != need:
                 raise ValueError("PNG interlaced pass data truncated")
             pos += need
-            sub = _png_unfilter(part, ph, pstride, bpp).reshape(
-                ph, pw, bpp
+            rows = _png_unfilter(part, ph, pstride, bpp)
+            sub = (
+                _png_unpack_sub8(rows, pw, depth)
+                if sub8
+                else rows.reshape(ph, pw, bpp)
             )
             arr[y0::dy, x0::dx] = sub
         if pos != len(raw):
@@ -430,24 +458,62 @@ def _parse_png(buf: bytes):
     if color == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
-        arr = palette[arr.reshape(h, w)]
+        idx = arr.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        arr = palette[idx]
         channels = 3
+    elif sub8:
+        # expand gray samples to full 8-bit range: max sample value
+        # (2^depth - 1) maps to 255 exactly (255 = 85*3 = 17*15)
+        arr = arr * np.uint8(255 // ((1 << depth) - 1))
     return w, h, channels, arr
 
 
-def encode_png(arr, interlace: bool = False, depth: int = 8) -> bytes:
+def _png_pack_sub8(samples, depth: int) -> bytes:
+    """h x w samples (< 2^depth) -> filter-0 scanlines with samples
+    packed MSB-first, rows zero-padded to the byte boundary (the
+    encode twin of _png_unpack_sub8)."""
+    import numpy as np
+
+    h, w = samples.shape
+    bits = (
+        (samples[:, :, None].astype(np.uint8) >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(h, w * depth)
+    stride = (w * depth + 7) // 8
+    pad = stride * 8 - w * depth
+    if pad:
+        bits = np.concatenate([bits, np.zeros((h, pad), dtype=bits.dtype)], axis=1)
+    rows = np.packbits(bits.astype(np.uint8), axis=1)
+    return np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), rows], axis=1
+    ).tobytes()
+
+
+def encode_png(
+    arr, interlace: bool = False, depth: int = 8, palette=None
+) -> bytes:
     """HxWxC array -> PNG payload (filter 0, one zlib stream) for
     roundtrip tests; C in {1: gray, 2: gray+alpha, 3: rgb, 4: rgba}.
     ``interlace=True`` emits the Adam7 pass sequence; ``depth=16``
-    takes a uint16 array and writes big-endian 16-bit samples (the
-    hermetic twins for the interlaced and deep-sample decode paths)."""
+    takes a uint16 array and writes big-endian 16-bit samples;
+    ``depth`` 1/2/4 takes HxWx1 sample values < 2^depth (gray, or
+    palette indices when ``palette`` — an Nx3 uint8 array — is given)
+    and bit-packs rows MSB-first (the hermetic twins for every decode
+    path, sub-8-bit included)."""
     import struct
     import zlib
 
     import numpy as np
 
     h, w, c = arr.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if palette is not None:
+        if c != 1:
+            raise ValueError("palette PNG takes HxWx1 index arrays")
+        color = 3
+    else:
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    sub8 = depth in (1, 2, 4)
     if depth == 8:
         byte_arr = np.asarray(arr, dtype=np.uint8)
     elif depth == 16:
@@ -455,8 +521,14 @@ def encode_png(arr, interlace: bool = False, depth: int = 8) -> bytes:
         byte_arr = (
             a16.astype(">u2").view(np.uint8).reshape(h, w, c * 2)
         )
+    elif sub8:
+        if c != 1:
+            raise ValueError("sub-8-bit PNG is gray/palette only (1 channel)")
+        byte_arr = np.asarray(arr, dtype=np.uint8)
+        if int(byte_arr.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"sample value out of range for depth {depth}")
     else:
-        raise ValueError("encode_png writes depth 8 or 16")
+        raise ValueError("encode_png writes depth 1/2/4/8 or 16")
     bpp = byte_arr.shape[2]
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -477,24 +549,31 @@ def encode_png(arr, interlace: bool = False, depth: int = 8) -> bytes:
             ph, pw = sub.shape[:2]
             if ph == 0 or pw == 0:
                 continue
-            parts.append(
-                np.concatenate(
-                    [
-                        np.zeros((ph, 1), dtype=np.uint8),
-                        np.ascontiguousarray(sub).reshape(ph, pw * bpp),
-                    ],
-                    axis=1,
-                ).tobytes()
-            )
+            if sub8:
+                parts.append(_png_pack_sub8(sub.reshape(ph, pw), depth))
+            else:
+                parts.append(
+                    np.concatenate(
+                        [
+                            np.zeros((ph, 1), dtype=np.uint8),
+                            np.ascontiguousarray(sub).reshape(ph, pw * bpp),
+                        ],
+                        axis=1,
+                    ).tobytes()
+                )
         raw = b"".join(parts)
+    elif sub8:
+        raw = _png_pack_sub8(byte_arr.reshape(h, w), depth)
     else:
         raw = np.concatenate(
             [np.zeros((h, 1), dtype=np.uint8), byte_arr.reshape(h, w * bpp)],
             axis=1,
         ).tobytes()
+    chunks = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        chunks += chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
     return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
+        chunks
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )

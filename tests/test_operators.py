@@ -380,7 +380,27 @@ def test_png_gates_16bit_and_interlaced(spark):
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    # sub-8-bit depths stay gated (16-bit is now a supported decode)
+    # sub-8-bit is now a supported decode; spec-invalid depths and
+    # depth/color combinations fail typed instead
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)  # depth 3: not in spec
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="invalid PNG bit depth"):
+        decode_raster(buf)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)  # 4-bit RGB: invalid
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="gray/palette"):
+        decode_raster(buf)
+    # truncated sub-8-bit stream fails typed
     ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     buf = (
         b"\x89PNG\r\n\x1a\n"
@@ -388,7 +408,7 @@ def test_png_gates_16bit_and_interlaced(spark):
         + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="8- or 16-bit"):
+    with pytest.raises(ValueError, match="length mismatch"):
         decode_raster(buf)
     # truncated 16-bit stream fails typed
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
@@ -430,6 +450,45 @@ def test_png_16bit_decodes_high_byte(spark):
             )
             assert (w, h, dc) == (7, 11, c)
             assert np.array_equal(back, (arr16 >> 8).astype(np.uint8))
+
+
+def test_png_sub8bit_decode(spark):
+    """1/2/4-bit PNG (gray and palette, plain and Adam7): bit-unpacking
+    is MSB-first with zero-padded row tails, gray codes rescale so the
+    max code is exactly 255, palette indices look up PLTE. Odd widths
+    exercise the byte-boundary padding; 2x2 images exercise mostly-empty
+    Adam7 passes."""
+    import numpy as np
+    import pytest
+
+    from etl_lealone_spark.operators.multimodal import decode_raster, encode_png
+
+    rng = np.random.default_rng(59)
+    scale = {1: 255, 2: 85, 4: 17}
+    for depth in (1, 2, 4):
+        for h, w in [(5, 7), (2, 2), (9, 16), (3, 1)]:
+            idx = rng.integers(0, 1 << depth, (h, w, 1), dtype=np.uint8)
+            # gray: value k decodes to k * (255 // (2^depth - 1))
+            dw, dh, dc, back = decode_raster(encode_png(idx, depth=depth))
+            assert (dw, dh, dc) == (w, h, 1)
+            assert np.array_equal(back, idx * np.uint8(scale[depth]))
+            # Adam7 variant decodes identically
+            dw, dh, dc, back7 = decode_raster(
+                encode_png(idx, depth=depth, interlace=True)
+            )
+            assert np.array_equal(back7, back)
+            # palette: indices expand through PLTE to RGB
+            palette = rng.integers(0, 256, (1 << depth, 3), dtype=np.uint8)
+            dw, dh, dc, backp = decode_raster(
+                encode_png(idx, depth=depth, palette=palette)
+            )
+            assert (dw, dh, dc) == (w, h, 3)
+            assert np.array_equal(backp, palette[idx.reshape(h, w)])
+    # out-of-range palette index fails typed
+    palette = np.zeros((2, 3), dtype=np.uint8)  # depth-2 image, 2-entry PLTE
+    idx = np.full((2, 2, 1), 3, dtype=np.uint8)
+    with pytest.raises(ValueError, match="palette index out of range"):
+        decode_raster(encode_png(idx, depth=2, palette=palette))
 
 
 def test_wav_g711_companding_roundtrip(spark):

@@ -275,6 +275,37 @@ def test_set_collation_icu(es, spark, tmp_path):
         es.sql("SET COLLATION KLINGON")
 
 
+def test_column_collate_ddl_order_and_equality(es):
+    """Per-column COLLATE in CREATE TABLE (reference CompareMode.java /
+    CompareModeIcu4J.java): ORDER BY and equality follow the named ICU
+    collation, not binary codepoints. German: 'ä' carries primary
+    weight 'a', so 'ähre' < 'apfel' (h < p at the second letter);
+    binary UTF-8 puts U+00E4 after 'z'."""
+    es.sql(
+        "CREATE TABLE de_sorted (id int PRIMARY KEY, "
+        "w varchar(20) COLLATE GERMAN)"
+    )
+    es.sql("INSERT INTO de_sorted VALUES (1,'zebra'), (2,'ähre'), (3,'apfel')")
+    got = [r["w"] for r in es.sql("SELECT w FROM de_sorted ORDER BY w").collect()]
+    assert got == ["ähre", "apfel", "zebra"]  # binary would be a, z, ä
+    # equality under STRENGTH SECONDARY (case-insensitive)
+    es.sql(
+        "CREATE TABLE de_ci (id int PRIMARY KEY, "
+        "w varchar(20) COLLATE GERMAN STRENGTH SECONDARY)"
+    )
+    es.sql("INSERT INTO de_ci VALUES (1,'Straße'), (2,'x')")
+    ids = {r["id"] for r in es.sql("SELECT id FROM de_ci WHERE w = 'straße'").collect()}
+    assert ids == {1}
+    # uncollated columns in the same DDL stay binary
+    es.sql("CREATE TABLE bin_w (id int PRIMARY KEY, w varchar(20))")
+    es.sql("INSERT INTO bin_w VALUES (1,'zebra'), (2,'ähre'), (3,'apfel')")
+    got = [r["w"] for r in es.sql("SELECT w FROM bin_w ORDER BY w").collect()]
+    assert got == ["apfel", "zebra", "ähre"]
+    # unknown locale rejects typed at CREATE time
+    with pytest.raises(ValueError):
+        es.sql("CREATE TABLE bad_c (id int, w varchar(10) COLLATE QQXYZZY)")
+
+
 def test_alter_index_schema_user(spark, tmp_path):
     """ALTER INDEX/SCHEMA/USER/DATABASE (Parser.java:4691-4707)."""
     from etl_lealone_spark.session import EngineSession
