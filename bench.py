@@ -64,7 +64,9 @@ HEADLINE = [
 ]
 
 
-def baseline_workloads(spark, n: int = 50_000_000, reps: int = 3) -> dict[str, float]:
+def baseline_workloads(
+    spark, n: int = 50_000_000, reps: int = 3, w1_last: bool = False
+) -> dict[str, float]:
     """BASELINE.md W1-W5 batch shapes at n rows (the reference's own
     microbench table ``test(f1 int primary key, f2 long)`` scaled up),
     dual-run against DuckDB on the identical parquet — the measured
@@ -79,6 +81,15 @@ def baseline_workloads(spark, n: int = 50_000_000, reps: int = 3) -> dict[str, f
     so the Spark/DuckDB ratio — the graded metric — is stable even when
     absolute times are not. Fresh DataFrames per rep (re-using one would
     replay materialized AQE query stages and time nothing).
+
+    ``w1_last=True`` (the settle's cache-state control, r5 verdict
+    task 2): W1's DuckDB twin bulk-writes the full table (~15 GB at
+    5e8 rows), which can evict the scan shapes' pages from the OS cache
+    and make a later W2/W3 rep read from disk — the r5b settle recorded
+    an unreproducible 7.3s w3 outlier in exactly that sequence. Running
+    the write shape AFTER the scan shapes removes the only bulk
+    cache-evictor from their measurement window without changing any
+    query.
     """
     import shutil
     import tempfile
@@ -247,7 +258,11 @@ def baseline_workloads(spark, n: int = 50_000_000, reps: int = 3) -> dict[str, f
             "w4": ("w4_joins", w4),
             "w5": ("w5_topk_offset", w5),
         }
-        for key, (out_key, fn) in spark_keys.items():
+        order = list(spark_keys)
+        if w1_last:
+            order = order[1:] + ["w1"]
+        for key in order:
+            out_key, fn = spark_keys[key]
             fn()  # warm spark
             duck_run(key)  # warm duckdb
             s_times, d_times = [], []

@@ -163,3 +163,55 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Named ICU collation at a compare site (reference CompareMode.java /
+# CompareModeIcu4J.java; SET COLLATION in dml/Set.java). Both engines
+# embed ICU, so German-collated ORDER over a case-mixed vocabulary is
+# recomputed identically: ICU primary weights interleave 'Upper' words
+# with lowercase (binary would put ALL uppercase first). Case variation
+# is derived deterministically (upper() on even-length tokens) because
+# the synthetic corpus is all-lowercase; the binary token is the
+# tiebreak so the total order is engine-independent even where a locale
+# tailoring could disagree on equal-primary strings.
+# ---------------------------------------------------------------------------
+@workload(
+    "collation_orderby",
+    """
+    WITH toks AS (
+      SELECT DISTINCT unnest(string_split_regex(text, '[^a-z]+')) AS tok
+      FROM documents
+    ),
+    variants AS (
+      SELECT CASE WHEN length(tok) % 2 = 0 THEN upper(tok) ELSE tok END AS w
+      FROM toks WHERE tok <> ''
+    )
+    SELECT w, rnk FROM (
+      SELECT w, row_number() OVER (ORDER BY w COLLATE de, w) AS rnk
+      FROM variants
+    ) t WHERE rnk <= 200
+    """,
+    doc="German ICU collation ORDER BY, driver-oracled: Spark 4 native "
+    "collation vs DuckDB's built-in ICU — ranks must match bit-for-bit.",
+)
+def collation_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    variants = (
+        d.select(F.explode(F.split(F.col("text"), "[^a-z]+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+        .select(
+            F.when(F.length("tok") % 2 == 0, F.upper("tok"))
+            .otherwise(F.col("tok"))
+            .alias("w")
+        )
+    )
+    w = Window.orderBy(F.collate(F.col("w"), "de"), F.col("w"))
+    return (
+        variants.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 200)
+        .select("w", "rnk")
+    )

@@ -108,20 +108,30 @@ def ext_dual_at_scale(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
 
 def main() -> None:
     n = int(os.environ.get("SPARK_GRAFT_SETTLE_ROWS", "500000000"))
-    k = int(os.environ.get("SPARK_GRAFT_SETTLE_K", "10"))
+    ks = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SETTLE_K", "10,30").split(",")
+        if x.strip()
+    ]
     spark = build_spark(app_name="bench_settle", cores=default_parallelism())
-    base = baseline_workloads(spark, n=n, reps=2)
+    # Cache-state control (r5 verdict task 2): W1 runs LAST so its
+    # DuckDB bulk COPY (~15 GB at 5e8 rows) cannot evict the scan
+    # shapes' pages mid-suite; min-of-3 reps.
+    base = baseline_workloads(spark, n=n, reps=3, w1_last=True)
     # Fresh JVM for the ext phase: after the 5e8-row W-suite the executor
     # heap/shuffle state inflates small-corpus walls ~3x (dsir measured
     # 11.5s stale vs 3.7s fresh at identical data) — restart so the ext
     # ratios measure the queries, not the session's history.
     spark.stop()
     spark = build_spark(app_name="bench_settle_ext", cores=default_parallelism())
-    scaled = build_scaled_dir(spark, k)
-    try:
-        ext = ext_dual_at_scale(spark, scaled)
-    finally:
-        shutil.rmtree(scaled, ignore_errors=True)
+    ext: dict[str, float] = {}
+    for k in ks:
+        scaled = build_scaled_dir(spark, k)
+        try:
+            for key, v in ext_dual_at_scale(spark, scaled).items():
+                ext[f"{key}_k{k}"] = v
+        finally:
+            shutil.rmtree(scaled, ignore_errors=True)
     ratios = {}
     spark_keys = {
         "w1": "w1_bulk_insert",
@@ -135,15 +145,17 @@ def main() -> None:
         if s and d:
             ratios[wnum] = round(s / d, 2)
     for name in EXT_AT_SCALE:
-        s, d = ext.get(f"ext_{name}_spark"), ext.get(f"ext_{name}_duckdb")
-        if s and d:
-            ratios[f"ext_{name}"] = round(s / d, 2)
+        for k in ks:
+            s = ext.get(f"ext_{name}_spark_k{k}")
+            d = ext.get(f"ext_{name}_duckdb_k{k}")
+            if s and d:
+                ratios[f"ext_{name}_k{k}"] = round(s / d, 2)
     print(
         json.dumps(
             {
                 "metric": "settle_run",
                 "rows": n,
-                "corpus_k": k,
+                "corpus_k": ks,
                 "timings": {**base, **ext},
                 "ratios": ratios,
             }
