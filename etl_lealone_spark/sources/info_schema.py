@@ -192,16 +192,14 @@ def information_schema(session: "EngineSession") -> dict[str, DataFrame]:
         "table_schema string, table_name string, column_name string, "
         "privilege_type string, is_grantable string",
     )
-    from ..catalog import StatementRouter
+    from ..catalog import _COLLATION_LOCALES
 
     collations = _small(
         [("OFF", ""), ("UTF8_LCASE", "utf8_lcase"), ("UNICODE", "unicode"),
          ("UNICODE_CI", "unicode_ci")]
         + [
             (name, locale)
-            for name, locale in sorted(
-                StatementRouter._COLLATION_LOCALES.items()
-            )
+            for name, locale in sorted(_COLLATION_LOCALES.items())
         ],
         "name string, key string",
     )
