@@ -196,3 +196,74 @@ def merge_ansi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg": F.lit("NEW"),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension history (extension — the standard warehouse
+# dimension-maintenance pattern a 100 TB pipeline runs nightly: close
+# the current row, open a new version, keep untouched rows current).
+# The change batch is derived deterministically from orders (latest
+# order date per customer = effective date; order count = the tracked
+# attribute), so both engines rebuild the identical history. At scale
+# this is one aggregation + one broadcast-or-shuffle join + a union —
+# no iteration, no window over SinglePartition.
+# ---------------------------------------------------------------------------
+@workload(
+    "scd2_dim_update",
+    """
+    WITH upd AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS eff_date,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey AS custkey, CAST(0 AS BIGINT) AS n_orders,
+           DATE '1995-01-01' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+    FROM customer c LEFT JOIN upd u ON c.c_custkey = u.custkey
+    WHERE u.custkey IS NULL
+    UNION ALL
+    SELECT c.c_custkey, CAST(0 AS BIGINT),
+           DATE '1995-01-01', u.eff_date, FALSE
+    FROM customer c JOIN upd u ON c.c_custkey = u.custkey
+    UNION ALL
+    SELECT c.c_custkey, u.n_orders, u.eff_date,
+           CAST(NULL AS DATE), TRUE
+    FROM customer c JOIN upd u ON c.c_custkey = u.custkey
+    """,
+    doc="SCD2 dimension maintenance: close changed rows at the change-batch "
+    "effective date, open new current versions, keep untouched rows — the "
+    "full history union, hash-matched cross-engine.",
+)
+def scd2_dim_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    upd = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("eff_date"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    base_from = F.to_date(F.lit("1995-01-01"))
+    joined = c.join(upd, c.c_custkey == upd.custkey, "left")
+    untouched = joined.filter(F.col("custkey").isNull()).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit(0).cast("bigint").alias("n_orders"),
+        base_from.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed = joined.filter(F.col("custkey").isNotNull())
+    closed = changed.select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit(0).cast("bigint").alias("n_orders"),
+        base_from.alias("valid_from"),
+        F.col("eff_date").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = changed.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("n_orders"),
+        F.col("eff_date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return untouched.unionAll(closed).unionAll(opened)

@@ -509,3 +509,73 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(d).select(
         F.col("id").alias("doc_id"), "n_tokens_lm", "logprob_x1e6"
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer seed inventory (Kudo 2018; operators/unigram.py
+# step 2): every substring up to length 4 of every corpus word,
+# weighted by word frequency — the candidate-piece table the EM loop
+# starts from. Sibling of bpe_pair_counts: both pin the one
+# SQL-expressible stage of their trainer with a full oracle (the EM
+# iterations themselves are pinned bit-identical to a pure-Python
+# reference in tests/test_unigram.py instead).
+# ---------------------------------------------------------------------------
+@workload(
+    "unigram_seed_pieces",
+    """
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split_regex(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        FROM documents
+      ) t WHERE w <> '' GROUP BY w
+    ),
+    subs AS (
+      SELECT unnest(flatten(list_transform(generate_series(1, length(w)),
+               i -> list_transform(
+                      generate_series(1, least(4, length(w) - i + 1)),
+                      l -> substr(w, i, l))))) AS piece,
+             n
+      FROM words
+    )
+    SELECT piece, cnt, rnk FROM (
+      SELECT piece, CAST(sum(n) AS BIGINT) AS cnt,
+             row_number() OVER (ORDER BY sum(n) DESC, piece) AS rnk
+      FROM subs GROUP BY piece
+    ) t WHERE rnk <= 50
+    """,
+    doc="Unigram tokenizer step 1: weighted substring (piece) counts, "
+    "top-50 seed candidates. The corpus collapses to its distinct-word "
+    "table first, so the substring explosion is vocabulary-bounded, "
+    "not corpus-bounded — at 100 TB the heavy explode runs on "
+    "|vocab| rows.",
+)
+def unigram_seed_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.bpe import word_freq_table
+
+    d = load_tables(spark, sf_dir)["documents"]
+    words = word_freq_table(d).select("w", "n")
+    w = F.col("w")
+    subs = words.select(
+        "n",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w)),
+                    lambda i: F.transform(
+                        F.sequence(F.lit(1), F.least(F.lit(4), F.length(w) - i + 1)),
+                        lambda ln: w.substr(i, ln),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    counts = subs.groupBy("piece").agg(F.sum("n").cast("bigint").alias("cnt"))
+    rk = Window.orderBy(F.desc("cnt"), "piece")
+    return (
+        counts.withColumn("rnk", F.row_number().over(rk))
+        .filter(F.col("rnk") <= 50)
+        .select("piece", "cnt", "rnk")
+    )
