@@ -1820,6 +1820,14 @@ class StatementRouter:
             re.IGNORECASE,
         )
         if m:
+            # reference parity (dml/Set.java:85-90): the database-level
+            # compare mode cannot change once a user table exists —
+            # ErrorCode.COLLATION_CHANGE_WITH_DATA_TABLE_1
+            if self.catalog.tables:
+                first = next(iter(self.catalog.tables))
+                raise ValueError(
+                    f"collation cannot be changed: data table exists ({first})"
+                )
             spark_collation = self._collation_to_spark(
                 m.group("name"), m.group("strength")
             )

@@ -248,10 +248,15 @@ def test_backup_restore(es, spark, tmp_path):
     assert [(r["id"], r["name"]) for r in rows] == [(1, "x"), (2, "y")]
 
 
-def test_set_collation_icu(es, spark, tmp_path):
+def test_set_collation_icu(spark, tmp_path):
     """SET COLLATION (Set.java COLLATION branch / CompareModeIcu4J):
     maps to Spark 4 native ICU collations; applies to varchar columns
-    of tables created afterwards."""
+    of tables created afterwards. Reference parity: rejected once any
+    user table exists (Set.java:87-90,
+    COLLATION_CHANGE_WITH_DATA_TABLE_1), so the session starts empty."""
+    from etl_lealone_spark.session import EngineSession
+
+    es = EngineSession(spark, warehouse=str(tmp_path / "wh_coll"))
     es.sql("SET COLLATION GERMAN STRENGTH SECONDARY")  # de_CI
     assert es.collation == "de_CI"
     es.sql("CREATE TABLE de_words (id int PRIMARY KEY, w varchar(20))")
@@ -261,6 +266,11 @@ def test_set_collation_icu(es, spark, tmp_path):
         r["id"] for r in es.sql("SELECT id FROM de_words WHERE w = 'straße'").collect()
     )
     assert 1 in got
+    # reference parity: changing collation with a data table present is
+    # rejected (COLLATION_CHANGE_WITH_DATA_TABLE_1)
+    with pytest.raises(ValueError, match="data table exists"):
+        es.sql("SET COLLATION FRENCH STRENGTH PRIMARY")
+    es.sql("DROP TABLE de_words")
     # strength PRIMARY also ignores accents
     es.sql("SET COLLATION FRENCH STRENGTH PRIMARY")
     assert es.collation == "fr_CI_AI"
@@ -268,7 +278,8 @@ def test_set_collation_icu(es, spark, tmp_path):
     es.sql("INSERT INTO fr_words VALUES (1,'élève'), (2,'ELEVE')")
     got = {r["id"] for r in es.sql("SELECT id FROM fr_words WHERE w = 'eleve'").collect()}
     assert got == {1, 2}
-    # OFF restores binary for new tables
+    # OFF restores binary for new tables (again: only on an empty catalog)
+    es.sql("DROP TABLE fr_words")
     es.sql("SET COLLATION OFF")
     assert es.collation is None
     with pytest.raises(ValueError):
