@@ -201,3 +201,81 @@ def heavy_hitters(
         total[r["item"]] = total.get(r["item"], 0) + r["w"]
     merged = merge_mg([total], k)
     return sorted(merged.items(), key=lambda kv: (-kv[1], str(kv[0])))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — point-frequency
+# estimates in depth x width integer counters. Mergeable by cell-wise
+# addition; est(v) = min over lanes of counter[lane][bucket_lane(v)],
+# always >= the true count, within eps*N with prob 1-delta for
+# width=ceil(e/eps), depth=ceil(ln 1/delta). Buckets come from the
+# cross-engine md5 family, so the COUNTERS AND ESTIMATES are
+# deterministic and oracle-recomputable — same design rule as KMV.
+# ---------------------------------------------------------------------------
+def cms_counters(
+    df: DataFrame, col: Column, depth: int = 4, width: int = 512,
+    *, tag: str = "cms",
+) -> DataFrame:
+    """(lane, bucket, cnt) Count-Min counter table — the sketch itself.
+
+    One explode (depth rows per input) + one partial+final aggregation:
+    the shuffle carries at most depth*width rows per task regardless of
+    input size. Lane d hashes value v to
+    md5_hash60(concat('<tag><d>|', v)) % width.
+    """
+    lanes = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("lane"),
+                        (
+                            md5_hash60(F.concat(F.lit(f"{tag}{d}|"), col))
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("lb")
+    )
+    return lanes.groupBy(
+        F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+def cms_point_estimate(
+    counters: DataFrame, terms: DataFrame, term_col: str,
+    depth: int = 4, width: int = 512, *, tag: str = "cms",
+) -> DataFrame:
+    """min-over-lanes estimate for each row of ``terms`` — adds a
+    ``cms_est`` column. The probe side re-derives each term's bucket
+    per lane and joins the (bounded, depth x width) counter table."""
+    t = F.col(term_col)
+    probes = terms.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("lane"),
+                        (
+                            md5_hash60(F.concat(F.lit(f"{tag}{d}|"), t))
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("lb"),
+    ).select("*", F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket"))
+    group_cols = [c for c in terms.columns]
+    # no broadcast hint: the counter side is a keyed aggregate bounded
+    # at depth*width rows — AQE picks the broadcast at runtime, which
+    # keeps the static plan hint-free for the fleet lint's
+    # forced-broadcast dominance rule
+    return (
+        probes.join(counters, ["lane", "bucket"], "left")
+        .groupBy(*group_cols)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )

@@ -186,3 +186,80 @@ def kmv_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("overlap_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch point-frequency estimates (Cormode & Muthukrishnan
+# 2005; operators/sketches.py cms_counters/cms_point_estimate). The
+# sketch is depth x width integer counters fed by the cross-engine md5
+# bucket family, so counters AND min-over-lanes estimates are
+# deterministic — the oracle rebuilds the identical sketch. Output
+# pairs each top term's true count with its CMS estimate (est >= true
+# by construction; equality when the term's buckets are collision-free).
+# ---------------------------------------------------------------------------
+_CMS_DEPTH, _CMS_WIDTH = 4, 512
+
+
+def _cms_oracle_sql() -> str:
+    lanes = ", ".join(str(d) for d in range(_CMS_DEPTH))
+    h = md5_hash60_sql(f"('cms' || lane || '|' || w)")
+    return f"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+      FROM documents
+    ),
+    toks AS (SELECT w FROM words WHERE w <> ''),
+    counters AS (
+      SELECT lane, {h} % {_CMS_WIDTH} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks, unnest([{lanes}]) AS t(lane)
+      GROUP BY 1, 2
+    ),
+    top_terms AS (
+      SELECT w AS term, CAST(count(*) AS BIGINT) AS true_n,
+             row_number() OVER (ORDER BY count(*) DESC, w) AS rnk
+      FROM toks GROUP BY w QUALIFY rnk <= 20
+    ),
+    probes AS (
+      SELECT term, true_n, rnk, lane,
+             {md5_hash60_sql("('cms' || lane || '|' || term)")} % {_CMS_WIDTH}
+               AS bucket
+      FROM top_terms, unnest([{lanes}]) AS t(lane)
+    )
+    SELECT p.term, p.true_n, p.rnk,
+           min(coalesce(c.cnt, 0)) AS cms_est
+    FROM probes p LEFT JOIN counters c
+      ON p.lane = c.lane AND p.bucket = c.bucket
+    GROUP BY p.term, p.true_n, p.rnk
+    """
+
+
+@workload(
+    "cms_term_frequency",
+    _cms_oracle_sql(),
+    doc="Count-Min sketch: depth-4 x 512 counter table over corpus "
+    "terms (one explode + one agg; the shuffle carries at most "
+    "depth*width rows per task at ANY corpus size), then min-over-"
+    "lanes point estimates for the top-20 true terms — estimates "
+    "rebuilt bit-for-bit by the oracle.",
+)
+def cms_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_counters, cms_point_estimate
+
+    d = load_tables(spark, sf_dir)["documents"]
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    toks = d.select(F.explode(F.split(norm, " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    counters = cms_counters(toks, F.col("w"), _CMS_DEPTH, _CMS_WIDTH)
+    rk = Window.orderBy(F.desc("true_n"), "term")
+    top = (
+        toks.groupBy(F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .withColumn("rnk", F.row_number().over(rk))
+        .filter(F.col("rnk") <= 20)
+    )
+    return cms_point_estimate(
+        counters, top, "term", _CMS_DEPTH, _CMS_WIDTH
+    ).select("term", "true_n", "rnk", "cms_est")

@@ -144,3 +144,46 @@ def test_merge_mg_combines_summaries_with_bound():
     assert all(w > 0 for w in merged.values())
     # merging with an empty summary is identity-after-cut
     assert merge_mg([s1, {}], k=3) == merge_mg([s1], k=3)
+
+
+def test_cms_overestimates_and_merges(spark):
+    """Count-Min invariants: est(v) >= true(v) for every v (one-sided
+    error by construction), exact for collision-free terms at small
+    cardinality, and the counter table is cell-wise additive — the
+    sketch of a union equals the cell-wise sum of the parts' sketches."""
+    from pyspark.sql import functions as F
+
+    from etl_lealone_spark.operators.sketches import (
+        cms_counters,
+        cms_point_estimate,
+    )
+
+    rows = [(f"t{i % 37}",) for i in range(1000)] + [("rare",)] * 3
+    d = spark.createDataFrame(rows, "v string").repartition(7)
+    counters = cms_counters(d, F.col("v"), depth=3, width=64)
+    truth = d.groupBy(F.col("v").alias("term")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    est = cms_point_estimate(counters, truth, "term", depth=3, width=64)
+    got = {r["term"]: (r["true_n"], r["cms_est"]) for r in est.collect()}
+    assert len(got) == 38
+    assert all(e >= t for t, e in got.values())
+    assert got["rare"][1] >= 3
+    # mergeability: sketch(A union B) == cellwise_sum(sketch(A), sketch(B))
+    a, b = d.randomSplit([0.5, 0.5], seed=7)
+    merged = (
+        cms_counters(a, F.col("v"), depth=3, width=64)
+        .unionAll(cms_counters(b, F.col("v"), depth=3, width=64))
+        .groupBy("lane", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_counters(a.unionAll(b), F.col("v"), depth=3, width=64)
+    diff = (
+        merged.join(whole, ["lane", "bucket"], "full")
+        .filter(
+            F.coalesce(merged["cnt"], F.lit(0))
+            != F.coalesce(whole["cnt"], F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
