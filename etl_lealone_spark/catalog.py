@@ -232,7 +232,9 @@ def collation_to_spark(name: str, strength: str | None = None) -> str | None:
         up = up[len("ICU4J_"):]
     base = _COLLATION_LOCALES.get(up)
     if base is None:
-        base = "UNICODE" if up in ("DEFAULT", "UNICODE") else name.lower()
+        # fall back on the PREFIX-STRIPPED name: ICU4J_EN must map to
+        # locale 'en', not 'icu4j_en' (r6 review finding)
+        base = "UNICODE" if up in ("DEFAULT", "UNICODE") else up.lower()
     suffix = {
         "PRIMARY": "_CI_AI",
         "SECONDARY": "_CI",

@@ -212,6 +212,27 @@ def heavy_hitters(
 # cross-engine md5 family, so the COUNTERS AND ESTIMATES are
 # deterministic and oracle-recomputable — same design rule as KMV.
 # ---------------------------------------------------------------------------
+def _cms_lane_buckets(
+    col: Column, depth: int, width: int, tag: str
+) -> Column:
+    """array<struct<lane,bucket>> for a value — THE bucket derivation,
+    shared by sketch build and point probes so the two sides can never
+    drift apart (the one-sided-error guarantee and the cross-engine
+    oracle both require byte-identical bucketing). Lane d hashes value
+    v to md5_hash60(concat('<tag><d>|', v)) % width."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("lane"),
+                (
+                    md5_hash60(F.concat(F.lit(f"{tag}{d}|"), col)) % width
+                ).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
 def cms_counters(
     df: DataFrame, col: Column, depth: int = 4, width: int = 512,
     *, tag: str = "cms",
@@ -220,24 +241,10 @@ def cms_counters(
 
     One explode (depth rows per input) + one partial+final aggregation:
     the shuffle carries at most depth*width rows per task regardless of
-    input size. Lane d hashes value v to
-    md5_hash60(concat('<tag><d>|', v)) % width.
+    input size.
     """
     lanes = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("lane"),
-                        (
-                            md5_hash60(F.concat(F.lit(f"{tag}{d}|"), col))
-                            % width
-                        ).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("lb")
+        F.explode(_cms_lane_buckets(col, depth, width, tag)).alias("lb")
     )
     return lanes.groupBy(
         F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket")
@@ -254,20 +261,7 @@ def cms_point_estimate(
     t = F.col(term_col)
     probes = terms.select(
         "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("lane"),
-                        (
-                            md5_hash60(F.concat(F.lit(f"{tag}{d}|"), t))
-                            % width
-                        ).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("lb"),
+        F.explode(_cms_lane_buckets(t, depth, width, tag)).alias("lb"),
     ).select("*", F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket"))
     group_cols = [c for c in terms.columns]
     # no broadcast hint: the counter side is a keyed aggregate bounded

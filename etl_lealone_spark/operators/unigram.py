@@ -77,9 +77,11 @@ def _seed_pieces(
             )
         ).alias("piece"),
     )
+    # checkpoint so the substring explode + shuffle — the seed phase's
+    # heaviest stage — runs once for the two collects below
     counts = subs.groupBy("piece").agg(
         F.sum("n").cast("bigint").alias("cnt")
-    )
+    ).localCheckpoint(eager=True)
     top = counts.orderBy(F.desc("cnt"), "piece").limit(seed_size).collect()
     chars = (
         counts.filter(F.length("piece") == 1)
@@ -143,22 +145,30 @@ def _forward_backward(word: str, logp: dict[str, float], max_len: int):
 
 
 def _em_pass(words: DataFrame, logp: dict[str, float], max_len: int) -> DataFrame:
-    """One distributed E-step: (piece, qcount int64) partials, summed.
-    The piece table rides the task closure (≤ seed_size floats)."""
+    """One distributed E-step: (piece, qcount) partials, summed.
+    The piece table rides the task closure (≤ seed_size floats).
+
+    Partials and their sum are decimal(38,0), not long: a very common
+    piece at corpus scale ("the" at ~1e12 occurrences) times the 2^24
+    quantum exceeds int64, and a long sum would wrap silently — the
+    same overflow class connected_components' convergence sum guards
+    against (Python ints on the pandas side are arbitrary-precision, so
+    the per-partial value is exact too)."""
+    from decimal import Decimal
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pieces: list[str] = []
-            qcounts: list[int] = []
+            qcounts: list[Decimal] = []
             for word, cnt in zip(pdf["w"], pdf["n"]):
                 exp, _ = _forward_backward(word, logp, max_len)
                 for p, e in exp.items():
                     pieces.append(p)
-                    qcounts.append(int(round(e * cnt * SCALE)))
+                    qcounts.append(Decimal(int(round(e * cnt * SCALE))))
             yield pd.DataFrame({"piece": pieces, "qcount": qcounts})
 
     partials = words.select("w", "n").mapInPandas(
-        gen, "piece string, qcount long"
+        gen, "piece string, qcount decimal(38,0)"
     )
     return partials.groupBy("piece").agg(F.sum("qcount").alias("qcount"))
 

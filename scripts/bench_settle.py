@@ -122,10 +122,17 @@ def main() -> None:
     # heap/shuffle state inflates small-corpus walls ~3x (dsir measured
     # 11.5s stale vs 3.7s fresh at identical data) — restart so the ext
     # ratios measure the queries, not the session's history.
-    spark.stop()
-    spark = build_spark(app_name="bench_settle_ext", cores=default_parallelism())
     ext: dict[str, float] = {}
     for k in ks:
+        # fresh JVM per K: the K-replicated corpus build + ext reps leave
+        # heap/shuffle state that inflates the NEXT K's small-corpus
+        # walls ~3x (the very effect the post-W-suite restart controls
+        # for) — DuckDB gets a fresh connection per call, so a stale
+        # Spark session would overstate only the Spark side of the ratio
+        spark.stop()
+        spark = build_spark(
+            app_name=f"bench_settle_ext_k{k}", cores=default_parallelism()
+        )
         scaled = build_scaled_dir(spark, k)
         try:
             for key, v in ext_dual_at_scale(spark, scaled).items():

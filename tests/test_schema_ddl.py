@@ -286,6 +286,17 @@ def test_set_collation_icu(spark, tmp_path):
         es.sql("SET COLLATION KLINGON")
 
 
+def test_collation_icu4j_prefix_maps_to_locale():
+    """ICU4J_<locale> names (reference CompareModeIcu4J) map to the
+    prefix-stripped ICU locale, not a bogus 'icu4j_*' id (r6 review)."""
+    from etl_lealone_spark.catalog import collation_to_spark
+
+    assert collation_to_spark("ICU4J_EN") == "en"
+    assert collation_to_spark("ICU4J_GERMAN", "SECONDARY") == "de_CI"
+    assert collation_to_spark("ICU4J_PT_BR") == "pt_br"
+    assert collation_to_spark("OFF") is None
+
+
 def test_column_collate_ddl_order_and_equality(es):
     """Per-column COLLATE in CREATE TABLE (reference CompareMode.java /
     CompareModeIcu4J.java): ORDER BY and equality follow the named ICU
