@@ -1,0 +1,121 @@
+"""Streaming SCD2 applier (streaming/scd2.py) — pinned against the
+batch scd2_dim_update workload and against interval-chaining invariants
+under multi-batch delivery and checkpoint replay."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from etl_lealone_spark.streaming.scd2 import Scd2Applier
+from etl_lealone_spark.tables import load_tables
+from etl_lealone_spark.workloads.dml_q import scd2_dim_update
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.select(
+            "custkey", "n_orders", "valid_from", "valid_to", "is_current"
+        ).collect()
+    )
+
+
+def test_scd2_stream_matches_batch_workload(spark, tmp_path):
+    """Change batches chunked by key (each key in exactly one batch)
+    replayed through the applier produce the IDENTICAL history the
+    one-shot batch workload builds."""
+    t = load_tables(spark, SF)
+    base = t["customer"].select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit(0).cast("bigint").alias("n_orders"),
+    )
+    changes = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("eff_date"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    app = Scd2Applier(
+        spark, str(tmp_path / "scd2"), "custkey", ["n_orders"],
+        base=base, base_from="1995-01-01", n_buckets=8,
+    )
+    # three chunks, disjoint by key — any chunking must compose
+    for i, chunk in enumerate(
+        [
+            changes.filter(F.col("custkey") % 3 == j) for j in range(3)
+        ]
+    ):
+        app.process_batch(chunk, batch_id=i, query_key="t1")
+    got = _rows(app.read_history())
+    want = _rows(scd2_dim_update(spark, SF))
+    assert got == want
+
+
+def test_scd2_multi_version_chaining_and_replay(spark, tmp_path):
+    """Two sequential changes to one key produce a 3-row chain with
+    contiguous validity intervals; a replayed batch_id is a no-op."""
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20)], "custkey int, n_orders bigint"
+    )
+    app = Scd2Applier(
+        spark, str(tmp_path / "scd2b"), "custkey", ["n_orders"],
+        base=base, base_from="2020-01-01", n_buckets=4,
+    )
+    b1 = spark.createDataFrame(
+        [(1, datetime.date(2021, 6, 1), 11)],
+        "custkey int, eff_date date, n_orders bigint",
+    )
+    b2 = spark.createDataFrame(
+        [(1, datetime.date(2022, 3, 1), 12)],
+        "custkey int, eff_date date, n_orders bigint",
+    )
+    v1 = app.process_batch(b1, batch_id=0, query_key="t2")
+    v2 = app.process_batch(b2, batch_id=1, query_key="t2")
+    assert v2 > v1
+    hist = sorted(
+        (tuple(r) for r in app.read_history().filter(
+            F.col("custkey") == 1
+        ).collect()),
+        key=lambda r: r[2],
+    )
+    assert len(hist) == 3
+    # chain: each valid_to equals the next valid_from; last is open+current
+    assert hist[0][3] == hist[1][2] and hist[1][3] == hist[2][2]
+    assert hist[2][3] is None and hist[2][4] is True
+    assert [h[1] for h in hist] == [10, 11, 12]
+    # untouched key stays a single current row
+    assert app.current().filter(F.col("custkey") == 2).count() == 1
+    # replay of batch 1 is a no-op (marker) — version unchanged
+    v3 = app.process_batch(b2, batch_id=1, query_key="t2")
+    assert v3 == v2
+    assert app.read_history().filter(F.col("custkey") == 1).count() == 3
+    # a DIFFERENT query identity is not fooled by the marker
+    assert app._marker.last_committed("other") == -1
+
+
+def test_scd2_net_effect_within_batch(spark, tmp_path):
+    """Two changes for one key in the SAME batch: only the latest
+    eff_date lands (CDC net-effect compaction)."""
+    base = spark.createDataFrame([(7, 0)], "custkey int, n_orders bigint")
+    app = Scd2Applier(
+        spark, str(tmp_path / "scd2c"), "custkey", ["n_orders"],
+        base=base, base_from="2020-01-01", n_buckets=2,
+    )
+    b = spark.createDataFrame(
+        [
+            (7, datetime.date(2021, 1, 1), 5),
+            (7, datetime.date(2021, 9, 9), 9),
+        ],
+        "custkey int, eff_date date, n_orders bigint",
+    )
+    app.process_batch(b, batch_id=0, query_key="t3")
+    hist = app.read_history().filter(F.col("custkey") == 7)
+    assert hist.count() == 2  # base row closed + ONE new version
+    cur = hist.filter("is_current").collect()[0]
+    assert cur["n_orders"] == 9
+    assert cur["valid_from"] == datetime.date(2021, 9, 9)
