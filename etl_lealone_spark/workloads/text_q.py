@@ -579,3 +579,88 @@ def unigram_seed_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 50)
         .select("piece", "cnt", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus drift: KL(source || corpus) over hashed unigram
+# buckets — the standard monitor for "this source's token distribution
+# has drifted from the mixture" in a continuously-ingested training
+# corpus. Same fixed-point recipe as text_unigram_logprob: ONE double
+# rounding per (source, bucket) — floor(p * ln(p/q) * 1e9) with the
+# identical IEEE op sequence in both engines — then exact integer sums,
+# so the KL values hash-match bit-for-bit. Truncated KL: the sum runs
+# over the source's OBSERVED buckets (both engines sum the same set);
+# Laplace smoothing keeps every term finite.
+# ---------------------------------------------------------------------------
+_KL_BUCKETS = 4096
+
+
+@workload(
+    "corpus_kl_drift",
+    f"""
+    WITH tok AS (
+      SELECT source,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % {_KL_BUCKETS} AS b
+      FROM (
+        SELECT source,
+               unnest(string_split_regex(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        FROM documents
+      ) t WHERE w <> ''
+    ),
+    sb AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c_sb
+           FROM tok GROUP BY source, b),
+    st AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS n_s
+           FROM sb GROUP BY source),
+    bt AS (SELECT b, CAST(sum(c_sb) AS BIGINT) AS c_b FROM sb GROUP BY b),
+    nt AS (SELECT CAST(sum(c_b) AS BIGINT) AS n FROM bt)
+    SELECT sb.source, max(st.n_s) AS n_tokens,
+           CAST(sum(floor(
+             ((c_sb + 1)::DOUBLE / (n_s + {_KL_BUCKETS})::DOUBLE)
+             * ln(((c_sb + 1)::DOUBLE / (n_s + {_KL_BUCKETS})::DOUBLE)
+                  / ((c_b + 1)::DOUBLE / (n + {_KL_BUCKETS})::DOUBLE))
+             * 1e9)) AS BIGINT) AS kl_x1e9
+    FROM sb JOIN st USING (source) JOIN bt USING (b) CROSS JOIN nt
+    GROUP BY sb.source
+    """,
+    doc="KL(source || corpus) drift monitor over 4096 hashed unigram "
+    "buckets, fixed-point (one rounding per source-bucket term, exact "
+    "bigint sums). Scale shape: map-side explode, two bounded "
+    "aggregations (<= |sources| x buckets rows), 1-row corpus total "
+    "broadcast — no shuffle grows with corpus size.",
+)
+def corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import words
+
+    B = _KL_BUCKETS
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = (
+        d.select("source", F.explode(words(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .select(
+            "source",
+            (
+                F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+                % B
+            ).alias("b"),
+        )
+    )
+    sb = tok.groupBy("source", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_sb")
+    )
+    st = sb.groupBy("source").agg(F.sum("c_sb").cast("bigint").alias("n_s"))
+    bt = sb.groupBy("b").agg(F.sum("c_sb").cast("bigint").alias("c_b"))
+    nt = bt.agg(F.sum("c_b").cast("bigint").alias("n"))
+    p = (F.col("c_sb") + 1).cast("double") / (F.col("n_s") + B).cast("double")
+    q = (F.col("c_b") + 1).cast("double") / (F.col("n") + B).cast("double")
+    term = F.floor(p * F.log(p / q) * F.lit(1e9))
+    return (
+        sb.join(st, "source")
+        .join(bt, "b")
+        .crossJoin(F.broadcast(nt))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.sum(term).cast("bigint").alias("kl_x1e9"),
+        )
+    )
