@@ -17,9 +17,13 @@ and the rewrite cost is O(touched buckets), not O(dimension). At
 touches a small fraction of partitions.
 
 Exactly-once: foreachBatch re-delivers the in-flight batch after a
-restart; the shared BatchCommitMarker recognizes fully-applied replays
-(same contract as IncrementalCorpusBuilder — marker flips only after
-the snapshot pointer).
+restart. The shared BatchCommitMarker recognizes fully-applied replays,
+and — the marker contract's second half — the rewrite itself is
+IDEMPOTENT for the crash window between the snapshot flip and the
+marker commit: closes only touch current rows that predate the change
+(a replay sees the row it opened and leaves it), and opens anti-join
+away versions already present at (key, valid_from). Re-applying an
+applied batch is a no-op (pinned by test).
 
 Equivalence contract (pinned by tests/test_streaming_scd2.py): if each
 key's changes arrive in ascending eff_date order (any chunking across
@@ -32,6 +36,7 @@ per key wins (max by (eff_date, attrs) — deterministic), matching the
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,11 +64,25 @@ class Scd2Applier:
         self.key_col = key_col
         self.attr_cols = list(attr_cols)
         self.eff_col = eff_col
-        self.n_buckets = n_buckets
         self._marker = BatchCommitMarker(state_root)
         self.history = SnapshotTable(
             spark, state_root, "dim_history", partition_by=["kb"]
         )
+        # the bucket count is part of the PERSISTED layout: a restart
+        # with a different value would hash changed keys into different
+        # buckets than their stored rows, leaving old current rows
+        # unclosed while opening duplicates — pin it beside the table
+        # and fail loudly on drift (r6 review finding)
+        meta = os.path.join(state_root, "dim_history", "_n_buckets")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                stored = int(f.read().strip())
+            if stored != n_buckets:
+                raise ValueError(
+                    f"dim_history was built with n_buckets={stored}; "
+                    f"got {n_buckets} — bucket layout cannot change"
+                )
+        self.n_buckets = n_buckets
         if base is not None and not self.history.exists():
             init = base.select(
                 F.col(key_col),
@@ -74,6 +93,10 @@ class Scd2Applier:
                 self._kb(F.col(key_col)).alias("kb"),
             )
             self.history.create(init)
+        if not os.path.exists(meta):
+            os.makedirs(os.path.dirname(meta), exist_ok=True)
+            with open(meta, "w") as f:
+                f.write(str(n_buckets))
 
     def _kb(self, key):
         return F.pmod(F.xxhash64(key.cast("string")), self.n_buckets)
@@ -109,22 +132,51 @@ class Scd2Applier:
             .withColumn("kb", self._kb(F.col(k)))
             .localCheckpoint(eager=True)  # consumed by filter + transform
         )
+        if not self.history.exists():
+            # pure-CDC bootstrap (no base snapshot): the first batch's
+            # net changes become the initial history — every key opens
+            # as a current version (an empty partitioned parquet cannot
+            # round-trip its schema, so there is no "empty snapshot")
+            version = self.history.create(
+                net.select(
+                    F.col(k),
+                    *[F.col(c) for c in self.attr_cols],
+                    F.col(eff).alias("valid_from"),
+                    F.lit(None).cast("date").alias("valid_to"),
+                    F.lit(True).alias("is_current"),
+                    F.col("kb"),
+                )
+            )
+            if batch_id is not None:
+                self._marker.commit(batch_id, query_key)
+            return version
         buckets = [r["kb"] for r in net.select("kb").distinct().collect()]
         if not buckets:
             if batch_id is not None:
                 self._marker.commit(batch_id, query_key)
             return self.history._version
-        probe = net.select(
-            F.col(k).alias("__k"),
-            F.col(eff).alias("__eff"),
-            *[F.col(c).alias(f"__new_{c}") for c in self.attr_cols],
-        )
+        probe = net.select(F.col(k).alias("__k"), F.col(eff).alias("__eff"))
 
         def transform(subset: DataFrame) -> DataFrame:
+            # IDEMPOTENT by construction (the BatchCommitMarker contract:
+            # a crash between the snapshot flip and the marker commit
+            # re-delivers the batch, so re-applying to already-applied
+            # state must be a no-op):
+            # - close only current rows that PREDATE the change
+            #   (valid_from < eff) — a replayed batch sees the row it
+            #   opened (valid_from == eff) and leaves it current;
+            # - open only versions not already present at (key,
+            #   valid_from) — the replay's insert anti-joins away.
+            # Side effect: a change whose eff_date equals an existing
+            # version's valid_from is treated as already applied.
             j = subset.join(
                 F.broadcast(probe), subset[k] == probe["__k"], "left"
             )
-            hit = F.col("__k").isNotNull() & F.col("is_current")
+            hit = (
+                F.col("__k").isNotNull()
+                & F.col("is_current")
+                & (F.col("valid_from") < F.col("__eff"))
+            )
             closed_or_kept = j.select(
                 F.col(k),
                 *[F.col(c) for c in self.attr_cols],
@@ -144,6 +196,10 @@ class Scd2Applier:
                 F.lit(None).cast("date").alias("valid_to"),
                 F.lit(True).alias("is_current"),
                 F.col("kb"),
+            ).join(
+                subset.select(F.col(k), F.col("valid_from")),
+                [k, "valid_from"],
+                "left_anti",
             )
             return closed_or_kept.unionByName(opened)
 

@@ -595,12 +595,13 @@ def unigram_seed_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KL_BUCKETS = 4096
 
 
-@workload(
-    "corpus_kl_drift",
-    f"""
+def _kl_oracle_sql() -> str:
+    from ..operators.xhash import md5_hash60_sql
+
+    return f"""
     WITH tok AS (
       SELECT source,
-             ('0x' || substr(md5(w), 1, 15))::BIGINT % {_KL_BUCKETS} AS b
+             {md5_hash60_sql("w")} % {_KL_BUCKETS} AS b
       FROM (
         SELECT source,
                unnest(string_split_regex(trim(regexp_replace(lower(text),
@@ -615,14 +616,19 @@ _KL_BUCKETS = 4096
     bt AS (SELECT b, CAST(sum(c_sb) AS BIGINT) AS c_b FROM sb GROUP BY b),
     nt AS (SELECT CAST(sum(c_b) AS BIGINT) AS n FROM bt)
     SELECT sb.source, max(st.n_s) AS n_tokens,
-           CAST(sum(floor(
+           CAST(sum(CAST(floor(
              ((c_sb + 1)::DOUBLE / (n_s + {_KL_BUCKETS})::DOUBLE)
              * ln(((c_sb + 1)::DOUBLE / (n_s + {_KL_BUCKETS})::DOUBLE)
                   / ((c_b + 1)::DOUBLE / (n + {_KL_BUCKETS})::DOUBLE))
-             * 1e9)) AS BIGINT) AS kl_x1e9
+             * 1e9) AS BIGINT)) AS BIGINT) AS kl_x1e9
     FROM sb JOIN st USING (source) JOIN bt USING (b) CROSS JOIN nt
     GROUP BY sb.source
-    """,
+    """
+
+
+@workload(
+    "corpus_kl_drift",
+    _kl_oracle_sql(),
     doc="KL(source || corpus) drift monitor over 4096 hashed unigram "
     "buckets, fixed-point (one rounding per source-bucket term, exact "
     "bigint sums). Scale shape: map-side explode, two bounded "
@@ -634,16 +640,12 @@ def corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     B = _KL_BUCKETS
     d = load_tables(spark, sf_dir)["documents"]
+    from ..operators.xhash import md5_hash60
+
     tok = (
         d.select("source", F.explode(words(F.col("text"))).alias("w"))
         .filter(F.col("w") != "")
-        .select(
-            "source",
-            (
-                F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
-                % B
-            ).alias("b"),
-        )
+        .select("source", (md5_hash60(F.col("w")) % B).alias("b"))
     )
     sb = tok.groupBy("source", "b").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_sb")

@@ -119,3 +119,69 @@ def test_scd2_net_effect_within_batch(spark, tmp_path):
     cur = hist.filter("is_current").collect()[0]
     assert cur["n_orders"] == 9
     assert cur["valid_from"] == datetime.date(2021, 9, 9)
+
+
+def test_scd2_crash_replay_is_idempotent(spark, tmp_path):
+    """The marker contract's hard half: a crash BETWEEN the snapshot
+    flip and the marker commit re-delivers the batch against
+    already-applied state — re-applying must be a no-op (no zero-length
+    rows, no duplicate currents)."""
+    base = spark.createDataFrame([(1, 10)], "custkey int, n_orders bigint")
+    app = Scd2Applier(
+        spark, str(tmp_path / "scd2d"), "custkey", ["n_orders"],
+        base=base, base_from="2020-01-01", n_buckets=4,
+    )
+    b = spark.createDataFrame(
+        [(1, datetime.date(2021, 5, 5), 11)],
+        "custkey int, eff_date date, n_orders bigint",
+    )
+    # first application, but simulate dying before the marker commit:
+    # apply WITHOUT a batch_id (marker untouched)
+    app.process_batch(b, batch_id=None)
+    before = _rows(app.read_history())
+    # restart + foreachBatch replay of the same batch, now with its id
+    app2 = Scd2Applier(
+        spark, str(tmp_path / "scd2d"), "custkey", ["n_orders"],
+        n_buckets=4,
+    )
+    app2.process_batch(b, batch_id=0, query_key="t4")
+    after = _rows(app2.read_history())
+    assert after == before  # re-apply changed NOTHING
+    cur = app2.current().filter(F.col("custkey") == 1).collect()
+    assert len(cur) == 1 and cur[0]["n_orders"] == 11
+    # and no zero-length interval appeared
+    assert not any(r[2] == r[3] for r in after)
+
+
+def test_scd2_bucket_layout_is_pinned(spark, tmp_path):
+    """Reopening the history with a different n_buckets must fail loudly
+    — a silent rehash would leave old current rows unclosed."""
+    import pytest
+
+    base = spark.createDataFrame([(1, 0)], "custkey int, n_orders bigint")
+    Scd2Applier(
+        spark, str(tmp_path / "scd2e"), "custkey", ["n_orders"],
+        base=base, n_buckets=8,
+    )
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        Scd2Applier(
+            spark, str(tmp_path / "scd2e"), "custkey", ["n_orders"],
+            n_buckets=4,
+        )
+
+
+def test_scd2_pure_cdc_bootstrap(spark, tmp_path):
+    """No base snapshot: the first batch bootstraps an empty history
+    with the stream's own types and inserts new keys as open versions."""
+    app = Scd2Applier(
+        spark, str(tmp_path / "scd2f"), "custkey", ["n_orders"], n_buckets=4
+    )
+    b = spark.createDataFrame(
+        [(5, datetime.date(2023, 1, 1), 3)],
+        "custkey int, eff_date date, n_orders bigint",
+    )
+    app.process_batch(b, batch_id=0, query_key="t5")
+    rows = app.read_history().collect()
+    assert len(rows) == 1
+    assert rows[0]["is_current"] is True
+    assert rows[0]["valid_from"] == datetime.date(2023, 1, 1)
