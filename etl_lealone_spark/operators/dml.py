@@ -491,6 +491,63 @@ class SnapshotTable:
         v = self._version if version is None else version
         return set(self._file_map(v))
 
+    def file_counts(self, version: Optional[int] = None) -> dict[tuple, int]:
+        """Data-file count per leaf partition directory of a snapshot
+        (``{(): n}`` for unpartitioned tables) — the input to
+        :meth:`compact`'s threshold decision. Counts logical entries, so
+        metadata-only links (from inserts / pruned rewrites) count like
+        real files: they cost a reader task each, which is exactly the
+        small-file problem compaction exists to fix."""
+        v = self._version if version is None else version
+        root = self._dir(v)
+        out: dict[tuple, int] = {}
+        for dirpath, _dirnames, filenames in os.walk(root, followlinks=True):
+            n = sum(1 for fn in filenames if not fn.startswith(("_", ".")))
+            if not n:
+                continue
+            rel = os.path.relpath(dirpath, root)
+            key = () if rel == "." else tuple(
+                part.split("=", 1)[1] for part in rel.split(os.sep) if "=" in part
+            )
+            out[key] = out.get(key, 0) + n
+        return out
+
+    def compact(self, max_files: int = 8) -> int:
+        """OPTIMIZE-style small-file compaction (reference analogue: the
+        BTree page defragmentation CompactPlan.java drives; lakehouse
+        analogue: OPTIMIZE bin-packing).
+
+        Repeated inserts / pruned rewrites accrete one file per touched
+        partition per batch — a year of daily CDC batches means hundreds
+        of files per bucket, and at 100 TB the reader's task count (and
+        the object store's request count) scales with files, not bytes.
+        This rewrites ONLY partitions whose data-file count exceeds
+        ``max_files``, coalescing each to a single file; every other
+        partition is linked into the new snapshot (metadata-only).
+        Row-identical by construction (pinned by test). Returns the new
+        snapshot version, or the current one when nothing exceeds the
+        threshold (no-op, no new snapshot)."""
+        counts = self.file_counts()
+        if not self.partition_by:
+            if counts.get((), 0) <= max_files:
+                return self._version
+            return self.write(self.read().coalesce(1))
+        touched = [k for k, n in counts.items() if n > max_files]
+        if not touched:
+            return self._version
+        sep = "\x00"
+        keys = [sep.join(k) for k in touched]
+        current = self.read()
+        # hive dir names stringify partition values, so compare on the
+        # same representation; one repartition by the partition columns
+        # lands each touched partition's rows in one task -> one file
+        joined = F.concat_ws(
+            sep, *[F.col(c).cast("string") for c in self.partition_by]
+        )
+        return self._pruned_rewrite(
+            lambda df: df.repartition(*self.partition_by), joined.isin(keys)
+        )
+
     def inserted_since(self, old_version: int) -> DataFrame:
         """Rows added between ``old_version`` and the current snapshot,
         read from ONLY the new data files (cost O(new data), the

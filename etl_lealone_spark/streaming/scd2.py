@@ -32,10 +32,23 @@ the one-change-per-key case it is row-identical to the batch
 scd2_dim_update workload's output. Within one batch, the LATEST change
 per key wins (max by (eff_date, attrs) — deterministic), matching the
 "net effect" rule CDC compaction uses.
+
+Precondition violations are SURFACED, not silent (r6 verdict/advice):
+each batch is pre-checked against the touched buckets' current rows in
+one aggregate job — an out-of-order change (eff_date BEFORE the key's
+current valid_from) raises before any mutation (it would open a second
+is_current row); a same-date CONFLICT (eff_date equals the current
+valid_from but the attrs differ — the replay-idempotency rule would
+silently drop it) is counted in ``last_metrics`` and logged, or raises
+under ``strict_same_date=True``. Exact replays (same date, same attrs)
+stay free no-ops — that is the crash-replay contract.
 """
 
 from __future__ import annotations
 
+import functools
+import logging
+import operator
 import os
 from typing import Optional, Sequence
 
@@ -44,6 +57,8 @@ from pyspark.sql import functions as F
 
 from ..operators.dml import SnapshotTable
 from ._marker import BatchCommitMarker
+
+logger = logging.getLogger(__name__)
 
 
 class Scd2Applier:
@@ -59,11 +74,18 @@ class Scd2Applier:
         base: Optional[DataFrame] = None,
         base_from: str = "1995-01-01",
         n_buckets: int = 32,
+        strict_same_date: bool = False,
     ):
         self.spark = spark
         self.key_col = key_col
         self.attr_cols = list(attr_cols)
         self.eff_col = eff_col
+        self.strict_same_date = strict_same_date
+        # per-batch precondition counters, refreshed by process_batch
+        self.last_metrics: dict[str, int] = {
+            "same_date_dropped": 0,
+            "replayed": 0,
+        }
         self._marker = BatchCommitMarker(state_root)
         self.history = SnapshotTable(
             spark, state_root, "dim_history", partition_by=["kb"]
@@ -132,6 +154,16 @@ class Scd2Applier:
             .withColumn("kb", self._kb(F.col(k)))
             .localCheckpoint(eager=True)  # consumed by filter + transform
         )
+        buckets = [r["kb"] for r in net.select("kb").distinct().collect()]
+        if not buckets:
+            # Empty batch (batch 0 of a stream commonly is). Checked
+            # BEFORE the bootstrap branch: create() on an empty
+            # partitioned DataFrame writes a _SUCCESS-only snapshot that
+            # exists() but cannot round-trip its schema, wedging every
+            # later read — so an empty batch never creates the table.
+            if batch_id is not None:
+                self._marker.commit(batch_id, query_key)
+            return self.history._version
         if not self.history.exists():
             # pure-CDC bootstrap (no base snapshot): the first batch's
             # net changes become the initial history — every key opens
@@ -150,11 +182,7 @@ class Scd2Applier:
             if batch_id is not None:
                 self._marker.commit(batch_id, query_key)
             return version
-        buckets = [r["kb"] for r in net.select("kb").distinct().collect()]
-        if not buckets:
-            if batch_id is not None:
-                self._marker.commit(batch_id, query_key)
-            return self.history._version
+        self._check_preconditions(net, buckets)
         probe = net.select(F.col(k).alias("__k"), F.col(eff).alias("__eff"))
 
         def transform(subset: DataFrame) -> DataFrame:
@@ -168,7 +196,10 @@ class Scd2Applier:
             # - open only versions not already present at (key,
             #   valid_from) — the replay's insert anti-joins away.
             # Side effect: a change whose eff_date equals an existing
-            # version's valid_from is treated as already applied.
+            # version's valid_from is treated as already applied —
+            # _check_preconditions counts/raises when that drops a
+            # GENUINE conflicting change (attrs differ), so the rule
+            # only ever eats exact replays silently.
             j = subset.join(
                 F.broadcast(probe), subset[k] == probe["__k"], "left"
             )
@@ -209,6 +240,73 @@ class Scd2Applier:
         if batch_id is not None:
             self._marker.commit(batch_id, query_key)
         return version
+
+    def _check_preconditions(self, net: DataFrame, buckets: list) -> None:
+        """Pre-mutation batch audit against the touched buckets' current
+        rows — ONE aggregate job, cost O(touched buckets) like the
+        rewrite itself. Raises on out-of-order changes (they would open a
+        duplicate is_current row); counts same-date conflicts that the
+        replay-idempotency rule is about to drop (raises instead under
+        strict_same_date); counts exact replays for observability."""
+        k, eff = self.key_col, self.eff_col
+        cur = (
+            self.history.read()
+            .filter(F.col("kb").isin(buckets) & F.col("is_current"))
+            .select(
+                F.col(k),
+                F.col("valid_from"),
+                *[F.col(c).alias(f"__h_{c}") for c in self.attr_cols],
+            )
+        )
+        same_attrs = functools.reduce(
+            operator.and_,
+            [F.col(c).eqNullSafe(F.col(f"__h_{c}")) for c in self.attr_cols],
+        )
+        same_day = F.col("valid_from") == F.col(eff)
+        row = (
+            cur.join(F.broadcast(net), k, "inner")
+            .agg(
+                F.count(F.when(F.col("valid_from") > F.col(eff), 1)).alias("ooo"),
+                F.count(F.when(same_day & ~same_attrs, 1)).alias("dropped"),
+                F.count(F.when(same_day & same_attrs, 1)).alias("replayed"),
+            )
+            .first()
+        )
+        self.last_metrics = {
+            "same_date_dropped": int(row["dropped"]),
+            "replayed": int(row["replayed"]),
+        }
+        if row["ooo"]:
+            raise ValueError(
+                f"{row['ooo']} out-of-order change(s): eff_date precedes the "
+                f"key's current valid_from — applying would open a duplicate "
+                f"is_current row. Changes must arrive in ascending eff_date "
+                f"order per key; nothing was written."
+            )
+        if row["dropped"]:
+            if self.strict_same_date:
+                raise ValueError(
+                    f"{row['dropped']} same-date conflict(s): eff_date equals "
+                    f"an existing version's valid_from with DIFFERENT attrs — "
+                    f"the replay-idempotency rule would silently drop them "
+                    f"(strict_same_date=True); nothing was written."
+                )
+            logger.warning(
+                "scd2 %s: dropping %d same-date conflicting change(s) "
+                "(eff_date == current valid_from, attrs differ) — see "
+                "last_metrics['same_date_dropped']",
+                self.key_col,
+                row["dropped"],
+            )
+
+    def compact(self, max_files: int = 8) -> int:
+        """Small-file maintenance: each CDC batch accretes one file per
+        touched bucket (SnapshotTable._pruned_rewrite appends beside the
+        linked survivors), so a year of daily batches means ~365 files
+        per hot bucket. Delegates to SnapshotTable.compact — rewrites
+        only buckets over ``max_files`` to a single file each, links the
+        rest; row-identical (pinned by test)."""
+        return self.history.compact(max_files)
 
     def current(self) -> DataFrame:
         """The dimension's current rows (the SCD1 view of the history)."""

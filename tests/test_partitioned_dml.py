@@ -81,3 +81,45 @@ def test_full_rewrite_still_works_on_partitioned_table(spark, tmp_path):
     got = {r["id"]: r["v"] for r in st.read().collect()}
     assert got[4] == 99.0 and got[1] == 10.0
     assert st.read().count() == 4
+
+
+def test_compact_rewrites_only_hot_partitions(spark, tmp_path):
+    """OPTIMIZE-style compaction: partitions over the file threshold are
+    rewritten to one file; cold partitions are LINKED (metadata-only);
+    rows are identical before/after; a no-op does not bump the version."""
+    st = _table(spark, tmp_path)
+    # accrete files in dt=2024-01-01 only
+    for i in range(5):
+        st.insert(
+            spark.createDataFrame(
+                [("2024-01-01", 100 + i, float(i))], "dt string, id int, v double"
+            )
+        )
+    counts = st.file_counts()
+    assert counts[("2024-01-01",)] >= 6
+    cold_before = counts[("2024-01-02",)]
+    before = sorted(tuple(r) for r in st.read().collect())
+    v = st.compact(max_files=3)
+    assert v == st.version
+    after = st.file_counts()
+    assert after[("2024-01-01",)] == 1
+    assert after[("2024-01-02",)] == cold_before
+    assert sorted(tuple(r) for r in st.read().collect()) == before
+    # cold partition is a link, not a copy
+    vdir = os.path.join(str(tmp_path), "pt", f"v{v:06d}")
+    assert os.path.islink(os.path.join(vdir, "dt=2024-01-02"))
+    # everything under threshold now -> no-op, version unchanged
+    assert st.compact(max_files=3) == v
+
+
+def test_compact_unpartitioned(spark, tmp_path):
+    st = SnapshotTable(spark, str(tmp_path), "flat")
+    st.create(spark.createDataFrame([(1, "a")], "id int, s string"))
+    for i in range(4):
+        st.insert(spark.createDataFrame([(2 + i, "b")], "id int, s string"))
+    assert st.file_counts()[()] >= 5
+    before = sorted(tuple(r) for r in st.read().collect())
+    v = st.compact(max_files=2)
+    assert st.file_counts()[()] == 1
+    assert sorted(tuple(r) for r in st.read().collect()) == before
+    assert st.compact(max_files=2) == v

@@ -170,6 +170,129 @@ def test_scd2_bucket_layout_is_pinned(spark, tmp_path):
         )
 
 
+def test_scd2_empty_first_batch_does_not_wedge(spark, tmp_path):
+    """Batch 0 of a stream is commonly empty: it must NOT create the
+    history (an empty partitioned parquet cannot round-trip its schema
+    — the table would exist() but never read again). The marker still
+    commits, and the next non-empty batch bootstraps normally."""
+    app = Scd2Applier(
+        spark, str(tmp_path / "scd2g"), "custkey", ["n_orders"], n_buckets=4
+    )
+    empty = spark.createDataFrame(
+        [], "custkey int, eff_date date, n_orders bigint"
+    )
+    v0 = app.process_batch(empty, batch_id=0, query_key="t6")
+    assert v0 == -1 and not app.history.exists()
+    assert app._marker.last_committed("t6") == 0  # exactly-once intact
+    b = spark.createDataFrame(
+        [(5, datetime.date(2023, 1, 1), 3)],
+        "custkey int, eff_date date, n_orders bigint",
+    )
+    app.process_batch(b, batch_id=1, query_key="t6")
+    rows = app.read_history().collect()
+    assert len(rows) == 1 and rows[0]["is_current"] is True
+    # and a replay of the empty batch against live history is a no-op too
+    v = app.process_batch(empty, batch_id=2, query_key="t6")
+    assert v == app.history.version and app.read_history().count() == 1
+
+
+def test_scd2_out_of_order_change_raises(spark, tmp_path):
+    """A change whose eff_date precedes the key's current valid_from
+    would open a duplicate is_current row — it must raise BEFORE any
+    mutation, leaving the history untouched."""
+    import pytest
+
+    base = spark.createDataFrame([(1, 10)], "custkey int, n_orders bigint")
+    app = Scd2Applier(
+        spark, str(tmp_path / "scd2h"), "custkey", ["n_orders"],
+        base=base, base_from="2020-01-01", n_buckets=4,
+    )
+    b1 = spark.createDataFrame(
+        [(1, datetime.date(2022, 6, 1), 11)],
+        "custkey int, eff_date date, n_orders bigint",
+    )
+    app.process_batch(b1, batch_id=0, query_key="t7")
+    before = _rows(app.read_history())
+    late = spark.createDataFrame(
+        [(1, datetime.date(2021, 1, 1), 99)],
+        "custkey int, eff_date date, n_orders bigint",
+    )
+    with pytest.raises(ValueError, match="out-of-order"):
+        app.process_batch(late, batch_id=1, query_key="t7")
+    assert _rows(app.read_history()) == before  # nothing written
+    # and only ONE current row for the key survives
+    assert app.current().filter(F.col("custkey") == 1).count() == 1
+
+
+def test_scd2_same_date_conflict_is_surfaced(spark, tmp_path):
+    """Two same-day changes to one key across batches: the second is
+    dropped by the replay-idempotency rule, but now COUNTED (default)
+    or rejected (strict_same_date=True); exact replays count as
+    replayed, not dropped."""
+    import pytest
+
+    base = spark.createDataFrame([(1, 10)], "custkey int, n_orders bigint")
+    app = Scd2Applier(
+        spark, str(tmp_path / "scd2i"), "custkey", ["n_orders"],
+        base=base, base_from="2020-01-01", n_buckets=4,
+    )
+    day = datetime.date(2021, 5, 5)
+    b1 = spark.createDataFrame(
+        [(1, day, 11)], "custkey int, eff_date date, n_orders bigint"
+    )
+    app.process_batch(b1, batch_id=0, query_key="t8")
+    assert app.last_metrics == {"same_date_dropped": 0, "replayed": 0}
+    # exact replay (same day, same attrs) — counted as replayed, applied
+    # as a no-op
+    app.process_batch(b1, batch_id=1, query_key="t8")
+    assert app.last_metrics == {"same_date_dropped": 0, "replayed": 1}
+    # genuine same-day CONFLICT (attrs differ) — counted, history keeps
+    # the first version (documented drop semantics)
+    b2 = spark.createDataFrame(
+        [(1, day, 99)], "custkey int, eff_date date, n_orders bigint"
+    )
+    app.process_batch(b2, batch_id=2, query_key="t8")
+    assert app.last_metrics["same_date_dropped"] == 1
+    cur = app.current().filter(F.col("custkey") == 1).collect()
+    assert len(cur) == 1 and cur[0]["n_orders"] == 11
+    # strict mode: the same conflict raises before any write
+    strict = Scd2Applier(
+        spark, str(tmp_path / "scd2i"), "custkey", ["n_orders"],
+        n_buckets=4, strict_same_date=True,
+    )
+    with pytest.raises(ValueError, match="same-date conflict"):
+        strict.process_batch(b2, batch_id=3, query_key="t8b")
+
+
+def test_scd2_compaction_row_identical(spark, tmp_path):
+    """Repeated batches accrete one file per touched bucket per batch;
+    compact() rewrites hot buckets to one file each and the history is
+    row-identical before/after."""
+    base = spark.createDataFrame(
+        [(i, 0) for i in range(8)], "custkey int, n_orders bigint"
+    )
+    app = Scd2Applier(
+        spark, str(tmp_path / "scd2j"), "custkey", ["n_orders"],
+        base=base, base_from="2020-01-01", n_buckets=2,
+    )
+    for i in range(1, 6):
+        b = spark.createDataFrame(
+            [(kk, datetime.date(2020, 1 + i, 1), i) for kk in range(8)],
+            "custkey int, eff_date date, n_orders bigint",
+        )
+        app.process_batch(b, batch_id=i, query_key="t9")
+    counts = app.history.file_counts()
+    assert max(counts.values()) > 2  # files accreted
+    before = _rows(app.read_history())
+    v = app.compact(max_files=2)
+    assert v == app.history.version
+    after_counts = app.history.file_counts()
+    assert all(n == 1 for n in after_counts.values())
+    assert _rows(app.read_history()) == before
+    # below-threshold compact is a version-free no-op
+    assert app.compact(max_files=64) == v
+
+
 def test_scd2_pure_cdc_bootstrap(spark, tmp_path):
     """No base snapshot: the first batch bootstraps an empty history
     with the stream's own types and inserts new keys as open versions."""
