@@ -220,11 +220,29 @@ _COLLATION_LOCALES = {
 }
 
 
+# ISO 3166 alpha-2 -> alpha-3 for the country part of ICU locale ids:
+# the reference (CompareModeIcu4J.java) accepts `de_AT`-style ids, but
+# Spark 4 collation names use alpha-3 (`de_AUT`). Script subtags (4
+# letters: Hant, Cyrl, Latn) pass through untouched. Countries not
+# listed pass through and get Spark's typed validation at DDL time.
+_COUNTRY_A2_TO_A3 = {
+    "AT": "AUT", "AU": "AUS", "BE": "BEL", "BR": "BRA", "CA": "CAN",
+    "CH": "CHE", "CN": "CHN", "CZ": "CZE", "DE": "DEU", "DK": "DNK",
+    "ES": "ESP", "FI": "FIN", "FR": "FRA", "GB": "GBR", "GR": "GRC",
+    "HK": "HKG", "IE": "IRL", "IN": "IND", "IT": "ITA", "JP": "JPN",
+    "KR": "KOR", "MX": "MEX", "NL": "NLD", "NO": "NOR", "NZ": "NZL",
+    "PL": "POL", "PT": "PRT", "RS": "SRB", "RU": "RUS", "SE": "SWE",
+    "SG": "SGP", "TR": "TUR", "TW": "TWN", "UA": "UKR", "US": "USA",
+}
+
+
 def collation_to_spark(name: str, strength: str | None = None) -> str | None:
     """H2/ICU collation name [+ strength] → Spark 4 collation identifier
     (None = UTF8_BINARY, the default). Unknown language names pass
-    through lowercased as ICU locale ids — Spark validates them at the
-    compare/DDL site and the caller converts that to a typed error."""
+    through lowercased as ICU locale ids — `de_AT`-style country
+    variants are rewritten to Spark's alpha-3 form (`de_AUT`), script
+    subtags (`zh_Hant`) pass through — and Spark validates the result at
+    the compare/DDL site; the caller converts that to a typed error."""
     up = name.upper()
     if up in ("OFF", "BINARY"):
         return None  # UTF8_BINARY, the default
@@ -234,7 +252,19 @@ def collation_to_spark(name: str, strength: str | None = None) -> str | None:
     if base is None:
         # fall back on the PREFIX-STRIPPED name: ICU4J_EN must map to
         # locale 'en', not 'icu4j_en' (r6 review finding)
-        base = "UNICODE" if up in ("DEFAULT", "UNICODE") else up.lower()
+        if up in ("DEFAULT", "UNICODE"):
+            base = "UNICODE"
+        else:
+            parts = up.split("_")
+            out = [parts[0].lower()]
+            for p in parts[1:]:
+                if len(p) == 4 and p.isalpha():
+                    out.append(p.title())  # script subtag: Hant, Cyrl
+                elif len(p) == 2 and p.upper() in _COUNTRY_A2_TO_A3:
+                    out.append(_COUNTRY_A2_TO_A3[p.upper()])
+                else:
+                    out.append(p.upper() if p.isalpha() else p)
+            base = "_".join(out)
     suffix = {
         "PRIMARY": "_CI_AI",
         "SECONDARY": "_CI",
@@ -325,9 +355,13 @@ def _parse_columns(cols_sql: str) -> tuple[str, list[str], "TableConstraints"]:
         # per-column named collation: ``w VARCHAR(20) COLLATE GERMAN
         # [STRENGTH SECONDARY]`` → ``w string collate de_CI`` (Spark 4
         # native collation — ordering and equality are then JVM-side at
-        # every compare site; reference CompareMode.java semantics)
-        cm = re.search(
-            rf"COLLATE\s+(?P<cname>{_IDENT})(?:\s+STRENGTH\s+(?P<cstr>\w+))?",
+        # every compare site; reference CompareMode.java semantics).
+        # Anchored to the clause position (immediately after the type),
+        # so a COLLATE token inside a later clause — ``DEFAULT 'COLLATE
+        # GERMAN'`` or a CHECK expression — can never be misparsed as
+        # the column's collation (r6 advice finding).
+        cm = re.match(
+            rf"\s*COLLATE\s+(?P<cname>{_IDENT})(?:\s+STRENGTH\s+(?P<cstr>\w+))?",
             rest,
             re.IGNORECASE,
         )

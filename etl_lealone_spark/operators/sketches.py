@@ -255,9 +255,22 @@ def cms_point_estimate(
     counters: DataFrame, terms: DataFrame, term_col: str,
     depth: int = 4, width: int = 512, *, tag: str = "cms",
 ) -> DataFrame:
-    """min-over-lanes estimate for each row of ``terms`` — adds a
-    ``cms_est`` column. The probe side re-derives each term's bucket
-    per lane and joins the (bounded, depth x width) counter table."""
+    """min-over-lanes estimate for each DISTINCT row of ``terms`` — adds
+    a ``cms_est`` column. The probe side re-derives each term's bucket
+    per lane and joins the (bounded, depth x width) counter table.
+    Duplicate ``terms`` rows collapse to one output row (the estimate is
+    a function of the row, so nothing is lost — but multiplicity is not
+    preserved). Reserved column names would collide with the probe/join
+    plumbing, so they are rejected typed rather than silently joined on
+    (r6 advice finding)."""
+    reserved = {"lane", "bucket", "cnt", "lb", "cms_est"}
+    clash = reserved.intersection(c.lower() for c in terms.columns)
+    if clash:
+        raise ValueError(
+            f"cms_point_estimate: terms columns {sorted(clash)} collide "
+            f"with the probe/join plumbing ({sorted(reserved)}); rename "
+            f"them before probing"
+        )
     t = F.col(term_col)
     probes = terms.select(
         "*",

@@ -293,8 +293,55 @@ def test_collation_icu4j_prefix_maps_to_locale():
 
     assert collation_to_spark("ICU4J_EN") == "en"
     assert collation_to_spark("ICU4J_GERMAN", "SECONDARY") == "de_CI"
-    assert collation_to_spark("ICU4J_PT_BR") == "pt_br"
+    assert collation_to_spark("ICU4J_PT_BR") == "pt_BRA"
     assert collation_to_spark("OFF") is None
+
+
+def test_collation_locale_variants_map_to_spark_ids():
+    """Reference CompareModeIcu4J accepts arbitrary ICU locale ids
+    (`de_AT`, `zh_Hant`); Spark 4 wants alpha-3 countries and
+    title-case script subtags — the mapping must bridge both forms."""
+    from etl_lealone_spark.catalog import collation_to_spark
+
+    assert collation_to_spark("de_AT") == "de_AUT"
+    assert collation_to_spark("DE_AT", "PRIMARY") == "de_AUT_CI_AI"
+    assert collation_to_spark("fr_CA", "SECONDARY") == "fr_CAN_CI"
+    assert collation_to_spark("zh_Hant") == "zh_Hant"
+    assert collation_to_spark("ZH_HANT") == "zh_Hant"
+    assert collation_to_spark("sr_Cyrl_RS") == "sr_Cyrl_SRB"
+    assert collation_to_spark("de_AUT") == "de_AUT"  # alpha-3 passthrough
+
+
+def test_column_collate_passthrough_locale_and_misparse_guards(es):
+    """A non-mapped pass-through locale (`de_AT`) orders correctly in
+    DDL; COLLATE tokens inside a DEFAULT string literal or CHECK
+    expression are NOT misparsed as column collations; unknown locales
+    still fail typed at CREATE time (r6 advice + verdict task 6)."""
+    es.sql(
+        "CREATE TABLE at_sorted (id int PRIMARY KEY, "
+        "w varchar(20) COLLATE de_AT)"
+    )
+    es.sql("INSERT INTO at_sorted VALUES (1,'zebra'), (2,'ähre'), (3,'apfel')")
+    got = [r["w"] for r in es.sql("SELECT w FROM at_sorted ORDER BY w").collect()]
+    assert got == ["ähre", "apfel", "zebra"]  # ICU de_AT, not binary
+    # a COLLATE inside a DEFAULT literal must stay a literal (binary order)
+    es.sql(
+        "CREATE TABLE lit_w (id int PRIMARY KEY, "
+        "w varchar(40) DEFAULT 'COLLATE GERMAN')"
+    )
+    es.sql("INSERT INTO lit_w (id) VALUES (1)")
+    es.sql("INSERT INTO lit_w VALUES (2,'zebra'), (3,'ähre'), (4,'apfel')")
+    assert es.sql("SELECT w FROM lit_w WHERE id=1").collect()[0]["w"] == (
+        "COLLATE GERMAN"
+    )
+    got = [
+        r["w"]
+        for r in es.sql("SELECT w FROM lit_w WHERE id>1 ORDER BY w").collect()
+    ]
+    assert got == ["apfel", "zebra", "ähre"]  # binary: ä sorts after z
+    # unknown pass-through locale: typed rejection at CREATE time
+    with pytest.raises(ValueError):
+        es.sql("CREATE TABLE bad_at (id int, w varchar(10) COLLATE de_QQ)")
 
 
 def test_column_collate_ddl_order_and_equality(es):

@@ -187,3 +187,24 @@ def test_cms_overestimates_and_merges(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_cms_probe_rejects_reserved_columns(spark):
+    """A terms frame already carrying lane/bucket/cnt would silently
+    join on the wrong columns — rejected typed instead (r6 advice)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_lealone_spark.operators.sketches import (
+        cms_counters,
+        cms_point_estimate,
+    )
+
+    d = spark.createDataFrame([("x",), ("y",)], "v string")
+    counters = cms_counters(d, F.col("v"), depth=3, width=64)
+    bad = spark.createDataFrame([("x", 0)], "term string, lane int")
+    with pytest.raises(ValueError, match="lane"):
+        cms_point_estimate(counters, bad, "term", depth=3, width=64)
+    bad2 = spark.createDataFrame([("x", 1)], "term string, CNT int")
+    with pytest.raises(ValueError, match="cnt"):
+        cms_point_estimate(counters, bad2, "term", depth=3, width=64)
