@@ -942,6 +942,134 @@ class IvfIndex:
             .select("query_id", "vec_id", "cosine_sim", "rnk")
         )
 
+    def topk_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qvec",
+    ) -> DataFrame:
+        """Batch-scoring twin of :meth:`topk` for LARGE query sets — the
+        offline-reprocessing shape (r6 verdict task 3): the query set is
+        never collected driver-side, so it can be millions of rows.
+
+        Dataflow (each stage distributed):
+        1. centroids (~sqrt(n) rows, train-once) ship in the kernel
+           closure; an Arrow-batched mapInPandas assigns each query its
+           ``n_probe`` probe cids executor-side — (query_id, cid) pairs
+           only, no vectors duplicated;
+        2. the probed-cid SET (bounded by the centroid count, NOT the
+           query count) is collected for parquet partition pruning of
+           the assign/ table — the only driver materialization;
+        3. query vectors join back by query_id (shuffle join — scales
+           with the query set), then a cid-cogrouped applyInPandas
+           scores each probe cluster against its queries with one exact
+           int64 matmul per group, emitting per-(query, cid) top-k
+           partials;
+        4. a keyed window takes the global per-query top-k.
+
+        Row-identical to :meth:`topk` (same quantized arithmetic, same
+        (sim DESC, cid/vec_id ASC) tie-breaks; pinned by test and by the
+        shared DuckDB oracle). ``query_id`` must be unique per query.
+        """
+        import os
+
+        import numpy as np
+        import pandas as pd
+
+        cids, CENT, cn = self._load_centroids()
+
+        def assign_probes(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                Q = _np_rows(pdf[query_vec_col])
+                sims = (Q @ CENT.T).astype(np.float64) / cn[None, :]
+                # stable argsort over cid-ascending columns == the
+                # per-query path's lexsort((cids, -csims)): sim DESC,
+                # cid ASC on ties
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+                reps = order.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(
+                            pdf[query_id_col].to_numpy(), reps
+                        ),
+                        "cid": cids[order].ravel(),
+                    }
+                )
+
+        pairs = queries.mapInPandas(
+            assign_probes, schema="query_id long, cid long"
+        ).localCheckpoint(eager=True)  # consumed by distinct + join
+        probed_cids = sorted(
+            r["cid"] for r in pairs.select("cid").distinct().collect()
+        )
+        assign = self.spark.read.parquet(os.path.join(self.root, "assign"))
+        cand = assign.filter(F.col("cid").isin(probed_cids)).select(
+            F.col("vec_id"), F.col("cvec"), F.col("cid").cast("long").alias("cid")
+        )
+        qside = pairs.join(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vec_col).alias("qvec"),
+            ),
+            "query_id",
+        )
+
+        def score_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "vec_id": pd.Series(dtype="int64"),
+                 "cosine_sim": pd.Series(dtype="float64")}
+            )
+            if left.empty or right.empty:
+                return empty
+            right = right.sort_values("vec_id")  # vec_id ASC tie-break
+            C = _np_rows(right["cvec"])
+            vids = right["vec_id"].to_numpy()
+            cnr = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            out = []
+            kk = min(k, len(vids))
+            for lo in range(0, len(left), 2048):  # bound the sim matrix
+                chunk = left.iloc[lo : lo + 2048]
+                Q = _np_rows(chunk["qvec"])
+                qnr = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+                dots = Q @ C.T  # exact int64
+                sims = dots.astype(np.float64) / (cnr[None, :] * qnr[:, None])
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(
+                                chunk["query_id"].to_numpy(), kk
+                            ),
+                            "vec_id": vids[top].ravel(),
+                            "cosine_sim": np.take_along_axis(
+                                sims, top, axis=1
+                            ).ravel(),
+                        }
+                    )
+                )
+            return pd.concat(out, ignore_index=True) if out else empty
+
+        scored = (
+            qside.groupBy("cid")
+            .cogroup(cand.groupBy("cid"))
+            .applyInPandas(
+                score_group, schema="query_id long, vec_id long, cosine_sim double"
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "vec_id", "cosine_sim", "rnk")
+        )
+
 
 # ---------------------------------------------------------------------------
 # embedding preprocessing — L2 normalization + int8 quantization

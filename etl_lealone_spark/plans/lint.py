@@ -8,10 +8,17 @@ Rules (the failures that only surface as a cluster bill at 100 TB):
   ungrouped (1-row) aggregate — the standard constant-size way to attach
   a scalar corpus statistic (avgdl, token totals, thresholds) to every
   row; recognized by shape, not by name.
-- ``global-window`` — a Window node directly above an
+- ``global-window`` — a Window node whose unary chain reaches an
   ``Exchange SinglePartition``: the whole dataset serialized through one
   task. (Ungrouped final aggregates legitimately end in a 1-row
   SinglePartition exchange; only a *window* above one is flagged.)
+  EXEMPT when a ``WindowGroupLimit`` sits on the chain between them:
+  rank-filter plans (``rnk <= k``) plant one below the exchange, so each
+  upstream partition ships at most k rows — genuinely bounded. The
+  exemption is recognized EXPLICITLY (r6 verdict task 4): before, such
+  plans passed only because WindowGroupLimit broke the regex, and a
+  refactor that lost the limit while keeping an interposed node could
+  slip through as a false-negative.
 
 ``scripts/plan_lint.py`` sweeps every registered workload through these
 rules; tests/test_plans.py unit-tests the rules on planted plans.
@@ -24,15 +31,42 @@ import re
 RULES: list[tuple[str, re.Pattern]] = [
     ("cartesian", re.compile(r"CartesianProduct")),
     ("bnl-join", re.compile(r"BroadcastNestedLoopJoin")),
-    (
-        "global-window",
-        re.compile(
-            r"Window\s+\[[^\n]*\n"
-            r"(?:[\s:+|-]*(?:Sort|Project)[^\n]*\n)*"
-            r"[\s:+|-]*Exchange SinglePartition"
-        ),
-    ),
 ]
+
+# Nodes that may sit between a Window and its exchange without changing
+# the data volume through the single task: sorts, projections, and the
+# codegen/columnar plumbing explain interposes.
+_WINDOW_CHAIN_PASSTHROUGH = re.compile(
+    r"^(?:\*\(\d+\)\s*)?(?:Sort\b|Project\b|Filter\b|WholeStageCodegen|"
+    r"InputAdapter|ColumnarToRow|RunningWindowFunction)"
+)
+
+
+def global_window_unbounded(plan: str) -> bool:
+    """True iff some Window node's unary chain reaches an ``Exchange
+    SinglePartition`` with NO ``WindowGroupLimit`` on the path. A
+    WindowGroupLimit below the exchange bounds what each upstream
+    partition ships (<= k rows), so rank-filter top-k over a global
+    order is accepted; anything else funnels the dataset through one
+    task."""
+    nodes = _tree_nodes(plan)
+    for idx, (d, txt) in enumerate(nodes):
+        if not re.match(r"(?:\*\(\d+\)\s*)?Window\b", txt):
+            continue
+        bounded = False
+        for d2, t2 in nodes[idx + 1:]:
+            if d2 <= d:
+                break
+            if "WindowGroupLimit" in t2:
+                bounded = True
+                continue
+            if "Exchange SinglePartition" in t2:
+                if not bounded:
+                    return True
+                break
+            if not _WINDOW_CHAIN_PASSTHROUGH.match(t2):
+                break  # a different operator shape — not this rule
+    return False
 
 _PREFIX_CHARS = " :+-"
 
@@ -208,6 +242,8 @@ def lint_plan(plan: str) -> list[str]:
         if rule == "bnl-join" and bnl_is_scalar_broadcast(plan):
             continue
         hits.append(rule)
+    if global_window_unbounded(plan):
+        hits.append("global-window")
     return hits
 
 

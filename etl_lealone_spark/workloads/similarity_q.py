@@ -353,9 +353,10 @@ def _ivf_index_root(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), "etl_lealone_ivf", key)
 
 
-@workload(
-    "ann_ivf_topk",
-    f"""
+# Shared by ann_ivf_topk and ann_ivf_topk_batch: the two engine paths
+# (driver-side probe ranking vs executor-side batch assignment) promise
+# IDENTICAL results, so they check against the same oracle.
+_IVF_TOPK_ORACLE = f"""
     WITH cq AS (
       SELECT vec_id,
              list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS cvec
@@ -402,7 +403,12 @@ def _ivf_index_root(sf_dir: str) -> str:
                                 ORDER BY cosine_sim DESC, vec_id) AS rnk
       FROM scored
     ) t WHERE rnk <= {TOP_K}
-    """,
+    """
+
+
+@workload(
+    "ann_ivf_topk",
+    _IVF_TOPK_ORACLE,
     doc="IVF-style ANN: deterministic sqrt(n) coarse quantizer, broadcast "
     "centroid assignment (map-side partial agg), probe 4 clusters, exact "
     "integer-quantized cosine re-rank. The FAISS IVF-flat trade as "
@@ -421,6 +427,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), _quantized(F.col("embedding")).alias("qvec")
     )
     return idx.topk(q, k=TOP_K, n_probe=4)
+
+
+@workload(
+    "ann_ivf_topk_batch",
+    _IVF_TOPK_ORACLE,
+    doc="Batch-scoring IVF probe (IvfIndex.topk_batch): the offline "
+    "100 TB reprocessing shape — probe cids assigned executor-side per "
+    "Arrow batch, query vectors joined back by id, per-cluster exact "
+    "int64 matmul scoring via cid-cogrouped applyInPandas. No driver "
+    "collect of the query set (only the bounded probed-cid list). Same "
+    "oracle as ann_ivf_topk: the two paths are row-identical.",
+)
+def ann_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import IvfIndex
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    idx = IvfIndex(spark, _ivf_index_root(sf_dir))
+    idx.build(e)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _quantized(F.col("embedding")).alias("qvec")
+    )
+    return idx.topk_batch(q, k=TOP_K, n_probe=4)
 
 
 _IVF_STREAM_CUT = (

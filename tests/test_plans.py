@@ -467,6 +467,78 @@ def test_plan_lint_flags_global_window(spark, tables):
     assert "global-window" not in lint_df(keyed_w)
 
 
+def test_global_window_rule_recognizes_window_group_limit(spark, tables):
+    """r6 verdict task 4: a rank-filter plan (rnk <= k over a global
+    order) plants a WindowGroupLimit below the SinglePartition exchange
+    — each upstream partition ships <= k rows, so the plan is accepted
+    EXPLICITLY (not by regex non-match); the same shape without the
+    limit is flagged."""
+    from pyspark.sql import Window
+
+    from etl_lealone_spark.plans.explain import explain_str
+    from etl_lealone_spark.plans.lint import lint_df
+
+    d = tables["lineitem"]
+    # rank() (not row_number(), which limit-pushdown rewrites to
+    # TakeOrderedAndProject before WindowGroupLimit can appear)
+    ranked = d.withColumn(
+        "rnk", F.rank().over(Window.orderBy("l_orderkey", "l_linenumber"))
+    )
+    topk = ranked.filter(F.col("rnk") <= 5)
+    # precondition: the optimizer really planted the limit we exempt on
+    assert "WindowGroupLimit" in explain_str(topk, "extended")
+    assert "global-window" not in lint_df(topk)
+    # same window, no rank filter -> no WindowGroupLimit -> flagged
+    assert "global-window" in lint_df(ranked)
+
+
+def test_global_window_rule_on_planted_plans():
+    """Text-level polarity pins: a refactor that loses the
+    WindowGroupLimit but keeps an interposed Sort/Project must FLAG;
+    the limit on the chain must PASS; a limit on a sibling branch (not
+    the window's own chain) must NOT exempt."""
+    from etl_lealone_spark.plans.lint import global_window_unbounded
+
+    flagged = (
+        "Window [row_number() ...]\n"
+        "+- *(2) Sort [w ASC]\n"
+        "   +- Exchange SinglePartition\n"
+        "      +- *(1) Project [w]\n"
+    )
+    assert global_window_unbounded(flagged)
+
+    bounded = (
+        "Window [row_number() ...]\n"
+        "+- WindowGroupLimit [row_number(), 5], Final\n"
+        "   +- *(2) Sort [w ASC]\n"
+        "      +- Exchange SinglePartition\n"
+        "         +- WindowGroupLimit [row_number(), 5], Partial\n"
+        "            +- *(1) Sort [w ASC]\n"
+    )
+    assert not global_window_unbounded(bounded)
+
+    # the limit must dominate THIS window's exchange — a join sibling
+    # carrying one does not exempt the unbounded window branch
+    sibling = (
+        "SortMergeJoin [a], [b]\n"
+        ":- Window [row_number() ...]\n"
+        ":  +- Sort [w ASC]\n"
+        ":     +- Exchange SinglePartition\n"
+        ":        +- Project [w]\n"
+        "+- WindowGroupLimit [row_number(), 5], Final\n"
+        "   +- Sort [x ASC]\n"
+    )
+    assert global_window_unbounded(sibling)
+
+    # keyed (hashpartitioned) window exchange is not this rule's shape
+    keyed = (
+        "Window [row_number() ...], [k]\n"
+        "+- Sort [k ASC, w ASC]\n"
+        "   +- Exchange hashpartitioning(k, 32)\n"
+    )
+    assert not global_window_unbounded(keyed)
+
+
 def test_dynamic_partition_pruning_injects(spark, tables, tmp_path):
     """A filtered dim joined on a fact's PARTITION column must inject
     dynamic partition pruning (a runtime subquery on the fact scan) —

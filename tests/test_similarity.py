@@ -129,3 +129,28 @@ def test_ivf_index_build_probe_matches_inline(tables, spark, tmp_path):
     # the probe is partition-pruned at the parquet source
     plan = out2._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cid" in plan
+
+
+def test_ivf_topk_batch_matches_per_query_path(tables, spark, tmp_path):
+    """topk_batch (executor-side probe assignment + cogrouped batch
+    scoring, no driver query collect) is row-identical to topk —
+    including the float sims — and still partition-prunes the assign
+    scan."""
+    from etl_lealone_spark.operators.similarity import IvfIndex, quantize
+
+    e = tables["embeddings"]
+    root = str(tmp_path / "ivfb")
+    idx = IvfIndex(spark, root)
+    idx.build(e)
+    q = e.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("query_id"), quantize(F.col("embedding")).alias("qvec")
+    )
+    per_query = sorted(map(tuple, idx.topk(q, k=10, n_probe=4).collect()))
+    batch = idx.topk_batch(q, k=10, n_probe=4)
+    assert sorted(map(tuple, batch.collect())) == per_query
+    # repartitioned input (different Arrow batching) must not change it
+    batch2 = idx.topk_batch(q.repartition(5), k=10, n_probe=4)
+    assert sorted(map(tuple, batch2.collect())) == per_query
+    # probe stays partition-pruned at the parquet source
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cid" in plan
