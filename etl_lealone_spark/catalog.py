@@ -2300,18 +2300,26 @@ class StatementRouter:
         )
 
     def _optimize(self, s: str) -> DataFrame:
-        """``OPTIMIZE <table> [ZORDER BY (c1, c2, …)]`` — data-layout
-        rewrite (extension; the reference's nearest concept is a BTree
-        clustered index, one sort order per table — CreateIndex.java).
+        """``OPTIMIZE <table> [COMPACT [MAX FILES n]] [ZORDER BY (c1,
+        …)]`` — data-layout rewrite (extension; the reference's nearest
+        concept is a BTree clustered index, one sort order per table —
+        CreateIndex.java; the page-defragmentation analogue is
+        CompactPlan.java).
 
-        Without ZORDER: small-file compaction — coalesce (no shuffle) to
-        ~1/8th of the current file count. With ZORDER: one range-shuffle
-        on the interleaved key (operators/layout.py) so every output file
-        covers a disjoint hyper-box of the clustered columns and parquet
-        footer stats prune on ALL of them.
+        ``COMPACT [MAX FILES n]``: threshold-driven small-file
+        compaction via SnapshotTable.compact — rewrites ONLY partitions
+        whose data-file count exceeds ``n`` (default 8) to one file
+        each, links the rest metadata-only; a no-op (no new snapshot)
+        when nothing exceeds. The right verb for partitioned tables
+        accreting CDC/insert files. Plain ``OPTIMIZE <table>`` keeps the
+        legacy whole-table coalesce (~1/8th file count). With ZORDER:
+        one range-shuffle on the interleaved key (operators/layout.py)
+        so every output file covers a disjoint hyper-box of the
+        clustered columns and parquet footer stats prune on ALL of them.
         """
         m = re.match(
             rf"OPTIMIZE\s+(?P<name>{_IDENT})"
+            rf"(?:\s+(?P<compact>COMPACT)(?:\s+MAX\s+FILES\s+(?P<maxf>\d+))?)?"
             rf"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?\s*$",
             s,
             re.IGNORECASE,
@@ -2320,6 +2328,15 @@ class StatementRouter:
             raise ValueError(f"cannot parse OPTIMIZE: {s[:80]}")
         name = m.group("name").lower()
         st = self.catalog.table(name)
+        if m.group("compact"):
+            max_files = int(m.group("maxf") or 8)
+            before = st.version
+            v = st.compact(max_files)
+            self.catalog.refresh_view(name)
+            what = "no partitions over threshold" if v == before else f"v{v}"
+            return self._ok(
+                f"optimized {name} compact max files {max_files} ({what})"
+            )
         df = st.read()
         if m.group("cols"):
             from .operators.layout import cluster_by_zorder

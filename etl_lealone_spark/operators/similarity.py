@@ -875,8 +875,12 @@ class IvfIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "qvec",
     ) -> DataFrame:
-        """Top-k for a small query set; ``qvec`` must be quantized
-        (array<bigint>). Reads only the probed cid partitions."""
+        """Top-k for a SMALL query set (the interactive probe shape:
+        the query set is collected driver-side to rank centroids —
+        fine for thousands of queries, wrong for millions; use
+        :meth:`topk_batch` for offline large-query-set reprocessing).
+        ``qvec`` must be quantized (array<bigint>). Reads only the
+        probed cid partitions."""
         import os
 
         import numpy as np

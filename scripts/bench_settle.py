@@ -68,7 +68,9 @@ def build_scaled_dir(spark, k: int) -> str:
     return out
 
 
-def ext_dual_at_scale(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
+def ext_dual_at_scale(
+    spark, sf_dir: str, reps: int = 2, names: list[str] | None = None
+) -> dict[str, float]:
     import duckdb
 
     con = duckdb.connect()
@@ -82,7 +84,7 @@ def ext_dual_at_scale(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     wl = all_workloads()
     out: dict[str, float] = {}
-    for name in EXT_AT_SCALE:
+    for name in names or EXT_AT_SCALE:
         w = wl[name]
 
         def s_run():

@@ -89,3 +89,22 @@ def test_optimize_compaction_statement(es):
     es.sql("OPTIMIZE zt")
     rows = es.sql("SELECT count(*) AS n FROM zt").collect()
     assert rows[0].n == 500
+
+
+def test_optimize_compact_statement(es):
+    """OPTIMIZE t COMPACT [MAX FILES n]: threshold compaction through
+    the DDL surface — content identical, repeated inserts' file
+    accretion collapsed, below-threshold call is a version no-op."""
+    # accrete snapshot files
+    for i in range(500, 506):
+        es.sql(f"INSERT INTO zt VALUES ({i},{i % 97},{(i * 37) % 100}.5)")
+    st = es.catalog.table("zt")
+    assert st.file_counts()[()] > 4
+    before = sorted(r.id for r in es.sql("SELECT id FROM zt").collect())
+    es.sql("OPTIMIZE zt COMPACT MAX FILES 4")
+    assert st.file_counts()[()] == 1
+    after = sorted(r.id for r in es.sql("SELECT id FROM zt").collect())
+    assert after == before and len(after) == 506
+    v = st.version
+    es.sql("OPTIMIZE zt COMPACT MAX FILES 4")  # under threshold: no-op
+    assert st.version == v
