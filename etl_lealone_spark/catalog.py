@@ -356,13 +356,20 @@ def _parse_columns(cols_sql: str) -> tuple[str, list[str], "TableConstraints"]:
         # [STRENGTH SECONDARY]`` → ``w string collate de_CI`` (Spark 4
         # native collation — ordering and equality are then JVM-side at
         # every compare site; reference CompareMode.java semantics).
-        # Anchored to the clause position (immediately after the type),
-        # so a COLLATE token inside a later clause — ``DEFAULT 'COLLATE
-        # GERMAN'`` or a CHECK expression — can never be misparsed as
-        # the column's collation (r6 advice finding).
-        cm = re.match(
-            rf"\s*COLLATE\s+(?P<cname>{_IDENT})(?:\s+STRENGTH\s+(?P<cstr>\w+))?",
-            rest,
+        # String literals and parenthesized groups are stripped FIRST so
+        # a COLLATE token inside ``DEFAULT 'COLLATE GERMAN'`` or a CHECK
+        # expression can never be misparsed as the column's collation
+        # (r6 advice finding) — while a real COLLATE clause anywhere in
+        # the definition (e.g. after NOT NULL) is still honored.
+        bare = re.sub(r"'(?:[^']|'')*'", "''", rest)
+        while True:
+            stripped = re.sub(r"\([^()]*\)", "", bare)
+            if stripped == bare:
+                break
+            bare = stripped
+        cm = re.search(
+            rf"\bCOLLATE\s+(?P<cname>{_IDENT})(?:\s+STRENGTH\s+(?P<cstr>\w+))?",
+            bare,
             re.IGNORECASE,
         )
         if cm and spark_type == "string":
@@ -2329,6 +2336,11 @@ class StatementRouter:
         name = m.group("name").lower()
         st = self.catalog.table(name)
         if m.group("compact"):
+            if m.group("cols"):
+                raise ValueError(
+                    "OPTIMIZE: COMPACT and ZORDER BY are separate layout "
+                    "rewrites — run them as two statements"
+                )
             max_files = int(m.group("maxf") or 8)
             before = st.version
             v = st.compact(max_files)

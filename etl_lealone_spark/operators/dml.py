@@ -328,6 +328,29 @@ class SnapshotTable:
         self._version = new_version
         return new_version
 
+    @staticmethod
+    def _unescape_hive(val: str) -> str:
+        """Hive-style partition-dir unescaping: %XX byte escapes back to
+        the raw value ('a%3Ab' -> 'a:b'). Directory names escape chars
+        that are unsafe in paths; the DataFrame side carries the RAW
+        value, so every dir-name-vs-column-value comparison must
+        unescape first or special-char partitions silently mismatch."""
+        if "%" not in val:
+            return val
+        out, i = [], 0
+        while i < len(val):
+            ch = val[i]
+            if ch == "%" and i + 3 <= len(val):
+                try:
+                    out.append(chr(int(val[i + 1 : i + 3], 16)))
+                    i += 3
+                    continue
+                except ValueError:
+                    pass
+            out.append(ch)
+            i += 1
+        return "".join(out)
+
     def _clone_partitions_except(self, new_version: int, touched: DataFrame) -> None:
         """Hard-link the untouched partition dirs of the current snapshot
         into the new snapshot (metadata-only on a local FS; a cheap
@@ -344,7 +367,7 @@ class SnapshotTable:
                 sp = os.path.join(cur_src, entry)
                 if not os.path.isdir(sp) or "=" not in entry:
                     continue
-                val = entry.split("=", 1)[1]
+                val = self._unescape_hive(entry.split("=", 1)[1])
                 key = prefix + (val,)
                 if depth + 1 == len(self.partition_by):
                     if key in {tuple(str(v) for v in t) for t in touched_dirs}:
@@ -423,7 +446,7 @@ class SnapshotTable:
                     sp = os.path.join(cur_src, entry)
                     if not os.path.isdir(sp) or "=" not in entry:
                         continue
-                    key = prefix + (entry.split("=", 1)[1],)
+                    key = prefix + (self._unescape_hive(entry.split("=", 1)[1]),)
                     if depth + 1 == len(self.partition_by):
                         if key in touched_keys:
                             self._link_data_files(sp, os.path.join(cur_dst, entry))
@@ -507,7 +530,9 @@ class SnapshotTable:
                 continue
             rel = os.path.relpath(dirpath, root)
             key = () if rel == "." else tuple(
-                part.split("=", 1)[1] for part in rel.split(os.sep) if "=" in part
+                self._unescape_hive(part.split("=", 1)[1])
+                for part in rel.split(os.sep)
+                if "=" in part
             )
             out[key] = out.get(key, 0) + n
         return out
@@ -532,15 +557,23 @@ class SnapshotTable:
             if counts.get((), 0) <= max_files:
                 return self._version
             return self.write(self.read().coalesce(1))
-        touched = [k for k, n in counts.items() if n > max_files]
+        # dir-derived keys are hive-UNESCAPED (file_counts), matching the
+        # cast-to-string of the raw column values below; NULL partitions
+        # (__HIVE_DEFAULT_PARTITION__) are skipped — isin cannot match
+        # null, so selecting them would exclude their dirs from linking
+        # without rewriting them
+        touched = [
+            k
+            for k, n in counts.items()
+            if n > max_files
+            and "__HIVE_DEFAULT_PARTITION__" not in k
+        ]
         if not touched:
             return self._version
         sep = "\x00"
         keys = [sep.join(k) for k in touched]
-        current = self.read()
-        # hive dir names stringify partition values, so compare on the
-        # same representation; one repartition by the partition columns
-        # lands each touched partition's rows in one task -> one file
+        # one repartition by the partition columns lands each touched
+        # partition's rows in one task -> one file per partition dir
         joined = F.concat_ws(
             sep, *[F.col(c).cast("string") for c in self.partition_by]
         )

@@ -984,6 +984,19 @@ class IvfIndex:
 
         cids, CENT, cn = self._load_centroids()
 
+        # Pin the query lineage ONCE: both the probe assignment and the
+        # qvec join-back consume it, and a nondeterministic source
+        # (sample, unordered limit, concurrently-appended view) evaluated
+        # twice would score a query against clusters ranked for a
+        # DIFFERENT vector — silently wrong top-k. Lazy checkpoint: it
+        # materializes on the first action (the pairs checkpoint) and is
+        # reused by the join.
+        queries = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        ).localCheckpoint(eager=False)
+        query_id_col, query_vec_col = "query_id", "qvec"
+
         def assign_probes(batches):
             for pdf in batches:
                 if pdf.empty:

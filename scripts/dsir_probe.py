@@ -15,7 +15,9 @@ that stage alone in both engines (explode words, md5-bucket, count
 rows — nothing a planner can reorder), so if the full-query ratio
 tracks the twin ratio, the remaining gap is string-tokenization
 substrate (JVM UTF-8 regex split + md5 vs DuckDB's native string ops),
-not plan quality.
+not plan quality. The twin's (count, sum) is asserted bit-equal across
+engines on the full scaled corpus before any rep is timed — a ratio of
+two different computations would be meaningless.
 
 Run on an IDLE machine:
     python scripts/dsir_probe.py            # K = 30, 100
@@ -56,14 +58,14 @@ _TWIN_DUCKDB = """
 """
 
 
-def twin_spark(spark, sf_dir: str) -> None:
+def twin_spark(spark, sf_dir: str) -> tuple[int, int]:
     from pyspark.sql import functions as F
 
     from etl_lealone_spark.operators.dedup import words
     from etl_lealone_spark.tables import load_tables
 
     d = load_tables(spark, sf_dir)["documents"]
-    (
+    r = (
         d.select(F.explode(words(F.col("text"))).alias("w"))
         .filter(F.col("w") != "")
         .select(
@@ -75,10 +77,9 @@ def twin_spark(spark, sf_dir: str) -> None:
             ).alias("b")
         )
         .agg(F.count(F.lit(1)).alias("n"), F.sum("b").alias("s"))
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
+        .first()
     )
+    return (int(r["n"]), int(r["s"]))
 
 
 def twin_dual(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
@@ -90,8 +91,17 @@ def twin_dual(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{src}')"
     )
-    twin_spark(spark, sf_dir)  # warm
-    con.execute(_TWIN_DUCKDB).fetchall()
+    # the warm pass doubles as the provenance gate: the twin ratio is
+    # meaningless unless both engines computed the SAME thing — assert
+    # bit-equality of (count, sum) on the full scaled corpus before
+    # timing a single rep
+    s_res = twin_spark(spark, sf_dir)
+    d_res = tuple(int(x) for x in con.execute(_TWIN_DUCKDB).fetchall()[0])
+    if s_res != d_res:
+        raise AssertionError(
+            f"substrate twin diverged: spark={s_res} duckdb={d_res} — "
+            f"the timing ratio would compare different computations"
+        )
     st, dt = [], []
     for _ in range(reps):
         t0 = time.time()

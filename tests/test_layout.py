@@ -108,3 +108,8 @@ def test_optimize_compact_statement(es):
     v = st.version
     es.sql("OPTIMIZE zt COMPACT MAX FILES 4")  # under threshold: no-op
     assert st.version == v
+
+
+def test_optimize_compact_zorder_combination_rejected(es):
+    with pytest.raises(ValueError, match="separate layout"):
+        es.sql("OPTIMIZE zt COMPACT ZORDER BY (x, y)")

@@ -123,3 +123,44 @@ def test_compact_unpartitioned(spark, tmp_path):
     assert st.file_counts()[()] == 1
     assert sorted(tuple(r) for r in st.read().collect()) == before
     assert st.compact(max_files=2) == v
+
+
+def test_compact_and_pruned_rewrite_with_escaped_partition_values(spark, tmp_path):
+    """Hive dir names escape special chars (':' -> '%3A'); every
+    dir-name-vs-column-value comparison must unescape or partitions
+    with such values are silently mistreated: compact() would no-op on
+    them, and a pruned UPDATE would DUPLICATE them (the touched dir
+    also gets linked as 'untouched')."""
+    st = SnapshotTable(spark, str(tmp_path), "esc", partition_by=["src"])
+    st.create(
+        spark.createDataFrame(
+            [("a:b", 1, 10.0), ("plain", 2, 20.0)], "src string, id int, v double"
+        )
+    )
+    # pruned update touching ONLY the escaped partition: no duplicates
+    st.update(
+        F.col("src") == "a:b",
+        {"v": F.col("v") + 1},
+        partition_filter=F.col("src") == "a:b",
+    )
+    rows = sorted(
+        tuple(r) for r in st.read().select("src", "id", "v").collect()
+    )
+    assert rows == [("a:b", 1, 11.0), ("plain", 2, 20.0)]
+    # accrete files in the escaped partition, then compact it
+    for i in range(4):
+        st.insert(
+            spark.createDataFrame(
+                [("a:b", 100 + i, float(i))], "src string, id int, v double"
+            )
+        )
+    assert st.file_counts()[("a:b",)] >= 5
+    before = sorted(
+        tuple(r) for r in st.read().select("src", "id", "v").collect()
+    )
+    v = st.compact(max_files=2)
+    assert v == st.version
+    assert st.file_counts()[("a:b",)] == 1
+    assert sorted(
+        tuple(r) for r in st.read().select("src", "id", "v").collect()
+    ) == before

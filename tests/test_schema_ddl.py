@@ -342,6 +342,16 @@ def test_column_collate_passthrough_locale_and_misparse_guards(es):
     # unknown pass-through locale: typed rejection at CREATE time
     with pytest.raises(ValueError):
         es.sql("CREATE TABLE bad_at (id int, w varchar(10) COLLATE de_QQ)")
+    # COLLATE after another clause (NOT NULL) is still HONORED — the
+    # misparse guard strips literals/parens, it must not drop real
+    # clauses written later in the definition
+    es.sql(
+        "CREATE TABLE nn_coll (id int PRIMARY KEY, "
+        "w varchar(20) NOT NULL COLLATE GERMAN)"
+    )
+    es.sql("INSERT INTO nn_coll VALUES (1,'zebra'), (2,'ähre'), (3,'apfel')")
+    got = [r["w"] for r in es.sql("SELECT w FROM nn_coll ORDER BY w").collect()]
+    assert got == ["ähre", "apfel", "zebra"]
 
 
 def test_column_collate_ddl_order_and_equality(es):
