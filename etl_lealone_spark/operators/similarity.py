@@ -866,6 +866,72 @@ class IvfIndex:
             os.replace(tmp, self._meta_path)
         return int(n_new)
 
+    def compact(self, max_files: int = 8) -> int:
+        """Small-file maintenance for the inverted lists (the IVF twin
+        of SnapshotTable.compact): every :meth:`append` batch adds one
+        parquet file per touched cid partition, so a long-running
+        StreamingIvfMaintainer accretes files until probe task counts
+        scale with batches, not bytes. Rewrites ONLY cid partitions
+        whose data-file count exceeds ``max_files`` — one Spark job
+        reads the hot partitions (partition-pruned) and writes them
+        compacted to a staging dir, then each partition directory is
+        swapped atomically (old dir preserved until the new one is in
+        place, restored on failure) so a crash leaves every partition
+        either fully old or fully new. Returns the number of partitions
+        compacted. Centroids, _meta.json, and probe results are
+        untouched (row-identity pinned by test)."""
+        import os
+        import shutil
+
+        assign_root = os.path.join(self.root, "assign")
+        if not os.path.isdir(assign_root):
+            return 0
+        hot: list[str] = []
+        for entry in os.listdir(assign_root):
+            d = os.path.join(assign_root, entry)
+            if not entry.startswith("cid=") or not os.path.isdir(d):
+                continue
+            n = sum(
+                1
+                for f in os.listdir(d)
+                if not f.startswith(("_", ".")) and not os.path.isdir(os.path.join(d, f))
+            )
+            if n > max_files:
+                hot.append(entry)
+        if not hot:
+            return 0
+        hot_cids = [int(e.split("=", 1)[1]) for e in hot]
+        # staging dir OUTSIDE assign/ so partition discovery never sees
+        # half-written data; underscore prefix keeps Spark readers out
+        staging = os.path.join(self.root, "_compact_staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            self.spark.read.parquet(assign_root)
+            .filter(F.col("cid").isin(hot_cids))  # partition-pruned scan
+            .repartition("cid")  # one task per cid -> one file each
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(staging)
+        )
+        n_done = 0
+        for entry in hot:
+            src = os.path.join(staging, entry)
+            if not os.path.isdir(src):
+                continue  # partition vanished (shouldn't happen)
+            live = os.path.join(assign_root, entry)
+            old = os.path.join(self.root, f"_compact_old_{entry}")
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(live, old)
+            try:
+                os.rename(src, live)
+            except OSError:
+                os.rename(old, live)  # restore; partition stays uncompacted
+                continue
+            shutil.rmtree(old, ignore_errors=True)
+            n_done += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return n_done
+
     # -- probe ----------------------------------------------------------
     def topk(
         self,

@@ -154,3 +154,59 @@ def test_ivf_topk_batch_matches_per_query_path(tables, spark, tmp_path):
     # probe stays partition-pruned at the parquet source
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cid" in plan
+
+
+def test_ivf_compact_preserves_probe_results(tables, spark, tmp_path):
+    """append() accretes one file per touched cid per batch; compact()
+    collapses hot partitions to one file each with probe results and
+    index rows identical, and under-threshold partitions untouched."""
+    import os
+
+    from etl_lealone_spark.operators.similarity import IvfIndex, quantize
+
+    e = tables["embeddings"]
+    lo = e.filter(F.col("vec_id") < 40)
+    root = str(tmp_path / "ivfc")
+    idx = IvfIndex(spark, root)
+    idx.build(lo)
+    # several small appends -> file accretion in the touched cids
+    hi = e.filter(F.col("vec_id") >= 40)
+    ids = [r["vec_id"] for r in hi.select("vec_id").collect()]
+    for i in range(0, len(ids), max(1, len(ids) // 4)):
+        chunk = ids[i : i + max(1, len(ids) // 4)]
+        idx.append(hi.filter(F.col("vec_id").isin(chunk)))
+    assign_root = os.path.join(root, "assign")
+
+    def counts():
+        out = {}
+        for entry in os.listdir(assign_root):
+            d = os.path.join(assign_root, entry)
+            if entry.startswith("cid=") and os.path.isdir(d):
+                out[entry] = sum(
+                    1 for f in os.listdir(d) if not f.startswith(("_", "."))
+                )
+        return out
+
+    before_counts = counts()
+    assert max(before_counts.values()) > 2
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), quantize(F.col("embedding")).alias("qvec")
+    )
+    before_topk = sorted(map(tuple, idx.topk(q, k=10, n_probe=4).collect()))
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(assign_root).select("vec_id", "cid").collect())
+    )
+    n = idx.compact(max_files=2)
+    assert n >= 1
+    after_counts = counts()
+    for entry, c in after_counts.items():
+        if before_counts[entry] > 2:
+            assert c == 1  # hot partition collapsed
+        else:
+            assert c == before_counts[entry]  # cold partition untouched
+    assert sorted(
+        map(tuple, spark.read.parquet(assign_root).select("vec_id", "cid").collect())
+    ) == before_rows
+    assert sorted(map(tuple, idx.topk(q, k=10, n_probe=4).collect())) == before_topk
+    # idempotent: nothing left over threshold
+    assert idx.compact(max_files=2) == 0
