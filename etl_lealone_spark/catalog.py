@@ -356,12 +356,23 @@ def _parse_columns(cols_sql: str) -> tuple[str, list[str], "TableConstraints"]:
         # [STRENGTH SECONDARY]`` → ``w string collate de_CI`` (Spark 4
         # native collation — ordering and equality are then JVM-side at
         # every compare site; reference CompareMode.java semantics).
-        # String literals and parenthesized groups are stripped FIRST so
-        # a COLLATE token inside ``DEFAULT 'COLLATE GERMAN'`` or a CHECK
-        # expression can never be misparsed as the column's collation
-        # (r6 advice finding) — while a real COLLATE clause anywhere in
-        # the definition (e.g. after NOT NULL) is still honored.
-        bare = re.sub(r"'(?:[^']|'')*'", "''", rest)
+        # Keyword clauses are recognized on STRIPPED text so tokens
+        # inside a DEFAULT string literal ('COLLATE GERMAN', 'NOT
+        # NULL', 'PRIMARY KEY', …) or a CHECK expression can never be
+        # misparsed as clauses of the column (r6 advice finding + the
+        # follow-up review: the whole keyword family had the bug, not
+        # just COLLATE) — while real clauses anywhere in the definition
+        # (e.g. COLLATE after NOT NULL) are still honored.
+        # ``masked`` blanks literal CONTENT but preserves every position,
+        # so a clause found in masked can slice its expression out of
+        # the raw text; ``bare`` additionally drops parenthesized groups
+        # for pure presence checks.
+        masked = re.sub(
+            r"'(?:[^']|'')*'",
+            lambda mm: "'" + "x" * (len(mm.group(0)) - 2) + "'",
+            rest,
+        )
+        bare = masked
         while True:
             stripped = re.sub(r"\([^()]*\)", "", bare)
             if stripped == bare:
@@ -378,26 +389,28 @@ def _parse_columns(cols_sql: str) -> tuple[str, list[str], "TableConstraints"]:
                 spark_type = f"string collate {sc}"
         fields.append(f"{name} {spark_type}")
         if typ in ("identity", "serial") or re.search(
-            r"AUTO_INCREMENT|IDENTITY", rest, re.IGNORECASE
+            r"AUTO_INCREMENT|IDENTITY", bare, re.IGNORECASE
         ):
             cons.identity.append(lname)
-        if re.search(r"PRIMARY\s+KEY", rest, re.IGNORECASE):
+        if re.search(r"PRIMARY\s+KEY", bare, re.IGNORECASE):
             pks.append(lname)
             cons.not_null.append(lname)
-        if re.search(r"NOT\s+NULL", rest, re.IGNORECASE):
+        if re.search(r"NOT\s+NULL", bare, re.IGNORECASE):
             if lname not in cons.not_null:
                 cons.not_null.append(lname)
         dm = re.search(
-            r"DEFAULT\s+(?P<expr>\([^)]*\)|'[^']*'|[^\s]+)", rest, re.IGNORECASE
+            r"DEFAULT\s+(?P<expr>\([^)]*\)|'[^']*'|[^\s]+)", masked, re.IGNORECASE
         )
         if dm:
-            cons.defaults[lname] = dm.group("expr")
-        cm = re.search(r"\bAS\s*\((?P<expr>.*)\)\s*$", rest, re.IGNORECASE | re.DOTALL)
+            cons.defaults[lname] = rest[dm.start("expr") : dm.end("expr")]
+        cm = re.search(
+            r"\bAS\s*\((?P<expr>.*)\)\s*$", masked, re.IGNORECASE | re.DOTALL
+        )
         if cm:
-            cons.computed[lname] = cm.group("expr")
-        km = re.search(r"CHECK\s*\((?P<expr>[^)]*)\)", rest, re.IGNORECASE)
+            cons.computed[lname] = rest[cm.start("expr") : cm.end("expr")]
+        km = re.search(r"CHECK\s*\((?P<expr>[^)]*)\)", masked, re.IGNORECASE)
         if km:
-            cons.checks.append(km.group("expr"))
+            cons.checks.append(rest[km.start("expr") : km.end("expr")])
     return ", ".join(fields), pks, cons
 
 

@@ -334,22 +334,15 @@ class SnapshotTable:
         the raw value ('a%3Ab' -> 'a:b'). Directory names escape chars
         that are unsafe in paths; the DataFrame side carries the RAW
         value, so every dir-name-vs-column-value comparison must
-        unescape first or special-char partitions silently mismatch."""
+        unescape first or special-char partitions silently mismatch.
+        urllib's unquote is the correct decoder: strict two-hex-digit
+        escapes only (a literal '%' followed by non-hex stays literal),
+        multi-byte %XX%XX sequences decode as UTF-8."""
         if "%" not in val:
             return val
-        out, i = [], 0
-        while i < len(val):
-            ch = val[i]
-            if ch == "%" and i + 3 <= len(val):
-                try:
-                    out.append(chr(int(val[i + 1 : i + 3], 16)))
-                    i += 3
-                    continue
-                except ValueError:
-                    pass
-            out.append(ch)
-            i += 1
-        return "".join(out)
+        from urllib.parse import unquote
+
+        return unquote(val)
 
     def _clone_partitions_except(self, new_version: int, touched: DataFrame) -> None:
         """Hard-link the untouched partition dirs of the current snapshot

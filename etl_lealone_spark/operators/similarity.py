@@ -630,6 +630,7 @@ class IvfIndex:
         self.root = root
         self.id_col = id_col
         self.vec_col = vec_col
+        self._recover_compaction()  # heal an interrupted compact() swap
 
     # -- layout ---------------------------------------------------------
     @property
@@ -866,6 +867,35 @@ class IvfIndex:
             os.replace(tmp, self._meta_path)
         return int(n_new)
 
+    def _recover_compaction(self) -> None:
+        """Heal a compact() interrupted between its two renames: if a
+        ``_compact_old_cid=N`` backup exists while ``assign/cid=N`` is
+        missing, the crash hit the window after the live dir moved away
+        and before the staging dir moved in — restore the backup (the
+        staging copy may be incomplete; the backup is the pre-compact
+        truth). If the live dir EXISTS alongside a backup, the swap
+        finished and only the cleanup was lost — drop the backup.
+        Called from __init__ and compact(), so the next index use after
+        a crash self-heals before any read can miss a partition."""
+        import os
+        import shutil
+
+        if not os.path.isdir(self.root):
+            return
+        assign_root = os.path.join(self.root, "assign")
+        for entry in os.listdir(self.root):
+            if not entry.startswith("_compact_old_cid="):
+                continue
+            backup = os.path.join(self.root, entry)
+            live = os.path.join(assign_root, entry[len("_compact_old_") :])
+            if os.path.isdir(live):
+                shutil.rmtree(backup, ignore_errors=True)
+            else:
+                os.rename(backup, live)
+        shutil.rmtree(
+            os.path.join(self.root, "_compact_staging"), ignore_errors=True
+        )
+
     def compact(self, max_files: int = 8) -> int:
         """Small-file maintenance for the inverted lists (the IVF twin
         of SnapshotTable.compact): every :meth:`append` batch adds one
@@ -875,14 +905,16 @@ class IvfIndex:
         whose data-file count exceeds ``max_files`` — one Spark job
         reads the hot partitions (partition-pruned) and writes them
         compacted to a staging dir, then each partition directory is
-        swapped atomically (old dir preserved until the new one is in
-        place, restored on failure) so a crash leaves every partition
-        either fully old or fully new. Returns the number of partitions
-        compacted. Centroids, _meta.json, and probe results are
-        untouched (row-identity pinned by test)."""
+        swapped via a backup rename pair; a crash inside the swap
+        window is healed by :meth:`_recover_compaction` (runs at
+        construction and at the next compact), restoring the pre-swap
+        backup, so every partition ends fully old or fully new. Returns
+        the number of partitions compacted. Centroids, _meta.json, and
+        probe results are untouched (row-identity pinned by test)."""
         import os
         import shutil
 
+        self._recover_compaction()
         assign_root = os.path.join(self.root, "assign")
         if not os.path.isdir(assign_root):
             return 0

@@ -34,14 +34,17 @@ per key wins (max by (eff_date, attrs) — deterministic), matching the
 "net effect" rule CDC compaction uses.
 
 Precondition violations are SURFACED, not silent (r6 verdict/advice):
-each batch is pre-checked against the touched buckets' current rows in
-one aggregate job — an out-of-order change (eff_date BEFORE the key's
-current valid_from) raises before any mutation (it would open a second
-is_current row); a same-date CONFLICT (eff_date equals the current
-valid_from but the attrs differ — the replay-idempotency rule would
-silently drop it) is counted in ``last_metrics`` and logged, or raises
-under ``strict_same_date=True``. Exact replays (same date, same attrs)
-stay free no-ops — that is the crash-replay contract.
+each batch is pre-checked against the touched buckets' history in one
+aggregate job — a genuinely out-of-order change (eff_date BEFORE the
+key's current valid_from, with no identical version already at that
+date) raises before any mutation (it would open a second is_current
+row); a same-date CONFLICT (eff_date equals the current valid_from but
+the attrs differ — the replay-idempotency rule would silently drop it)
+is counted in ``last_metrics`` and logged, or raises under
+``strict_same_date=True``. Exact replays (same date, same attrs — of
+the LATEST change or of any OLDER batch an at-least-once source
+redelivers) stay free no-ops, and a batch with no effective change
+skips the rewrite entirely — that is the crash-replay contract.
 """
 
 from __future__ import annotations
@@ -182,7 +185,15 @@ class Scd2Applier:
             if batch_id is not None:
                 self._marker.commit(batch_id, query_key)
             return version
-        self._check_preconditions(net, buckets)
+        effective = self._check_preconditions(net, buckets)
+        if effective == 0:
+            # nothing can take effect (all exact replays / dropped
+            # same-date conflicts): skip the rewrite — a new snapshot
+            # would be bit-identical, pure write amplification plus one
+            # more small file per touched bucket
+            if batch_id is not None:
+                self._marker.commit(batch_id, query_key)
+            return self.history._version
         probe = net.select(F.col(k).alias("__k"), F.col(eff).alias("__eff"))
 
         def transform(subset: DataFrame) -> DataFrame:
@@ -241,20 +252,28 @@ class Scd2Applier:
             self._marker.commit(batch_id, query_key)
         return version
 
-    def _check_preconditions(self, net: DataFrame, buckets: list) -> None:
-        """Pre-mutation batch audit against the touched buckets' current
-        rows — ONE aggregate job, cost O(touched buckets) like the
-        rewrite itself. Raises on out-of-order changes (they would open a
-        duplicate is_current row); counts same-date conflicts that the
-        replay-idempotency rule is about to drop (raises instead under
-        strict_same_date); counts exact replays for observability."""
+    def _check_preconditions(self, net: DataFrame, buckets: list) -> int:
+        """Pre-mutation batch audit against the touched buckets' history
+        — ONE aggregate job, cost O(touched buckets) like the rewrite
+        itself. Raises on genuinely out-of-order changes (eff_date
+        precedes the key's current valid_from AND no identical version
+        exists at that date — applying would open a duplicate
+        is_current row); a redelivered batch whose change already sits
+        in the history IDENTICALLY (any version, not just the current
+        one — an at-least-once source can redeliver an old batch) stays
+        the free no-op the crash-replay contract promises, counted as
+        replayed. Same-date conflicts the replay-idempotency rule is
+        about to drop are counted (raise under strict_same_date).
+        Returns the number of changes that will actually take effect,
+        so the caller can skip the rewrite when none will."""
         k, eff = self.key_col, self.eff_col
-        cur = (
+        hist = (
             self.history.read()
-            .filter(F.col("kb").isin(buckets) & F.col("is_current"))
+            .filter(F.col("kb").isin(buckets))
             .select(
                 F.col(k),
                 F.col("valid_from"),
+                F.col("is_current"),
                 *[F.col(c).alias(f"__h_{c}") for c in self.attr_cols],
             )
         )
@@ -263,15 +282,35 @@ class Scd2Applier:
             [F.col(c).eqNullSafe(F.col(f"__h_{c}")) for c in self.attr_cols],
         )
         same_day = F.col("valid_from") == F.col(eff)
-        row = (
-            cur.join(F.broadcast(net), k, "inner")
+        # net is one change per key, so per-key == per-change flags; a
+        # change matches several history versions — reduce with max()
+        per_key = (
+            hist.join(F.broadcast(net), k, "inner")
+            .groupBy(k)
             .agg(
-                F.count(F.when(F.col("valid_from") > F.col(eff), 1)).alias("ooo"),
-                F.count(F.when(same_day & ~same_attrs, 1)).alias("dropped"),
-                F.count(F.when(same_day & same_attrs, 1)).alias("replayed"),
+                F.max(
+                    F.when(
+                        F.col("is_current") & (F.col("valid_from") > F.col(eff)), 1
+                    ).otherwise(0)
+                ).alias("cur_after"),
+                F.max(
+                    F.when(
+                        F.col("is_current") & same_day & ~same_attrs, 1
+                    ).otherwise(0)
+                ).alias("cur_conflict"),
+                F.max(F.when(same_day & same_attrs, 1).otherwise(0)).alias(
+                    "identical"
+                ),
             )
-            .first()
         )
+        row = per_key.agg(
+            F.count(F.lit(1)).alias("matched"),
+            F.count(
+                F.when((F.col("cur_after") == 1) & (F.col("identical") == 0), 1)
+            ).alias("ooo"),
+            F.count(F.when(F.col("cur_conflict") == 1, 1)).alias("dropped"),
+            F.count(F.when(F.col("identical") == 1, 1)).alias("replayed"),
+        ).first()
         self.last_metrics = {
             "same_date_dropped": int(row["dropped"]),
             "replayed": int(row["replayed"]),
@@ -279,9 +318,10 @@ class Scd2Applier:
         if row["ooo"]:
             raise ValueError(
                 f"{row['ooo']} out-of-order change(s): eff_date precedes the "
-                f"key's current valid_from — applying would open a duplicate "
-                f"is_current row. Changes must arrive in ascending eff_date "
-                f"order per key; nothing was written."
+                f"key's current valid_from and no identical version exists at "
+                f"that date — applying would open a duplicate is_current row. "
+                f"Changes must arrive in ascending eff_date order per key; "
+                f"nothing was written."
             )
         if row["dropped"]:
             if self.strict_same_date:
@@ -298,6 +338,10 @@ class Scd2Applier:
                 self.key_col,
                 row["dropped"],
             )
+        # effective = every change except the no-ops: exact replays and
+        # dropped same-date conflicts (new keys never match history and
+        # always take effect; net is eagerly checkpointed, count cheap)
+        return net.count() - int(row["replayed"]) - int(row["dropped"])
 
     def compact(self, max_files: int = 8) -> int:
         """Small-file maintenance: each CDC batch accretes one file per

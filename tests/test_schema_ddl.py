@@ -406,3 +406,19 @@ def test_alter_index_schema_user(spark, tmp_path):
     assert "bob" in s.catalog.principals and "alice" not in s.catalog.principals
 
     s.sql("ALTER DATABASE test RUN MODE sharding")  # accepted + recorded
+
+
+def test_column_clause_keywords_in_literals_ignored(es):
+    """The whole keyword family (NOT NULL / PRIMARY KEY / IDENTITY /
+    CHECK), not just COLLATE, must ignore tokens inside DEFAULT string
+    literals (2nd-pass review): a column whose DEFAULT literal spells
+    'NOT NULL' stays nullable, and the literal value itself survives
+    byte-for-byte."""
+    es.sql(
+        "CREATE TABLE lit_k (id int PRIMARY KEY, "
+        "w varchar(40) DEFAULT 'NOT NULL CHECK (x>0)')"
+    )
+    es.sql("INSERT INTO lit_k (id) VALUES (1)")
+    es.sql("INSERT INTO lit_k VALUES (2, NULL)")  # nullable: must pass
+    got = {r["id"]: r["w"] for r in es.sql("SELECT id, w FROM lit_k").collect()}
+    assert got == {1: "NOT NULL CHECK (x>0)", 2: None}

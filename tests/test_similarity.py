@@ -210,3 +210,44 @@ def test_ivf_compact_preserves_probe_results(tables, spark, tmp_path):
     assert sorted(map(tuple, idx.topk(q, k=10, n_probe=4).collect())) == before_topk
     # idempotent: nothing left over threshold
     assert idx.compact(max_files=2) == 0
+
+
+def test_ivf_compact_crash_recovery(tables, spark, tmp_path):
+    """A crash between compact()'s two renames leaves the cid partition
+    only in the _compact_old_ backup; the next index construction (or
+    compact) must restore it before any probe can miss the cluster."""
+    import os
+    import shutil
+
+    from etl_lealone_spark.operators.similarity import IvfIndex, quantize
+
+    e = tables["embeddings"]
+    root = str(tmp_path / "ivfr")
+    idx = IvfIndex(spark, root)
+    idx.build(e)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), quantize(F.col("embedding")).alias("qvec")
+    )
+    want = sorted(map(tuple, idx.topk(q, k=10, n_probe=4).collect()))
+    assign_root = os.path.join(root, "assign")
+    victim = sorted(
+        d for d in os.listdir(assign_root) if d.startswith("cid=")
+    )[0]
+    # simulate the crash window: live dir moved to backup, staging lost
+    os.rename(
+        os.path.join(assign_root, victim),
+        os.path.join(root, f"_compact_old_{victim}"),
+    )
+    os.makedirs(os.path.join(root, "_compact_staging"), exist_ok=True)
+    idx2 = IvfIndex(spark, root)  # __init__ self-heals
+    assert os.path.isdir(os.path.join(assign_root, victim))
+    assert not os.path.isdir(os.path.join(root, "_compact_staging"))
+    assert sorted(map(tuple, idx2.topk(q, k=10, n_probe=4).collect())) == want
+    # the swap-finished-cleanup-lost polarity: backup beside a live dir
+    shutil.copytree(
+        os.path.join(assign_root, victim),
+        os.path.join(root, f"_compact_old_{victim}"),
+    )
+    idx3 = IvfIndex(spark, root)
+    assert not os.path.isdir(os.path.join(root, f"_compact_old_{victim}"))
+    assert sorted(map(tuple, idx3.topk(q, k=10, n_probe=4).collect())) == want

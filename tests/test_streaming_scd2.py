@@ -308,3 +308,43 @@ def test_scd2_pure_cdc_bootstrap(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["is_current"] is True
     assert rows[0]["valid_from"] == datetime.date(2023, 1, 1)
+
+
+def test_scd2_redelivered_old_batch_is_noop(spark, tmp_path):
+    """An at-least-once source redelivers a batch whose change is no
+    longer the key's LATEST version: it already exists identically in
+    the history, so it must stay a free no-op (not an out-of-order
+    raise), and a batch with NO effective change must not mint a new
+    snapshot version."""
+    base = spark.createDataFrame([(1, 10)], "custkey int, n_orders bigint")
+    app = Scd2Applier(
+        spark, str(tmp_path / "scd2k"), "custkey", ["n_orders"],
+        base=base, base_from="2020-01-01", n_buckets=4,
+    )
+    b1 = spark.createDataFrame(
+        [(1, datetime.date(2021, 6, 1), 11)],
+        "custkey int, eff_date date, n_orders bigint",
+    )
+    b2 = spark.createDataFrame(
+        [(1, datetime.date(2022, 3, 1), 12)],
+        "custkey int, eff_date date, n_orders bigint",
+    )
+    app.process_batch(b1, batch_id=0, query_key="t10")
+    app.process_batch(b2, batch_id=1, query_key="t10")
+    before = _rows(app.read_history())
+    v = app.history.version
+    # redelivery of the OLD b1 under a fresh marker identity (simulates
+    # marker state lost/restored from backup)
+    out = app.process_batch(b1, batch_id=0, query_key="t10-replayed")
+    assert out == v  # no new snapshot minted (rewrite skipped)
+    assert app.last_metrics["replayed"] == 1
+    assert _rows(app.read_history()) == before
+    # a genuinely conflicting old change still raises
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(1, datetime.date(2021, 1, 1), 99)],
+        "custkey int, eff_date date, n_orders bigint",
+    )
+    with pytest.raises(ValueError, match="out-of-order"):
+        app.process_batch(bad, batch_id=1, query_key="t10-replayed")
