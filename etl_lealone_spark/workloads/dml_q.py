@@ -208,6 +208,79 @@ def merge_ansi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this is one aggregation + one broadcast-or-shuffle join + a union —
 # no iteration, no window over SinglePartition.
 # ---------------------------------------------------------------------------
+_SCD2_ORACLE = """
+    WITH upd AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS eff_date,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey AS custkey, CAST(0 AS BIGINT) AS n_orders,
+           DATE '1995-01-01' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+    FROM customer c LEFT JOIN upd u ON c.c_custkey = u.custkey
+    WHERE u.custkey IS NULL
+    UNION ALL
+    SELECT c.c_custkey, CAST(0 AS BIGINT),
+           DATE '1995-01-01', u.eff_date, FALSE
+    FROM customer c JOIN upd u ON c.c_custkey = u.custkey
+    UNION ALL
+    SELECT c.c_custkey, u.n_orders, u.eff_date,
+           CAST(NULL AS DATE), TRUE
+    FROM customer c JOIN upd u ON c.c_custkey = u.custkey
+    """
+
+
+@workload(
+    "scd2_stream_compacted",
+    _SCD2_ORACLE,
+    doc="The streaming SCD2 applier (micro-batched CDC chunks through "
+    "Scd2Applier: bucketed history, pruned rewrites, precondition audit, "
+    "exactly-once marker) followed by small-file COMPACTION of the "
+    "accreted history — hash-matched against the one-shot batch SQL, so "
+    "the driver pins stream==batch equivalence AND compaction "
+    "row-identity in one oracle.",
+)
+def scd2_stream_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.scd2 import Scd2Applier
+
+    t = load_tables(spark, sf_dir)
+    base = t["customer"].select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit(0).cast("bigint").alias("n_orders"),
+    )
+    changes = t["orders"].groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("eff_date"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    state_root = tempfile.mkdtemp(prefix="scd2_wl_")
+    try:
+        app = Scd2Applier(
+            spark, state_root, "custkey", ["n_orders"],
+            base=base, base_from="1995-01-01", n_buckets=8,
+        )
+        # three disjoint-key CDC chunks -> 3 pruned rewrites accreting
+        # files per bucket; compact(0) then forces a full-bucket rewrite
+        for i in range(3):
+            app.process_batch(
+                changes.filter(F.col("custkey") % 3 == i),
+                batch_id=i,
+                query_key=state_root,
+            )
+        app.compact(max_files=0)
+        final = app.read_history().select(
+            "custkey", "n_orders", "valid_from", "valid_to", "is_current"
+        )
+        # materialize driver-side so the temp state can be removed
+        # before returning (plan_audit NOTES: by-design eager result)
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
 @workload(
     "scd2_dim_update",
     """
