@@ -385,6 +385,50 @@ def unigram_probe(ks) -> None:
         )
 
 
+def batch_probe(nqs: list[int]) -> None:
+    """IvfIndex.topk vs topk_batch wall clock over growing QUERY-set
+    sizes (corpus fixed at sf0.1): the per-query path collects the
+    query set and ranks centroids driver-side — O(n_q x sqrt(n))
+    single-threaded Python that must grow with n_q — while the batch
+    path assigns probes executor-side and scores per cluster. The
+    crossover tells users where to switch paths; both paths are
+    row-identical (pinned by test + shared oracle)."""
+    import shutil
+    import tempfile
+
+    spark = build_spark(
+        app_name="batch_probe", cores=default_parallelism()
+    )
+    e = load_tables(spark, "/root/testdata/sf0.1")["embeddings"]
+    root = tempfile.mkdtemp(prefix="ivf_batch_probe_")
+    try:
+        idx = similarity.IvfIndex(spark, root)
+        idx.build(e)
+        for nq in nqs:
+            q = e.limit(nq).select(
+                F.col("vec_id").alias("query_id"),
+                similarity.quantize(F.col("embedding")).alias("qvec"),
+            ).localCheckpoint(eager=True)
+            for label, fn in (
+                ("per-query", idx.topk),
+                ("batch", idx.topk_batch),
+            ):
+                fn(q, k=10, n_probe=4).write.format("noop").mode(
+                    "overwrite"
+                ).save()  # warm
+                t0 = time.time()
+                fn(q, k=10, n_probe=4).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                print(
+                    f"n_queries={nq} {label} wall={time.time() - t0:.2f}s",
+                    flush=True,
+                )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     if "--recall" in sys.argv:
         ks = [int(a) for a in sys.argv[1:] if a != "--recall"] or [1, 3, 10, 30]
@@ -392,5 +436,12 @@ if __name__ == "__main__":
     elif "--unigram" in sys.argv:
         ks = [int(a) for a in sys.argv[1:] if a != "--unigram"] or [1, 3, 10]
         unigram_probe(ks)
+    elif "--batch-probe" in sys.argv:
+        nqs = [int(a) for a in sys.argv[1:] if a != "--batch-probe"] or [
+            100,
+            1000,
+            10000,
+        ]
+        batch_probe(nqs)
     else:
         main()
