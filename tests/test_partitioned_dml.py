@@ -164,3 +164,33 @@ def test_compact_and_pruned_rewrite_with_escaped_partition_values(spark, tmp_pat
     assert sorted(
         tuple(r) for r in st.read().select("src", "id", "v").collect()
     ) == before
+
+
+def test_compact_across_tricky_partition_values(spark, tmp_path):
+    """The dir-name-vs-value comparison must hold for every escaping
+    class Spark's hive layout produces: spaces, percent signs, '=',
+    multi-byte UTF-8, and colons. Each partition accretes files and
+    must compact to one, with rows identical."""
+    vals = ["a b", "a%b", "a=b", "über", "a:b", "plain"]
+    st = SnapshotTable(spark, str(tmp_path), "tr", partition_by=["src"])
+    st.create(
+        spark.createDataFrame([(v, 0) for v in vals], "src string, id int")
+    )
+    for i in range(1, 4):
+        st.insert(
+            spark.createDataFrame(
+                [(v, i) for v in vals], "src string, id int"
+            )
+        )
+    counts = st.file_counts()
+    assert set(counts) == {(v,) for v in vals}  # keys are the RAW values
+    assert all(n >= 4 for n in counts.values())
+    before = sorted(
+        tuple(r) for r in st.read().select("src", "id").collect()
+    )
+    st.compact(max_files=2)
+    after = st.file_counts()
+    assert all(after[(v,)] == 1 for v in vals)
+    assert sorted(
+        tuple(r) for r in st.read().select("src", "id").collect()
+    ) == before
