@@ -274,14 +274,45 @@ def collation_to_spark(name: str, strength: str | None = None) -> str | None:
     return f"{base}{suffix}"
 
 
+def _balanced_group(s: str, open_idx: int) -> str | None:
+    """Content of the quote-aware balanced parenthesized group whose
+    '(' sits at ``s[open_idx]`` — the extraction CHECK/DEFAULT need,
+    since a ``[^)]*`` regex truncates at the first ')' of any nested
+    call like COALESCE(x, 0). None if unbalanced."""
+    depth, i, in_q = 0, open_idx, False
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            in_q = not in_q
+        elif not in_q:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    return s[open_idx + 1 : i]
+        i += 1
+    return None
+
+
 def _parse_columns(cols_sql: str) -> tuple[str, list[str], "TableConstraints"]:
     """'(a int primary key, b varchar(10) not null default 5, ...)' →
-    (spark schema DDL, primary-key column list, constraints)."""
+    (spark schema DDL, primary-key column list, constraints).
+
+    The top-level splitter tracks string literals as well as paren
+    depth: a comma inside a quoted DEFAULT/CHECK literal (``DEFAULT
+    'a,b'``) is literal content, not a column separator."""
     parts: list[str] = []
     depth = 0
+    in_quote = False
     cur = []
     for ch in cols_sql:
-        if ch == "(":
+        if ch == "'":
+            in_quote = not in_quote
+            cur.append(ch)
+        elif in_quote:
+            cur.append(ch)
+        elif ch == "(":
             depth += 1
             cur.append(ch)
         elif ch == ")":
@@ -398,19 +429,36 @@ def _parse_columns(cols_sql: str) -> tuple[str, list[str], "TableConstraints"]:
         if re.search(r"NOT\s+NULL", bare, re.IGNORECASE):
             if lname not in cons.not_null:
                 cons.not_null.append(lname)
-        dm = re.search(
-            r"DEFAULT\s+(?P<expr>\([^)]*\)|'[^']*'|[^\s]+)", masked, re.IGNORECASE
-        )
+        # DEFAULT / CHECK expressions: locate the clause on the masked
+        # text (so literal content can't fake a keyword), then extract
+        # the payload from the RAW text with quote-aware balanced-paren
+        # scanning — a [^)]* regex truncates nested calls like
+        # COALESCE(x, 0) at the first ')' (3rd-pass review finding).
+        dm = re.search(r"\bDEFAULT\s+", masked, re.IGNORECASE)
         if dm:
-            cons.defaults[lname] = rest[dm.start("expr") : dm.end("expr")]
+            pos = dm.end()
+            if pos < len(rest) and rest[pos] == "(":
+                grp = _balanced_group(rest, pos)
+                if grp is not None:
+                    cons.defaults[lname] = f"({grp})"
+            elif pos < len(rest) and rest[pos] == "'":
+                lit = re.match(r"'(?:[^']|'')*'", rest[pos:])
+                if lit:
+                    cons.defaults[lname] = lit.group(0)
+            else:
+                tok = re.match(r"\S+", rest[pos:])
+                if tok:
+                    cons.defaults[lname] = tok.group(0)
         cm = re.search(
             r"\bAS\s*\((?P<expr>.*)\)\s*$", masked, re.IGNORECASE | re.DOTALL
         )
         if cm:
             cons.computed[lname] = rest[cm.start("expr") : cm.end("expr")]
-        km = re.search(r"CHECK\s*\((?P<expr>[^)]*)\)", masked, re.IGNORECASE)
+        km = re.search(r"\bCHECK\s*\(", masked, re.IGNORECASE)
         if km:
-            cons.checks.append(rest[km.start("expr") : km.end("expr")])
+            grp = _balanced_group(rest, km.end() - 1)
+            if grp is not None:
+                cons.checks.append(grp)
     return ", ".join(fields), pks, cons
 
 

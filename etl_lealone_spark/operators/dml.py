@@ -266,14 +266,37 @@ class SnapshotTable:
     def _dir(self, version: int) -> str:
         return os.path.join(self.root, self.name, f"v{version:06d}")
 
+    @staticmethod
+    def _committed(vdir: str) -> bool:
+        """A snapshot directory is COMMITTED only once Spark's output
+        committer has written its _SUCCESS marker — the final step of
+        every mutation path (write/insert/_pruned_rewrite all end in a
+        Spark write into the dir). A crash mid-mutation leaves a torn
+        dir without the marker; treating it as latest would silently
+        drop the rows the interrupted job had not yet written (e.g. a
+        pruned rewrite's touched buckets), so readers must skip it."""
+        return os.path.exists(os.path.join(vdir, "_SUCCESS"))
+
     def _latest_version(self) -> int:
         base = os.path.join(self.root, self.name)
         if not os.path.isdir(base):
             return -1
         versions = [
-            int(d[1:]) for d in os.listdir(base) if d.startswith("v") and d[1:].isdigit()
+            int(d[1:])
+            for d in os.listdir(base)
+            if d.startswith("v")
+            and d[1:].isdigit()
+            and self._committed(os.path.join(base, d))
         ]
         return max(versions, default=-1)
+
+    def _clear_torn(self, version: int) -> None:
+        """Remove an uncommitted leftover at ``version`` (a previous
+        crash's torn dir) so the new mutation starts clean — appending
+        beside torn remains would merge two half-writes."""
+        d = self._dir(version)
+        if os.path.isdir(d) and not self._committed(d):
+            shutil.rmtree(d, ignore_errors=True)
 
     @property
     def version(self) -> int:
@@ -310,7 +333,9 @@ class SnapshotTable:
         return sorted(
             int(d[1:])
             for d in os.listdir(base)
-            if d.startswith("v") and d[1:].isdigit()
+            if d.startswith("v")
+            and d[1:].isdigit()
+            and self._committed(os.path.join(base, d))
         )
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> int:
@@ -321,6 +346,7 @@ class SnapshotTable:
         if mode == "ignore" and self.exists():
             return self._version
         new_version = self._version + 1
+        self._clear_torn(new_version)
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -386,6 +412,7 @@ class SnapshotTable:
             current.filter(partition_filter).select(*self.partition_by).distinct()
         )
         new_version = self._version + 1
+        self._clear_torn(new_version)
         self._clone_partitions_except(new_version, touched_keys)
         subset = current.join(
             F.broadcast(touched_keys), on=self.partition_by, how="left_semi"
@@ -422,6 +449,7 @@ class SnapshotTable:
             return self.write(rows)
         src = self._dir(self._version)
         new_version = self._version + 1
+        self._clear_torn(new_version)
         dst = self._dir(new_version)
         if self.partition_by:
             touched = rows.select(*self.partition_by).distinct()

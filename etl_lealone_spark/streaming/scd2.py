@@ -304,7 +304,6 @@ class Scd2Applier:
             )
         )
         row = per_key.agg(
-            F.count(F.lit(1)).alias("matched"),
             F.count(
                 F.when((F.col("cur_after") == 1) & (F.col("identical") == 0), 1)
             ).alias("ooo"),

@@ -208,7 +208,15 @@ def merge_ansi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this is one aggregation + one broadcast-or-shuffle join + a union —
 # no iteration, no window over SinglePartition.
 # ---------------------------------------------------------------------------
-_SCD2_ORACLE = """
+def _scd2_oracle(base_from: str) -> str:
+    """One SQL for both SCD2 workloads, parameterized on the base
+    snapshot date (3rd-pass review: duplicating the 20-line oracle
+    invited one-sided edits; and the STREAMING twin needs a base date
+    that PREDATES the whole o_orderdate range — its precondition audit
+    rejects changes older than the base rows, so a base inside the
+    range would make equivalence data-dependent and break at larger
+    SFs where some customer's latest order lands before it)."""
+    return f"""
     WITH upd AS (
       SELECT o_custkey AS custkey,
              max(o_orderdate) AS eff_date,
@@ -216,13 +224,13 @@ _SCD2_ORACLE = """
       FROM orders GROUP BY o_custkey
     )
     SELECT c.c_custkey AS custkey, CAST(0 AS BIGINT) AS n_orders,
-           DATE '1995-01-01' AS valid_from,
+           DATE '{base_from}' AS valid_from,
            CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
     FROM customer c LEFT JOIN upd u ON c.c_custkey = u.custkey
     WHERE u.custkey IS NULL
     UNION ALL
     SELECT c.c_custkey, CAST(0 AS BIGINT),
-           DATE '1995-01-01', u.eff_date, FALSE
+           DATE '{base_from}', u.eff_date, FALSE
     FROM customer c JOIN upd u ON c.c_custkey = u.custkey
     UNION ALL
     SELECT c.c_custkey, u.n_orders, u.eff_date,
@@ -231,9 +239,10 @@ _SCD2_ORACLE = """
     """
 
 
+
 @workload(
     "scd2_stream_compacted",
-    _SCD2_ORACLE,
+    _scd2_oracle("1991-12-31"),
     doc="The streaming SCD2 applier (micro-batched CDC chunks through "
     "Scd2Applier: bucketed history, pruned rewrites, precondition audit, "
     "exactly-once marker) followed by small-file COMPACTION of the "
@@ -260,7 +269,7 @@ def scd2_stream_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         app = Scd2Applier(
             spark, state_root, "custkey", ["n_orders"],
-            base=base, base_from="1995-01-01", n_buckets=8,
+            base=base, base_from="1991-12-31", n_buckets=8,
         )
         # three disjoint-key CDC chunks -> 3 pruned rewrites accreting
         # files per bucket; compact(0) then forces a full-bucket rewrite
@@ -283,27 +292,7 @@ def scd2_stream_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "scd2_dim_update",
-    """
-    WITH upd AS (
-      SELECT o_custkey AS custkey,
-             max(o_orderdate) AS eff_date,
-             CAST(count(*) AS BIGINT) AS n_orders
-      FROM orders GROUP BY o_custkey
-    )
-    SELECT c.c_custkey AS custkey, CAST(0 AS BIGINT) AS n_orders,
-           DATE '1995-01-01' AS valid_from,
-           CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
-    FROM customer c LEFT JOIN upd u ON c.c_custkey = u.custkey
-    WHERE u.custkey IS NULL
-    UNION ALL
-    SELECT c.c_custkey, CAST(0 AS BIGINT),
-           DATE '1995-01-01', u.eff_date, FALSE
-    FROM customer c JOIN upd u ON c.c_custkey = u.custkey
-    UNION ALL
-    SELECT c.c_custkey, u.n_orders, u.eff_date,
-           CAST(NULL AS DATE), TRUE
-    FROM customer c JOIN upd u ON c.c_custkey = u.custkey
-    """,
+    _scd2_oracle("1995-01-01"),
     doc="SCD2 dimension maintenance: close changed rows at the change-batch "
     "effective date, open new current versions, keep untouched rows — the "
     "full history union, hash-matched cross-engine.",

@@ -404,11 +404,29 @@ def batch_probe(nqs: list[int]) -> None:
     try:
         idx = similarity.IvfIndex(spark, root)
         idx.build(e)
+        n_corpus = e.count()
         for nq in nqs:
-            q = e.limit(nq).select(
-                F.col("vec_id").alias("query_id"),
+            # the corpus is smaller than the top rungs (sf0.1 = 2000
+            # vectors) — REPLICATE queries with distinct ids rather than
+            # letting limit() silently cap, which would mislabel the
+            # measurement (3rd-pass review finding)
+            copies = -(-nq // n_corpus)  # ceil
+            base_q = e.select(
+                F.col("vec_id"),
                 similarity.quantize(F.col("embedding")).alias("qvec"),
-            ).localCheckpoint(eager=True)
+            )
+            parts = [
+                base_q.select(
+                    (F.col("vec_id") + i * 10_000_000).alias("query_id"),
+                    "qvec",
+                )
+                for i in range(copies)
+            ]
+            q = parts[0]
+            for pp in parts[1:]:
+                q = q.unionAll(pp)
+            q = q.limit(nq).localCheckpoint(eager=True)
+            assert q.count() == nq
             for label, fn in (
                 ("per-query", idx.topk),
                 ("batch", idx.topk_batch),

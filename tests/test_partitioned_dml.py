@@ -194,3 +194,38 @@ def test_compact_across_tricky_partition_values(spark, tmp_path):
     assert sorted(
         tuple(r) for r in st.read().select("src", "id").collect()
     ) == before
+
+
+def test_torn_snapshot_is_invisible_and_cleared(spark, tmp_path):
+    """A crash mid-mutation leaves a version dir WITHOUT Spark's
+    _SUCCESS marker (e.g. a pruned rewrite that linked untouched
+    partitions but died before the touched append): readers must treat
+    it as uncommitted — the previous version stays latest — and the
+    next mutation must clear the torn remains instead of merging with
+    them (the exactly-once contract the SCD2 applier builds on)."""
+    st = _table(spark, tmp_path)
+    v0_rows = sorted(tuple(r) for r in st.read().select("dt", "id", "v").collect())
+    # simulate the torn dir: cloned links only, no _SUCCESS, no data
+    # for the 'touched' partition
+    torn = os.path.join(str(tmp_path), "pt", "v000001")
+    os.makedirs(torn)
+    os.symlink(
+        os.path.realpath(os.path.join(str(tmp_path), "pt", "v000000", "dt=2024-01-02")),
+        os.path.join(torn, "dt=2024-01-02"),
+    )
+    # a fresh handle must NOT see the torn dir as latest
+    st2 = SnapshotTable(spark, str(tmp_path), "pt", partition_by=["dt"])
+    assert st2.version == 0
+    assert sorted(
+        tuple(r) for r in st2.read().select("dt", "id", "v").collect()
+    ) == v0_rows
+    assert st2.versions() == [0]
+    # the next mutation claims v000001 cleanly (torn remains cleared)
+    st2.update(
+        F.col("dt") == "2024-01-01",
+        {"v": F.col("v") + 1},
+        partition_filter=F.col("dt") == "2024-01-01",
+    )
+    assert st2.version == 1
+    got = {r["id"]: r["v"] for r in st2.read().collect()}
+    assert got == {1: 11.0, 2: 21.0, 3: 30.0, 4: 40.0}
