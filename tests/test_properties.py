@@ -454,3 +454,47 @@ def test_pagerank_mass_conserved_random(spark, edges):
     assert all(v >= 0 for v in got.values())
     # total mass stays within the per-round floor dust bound (< n per round)
     assert abs(sum(got.values()) - n * SCALE) < n * 3
+
+
+# -- catalog column-definition parsing laws (r07: literal robustness) ----
+_LIT_CHARS = st.text(
+    alphabet=st.characters(
+        codec="utf-8", blacklist_characters="\x00", blacklist_categories=("Cs",)
+    ),
+    max_size=24,
+)
+
+
+@given(v=_LIT_CHARS)
+@settings(max_examples=120, deadline=None)
+def test_default_literal_roundtrips_and_creates_no_phantom_clauses(v):
+    """LAW: whatever a DEFAULT string literal contains — commas, parens,
+    quotes, or text spelling NOT NULL / PRIMARY KEY / CHECK(...) /
+    COLLATE — the parser must (a) store the literal byte-for-byte and
+    (b) derive ZERO column semantics from its content."""
+    from etl_lealone_spark.catalog import _parse_columns
+
+    lit = "'" + v.replace("'", "''") + "'"
+    ddl, pks, cons = _parse_columns(
+        f"id int primary key, w varchar(80) DEFAULT {lit}"
+    )
+    assert cons.defaults.get("w") == lit
+    assert pks == ["id"]
+    assert "w" not in cons.not_null
+    assert "w" not in cons.identity
+    assert cons.checks == []
+    assert ddl == "id int, w string"
+
+
+@given(v=_LIT_CHARS)
+@settings(max_examples=120, deadline=None)
+def test_check_expression_survives_nested_parens_and_literals(v):
+    """LAW: a column CHECK expression round-trips through the parser
+    whatever literal it embeds — nested calls and quoted parens
+    included (the [^)]* truncation class)."""
+    from etl_lealone_spark.catalog import _parse_columns
+
+    lit = "'" + v.replace("'", "''") + "'"
+    expr = f"COALESCE(w, {lit}) <> {lit}"
+    _ddl, _pks, cons = _parse_columns(f"w varchar(80) CHECK ({expr})")
+    assert cons.checks == [expr]
