@@ -451,6 +451,69 @@ def ann_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk_batch(q, k=TOP_K, n_probe=4)
 
 
+_CBS_PER_CLUSTER = 8
+
+
+@workload(
+    "cluster_balanced_sample",
+    f"""
+    WITH cq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS cvec
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, cvec AS centvec,
+             sqrt(cast(list_sum([cvec[i+1]*cvec[i+1] for i in range(len(cvec))]) as double)) AS cnorm
+      FROM cq
+      WHERE vec_id % (SELECT greatest(1, cast(floor(sqrt(cast(count(*) as double))) as bigint)) FROM embeddings) = 0
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT c.vec_id, ct.cid,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                 cast(list_sum([c.cvec[i+1]*ct.centvec[i+1] for i in range(len(c.cvec))]) as double) / ct.cnorm DESC,
+                 ct.cid) AS rn
+        FROM cq c CROSS JOIN cent ct
+      ) t WHERE rn = 1
+    )
+    SELECT cid, vec_id, rk FROM (
+      SELECT cid, vec_id,
+             row_number() OVER (PARTITION BY cid ORDER BY
+               md5('cbs0:' || cast(vec_id as varchar)), vec_id) AS rk
+      FROM assign
+    ) s WHERE rk <= {_CBS_PER_CLUSTER}
+    """,
+    doc="Cluster-balanced diversity sampling (the DataComp/SemDeDup-"
+    "adjacent pretraining op): assign every embedding to its IVF "
+    "centroid cluster, then take a FIXED per-cluster quota by seeded "
+    "md5 order — small clusters are oversampled relative to frequency, "
+    "flattening the corpus's mode collapse. One keyed window over the "
+    "persisted partition-pruned assign table; deterministic across "
+    "engines (quantized assignment + md5 order).",
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.similarity import IvfIndex
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    idx = IvfIndex(spark, _ivf_index_root(sf_dir))
+    idx.build(e)
+    assign = spark.read.parquet(os.path.join(idx.root, "assign")).select(
+        F.col("vec_id"), F.col("cid").cast("long").alias("cid")
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.concat(F.lit("cbs0:"), F.col("vec_id").cast("string"))),
+        F.col("vec_id"),
+    )
+    return (
+        assign.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CBS_PER_CLUSTER)
+        .select("cid", "vec_id", "rk")
+    )
+
+
 _IVF_STREAM_CUT = (
     "(SELECT cast(floor(max(vec_id) / 3.0) as bigint) + 1 FROM embeddings)"
 )
