@@ -512,6 +512,74 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CCNet head/middle/tail fluency split: per SOURCE, rank documents by
+# per-token unigram log-probability and cut into thirds — the exact
+# mechanism CCNet (Wenzek et al. 2020) uses to stratify CommonCrawl by
+# LM perplexity before choosing which stratum to train on. The ratio of
+# two exact bigints (< 2^53) divides to the identical IEEE double in
+# both engines, and (ratio, doc_id) totally orders, so ntile(3) is
+# engine-reproducible.
+# ---------------------------------------------------------------------------
+@workload(
+    "ccnet_fluency_buckets",
+    f"""
+    WITH base AS ({_UNIGRAM_LP_SQL}),
+    ranked AS (
+      SELECT d.source,
+             ntile(3) OVER (PARTITION BY d.source ORDER BY
+               cast(b.logprob_x1e6 as double) / cast(b.n_tokens_lm as double) DESC,
+               b.doc_id) AS bucket,
+             b.n_tokens_lm
+      FROM base b JOIN documents d ON d.doc_id = b.doc_id
+    )
+    SELECT source,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS stratum,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens_lm) AS BIGINT) AS sum_tokens
+    FROM ranked
+    GROUP BY source, bucket
+    """,
+    doc="CCNet-style head/middle/tail corpus stratification: per-source "
+    "ntile(3) over per-token unigram log-probability (most fluent third "
+    "= head), with per-stratum doc/token accounting. One keyed window + "
+    "one keyed agg; the LM table is the broadcast 4096-bucket unigram "
+    "model text_unigram_logprob already pins.",
+)
+def ccnet_fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.textops import unigram_logprob
+
+    d = load_tables(spark, sf_dir)["documents"]
+    lp = unigram_logprob(d).select(
+        F.col("id").alias("doc_id"), "n_tokens_lm", "logprob_x1e6"
+    )
+    joined = lp.join(d.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        (
+            F.col("logprob_x1e6").cast("double")
+            / F.col("n_tokens_lm").cast("double")
+        ).desc(),
+        F.col("doc_id"),
+    )
+    return (
+        joined.withColumn("bucket", F.ntile(3).over(w))
+        .groupBy(
+            "source",
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+            .alias("stratum"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens_lm").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM tokenizer seed inventory (Kudo 2018; operators/unigram.py
 # step 2): every substring up to length 4 of every corpus word,
 # weighted by word frequency — the candidate-piece table the EM loop

@@ -78,6 +78,10 @@ BCAST_ALLOW: dict[str, str] = {
     "group (languages), a groupBy(group_col) aggregate of the corpus",
     "text_unigram_logprob": "broadcasts the log-prob table — hashed "
     "modulo `buckets` (4096), so <=4096 rows regardless of corpus size",
+    "ccnet_fluency_buckets": "same broadcast as text_unigram_logprob "
+    "(it builds on unigram_logprob): the <=4096-row hashed log-prob "
+    "table — a keyed aggregate whose key space is the bucket modulus, "
+    "bounded in math, invisible in plan text",
 }
 
 
