@@ -61,6 +61,10 @@ HEADLINE = [
     "pretrain_pipeline_e2e",   # composed corpus build (quality->dedup->decon->mix->shard)
     "dsir_importance_weights", # DSIR target-likeness scoring
     "phrase_search_postings",  # positional phrase search
+    "ann_ivf_topk_batch",      # batch ANN probe (executor-side assignment)
+    "cluster_balanced_sample", # per-IVF-cluster diversity quota sample
+    "ccnet_fluency_buckets",   # CCNet head/middle/tail LM stratification
+    "scd2_stream_compacted",   # streaming SCD2 + history compaction
 ]
 
 
