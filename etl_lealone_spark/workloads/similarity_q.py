@@ -334,13 +334,21 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_index_root(sf_dir: str) -> str:
-    """Persisted-index location keyed by sf_dir path AND a content
-    fingerprint (size + mtime of the embeddings parquet): regenerated
-    testdata at the same path must never silently reuse a stale index —
-    the DuckDB oracle always reads the fresh files."""
+    """Persisted-index location keyed by sf_dir path, a content
+    fingerprint (size + mtime of the embeddings parquet), AND the
+    build-spec source (IvfIndex.build + the assignment kernel +
+    quantize): regenerated testdata at the same path must never
+    silently reuse a stale index, and neither must a CODE change to
+    the quantization/stride/tie-break spec — a warm /tmp index built
+    by old code would otherwise serve old-spec assignments against a
+    new-spec oracle, an environment-dependent FAIL (4th-pass review
+    finding)."""
     import hashlib
+    import inspect
     import os
     import tempfile
+
+    from ..operators.similarity import IvfIndex, quantize
 
     p = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
     parts = [p] if os.path.isfile(p) else sorted(
@@ -349,15 +357,19 @@ def _ivf_index_root(sf_dir: str) -> str:
     fp = ";".join(
         f"{os.path.getsize(f)}:{os.path.getmtime(f):.0f}" for f in parts
     )
-    key = hashlib.md5(f"{p}|{fp}".encode()).hexdigest()[:16]
+    spec = "".join(
+        inspect.getsource(fn)
+        for fn in (IvfIndex.build, IvfIndex._assign_fn, quantize)
+    )
+    key = hashlib.md5(f"{p}|{fp}|{spec}".encode()).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), "etl_lealone_ivf", key)
 
 
-# Shared by ann_ivf_topk and ann_ivf_topk_batch: the two engine paths
-# (driver-side probe ranking vs executor-side batch assignment) promise
-# IDENTICAL results, so they check against the same oracle.
-_IVF_TOPK_ORACLE = f"""
-    WITH cq AS (
+# The IVF decomposition every persisted-index oracle shares (quantize,
+# sqrt(n)-stride centroids, best-centroid assignment with sim DESC /
+# cid tie-break) — ONE constant so a spec change cannot be edited into
+# one oracle and not another (the _scd2_oracle lesson).
+_IVF_ASSIGN_CTES = """cq AS (
       SELECT vec_id,
              list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS cvec
       FROM embeddings
@@ -376,7 +388,13 @@ _IVF_TOPK_ORACLE = f"""
                  ct.cid) AS rn
         FROM cq c CROSS JOIN cent ct
       ) t WHERE rn = 1
-    ),
+    )"""
+
+# Shared by ann_ivf_topk and ann_ivf_topk_batch: the two engine paths
+# (driver-side probe ranking vs executor-side batch assignment) promise
+# IDENTICAL results, so they check against the same oracle.
+_IVF_TOPK_ORACLE = f"""
+    WITH {_IVF_ASSIGN_CTES},
     q AS (SELECT vec_id AS query_id, cvec AS qvec FROM cq WHERE vec_id < {N_QUERIES}),
     probe AS (
       SELECT query_id, cid FROM (
@@ -457,26 +475,7 @@ _CBS_PER_CLUSTER = 8
 @workload(
     "cluster_balanced_sample",
     f"""
-    WITH cq AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS cvec
-      FROM embeddings
-    ),
-    cent AS (
-      SELECT vec_id AS cid, cvec AS centvec,
-             sqrt(cast(list_sum([cvec[i+1]*cvec[i+1] for i in range(len(cvec))]) as double)) AS cnorm
-      FROM cq
-      WHERE vec_id % (SELECT greatest(1, cast(floor(sqrt(cast(count(*) as double))) as bigint)) FROM embeddings) = 0
-    ),
-    assign AS (
-      SELECT vec_id, cid FROM (
-        SELECT c.vec_id, ct.cid,
-               row_number() OVER (PARTITION BY c.vec_id ORDER BY
-                 cast(list_sum([c.cvec[i+1]*ct.centvec[i+1] for i in range(len(c.cvec))]) as double) / ct.cnorm DESC,
-                 ct.cid) AS rn
-        FROM cq c CROSS JOIN cent ct
-      ) t WHERE rn = 1
-    )
+    WITH {_IVF_ASSIGN_CTES}
     SELECT cid, vec_id, rk FROM (
       SELECT cid, vec_id,
              row_number() OVER (PARTITION BY cid ORDER BY
