@@ -387,7 +387,9 @@ class IvfPqIndex:
 
     def topk(self, query_vec: list[float], k: int = 10, n_probe: int = 4) -> DataFrame:
         """Top-k by ADC distance within the ``n_probe`` best coarse
-        clusters; reads only those partitions (parquet pruning)."""
+        clusters for ONE query; reads only those partitions (parquet
+        pruning). For offline large-query-set reprocessing use
+        :meth:`topk_batch`."""
         import json
         import os
 
@@ -407,3 +409,141 @@ class IvfPqIndex:
         assign = self.spark.read.parquet(os.path.join(self.root, "assign"))
         cand = assign.filter(F.col("cid").isin(probed))
         return pq_adc_topk(cand, query_vec, codebooks, k=k, id_col="vec_id")
+
+    def topk_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qvec",
+    ) -> DataFrame:
+        """Batch-scoring twin of :meth:`topk` for LARGE query sets —
+        the IVF-PQ counterpart of IvfIndex.topk_batch: the query set is
+        never collected driver-side. Coarse centroids and PQ codebooks
+        (both constant-size) ship in kernel closures; an Arrow-batched
+        mapInPandas picks each query's ``n_probe`` coarse clusters
+        executor-side; the bounded probed-cid set prunes the assign
+        scan; and a cid-cogrouped applyInPandas scores each cluster's
+        codes against its queries' ADC tables (exact int64 — the same
+        arithmetic as pq_adc_topk's JVM expression, so results are
+        identical per query; pinned by test). ``query_vec_col`` holds
+        RAW float vectors, like :meth:`topk`'s argument."""
+        import json
+        import os
+
+        import numpy as np
+        import pandas as pd
+
+        with open(self._meta_path()) as f:
+            meta = json.load(f)
+        cids = np.asarray(meta["cids"], dtype=np.int64)
+        CENT = np.asarray(meta["centroids"], dtype=np.int64)
+        cb = [np.array(c, dtype=np.int64) for c in meta["codebooks"]]
+        dim = CENT.shape[1]
+        slices = _sub_slices(dim, len(cb))
+
+        # pin the query lineage once: probe assignment and the vector
+        # join-back must see the same rows (nondeterministic sources)
+        queries = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        ).localCheckpoint(eager=False)
+
+        def _quant(col) -> "np.ndarray":
+            return np.floor(
+                np.stack([np.asarray(v, dtype=np.float64) for v in col])
+                * 1_000_000.0
+                + 0.5
+            ).astype(np.int64)
+
+        def assign_probes(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                Q = _quant(pdf["qvec"].to_numpy())
+                d = ((Q[:, None, :] - CENT[None, :, :]) ** 2).sum(axis=2)
+                # stable argsort over cid-ascending columns == the
+                # per-query lexsort((cids, d)): dist ASC, cid ASC
+                order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+                reps = order.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(
+                            pdf["query_id"].to_numpy(), reps
+                        ),
+                        "cid": cids[order].ravel(),
+                    }
+                )
+
+        pairs = queries.mapInPandas(
+            assign_probes, schema="query_id long, cid long"
+        ).localCheckpoint(eager=True)
+        probed = sorted(
+            r["cid"] for r in pairs.select("cid").distinct().collect()
+        )
+        assign = self.spark.read.parquet(os.path.join(self.root, "assign"))
+        cand = assign.filter(F.col("cid").isin(probed)).select(
+            F.col("vec_id"), F.col("codes"), F.col("cid").cast("long").alias("cid")
+        )
+        qside = pairs.join(queries, "query_id")
+
+        def score_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "vec_id": pd.Series(dtype="int64"),
+                 "adc_dist": pd.Series(dtype="int64")}
+            )
+            if left.empty or right.empty:
+                return empty
+            right = right.sort_values("vec_id")  # vec_id ASC tie-break
+            vids = right["vec_id"].to_numpy()
+            C = np.stack(right["codes"].to_numpy()).astype(np.int64)
+            out = []
+            kk = min(k, len(vids))
+            for lo in range(0, len(left), 2048):
+                chunk = left.iloc[lo : lo + 2048]
+                Q = _quant(chunk["qvec"].to_numpy())
+                # ADC tables per query: (q, m, kcent) exact int64
+                dist = np.zeros((len(Q), len(vids)), dtype=np.int64)
+                for s_i, (s, ln) in enumerate(slices):
+                    sub = Q[:, s : s + ln]  # (q, ln)
+                    # (q, kcent) squared dists of every query sub to
+                    # this subspace's centroids
+                    dt = (
+                        (sub[:, None, :] - cb[s_i][None, :, :]) ** 2
+                    ).sum(axis=2)
+                    dist += dt[:, C[:, s_i]]
+                top = np.argsort(dist, axis=1, kind="stable")[:, :kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(
+                                chunk["query_id"].to_numpy(), kk
+                            ),
+                            "vec_id": vids[top].ravel(),
+                            "adc_dist": np.take_along_axis(
+                                dist, top, axis=1
+                            ).ravel(),
+                        }
+                    )
+                )
+            return pd.concat(out, ignore_index=True) if out else empty
+
+        scored = (
+            qside.groupBy("cid")
+            .cogroup(cand.groupBy("cid"))
+            .applyInPandas(
+                score_group, schema="query_id long, vec_id long, adc_dist long"
+            )
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist"), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "vec_id", "adc_dist", "rnk")
+        )

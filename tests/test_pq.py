@@ -132,3 +132,45 @@ def test_ivfpq_force_rebuild_and_sparse_ids(spark, tmp_path):
     idx.build(d2, force=True)
     top2 = idx.topk([5.0] * 16, k=3, n_probe=3).collect()
     assert all(r["vec_id"] >= 1000 for r in top2)
+
+
+def test_ivfpq_topk_batch_matches_per_query(spark, tmp_path):
+    """topk_batch (executor-side coarse probing + cogrouped ADC
+    scoring, no driver query collect) returns, for every query,
+    exactly the per-query topk result — including the exact int64 ADC
+    distances — and is invariant to Arrow batching."""
+    from pyspark.sql import functions as F
+
+    from etl_lealone_spark.operators.pq import IvfPqIndex
+
+    rows = _clustered_vectors(n_per=30)
+    d = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<double>"
+    )
+    idx = IvfPqIndex(spark, str(tmp_path / "ivfpqb"), m=4, k=4)
+    idx.build(d)
+    qrows = [(i, v) for i, _, v in rows if i % 11 == 0][:7]
+    want = {}
+    for qid, vec in qrows:
+        want[qid] = [
+            (r["vec_id"], r["adc_dist"])
+            for r in idx.topk(vec, k=5, n_probe=3).collect()
+        ]
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, qvec array<double>"
+    )
+    got = idx.topk_batch(qdf, k=5, n_probe=3).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rnk"])):
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["adc_dist"]))
+    assert by_q == want
+    # different Arrow batching must not change anything
+    got2 = idx.topk_batch(qdf.repartition(5), k=5, n_probe=3).collect()
+    by_q2 = {}
+    for r in sorted(got2, key=lambda r: (r["query_id"], r["rnk"])):
+        by_q2.setdefault(r["query_id"], []).append((r["vec_id"], r["adc_dist"]))
+    assert by_q2 == want
+    # the probe stays partition-pruned at the parquet source
+    plan = idx.topk_batch(qdf, k=5, n_probe=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PartitionFilters: [cid" in plan
