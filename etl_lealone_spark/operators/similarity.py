@@ -867,16 +867,62 @@ class IvfIndex:
             os.replace(tmp, self._meta_path)
         return int(n_new)
 
+    def _compact_lock(self):
+        """Advisory exclusive lock (flock on ``<root>/_compact.lock``)
+        serializing compaction and crash recovery per index root:
+        without it, a second process CONSTRUCTING the index while
+        another's compact() is mid-swap would rmtree the live staging
+        dir or "restore" a backup that is not stale (r7 advisor
+        finding — build() explicitly tolerates concurrent processes on
+        shared /tmp roots, so compact must too). A crashed holder's
+        lock is released by the kernel, so recovery still runs after
+        real crashes. Returns an open fd holding the lock, or None if
+        the root is missing or another process holds it. Same-machine
+        scope only (flock; matches the /tmp shared-root usage)."""
+        import fcntl
+        import os
+
+        if not os.path.isdir(self.root):
+            return None
+        fd = os.open(
+            os.path.join(self.root, "_compact.lock"),
+            os.O_CREAT | os.O_RDWR,
+            0o644,
+        )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            os.close(fd)
+            return None
+        return fd
+
     def _recover_compaction(self) -> None:
-        """Heal a compact() interrupted between its two renames: if a
+        """Heal a compact() interrupted between its two renames —
+        lock-guarded: skipped (not blocked) when another process holds
+        the compaction lock, because leftover staging/backup state then
+        belongs to a LIVE compact, not a crash. Called from __init__
+        and compact(), so the next index use after a crash self-heals
+        before any read can miss a partition."""
+        import fcntl
+        import os
+
+        fd = self._compact_lock()
+        if fd is None:
+            return
+        try:
+            self._recover_compaction_locked()
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def _recover_compaction_locked(self) -> None:
+        """Recovery body (callers hold the compaction lock): if a
         ``_compact_old_cid=N`` backup exists while ``assign/cid=N`` is
         missing, the crash hit the window after the live dir moved away
         and before the staging dir moved in — restore the backup (the
         staging copy may be incomplete; the backup is the pre-compact
         truth). If the live dir EXISTS alongside a backup, the swap
-        finished and only the cleanup was lost — drop the backup.
-        Called from __init__ and compact(), so the next index use after
-        a crash self-heals before any read can miss a partition."""
+        finished and only the cleanup was lost — drop the backup."""
         import os
         import shutil
 
@@ -910,11 +956,27 @@ class IvfIndex:
         construction and at the next compact), restoring the pre-swap
         backup, so every partition ends fully old or fully new. Returns
         the number of partitions compacted. Centroids, _meta.json, and
-        probe results are untouched (row-identity pinned by test)."""
+        probe results are untouched (row-identity pinned by test).
+        Lock-guarded end to end (swap included): a concurrent compact()
+        or recovery on the same root skips instead of interleaving —
+        returns 0 in that case."""
+        import fcntl
+        import os
+
+        lock_fd = self._compact_lock()
+        if lock_fd is None:
+            return 0  # missing root, or another process compacting
+        try:
+            return self._compact_locked(max_files)
+        finally:
+            fcntl.flock(lock_fd, fcntl.LOCK_UN)
+            os.close(lock_fd)
+
+    def _compact_locked(self, max_files: int) -> int:
         import os
         import shutil
 
-        self._recover_compaction()
+        self._recover_compaction_locked()
         assign_root = os.path.join(self.root, "assign")
         if not os.path.isdir(assign_root):
             return 0
@@ -972,19 +1034,33 @@ class IvfIndex:
         n_probe: int = 4,
         query_id_col: str = "query_id",
         query_vec_col: str = "qvec",
+        max_queries: int = 10_000,
     ) -> DataFrame:
         """Top-k for a SMALL query set (the interactive probe shape:
         the query set is collected driver-side to rank centroids —
         fine for thousands of queries, wrong for millions; use
         :meth:`topk_batch` for offline large-query-set reprocessing).
         ``qvec`` must be quantized (array<bigint>). Reads only the
-        probed cid partitions."""
+        probed cid partitions.
+
+        The small-query-set contract is ENFORCED, not advisory (r7
+        verdict residual #3): the collect is LIMIT-bounded to
+        ``max_queries + 1`` rows, and exceeding ``max_queries`` raises
+        a typed error naming :meth:`topk_batch` — an unbounded query
+        frame can never OOM the driver through this path."""
         import os
 
         import numpy as np
         import pandas as pd
 
-        q_rows = queries.orderBy(query_id_col).collect()
+        q_rows = queries.orderBy(query_id_col).limit(max_queries + 1).collect()
+        if len(q_rows) > max_queries:
+            raise ValueError(
+                f"IvfIndex.topk: query set exceeds max_queries="
+                f"{max_queries} — this interactive path collects queries "
+                "driver-side; use topk_batch for large query sets (it "
+                "never collects them), or raise max_queries explicitly"
+            )
         q_ids = np.asarray([r[query_id_col] for r in q_rows], dtype=np.int64)
         Q = np.asarray([r[query_vec_col] for r in q_rows], dtype=np.int64)
         qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))

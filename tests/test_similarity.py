@@ -251,3 +251,73 @@ def test_ivf_compact_crash_recovery(tables, spark, tmp_path):
     idx3 = IvfIndex(spark, root)
     assert not os.path.isdir(os.path.join(root, f"_compact_old_{victim}"))
     assert sorted(map(tuple, idx3.topk(q, k=10, n_probe=4).collect())) == want
+
+
+def test_ivf_topk_query_cap_enforced(tables, spark, tmp_path):
+    """The interactive topk path collects queries driver-side; the
+    small-query-set contract is enforced (r7 verdict residual #3): a
+    set past max_queries raises a typed error naming topk_batch, and
+    the collect itself is LIMIT-bounded so the driver never holds more
+    than max_queries + 1 rows either way."""
+    import pytest
+
+    from etl_lealone_spark.operators.similarity import IvfIndex, quantize
+
+    e = tables["embeddings"]
+    root = str(tmp_path / "ivfcap")
+    idx = IvfIndex(spark, root)
+    idx.build(e)
+    q = e.select(
+        F.col("vec_id").alias("query_id"), quantize(F.col("embedding")).alias("qvec")
+    )
+    with pytest.raises(ValueError, match="topk_batch"):
+        idx.topk(q, k=5, n_probe=2, max_queries=10)
+    # at or under the cap the path still works
+    out = idx.topk(q.limit(10), k=5, n_probe=2, max_queries=10)
+    assert out.select("query_id").distinct().count() == 10
+
+
+def test_ivf_compact_lock_excludes_recovery_and_compact(tables, spark, tmp_path):
+    """While one process holds the compaction lock (simulated with a
+    foreign flock fd), a concurrent construct's _recover_compaction
+    must NOT touch the staging dir or backups, and a concurrent
+    compact() must skip (return 0) instead of interleaving with the
+    in-flight swap (r7 advisor finding). After release, recovery heals
+    normally."""
+    import fcntl
+    import os
+
+    from etl_lealone_spark.operators.similarity import IvfIndex, quantize
+
+    e = tables["embeddings"]
+    root = str(tmp_path / "ivflock")
+    idx = IvfIndex(spark, root)
+    idx.build(e)
+    assign_root = os.path.join(root, "assign")
+    victim = sorted(d for d in os.listdir(assign_root) if d.startswith("cid="))[0]
+    # an in-flight compact: live dir moved to backup, staging present
+    os.rename(
+        os.path.join(assign_root, victim),
+        os.path.join(root, f"_compact_old_{victim}"),
+    )
+    os.makedirs(os.path.join(root, "_compact_staging"), exist_ok=True)
+    fd = os.open(os.path.join(root, "_compact.lock"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        idx2 = IvfIndex(spark, root)  # construct while "compacting"
+        # recovery skipped: staging intact, backup untouched, live still gone
+        assert os.path.isdir(os.path.join(root, "_compact_staging"))
+        assert os.path.isdir(os.path.join(root, f"_compact_old_{victim}"))
+        assert not os.path.isdir(os.path.join(assign_root, victim))
+        assert idx2.compact(max_files=0) == 0  # concurrent compact skips
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    # lock released (as after a crash): the next construct heals
+    idx3 = IvfIndex(spark, root)
+    assert os.path.isdir(os.path.join(assign_root, victim))
+    assert not os.path.isdir(os.path.join(root, "_compact_staging"))
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), quantize(F.col("embedding")).alias("qvec")
+    )
+    assert idx3.topk(q, k=5, n_probe=2).count() == 15
