@@ -446,9 +446,23 @@ def _parse_columns(cols_sql: str) -> tuple[str, list[str], "TableConstraints"]:
                 if lit:
                     cons.defaults[lname] = lit.group(0)
             else:
-                tok = re.match(r"\S+", rest[pos:])
+                # Bare token — but an unparenthesized FUNCTION default
+                # (``DEFAULT COALESCE(a, 0)``) must extend through the
+                # balanced call group: \S+ alone stops at the first
+                # whitespace, storing ``COALESCE(a,`` (r7 advisor
+                # finding — the '(' branch above only engages when the
+                # payload STARTS with '(').
+                tok = re.match(r"[A-Za-z_][\w.$]*", rest[pos:]) or re.match(
+                    r"\S+", rest[pos:]
+                )
                 if tok:
-                    cons.defaults[lname] = tok.group(0)
+                    val = tok.group(0)
+                    after = pos + len(val)
+                    if after < len(rest) and rest[after] == "(":
+                        grp = _balanced_group(rest, after)
+                        if grp is not None:
+                            val = f"{val}({grp})"
+                    cons.defaults[lname] = val
         cm = re.search(
             r"\bAS\s*\((?P<expr>.*)\)\s*$", masked, re.IGNORECASE | re.DOTALL
         )

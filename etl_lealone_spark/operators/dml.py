@@ -591,15 +591,31 @@ class SnapshotTable:
         ]
         if not touched:
             return self._version
-        sep = "\x00"
-        keys = [sep.join(k) for k in touched]
+        # membership as a disjunction of per-column equality tuples, NOT
+        # a concat_ws(sep).isin(): concat_ws silently DROPS null columns
+        # (a multi-column key with one NULL component could collide with
+        # a different touched key) and a value containing the separator
+        # could forge a match (r7 advisor finding). Touched keys never
+        # contain nulls (__HIVE_DEFAULT_PARTITION__ filtered above), so
+        # plain `==` is null-correct: a row with a NULL partition value
+        # matches no tuple and stays linked, untouched.
+        def tuple_match(key: tuple) -> Column:
+            preds = [
+                F.col(c).cast("string") == F.lit(v)
+                for c, v in zip(self.partition_by, key)
+            ]
+            out = preds[0]
+            for p in preds[1:]:
+                out = out & p
+            return out
+
+        membership = tuple_match(touched[0])
+        for key in touched[1:]:
+            membership = membership | tuple_match(key)
         # one repartition by the partition columns lands each touched
         # partition's rows in one task -> one file per partition dir
-        joined = F.concat_ws(
-            sep, *[F.col(c).cast("string") for c in self.partition_by]
-        )
         return self._pruned_rewrite(
-            lambda df: df.repartition(*self.partition_by), joined.isin(keys)
+            lambda df: df.repartition(*self.partition_by), membership
         )
 
     def inserted_since(self, old_version: int) -> DataFrame:

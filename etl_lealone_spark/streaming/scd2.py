@@ -49,9 +49,7 @@ skips the rewrite entirely — that is the crash-replay contract.
 
 from __future__ import annotations
 
-import functools
 import logging
-import operator
 import os
 from typing import Optional, Sequence
 
@@ -267,6 +265,24 @@ class Scd2Applier:
         Returns the number of changes that will actually take effect,
         so the caller can skip the rewrite when none will."""
         k, eff = self.key_col, self.eff_col
+
+        # Attr equality via ONE hash column instead of shipping every
+        # attr: the broadcast is 3 narrow columns regardless of attr
+        # width (r7 advisor finding — broadcasting the whole net batch
+        # undermined the O(touched-buckets) design for wide dims).
+        # Injective null-aware encoding: per-column fixed-width token
+        # ('N'+zeros for NULL, 'V'+md5(cast-to-string) otherwise), so
+        # neither separator injection nor null/value ambiguity can
+        # collide; matches eqNullSafe semantics (NULL equals NULL).
+        def attr_hash():
+            toks = [
+                F.when(F.col(c).isNull(), F.lit("N" + "0" * 32)).otherwise(
+                    F.concat(F.lit("V"), F.md5(F.col(c).cast("string")))
+                )
+                for c in self.attr_cols
+            ]
+            return F.md5(F.concat(*toks))
+
         hist = (
             self.history.read()
             .filter(F.col("kb").isin(buckets))
@@ -274,18 +290,16 @@ class Scd2Applier:
                 F.col(k),
                 F.col("valid_from"),
                 F.col("is_current"),
-                *[F.col(c).alias(f"__h_{c}") for c in self.attr_cols],
+                attr_hash().alias("__h_ah"),
             )
         )
-        same_attrs = functools.reduce(
-            operator.and_,
-            [F.col(c).eqNullSafe(F.col(f"__h_{c}")) for c in self.attr_cols],
-        )
+        net_slim = net.select(F.col(k), F.col(eff), attr_hash().alias("__ah"))
+        same_attrs = F.col("__ah") == F.col("__h_ah")
         same_day = F.col("valid_from") == F.col(eff)
         # net is one change per key, so per-key == per-change flags; a
         # change matches several history versions — reduce with max()
         per_key = (
-            hist.join(F.broadcast(net), k, "inner")
+            hist.join(F.broadcast(net_slim), k, "inner")
             .groupBy(k)
             .agg(
                 F.max(

@@ -229,3 +229,73 @@ def test_torn_snapshot_is_invisible_and_cleared(spark, tmp_path):
     assert st2.version == 1
     got = {r["id"]: r["v"] for r in st2.read().collect()}
     assert got == {1: 11.0, 2: 21.0, 3: 30.0, 4: 40.0}
+
+
+def test_compact_multicol_null_partition_safe(spark, tmp_path):
+    """Multi-column partitioning with a NULL component: compact's
+    membership test is a per-column tuple disjunction (r7 advisor
+    finding — concat_ws silently drops NULL columns, letting a
+    NULL-bearing row collide with a touched key and be BOTH linked and
+    rewritten, i.e. duplicated). The NULL partition must stay linked,
+    untouched, exactly once; the hot partition compacts to one file."""
+    st = SnapshotTable(spark, str(tmp_path), "mc", partition_by=["p", "q"])
+    st.create(
+        spark.createDataFrame(
+            [("a", "b", 1), ("a", None, 2), ("x", "y", 3)],
+            "p string, q string, id int",
+        )
+    )
+    for i in range(5):  # accrete files only in (a, b)
+        st.insert(
+            spark.createDataFrame(
+                [("a", "b", 100 + i)], "p string, q string, id int"
+            )
+        )
+    before = sorted(tuple(r) for r in st.read().collect())
+    counts = st.file_counts()
+    assert counts[("a", "b")] >= 6
+    null_before = counts[("a", "__HIVE_DEFAULT_PARTITION__")]
+    v = st.compact(max_files=3)
+    after = st.file_counts()
+    assert after[("a", "b")] == 1
+    assert after[("a", "__HIVE_DEFAULT_PARTITION__")] == null_before
+    assert sorted(tuple(r) for r in st.read().collect()) == before
+    # the NULL partition's leaf dir is a link into the old snapshot
+    vdir = os.path.join(str(tmp_path), "mc", f"v{v:06d}")
+    assert os.path.islink(
+        os.path.join(vdir, "p=a", "q=__HIVE_DEFAULT_PARTITION__")
+    )
+
+
+def test_compact_vacuum_cycles_compose(spark, tmp_path):
+    """Maintenance surfaces must COMPOSE (r7 verdict task 6): a year of
+    daily insert+compact cycles accretes one version dir per mutation
+    that only VACUUM trims. Drive N cycles, then VACUUM RETAIN-style
+    keep_last: row identity holds throughout, the version-dir count
+    drops to the retained tail plus whatever older snapshots surviving
+    links still reference, and unreferenced old versions are gone."""
+    st = _table(spark, tmp_path)
+    for cycle in range(3):
+        for i in range(4):
+            st.insert(
+                spark.createDataFrame(
+                    [("2024-01-01", 1000 * cycle + i, float(i))],
+                    "dt string, id int, v double",
+                )
+            )
+        st.compact(max_files=2)
+        assert st.file_counts()[("2024-01-01",)] == 1
+    before = sorted(tuple(r) for r in st.read().collect())
+    base = os.path.join(str(tmp_path), "pt")
+    n_versions = len([d for d in os.listdir(base) if d.startswith("v")])
+    assert n_versions == 16  # create + 3 x (4 inserts + 1 compact)
+    st.vacuum(keep_last=1)
+    survivors = sorted(d for d in os.listdir(base) if d.startswith("v"))
+    # current version + transitively linked ancestors survive; the
+    # early insert-chain versions (superseded by compaction rewrites)
+    # must be gone
+    assert len(survivors) < n_versions
+    assert f"v{st.version:06d}" in survivors
+    assert sorted(tuple(r) for r in st.read().collect()) == before
+    # a fresh compact after vacuum still works (below threshold: no-op)
+    assert st.compact(max_files=2) == st.version

@@ -422,3 +422,25 @@ def test_column_clause_keywords_in_literals_ignored(es):
     es.sql("INSERT INTO lit_k VALUES (2, NULL)")  # nullable: must pass
     got = {r["id"]: r["w"] for r in es.sql("SELECT id, w FROM lit_k").collect()}
     assert got == {1: "NOT NULL CHECK (x>0)", 2: None}
+
+
+def test_default_unparenthesized_function_call(es):
+    """An unparenthesized expression default must capture the FULL
+    nested call: ``DEFAULT COALESCE(...)`` used to truncate at the
+    first space (``coalesce(a,``) because the bare-token branch grabbed
+    \\S+ (r7 advisor finding); the balanced-group extension now carries
+    the whole call through to evaluation."""
+    es.sql(
+        "CREATE TABLE dflt_fn (id int PRIMARY KEY, "
+        "a int, b int DEFAULT COALESCE(NULL, 7), "
+        "c varchar(20) DEFAULT CONCAT('x', 'y z'))"
+    )
+    cons = es.catalog.constraints["dflt_fn"]
+    assert cons.defaults["b"] == "COALESCE(NULL, 7)"
+    assert cons.defaults["c"] == "CONCAT('x', 'y z')"
+    es.sql("INSERT INTO dflt_fn (id, a) VALUES (1, 5)")
+    row = es.sql("SELECT b, c FROM dflt_fn WHERE id = 1").collect()[0]
+    assert (row["b"], row["c"]) == (7, "xy z")
+    # bare non-call tokens keep their old behavior
+    es.sql("CREATE TABLE dflt_tok (id int PRIMARY KEY, n int DEFAULT 5)")
+    assert es.catalog.constraints["dflt_tok"].defaults["n"] == "5"
