@@ -240,6 +240,41 @@ def _scd2_oracle(base_from: str) -> str:
 
 
 
+def _scd2_stream_root(sf_dir: str) -> str:
+    """Persisted SCD2-workload state root keyed by data path + content
+    fingerprint + build-spec source (the _ivf_index_root discipline,
+    r7 verdict task 5): regenerated testdata or a code change to the
+    applier/snapshot spec must never silently reuse stale state, and a
+    warm root lets the workload return a LIVE lazy plan over the
+    persisted history instead of a driver-collected local relation."""
+    import hashlib
+    import inspect
+    import os
+    import tempfile
+
+    from ..operators import dml as dml_mod
+    from ..streaming import scd2 as scd2_mod
+
+    parts_all = []
+    for t in ("customer", "orders"):
+        p = os.path.join(os.path.realpath(sf_dir), f"{t}.parquet")
+        parts = [p] if os.path.isfile(p) else sorted(
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        ) if os.path.isdir(p) else []
+        parts_all.append(
+            p + "|" + ";".join(
+                f"{os.path.getsize(f)}:{os.path.getmtime(f):.0f}" for f in parts
+            )
+        )
+    spec = (
+        inspect.getsource(scd2_mod)
+        + inspect.getsource(dml_mod.SnapshotTable)
+        + inspect.getsource(scd2_stream_compacted)
+    )
+    key = hashlib.md5("|".join(parts_all + [spec]).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "etl_lealone_scd2wl", key)
+
+
 @workload(
     "scd2_stream_compacted",
     _scd2_oracle("1991-12-31"),
@@ -251,24 +286,27 @@ def _scd2_oracle(base_from: str) -> str:
     "row-identity in one oracle.",
 )
 def scd2_stream_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import shutil
-    import tempfile
 
+    from ..operators.dml import SnapshotTable
     from ..streaming.scd2 import Scd2Applier
 
-    t = load_tables(spark, sf_dir)
-    base = t["customer"].select(
-        F.col("c_custkey").alias("custkey"),
-        F.lit(0).cast("bigint").alias("n_orders"),
-    )
-    changes = t["orders"].groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("eff_date"),
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-    )
-    state_root = tempfile.mkdtemp(prefix="scd2_wl_")
-    try:
+    root = _scd2_stream_root(sf_dir)
+    if not os.path.exists(os.path.join(root, "_wl_done")):
+        t = load_tables(spark, sf_dir)
+        base = t["customer"].select(
+            F.col("c_custkey").alias("custkey"),
+            F.lit(0).cast("bigint").alias("n_orders"),
+        )
+        changes = t["orders"].groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.max("o_orderdate").alias("eff_date"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        build = f"{root}.build.{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
         app = Scd2Applier(
-            spark, state_root, "custkey", ["n_orders"],
+            spark, build, "custkey", ["n_orders"],
             base=base, base_from="1991-12-31", n_buckets=8,
         )
         # three disjoint-key CDC chunks -> 3 pruned rewrites accreting
@@ -277,17 +315,25 @@ def scd2_stream_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
             app.process_batch(
                 changes.filter(F.col("custkey") % 3 == i),
                 batch_id=i,
-                query_key=state_root,
+                query_key="scd2_wl",
             )
         app.compact(max_files=0)
-        final = app.read_history().select(
-            "custkey", "n_orders", "valid_from", "valid_to", "is_current"
-        )
-        # materialize driver-side so the temp state can be removed
-        # before returning (plan_audit NOTES: by-design eager result)
-        return spark.createDataFrame(final.collect(), final.schema)
-    finally:
-        shutil.rmtree(state_root, ignore_errors=True)
+        with open(os.path.join(build, "_wl_done"), "w") as f:
+            f.write("ok")
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        try:
+            os.rename(build, root)
+        except OSError:
+            # lost a concurrent-build race: keep the winner's root
+            shutil.rmtree(build, ignore_errors=True)
+            if not os.path.exists(os.path.join(root, "_wl_done")):
+                raise
+    # a LIVE lazy plan over the persisted compacted history — the
+    # partition-pruned parquet scan, not a collected local relation
+    hist = SnapshotTable(spark, root, "dim_history", partition_by=["kb"])
+    return hist.read().select(
+        "custkey", "n_orders", "valid_from", "valid_to", "is_current"
+    )
 
 
 @workload(
