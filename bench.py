@@ -353,6 +353,28 @@ def extension_dual_run(spark, wl, reps: int = 2) -> dict[str, float]:
     return out
 
 
+def anchor_run(spark) -> float:
+    """Fixed host-state anchor (r7 verdict task 4): a constant-size,
+    SF-independent CPU+shuffle probe timed at the START and END of the
+    headline loop. Cross-round comparisons divide per-query drift by
+    anchor drift to separate host state from code regressions — the r7
+    round graded a phantom +13% that the same-run DuckDB twins
+    mirrored; the anchor makes that self-correcting in-run. Runs once
+    untimed (codegen/JIT) before the first timed call via main()."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    (
+        spark.range(20_000_000)
+        .select((F.col("id") % 9973).alias("g"), (F.col("id") * 31).alias("v"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .agg(F.count(F.lit(1)), F.sum("n"), F.sum("s"))
+        .collect()
+    )
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_spark(
@@ -378,6 +400,8 @@ def main() -> None:
             ).save()
         except Exception:
             pass
+    anchor_run(spark)  # untimed warm
+    anchor_first = anchor_run(spark)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         w = wl[name]
@@ -391,6 +415,7 @@ def main() -> None:
         t0 = time.time()
         w.build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+    anchor_last = anchor_run(spark)
     # 5e7 default: BASELINE.md shows the Spark/DuckDB crossover lives at
     # this scale — fixed JVM overhead is amortized and the ratio reflects
     # throughput, which is what a 100 TB deployment cares about.
@@ -404,7 +429,13 @@ def main() -> None:
                 "metric": "headline_suite_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": {**timings, **baseline, **ext},
+                "queries": {
+                    **timings,
+                    **baseline,
+                    **ext,
+                    "anchor_first": anchor_first,
+                    "anchor_last": anchor_last,
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "baseline_rows": base_rows,
             }

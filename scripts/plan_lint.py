@@ -26,7 +26,7 @@ sys.path.insert(0, ".")
 
 from etl_lealone_spark.plans import explain_str  # noqa: E402
 from etl_lealone_spark.plans.lint import lint_forced_broadcasts, lint_plan  # noqa: E402
-from etl_lealone_spark.session import build_spark  # noqa: E402
+from etl_lealone_spark.session import build_spark, quiet_bounded_window_warnings  # noqa: E402
 from etl_lealone_spark.workloads import all_workloads  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -92,6 +92,7 @@ def lint_one(name: str, plan: str) -> list[str]:
 def main() -> None:
     filters = sys.argv[1:]
     spark = build_spark(app_name="plan_lint", cores=8, shuffle_partitions=8)
+    quiet_bounded_window_warnings(spark)
     wl = all_workloads()
     bad: list[tuple[str, list[str]]] = []
     n_checked = 0
