@@ -65,6 +65,8 @@ HEADLINE = [
     "cluster_balanced_sample", # per-IVF-cluster diversity quota sample
     "ccnet_fluency_buckets",   # CCNet head/middle/tail LM stratification
     "scd2_stream_compacted",   # streaming SCD2 + history compaction
+    "ann_ivfpq_topk_batch",    # IVFPQ batch ADC probe (memory-bounded ANN)
+    "priority_sample_topk",    # weighted-without-replacement sampling
 ]
 
 

@@ -470,6 +470,56 @@ def ngram_jaccard_pairs_blocked(
     )
 
 
+def ngram_containment_pairs_blocked(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Column | None = None,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric word-3-gram CONTAINMENT within blocks:
+    ``|A ∩ B| / min(|A|, |B|)`` — the subset-duplicate detector Jaccard
+    misses (a wire-service article embedded verbatim in a longer page
+    has low Jaccard because the union is large, but containment ≈ 1;
+    Broder's containment measure from the original shingling paper).
+    Same blocking, shingle-hash intersection kernel, and scale shape as
+    :func:`ngram_jaccard_pairs_blocked`; returns (id_a, id_b,
+    containment) with containment rounded to 6dp AFTER the threshold
+    filter (one IEEE division of exact ints — engine-identical)."""
+    block = (
+        block_cols
+        if block_cols is not None
+        else F.struct(F.col("lang"), (F.col("n_chars") / 100).cast("int"))
+    )
+    base = (
+        _parallelize_for_compute(df, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            block.alias("blk"),
+            words(F.col(text_col)).alias("ws"),
+        )
+        .select(
+            "id",
+            "blk",
+            F.transform(
+                word_shingles_from(F.col("ws")), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        )
+    )
+    l, r = base.alias("l"), base.alias("r")
+    inter = F.size(F.array_intersect("l.sh", "r.sh")).cast("double")
+    cont = inter / F.least(F.size("l.sh"), F.size("r.sh")).cast("double")
+    return (
+        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
+        .filter(cont >= threshold)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -827,3 +827,51 @@ def hash_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: Column,
+    id_col: str = "doc_id",
+    seed_tag: str = "ps0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    arbitrary subset sums", JACM 2007): item i draws u_i ~ uniform(0,1]
+    and gets priority q_i = w_i / u_i; the k largest priorities form
+    the sample, with inclusion probability increasing in weight — the
+    standard one-pass weighted-without-replacement scheme (the A-ES
+    exponential-keys method needs ln()/pow(), whose libm results are
+    NOT bit-stable across engines; the priority form needs only one
+    IEEE division, which is).
+
+    Mixing use: sample a token-budget-weighted subset of a corpus in
+    ONE pass with no replacement bookkeeping.
+
+    Determinism & scale: u_i comes from a 60-bit md5 integer of
+    (seed_tag, id) — exact in both engines; the priority is a single
+    exactly-rounded IEEE division of two exactly-converted integers,
+    so DuckDB and Spark produce bit-identical doubles. The plan is a
+    map-only projection + TakeOrderedAndProject (per-partition k-row
+    heaps, no global sort): one pass at any corpus size.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed_tag + ":"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    prio = weight_col.cast("double") / (h + F.lit(1)).cast("double")
+    return (
+        df.select(
+            F.col(id_col),
+            weight_col.cast("bigint").alias("weight"),
+            prio.alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -198,9 +198,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(d, max_hamming=3)
 
 
-# shared by ngram_jaccard_blocked and the dedup_clusters oracle
-_JACCARD_PAIRS_SQL = """
-    WITH base AS (
+# per-doc word-3-gram shingle sets within (lang, n_chars/100) blocks —
+# ONE constant shared by the jaccard AND containment oracles (and,
+# through _JACCARD_PAIRS_SQL, the dedup_clusters oracles), so a shingle
+# spec change cannot be edited into one and not another
+_NGRAM_BASE_CTE = """base AS (
       SELECT doc_id AS id,
              struct_pack(lang := lang,
                          sz := cast(floor(n_chars / 100) as int)) AS blk,
@@ -211,7 +213,11 @@ _JACCARD_PAIRS_SQL = """
                            string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws)
              ) AS sh
       FROM documents
-    )
+    )"""
+
+# shared by ngram_jaccard_blocked and the dedup_clusters oracle
+_JACCARD_PAIRS_SQL = f"""
+    WITH {_NGRAM_BASE_CTE}
     SELECT l.id AS id_a, r.id AS id_b,
            round(cast(len(list_intersect(l.sh, r.sh)) as double)
                  / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 6)
@@ -231,6 +237,30 @@ _JACCARD_PAIRS_SQL = """
 def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
     return ngram_jaccard_pairs_blocked(d, threshold=0.5)
+
+
+@workload(
+    "ngram_containment_blocked",
+    f"""
+    WITH {_NGRAM_BASE_CTE}
+    SELECT l.id AS id_a, r.id AS id_b,
+           round(cast(len(list_intersect(l.sh, r.sh)) as double)
+                 / least(len(l.sh), len(r.sh)), 6) AS containment
+    FROM base l JOIN base r ON l.blk = r.blk AND l.id < r.id
+    WHERE cast(len(list_intersect(l.sh, r.sh)) as double)
+          / least(len(l.sh), len(r.sh)) >= 0.6
+    """,
+    doc="Asymmetric word-3-gram containment |A∩B|/min(|A|,|B|) within "
+    "blocks — the subset-duplicate detector Jaccard misses (short doc "
+    "embedded in a long one: union large, containment ≈ 1; Broder's "
+    "containment measure). Same blocking + shingle-hash kernel as the "
+    "Jaccard pass; shares the oracle's base CTE with it.",
+)
+def ngram_containment_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_containment_pairs_blocked
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return ngram_containment_pairs_blocked(d, threshold=0.6)
 
 
 @workload(

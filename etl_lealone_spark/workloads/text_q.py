@@ -242,6 +242,36 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PS_K = 200
+
+
+@workload(
+    "priority_sample_topk",
+    f"""
+    SELECT doc_id, weight, priority FROM (
+      SELECT doc_id, cast(n_chars + 1 as bigint) AS weight,
+             cast(n_chars + 1 as double)
+             / cast((('0x' || substr(md5('ps0:' || cast(doc_id as varchar)), 1, 15))::bigint + 1) as double)
+               AS priority
+      FROM documents
+    ) t ORDER BY priority DESC, doc_id LIMIT {_PS_K}
+    """,
+    doc="Weighted sampling WITHOUT replacement via priority sampling "
+    "(Duffield-Lund-Thorup JACM 2007): priority = weight / md5-uniform, "
+    "global top-k — size-biased corpus subsetting in one map-only pass "
+    "+ TakeOrderedAndProject (per-partition heaps, no global sort). "
+    "The priority is one IEEE division of exact integers, so both "
+    "engines produce bit-identical doubles.",
+)
+def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pipeline import priority_sample
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return priority_sample(
+        d, k=_PS_K, weight_col=F.col("n_chars") + 1, id_col="doc_id"
+    )
+
+
 _MIX_WEIGHTS_SQL = """
     WITH toks AS (
       SELECT lang AS grp,
