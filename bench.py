@@ -67,6 +67,10 @@ HEADLINE = [
     "scd2_stream_compacted",   # streaming SCD2 + history compaction
     "ann_ivfpq_topk_batch",    # IVFPQ batch ADC probe (memory-bounded ANN)
     "priority_sample_topk",    # weighted-without-replacement sampling
+    "bloom_join_prune",        # Bloom runtime-filter semi-join reduction
+    "minhash_band_skew",       # LSH bucket-skew pre-flight diagnostic
+    "bigram_pmi_top",          # PMI collocation mining
+    "snapshot_time_travel",    # AS-OF reads over versioned snapshots
 ]
 
 

@@ -149,6 +149,99 @@ def minhash_signatures(
     return hs.select("id", *lanes)
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, band, band_hash) LSH bucket keys — the shared kernel of the
+    pair generator and the band-skew diagnostic.
+
+    Each band's lanes are combined into one 8-byte shuffle key with the
+    same overflow-free mix the lanes use (cross-engine exact); cross-band
+    collisions are harmless because ``band`` is part of the key. Map-only:
+    signature + band derivation never shuffles."""
+    rows_per_band = num_hashes // bands
+
+    def _band_hash(b: int) -> Column:
+        acc = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            acc = (
+                acc
+                + mix60(
+                    F.col(f"mh{b * rows_per_band + r}"),
+                    *hconsts("band-mix", b * rows_per_band + r),
+                )
+            ) % P61
+        return acc
+
+    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_hash(b).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.band_hash")
+
+
+def minhash_band_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Per-band LSH bucket-skew diagnostics: the O(n) pre-flight a 100 TB
+    MinHash dedup runs BEFORE committing to the within-bucket self-join.
+
+    The pair stage's only quadratic term is within an LSH bucket, so its
+    cost and its worst shuffle partition are governed by the bucket-size
+    distribution — a single boilerplate-heavy bucket of b docs costs
+    b·(b-1)/2 comparisons on one task. This surfaces that before the join:
+
+    Returns one row per band:
+      band, n_buckets, n_docs, max_bucket (the skew indicator),
+      n_collision_buckets (buckets with >= 2 docs),
+      candidate_pairs (sum over buckets of C(size, 2) — the EXACT number
+      of same-band candidate comparisons the pair join will perform).
+
+    All integer aggregates over the map-side band keys: one shuffle on
+    (band, band_hash) with map-side partials, then a ``bands``-row final
+    agg — no quadratic stage anywhere. If max_bucket is pathological,
+    salt or drop the hot bucket before running the pair join."""
+    bucket_sizes = (
+        minhash_band_keys(df, text_col, id_col, num_hashes, bands)
+        .groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+    )
+    sz = F.col("bucket_size")
+    return (
+        bucket_sizes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(sz).cast("long").alias("n_docs"),
+            F.max(sz).cast("long").alias("max_bucket"),
+            F.sum((sz > 1).cast("long")).cast("long").alias("n_collision_buckets"),
+            # integer DIV keeps the sum exact and engine-portable (no
+            # double division inside an aggregate)
+            F.sum(F.expr("bucket_size * (bucket_size - 1) DIV 2"))
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -172,38 +265,7 @@ def minhash_lsh_pairs(
     exact-Jaccard verification joining back to a shingle-array table.
     No O(n²) stage; the only quadratic term is within an LSH bucket.
     """
-    rows_per_band = num_hashes // bands
-
-    def _band_hash(b: int) -> Column:
-        # combine the band's lanes into one 8-byte shuffle key with the
-        # same overflow-free mix the lanes use (cross-engine exact);
-        # cross-band collisions are harmless — band is part of the key
-        acc = F.lit(0).cast("long")
-        for r in range(rows_per_band):
-            acc = (
-                acc
-                + mix60(
-                    F.col(f"mh{b * rows_per_band + r}"),
-                    *hconsts("band-mix", b * rows_per_band + r),
-                )
-            ) % P61
-        return acc
-
-    sig = minhash_signatures(df, text_col, id_col, num_hashes)
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _band_hash(b).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.band_hash")
+    banded = minhash_band_keys(df, text_col, id_col, num_hashes, bands)
     # EAGER checkpoint before the self-join: the join consumes the banded
     # plan twice, and the signature subtree above it (shingle + md5 per
     # shingle) is the expensive stage — materializing the compact

@@ -396,7 +396,14 @@ class SnapshotTable:
                     # form: a link in v2 must never route THROUGH v1, or
                     # vacuum (which resolves realpath past intermediates)
                     # would free v1 while v2 still depends on it.
-                    os.symlink(os.path.realpath(sp), os.path.join(cur_dst, entry))
+                    # The link itself is RELATIVE so the whole table tree
+                    # is relocatable — a staged build dir renamed into
+                    # place (the workload/content-keyed-root discipline)
+                    # or a copied table must not strand absolute targets.
+                    os.symlink(
+                        os.path.relpath(os.path.realpath(sp), cur_dst),
+                        os.path.join(cur_dst, entry),
+                    )
                 else:
                     walk(sp, os.path.join(cur_dst, entry), depth + 1, key)
 
@@ -429,13 +436,17 @@ class SnapshotTable:
 
     def _link_data_files(self, src_dir: str, dst_dir: str) -> None:
         """Symlink every data file of ``src_dir`` into ``dst_dir``
-        (fully resolved — no chains; see _clone_partitions_except)."""
+        (fully resolved — no chains; relative — relocatable; see
+        _clone_partitions_except)."""
         os.makedirs(dst_dir, exist_ok=True)
         for entry in os.listdir(src_dir):
             sp = os.path.join(src_dir, entry)
             if os.path.isdir(sp) or entry.startswith(("_", ".")):
                 continue
-            os.symlink(os.path.realpath(sp), os.path.join(dst_dir, entry))
+            os.symlink(
+                os.path.relpath(os.path.realpath(sp), dst_dir),
+                os.path.join(dst_dir, entry),
+            )
 
     def insert(self, rows: DataFrame) -> int:
         """INSERT: append-only — a NEW snapshot whose existing data files

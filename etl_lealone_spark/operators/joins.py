@@ -273,3 +273,125 @@ def interval_overlap_join(
         )
         .drop("__lb", "__rb")
     )
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (runtime-filter pattern, explicit form)
+# ---------------------------------------------------------------------------
+def bloom_bitmap(
+    build: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k: int = 3,
+    tag: str = "bloom",
+) -> DataFrame:
+    """1-row Bloom bitmap over the distinct build-side keys.
+
+    The explicit form of the runtime-filter join reduction (what Spark's
+    ``spark.sql.optimizer.runtime.bloomFilter`` injects, and what the
+    reference's index-condition pushdown achieves on its local BTree —
+    lealone-sql IndexCursor conditions): at 100 TB you never ship the
+    probe side through a shuffle to discover most rows have no match;
+    you ship a ``m_bits``-bit bitmap TO the probe scan instead.
+
+    Returns one row: ``bloom_words`` (map word-index → 64-bit word of the
+    bitmap — only non-zero words are materialized), ``bloom_bits_set``,
+    ``bloom_n_keys``. The bitmap is derived with the cross-engine xhash
+    family (md5 base hash + k Mersenne-mixed lanes mod m), so an
+    independent engine recomputes membership bit-for-bit — no opaque
+    native bloom blob, which also makes the filter REPRODUCIBLE across
+    reruns and engines (a re-executed 100 TB prune admits the same
+    false-positive set, keeping downstream hashes stable).
+
+    Build cost: one distinct over build keys, k map-side positions each,
+    a ≤``m_bits``-row distinct, and a ≤``m_bits/64``-row aggregate — the
+    result is a single row sized ~16 bytes per non-zero word, safely
+    broadcastable at any build cardinality because saturation CAPS the
+    size at m_bits/64 words.
+    """
+    from .xhash import hconsts, md5_hash60, mix60
+
+    keys = build.select(F.col(key_col).cast("string").alias("_bk")).distinct()
+    h = md5_hash60(F.col("_bk"))
+    positions = (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        (mix60(h, *hconsts(f"bloom:{tag}", i)) % m_bits).cast("int")
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    words = positions.groupBy(
+        (F.col("pos") / 64).cast("int").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            )
+        ).alias("word")
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).cast("long").alias("bloom_n_keys"))
+    return (
+        words.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word_idx", "word"))
+            ).alias("bloom_words"),
+            F.sum(F.bit_count("word")).cast("long").alias("bloom_bits_set"),
+        )
+        .crossJoin(F.broadcast(n_keys))
+    )
+
+
+def bloom_pass_flag(
+    key, m_bits: int = 8192, k: int = 3, tag: str = "bloom"
+):
+    """Membership predicate column for a probe row already cross-joined
+    with the :func:`bloom_bitmap` row (``bloom_words`` in scope). True iff
+    ALL k bit positions of the key are set — may include false positives,
+    never false negatives."""
+    from .xhash import hconsts, md5_hash60, mix60
+
+    h = md5_hash60(key.cast("string"))
+    flag = F.lit(True)
+    for i in range(k):
+        pos = (mix60(h, *hconsts(f"bloom:{tag}", i)) % m_bits).cast("int")
+        word = F.coalesce(
+            F.element_at(F.col("bloom_words"), (pos / 64).cast("int")),
+            F.lit(0).cast("long"),
+        )
+        flag = flag & (
+            word.bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+                )
+            )
+            != 0
+        )
+    return flag
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    m_bits: int = 8192,
+    k: int = 3,
+    tag: str = "bloom",
+) -> DataFrame:
+    """Probe rows whose key passes the Bloom filter built over the build
+    side — the explicit semi-join reduction: a 1-row broadcast plus a
+    map-side predicate, NO shuffle of the probe side. Admits false
+    positives (rate (1-e^{-kn/m})^k); chase with the exact join if the
+    consumer needs exactness — the point is the probe volume that
+    reaches that join is a fraction of the table."""
+    bitmap = bloom_bitmap(build, build_key, m_bits, k, tag)
+    return (
+        probe.crossJoin(F.broadcast(bitmap))
+        .filter(bloom_pass_flag(F.col(probe_key), m_bits, k, tag))
+        .drop("bloom_words", "bloom_bits_set", "bloom_n_keys")
+    )

@@ -399,3 +399,97 @@ def unigram_logprob(
             F.sum("lp").alias("logprob_x1e6"),
         )
     )
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 25,
+    top_n: int = 30,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-N word-bigram collocations by pointwise mutual information.
+
+    The classic phrase-mining signal (Church & Hanks 1990): bigrams whose
+    joint frequency far exceeds the independence expectation are
+    collocations — the candidates a tokenizer-vocab or phrase-table build
+    promotes to single units. PMI = ln(p(ab) / (p(a)·p(b))) with
+    p(ab) = c_ab/N_bi, p(w) = c_w/N_uni.
+
+    Scale shape (the whole thing is three shuffles, all on tiny keys):
+    map-side tokenize + adjacent-pair derivation (no self-join — bigrams
+    come from ``transform`` over the token array, one pass, pure
+    codegen), two vocabulary-sized groupBys with map-side partials, the
+    corpus totals as 1-row broadcasts, and two broadcast joins of the
+    (vocabulary-sized) unigram table onto the bigram table. At 100 TB the
+    only O(corpus) stages are the map-side explodes; everything after is
+    O(vocabulary).
+
+    Cross-engine determinism: the ratio is computed as one double
+    expression with a fixed operation order, then fixed-point quantized
+    (floor(x·scale + 0.5), the unigram_logprob discipline) so ordering
+    and values hash identically in the DuckDB oracle; top-N ties break on
+    the (w1, w2) key. Returns (w1, w2, c_ab, pmi_x1e6), pmi descending.
+    """
+    from .dedup import words
+
+    toked = df.select(words(F.col(text_col)).alias("ws")).select(
+        F.expr("filter(ws, w -> w <> '')").alias("ws")
+    )
+    uni = (
+        toked.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    n_uni = uni.agg(F.sum("c_w").cast("long").alias("n_uni"))
+    big = (
+        toked.select(
+            F.explode(
+                F.expr(
+                    "filter(transform(ws, (w, i) -> "
+                    "IF(i < size(ws) - 1, struct(w AS w1, ws[i + 1] AS w2), NULL)), "
+                    "x -> x IS NOT NULL)"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_bi = (
+        toked.select(
+            F.greatest(F.size("ws") - 1, F.lit(0)).cast("long").alias("nb")
+        )
+        .agg(F.sum("nb").cast("long").alias("n_bi"))
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    ratio = (
+        F.col("c_ab").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+        / (
+            F.col("n_bi").cast("double")
+            * F.col("c_a").cast("double")
+            * F.col("c_b").cast("double")
+        )
+    )
+    # NO forced broadcast on the unigram joins: the vocabulary of a web
+    # corpus is unbounded (hundreds of millions of distinct tokens at
+    # 100 TB), so these are plain equi-joins on the vocabulary-sized
+    # tables — AQE broadcasts them when they measure small. Only the
+    # 1-row totals are hint-broadcast.
+    return (
+        big.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.floor(F.log(ratio) * scale + F.lit(0.5)).cast("long").alias("pmi_x1e6"),
+        )
+        .orderBy(F.desc("pmi_x1e6"), "w1", "w2")
+        .limit(top_n)
+    )

@@ -37,7 +37,12 @@ _SHINGLES_SQL = """
       )"""
 
 
-def _minhash_pairs_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 0.7) -> str:
+def _minhash_banded_cte_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    """The shared CTE prefix (sh_tbl, hs_tbl, sig, banded) re-deriving
+    dedup.minhash_band_keys' (id, band, band_hash) table in DuckDB —
+    generated from the same xhash mixing constants the Spark expression
+    tree uses, so both the pair oracle and the band-skew oracle see
+    bit-identical bucket keys."""
     rows_per_band = num_hashes // bands
     lanes = ",\n        ".join(
         f"list_min(list_transform(hs, h -> {mix60_sql('h', *hconsts('mh-lane', i))}))"
@@ -54,8 +59,7 @@ def _minhash_pairs_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 
             f"SELECT id, {b} AS band, ({terms}) % {P61} AS band_hash FROM sig"
         )
     banded = "\n      UNION ALL\n      ".join(band_selects)
-    return f"""
-    WITH sh_tbl AS (
+    return f"""sh_tbl AS (
       SELECT doc_id AS id, {_SHINGLES_SQL} AS sh
       FROM documents
     ),
@@ -70,7 +74,12 @@ def _minhash_pairs_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 
     ),
     banded AS (
       {banded}
-    ),
+    )"""
+
+
+def _minhash_pairs_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 0.7) -> str:
+    return f"""
+    WITH {_minhash_banded_cte_sql(num_hashes, bands)},
     cand AS (
       SELECT DISTINCT l.id AS id_a, r.id AS id_b
       FROM banded l JOIN banded r
@@ -170,6 +179,39 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, threshold=0.7).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+@workload(
+    "minhash_band_skew",
+    f"""
+    WITH {_minhash_banded_cte_sql()},
+    buckets AS (
+      SELECT band, band_hash, count(*) AS bucket_size
+      FROM banded GROUP BY band, band_hash
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(bucket_size) AS BIGINT) AS n_docs,
+           CAST(max(bucket_size) AS BIGINT) AS max_bucket,
+           CAST(sum(CASE WHEN bucket_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_collision_buckets,
+           CAST(sum(bucket_size * (bucket_size - 1) // 2) AS BIGINT)
+             AS candidate_pairs
+    FROM buckets GROUP BY band
+    """,
+    doc="Per-band LSH bucket-skew pre-flight: bucket count, max bucket "
+    "size, and the EXACT candidate-pair mass sum(C(size,2)) the pair "
+    "join would perform — the O(n) diagnostic a 100 TB dedup runs "
+    "before committing to the within-bucket self-join (a single hot "
+    "bucket of b docs is a b*(b-1)/2-comparison straggler task). "
+    "Oracle recomputes bucket keys bit-for-bit via the shared banded "
+    "CTE (same xhash constants as the Spark expression tree).",
+)
+def minhash_band_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_band_stats
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return minhash_band_stats(d)
 
 
 @workload(

@@ -375,3 +375,129 @@ def scd2_dim_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return untouched.unionAll(closed).unionAll(opened)
+
+
+# ---------------------------------------------------------------------------
+# snapshot time travel (AS-OF reads over the versioned mutation history)
+# ---------------------------------------------------------------------------
+def _tt_state_root(sf_dir: str) -> str:
+    """Persisted time-travel-workload state root, content-keyed by data
+    path + parquet fingerprint + the mutation spec source (the
+    _scd2_stream_root discipline): regenerated testdata or a code change
+    to SnapshotTable/this workload can never silently reuse stale
+    version history."""
+    import hashlib
+    import inspect
+    import os
+    import tempfile
+
+    from ..operators import dml as dml_mod
+
+    p = os.path.join(os.path.realpath(sf_dir), "orders.parquet")
+    parts = [p] if os.path.isfile(p) else sorted(
+        os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+    ) if os.path.isdir(p) else []
+    fp = p + "|" + ";".join(
+        f"{os.path.getsize(f)}:{os.path.getmtime(f):.0f}" for f in parts
+    )
+    spec = inspect.getsource(dml_mod.SnapshotTable) + inspect.getsource(
+        snapshot_time_travel
+    )
+    key = hashlib.md5((fp + "|" + spec).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "etl_lealone_ttwl", key)
+
+
+_TT_ORACLE = """
+    WITH dim AS (
+      SELECT o_custkey AS custkey, o_custkey % 8 AS pk,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    v2 AS (
+      SELECT custkey, pk,
+             CASE WHEN pk = 3 THEN n_orders + 100 ELSE n_orders END AS n_orders,
+             spend
+      FROM dim
+    ),
+    v3 AS (SELECT * FROM v2 WHERE custkey % 7 <> 0)
+    SELECT 1 AS version, pk, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_orders) AS BIGINT) AS sum_orders,
+           CAST(sum(spend) AS DOUBLE) AS sum_spend
+    FROM dim GROUP BY pk
+    UNION ALL
+    SELECT 2, pk, CAST(count(*) AS BIGINT), CAST(sum(n_orders) AS BIGINT),
+           CAST(sum(spend) AS DOUBLE)
+    FROM v2 GROUP BY pk
+    UNION ALL
+    SELECT 3, pk, CAST(count(*) AS BIGINT), CAST(sum(n_orders) AS BIGINT),
+           CAST(sum(spend) AS DOUBLE)
+    FROM v3 GROUP BY pk
+"""
+
+
+@workload(
+    "snapshot_time_travel",
+    _TT_ORACLE,
+    doc="AS-OF reads over the versioned snapshot history: create a "
+    "partitioned per-customer dim (v1), a partition-PRUNED update that "
+    "rewrites only the pk=3 partition and links the rest (v2), a "
+    "delete (v3) — then read ALL THREE versions back and aggregate "
+    "each. The oracle re-derives every version's state from the base "
+    "parquet, so the driver pins that time travel returns exactly the "
+    "pre-mutation states (the reference's MVCC snapshot-read contract, "
+    "MVCCTransactionEngine.java, re-expressed as immutable snapshot "
+    "dirs + a version pointer).",
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.dml import SnapshotTable
+
+    root = _tt_state_root(sf_dir)
+    if not os.path.exists(os.path.join(root, "_wl_done")):
+        o = load_tables(spark, sf_dir)["orders"]
+        dim = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("spend"),
+        ).withColumn("pk", F.col("custkey") % 8)
+        build = f"{root}.build.{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        t = SnapshotTable(spark, build, "dim_tt", partition_by=["pk"])
+        t.create(dim)                                          # v1
+        t.update(                                              # v2 (pruned)
+            F.col("pk") == 3,
+            {"n_orders": F.col("n_orders") + 100},
+            partition_filter=F.col("pk") == 3,
+        )
+        t.delete(F.col("custkey") % 7 == 0)                    # v3
+        with open(os.path.join(build, "_wl_done"), "w") as f:
+            f.write("ok")
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        try:
+            os.rename(build, root)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+            if not os.path.exists(os.path.join(root, "_wl_done")):
+                raise
+    t = SnapshotTable(spark, root, "dim_tt", partition_by=["pk"])
+
+    def agg_of(version: int) -> DataFrame:
+        # snapshot versions are 0-based (create -> v0); the workload
+        # labels them 1..3 to match the oracle's state numbering
+        return (
+            t.read(version=version - 1)
+            .groupBy(F.col("pk").cast("long").alias("pk"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n_orders").cast("long").alias("sum_orders"),
+                F.sum("spend").cast("double").alias("sum_spend"),
+            )
+            .select(F.lit(version).cast("int").alias("version"), "*")
+        )
+
+    return agg_of(1).unionByName(agg_of(2)).unionByName(agg_of(3))

@@ -120,3 +120,113 @@ def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlaps"),
         F.min("o_orderkey").alias("first_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+_BLOOM_M = 16384
+_BLOOM_K = 3
+_BLOOM_TAG = "wl"
+
+
+def _bloom_prune_sql() -> str:
+    """Oracle twin of operators/joins.bloom_bitmap + bloom_pass_flag:
+    recomputes the k bit positions per key from the shared xhash family
+    and counts pass / member / false-positive probe rows per group."""
+    from ..operators.xhash import hconsts, md5_hash60_sql, mix60_sql
+
+    lanes = [
+        f"({mix60_sql('h', *hconsts(f'bloom:{_BLOOM_TAG}', i))}) % {_BLOOM_M}"
+        for i in range(_BLOOM_K)
+    ]
+    build_positions = "\n      UNION ALL\n      ".join(
+        f"SELECT {lane} AS pos FROM bh" for lane in lanes
+    )
+    probe_pos_cols = ", ".join(f"{lane} AS p{i}" for i, lane in enumerate(lanes))
+    pass_pred = " AND ".join(
+        f"(p{i} IN (SELECT pos FROM bits))" for i in range(_BLOOM_K)
+    )
+    return f"""
+    WITH bk AS (
+      SELECT DISTINCT o_orderkey AS okey
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    ),
+    bh AS (
+      SELECT {md5_hash60_sql("CAST(okey AS VARCHAR)")} AS h FROM bk
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+      {build_positions}
+      )
+    ),
+    pp AS (
+      SELECT l_returnflag, l_orderkey, {probe_pos_cols}
+      FROM (SELECT l_returnflag, l_orderkey,
+                   {md5_hash60_sql("CAST(l_orderkey AS VARCHAR)")} AS h
+            FROM lineitem)
+    ),
+    fl AS (
+      SELECT l_returnflag,
+             ({pass_pred}) AS pass,
+             l_orderkey IN (SELECT okey FROM bk) AS member
+      FROM pp
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
+           CAST(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           CAST((SELECT count(*) FROM bits) AS BIGINT) AS bloom_bits_set
+    FROM fl GROUP BY l_returnflag
+    """
+
+
+@workload(
+    "bloom_join_prune",
+    _bloom_prune_sql(),
+    doc="Bloom-filter semi-join reduction (explicit runtime-filter form): "
+    "a 16384-bit / 3-lane bitmap over the filtered orders keys is "
+    "broadcast as ONE row and applied as a map-side predicate on the "
+    "lineitem scan — the 100 TB join-pruning pattern where the probe "
+    "side never shuffles to discover non-matches. The oracle recomputes "
+    "bitmap and membership bit-for-bit from the shared xhash family and "
+    "pins pass/member/false-positive counts per return flag, plus bitmap "
+    "saturation (bloom_bits_set).",
+)
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import bloom_bitmap, bloom_pass_flag
+
+    t = load_tables(spark, sf_dir)
+    o, li = t["orders"], t["lineitem"]
+    build = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    )
+    bitmap = bloom_bitmap(build, "o_orderkey", _BLOOM_M, _BLOOM_K, _BLOOM_TAG)
+    members = (
+        build.select(F.col("o_orderkey").alias("l_orderkey"))
+        .distinct()
+        .withColumn("is_member", F.lit(True))
+    )
+    flagged = (
+        li.select("l_orderkey", "l_returnflag")
+        .crossJoin(F.broadcast(bitmap))
+        .withColumn(
+            "pass", bloom_pass_flag(F.col("l_orderkey"), _BLOOM_M, _BLOOM_K, _BLOOM_TAG)
+        )
+        # plain join (AQE decides): the exact-member key set is
+        # build-side-sized — unbounded in general, unlike the bitmap
+        .join(members, "l_orderkey", "left")
+        .withColumn("member", F.coalesce(F.col("is_member"), F.lit(False)))
+    )
+    return flagged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("pass").cast("long")).cast("long").alias("n_pass"),
+        F.sum(F.col("member").cast("long")).cast("long").alias("n_member"),
+        F.sum((F.col("pass") & ~F.col("member")).cast("long"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.max("bloom_bits_set").cast("long").alias("bloom_bits_set"),
+    )

@@ -29,6 +29,58 @@ def _o_substr_count(col_sql: str, sub: str) -> str:
     )
 
 
+# shared tokenizer CTE: DuckDB twin of dedup.words() + the empty-token
+# filter bigram_pmi applies (one constant so the unigram and bigram
+# stages can never drift apart)
+_WS_CTE = (
+    "d AS (SELECT list_filter(string_split(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g')), ' '), w -> w <> '') AS ws FROM documents)"
+)
+
+
+@workload(
+    "bigram_pmi_top",
+    f"""
+    WITH {_WS_CTE},
+    uni AS (
+      SELECT w, count(*) AS c_w
+      FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_uni FROM uni),
+    big AS (
+      SELECT (bg).w1 AS w1, (bg).w2 AS w2, count(*) AS c_ab
+      FROM (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS bg
+        FROM d
+      ) GROUP BY 1, 2 HAVING count(*) >= 25
+    ),
+    nbi AS (
+      SELECT CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT) AS n_bi FROM d
+    )
+    SELECT b.w1, b.w2, CAST(b.c_ab AS BIGINT) AS c_ab,
+           CAST(floor(ln(
+             (b.c_ab::DOUBLE * t.n_uni::DOUBLE * t.n_uni::DOUBLE)
+             / (nbi.n_bi::DOUBLE * ua.c_w::DOUBLE * ub.c_w::DOUBLE)
+           ) * 1000000 + 0.5) AS BIGINT) AS pmi_x1e6
+    FROM big b
+    JOIN uni ua ON b.w1 = ua.w
+    JOIN uni ub ON b.w2 = ub.w, tot t, nbi
+    ORDER BY pmi_x1e6 DESC, w1, w2 LIMIT 30
+    """,
+    doc="Top-30 word-bigram collocations by PMI (Church & Hanks 1990) — "
+    "phrase-mining for tokenizer-vocab seeding. Map-side adjacent-pair "
+    "derivation (no self-join), vocabulary-sized aggs, 1-row total "
+    "broadcasts; PMI fixed-point-quantized so values and top-N order "
+    "hash identically cross-engine.",
+)
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import bigram_pmi
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return bigram_pmi(d, min_count=25, top_n=30)
+
+
 # ---------------------------------------------------------------------------
 # token counting
 # ---------------------------------------------------------------------------

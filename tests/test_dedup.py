@@ -187,3 +187,46 @@ def test_canonical_per_cluster_keeps_longest(spark):
     assert got[1]["keep_id"] == 2  # longest wins; tie (2,3) -> lower id
     assert got[1]["n_members"] == 3
     assert got[10]["keep_id"] == 11 and got[10]["n_members"] == 2
+
+
+def test_minhash_band_stats_pin_candidate_mass(spark):
+    """candidate_pairs must equal the EXACT number of same-band candidate
+    comparisons the pair join performs: sum over buckets of C(size,2)."""
+    from etl_lealone_spark.operators.dedup import (
+        minhash_band_keys,
+        minhash_band_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc {i % 4}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    stats = {r["band"]: r for r in minhash_band_stats(df).collect()}
+    assert set(stats) == set(range(8))
+    banded = minhash_band_keys(df).collect()
+    from collections import Counter
+
+    sizes = Counter((r["band"], r["band_hash"]) for r in banded)
+    for b in range(8):
+        expect_pairs = sum(
+            n * (n - 1) // 2 for (bb, _), n in sizes.items() if bb == b
+        )
+        expect_buckets = sum(1 for (bb, _) in sizes if bb == b)
+        assert stats[b]["candidate_pairs"] == expect_pairs
+        assert stats[b]["n_buckets"] == expect_buckets
+        assert stats[b]["n_docs"] == 40
+        assert stats[b]["max_bucket"] == max(
+            n for (bb, _), n in sizes.items() if bb == b
+        )
+
+
+def test_minhash_band_stats_partitioning_invariant(spark):
+    from etl_lealone_spark.operators.dedup import minhash_band_stats
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7} tail common text") for i in range(60)],
+        "doc_id long, text string",
+    )
+    a = sorted(tuple(r) for r in minhash_band_stats(df).collect())
+    b = sorted(tuple(r) for r in minhash_band_stats(df.repartition(17)).collect())
+    assert a == b

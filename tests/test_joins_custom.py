@@ -123,3 +123,61 @@ def test_interval_overlap_join_empty_sides(spark):
         ).count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+def test_bloom_no_false_negatives_and_pruning(spark):
+    from etl_lealone_spark.operators.joins import bloom_semi_join
+
+    build = spark.range(0, 200).selectExpr("id * 7 AS k")
+    probe = spark.range(0, 5000).selectExpr("id AS k")
+    passed = {r["k"] for r in bloom_semi_join(probe, "k", build, "k").collect()}
+    members = {r["k"] for r in build.collect()} & {
+        r["k"] for r in probe.collect()
+    }
+    # every true member passes (no false negatives) ...
+    assert members <= passed
+    # ... and the filter actually prunes (far fewer than the probe side)
+    assert len(passed) < 2500
+
+
+def test_bloom_pass_set_is_partitioning_invariant(spark):
+    from etl_lealone_spark.operators.joins import bloom_semi_join
+
+    build = spark.range(0, 300).selectExpr("id * 3 AS k")
+    probe = spark.range(0, 2000).selectExpr("id AS k")
+    a = {r["k"] for r in bloom_semi_join(probe, "k", build, "k").collect()}
+    b = {
+        r["k"]
+        for r in bloom_semi_join(
+            probe.repartition(13), "k", build.repartition(7), "k"
+        ).collect()
+    }
+    # the md5/Mersenne hash family is deterministic: the admitted set —
+    # INCLUDING its false positives — is identical however either side
+    # is partitioned (the reproducible-runtime-filter contract)
+    assert a == b
+
+
+def test_bloom_bitmap_saturation_caps_size(spark):
+    from etl_lealone_spark.operators.joins import bloom_bitmap
+
+    row = bloom_bitmap(
+        spark.range(0, 50_000).selectExpr("id AS k"), "k", m_bits=1024, k=3
+    ).collect()[0]
+    # far more keys than bits: bitmap saturates but its materialized size
+    # stays capped at m_bits (words <= m_bits/64) — broadcastable at any
+    # build cardinality
+    assert row["bloom_bits_set"] <= 1024
+    assert len(row["bloom_words"]) <= 1024 // 64
+    assert row["bloom_n_keys"] == 50_000
+
+
+def test_bloom_empty_build_side_passes_nothing(spark):
+    from etl_lealone_spark.operators.joins import bloom_semi_join
+
+    build = spark.range(0).selectExpr("id AS k")
+    probe = spark.range(0, 100).selectExpr("id AS k")
+    assert bloom_semi_join(probe, "k", build, "k").count() == 0

@@ -299,3 +299,51 @@ def test_compact_vacuum_cycles_compose(spark, tmp_path):
     assert sorted(tuple(r) for r in st.read().collect()) == before
     # a fresh compact after vacuum still works (below threshold: no-op)
     assert st.compact(max_files=2) == st.version
+
+
+def test_snapshot_tree_is_relocatable(spark, tmp_path):
+    """Pruned rewrites and insert snapshots link into earlier versions;
+    those links must be RELATIVE so a staged build dir renamed into its
+    final content-keyed root (the workload discipline) — or a wholesale
+    table copy — keeps every historical version readable. Regression:
+    absolute link targets stranded v1's untouched partitions after the
+    snapshot_time_travel root rename (r8)."""
+    import shutil
+
+    build = str(tmp_path / "stage")
+    st = SnapshotTable(spark, build, "pt", partition_by=["dt"])
+    st.create(
+        spark.createDataFrame(
+            [("2024-01-01", 1, 10.0), ("2024-01-02", 2, 20.0),
+             ("2024-01-03", 3, 30.0)],
+            "dt string, id int, v double",
+        )
+    )
+    st.update(
+        F.col("dt") == "2024-01-01",
+        {"v": F.col("v") + 1},
+        partition_filter=F.col("dt") == "2024-01-01",
+    )
+    st.insert(
+        spark.createDataFrame([("2024-01-02", 4, 40.0)], "dt string, id int, v double")
+    )
+    final = str(tmp_path / "final")
+    os.rename(build, final)
+    shutil.rmtree(str(tmp_path / "stage"), ignore_errors=True)
+    moved = SnapshotTable(spark, final, "pt", partition_by=["dt"])
+    # every version — including the ones whose partitions are links —
+    # reads complete from the NEW location
+    assert sorted((r["id"], r["v"]) for r in moved.read(version=0).collect()) == [
+        (1, 10.0), (2, 20.0), (3, 30.0)
+    ]
+    assert sorted((r["id"], r["v"]) for r in moved.read(version=1).collect()) == [
+        (1, 11.0), (2, 20.0), (3, 30.0)
+    ]
+    assert sorted((r["id"], r["v"]) for r in moved.read(version=2).collect()) == [
+        (1, 11.0), (2, 20.0), (3, 30.0), (4, 40.0)
+    ]
+    # and vacuum's reference graph still resolves links after the move
+    moved.vacuum(keep_last=1)
+    assert sorted((r["id"], r["v"]) for r in moved.read().collect()) == [
+        (1, 11.0), (2, 20.0), (3, 30.0), (4, 40.0)
+    ]

@@ -146,3 +146,39 @@ def test_unigram_logprob_partitioning_invariant(spark):
     a = sorted(unigram_logprob(d.coalesce(1)).collect())
     b = sorted(unigram_logprob(d.repartition(9)).collect())
     assert a == b
+
+
+def test_bigram_pmi_hand_check(spark):
+    """'new york' co-occurs always; 'the cat' and 'the dog' split the
+    'the' mass — PMI must rank the exclusive pair on top."""
+    from etl_lealone_spark.operators.textops import bigram_pmi
+
+    import math
+
+    docs = (
+        [("new york city",)] * 10
+        + [("the cat sat",)] * 5
+        + [("the dog ran",)] * 5
+    )
+    df = spark.createDataFrame(docs, "text string")
+    got = {(r["w1"], r["w2"]): r for r in bigram_pmi(df, min_count=5, top_n=10).collect()}
+    assert ("new", "york") in got and ("the", "cat") in got
+    # hand-computed: 40 bigrams total (2 per doc), 60 unigrams
+    # pmi(new,york) = ln((10/40) / ((10/60)*(10/60))) = ln(9)
+    assert got[("new", "york")]["c_ab"] == 10
+    assert got[("new", "york")]["pmi_x1e6"] == math.floor(math.log(9.0) * 1e6 + 0.5)
+    # pmi(the,cat) = ln((5/40) / ((10/60)*(5/60))) = ln(9) as well — but
+    # via DIFFERENT counts; check the value independently
+    assert got[("the", "cat")]["c_ab"] == 5
+    assert got[("the", "cat")]["pmi_x1e6"] == math.floor(math.log(9.0) * 1e6 + 0.5)
+
+
+def test_bigram_pmi_min_count_gate(spark):
+    from etl_lealone_spark.operators.textops import bigram_pmi
+
+    df = spark.createDataFrame(
+        [("rare pair here",)] + [("common pair again",)] * 9, "text string"
+    )
+    pairs = {(r["w1"], r["w2"]) for r in bigram_pmi(df, min_count=9, top_n=50).collect()}
+    assert ("common", "pair") in pairs
+    assert ("rare", "pair") not in pairs
