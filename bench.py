@@ -71,6 +71,8 @@ HEADLINE = [
     "minhash_band_skew",       # LSH bucket-skew pre-flight diagnostic
     "bigram_pmi_top",          # PMI collocation mining
     "snapshot_time_travel",    # AS-OF reads over versioned snapshots
+    "salted_join_skewed",      # skew-salted join == plain join semantics
+    "source_overlap_matrix",   # cross-source near-dup contamination
 ]
 
 

@@ -739,3 +739,54 @@ def canonical_per_cluster(
             F.col("n_members").cast("bigint").alias("n_members"),
         )
     )
+
+def minhash_source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Cross-source near-dup candidate matrix: for every unordered source
+    pair, the number of DISTINCT doc pairs sharing at least one LSH band
+    bucket.
+
+    The inter-source contamination signal a mixing pipeline checks before
+    weighting sources (and before deciding dedup priority between them):
+    a heavy off-diagonal cell means two "independent" sources are feeding
+    the mix near-identical text, so their combined weight double-counts
+    it. Diagonal cells are within-source duplication mass.
+
+    Same plan skeleton as the pair generator (map-only band keys → one
+    shuffle on (band, band_hash) → within-bucket join), then a tiny
+    source-label join and a ≤|sources|²-row aggregate — the expensive
+    kernel is shared, the output is a fixed-size matrix at any corpus
+    scale.
+    """
+    banded = minhash_band_keys(df, text_col, id_col, num_hashes, bands)
+    banded = banded.localCheckpoint(eager=True)
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    src = df.select(F.col(id_col).alias("id"), F.col(source_col).alias("src"))
+    a, b = src.alias("sa"), src.alias("sb")
+    labeled = (
+        cand.join(a, F.col("id_a") == F.col("sa.id"))
+        .join(b, F.col("id_b") == F.col("sb.id"))
+        .select(
+            F.least(F.col("sa.src"), F.col("sb.src")).alias("source_a"),
+            F.greatest(F.col("sa.src"), F.col("sb.src")).alias("source_b"),
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+    )

@@ -90,10 +90,11 @@ def salted_join(
     ~salt× on the hot key at the cost of replicating the right side.
     """
     l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
-    r = right.join(
-        F.broadcast(
-            left.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
-        )
+    # replicate the right side MAP-SIDE via a literal-array explode — a
+    # Generate node, not a broadcast join: zero exchanges added, and the
+    # replication factor is visibly a compile-time constant in the plan
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt)]))
     )
     out = l.join(r, on=[key, "__salt"], how=how)
     return out.drop("__salt")

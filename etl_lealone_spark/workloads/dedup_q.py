@@ -450,3 +450,35 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "dist")
         .orderBy("name_a", "name_b")
     )
+
+
+@workload(
+    "source_overlap_matrix",
+    f"""
+    WITH {_minhash_banded_cte_sql()},
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.band_hash = r.band_hash AND l.id < r.id
+    ),
+    src AS (SELECT doc_id AS id, source AS src FROM documents)
+    SELECT least(sa.src, sb.src) AS source_a,
+           greatest(sa.src, sb.src) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_candidate_pairs
+    FROM cand
+    JOIN src sa ON cand.id_a = sa.id
+    JOIN src sb ON cand.id_b = sb.id
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source near-dup contamination matrix: distinct LSH-bucket "
+    "collision pairs per unordered source pair — the pre-mixing check "
+    "that two 'independent' sources are not feeding the mix the same "
+    "text (off-diagonal mass = double-counted weight). Shares the "
+    "banded CTE with the pair and skew oracles; output is a fixed "
+    "|sources|x|sources| matrix at any corpus scale.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_source_overlap
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return minhash_source_overlap(d)

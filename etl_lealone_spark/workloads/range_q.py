@@ -230,3 +230,41 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_false_pos"),
         F.max("bloom_bits_set").cast("long").alias("bloom_bits_set"),
     )
+
+
+@workload(
+    "salted_join_skewed",
+    f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {o_dsum('l_quantity')} AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Salted equi-join (operators/joins.salted_join): the pathological-"
+    "skew fix — left side salted into 16 sub-keys, right side replicated "
+    "16x, join on (key, salt) so one hot key's shuffle load spreads over "
+    "16 reducers. Salting is PHYSICAL only: the oracle is the plain "
+    "join + aggregate, pinning that the rewrite never changes semantics "
+    "(the contract that lets a 100 TB job switch strategies freely).",
+)
+def salted_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    t = load_tables(spark, sf_dir)
+    left = t["lineitem"].select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    right = t["orders"].select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    return (
+        salted_join(left, right, "okey", salt=16)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

@@ -230,3 +230,36 @@ def test_minhash_band_stats_partitioning_invariant(spark):
     a = sorted(tuple(r) for r in minhash_band_stats(df).collect())
     b = sorted(tuple(r) for r in minhash_band_stats(df.repartition(17)).collect())
     assert a == b
+
+
+def test_source_overlap_matrix_folds_symmetric(spark):
+    """The matrix must count each unordered source pair once, and its
+    total must equal the distinct candidate-pair count."""
+    from etl_lealone_spark.operators.dedup import (
+        minhash_band_keys,
+        minhash_source_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, f"shared duplicate text body number {i % 3}",
+             "web" if i % 2 == 0 else "books")
+            for i in range(30)
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = minhash_source_overlap(df).collect()
+    assert all(r["source_a"] <= r["source_b"] for r in got)
+    banded = minhash_band_keys(df).collect()
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for r in banded:
+        buckets[(r["band"], r["band_hash"])].append(r["id"])
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    assert sum(r["n_candidate_pairs"] for r in got) == len(pairs)
