@@ -73,6 +73,8 @@ HEADLINE = [
     "snapshot_time_travel",    # AS-OF reads over versioned snapshots
     "salted_join_skewed",      # skew-salted join == plain join semantics
     "source_overlap_matrix",   # cross-source near-dup contamination
+    "bucketed_colocated_join", # zero-exchange bucketed fact join
+    "udf_alias_agg",           # CREATE ALIAS pandas-UDF pipeline
 ]
 
 

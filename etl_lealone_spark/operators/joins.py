@@ -106,6 +106,7 @@ def write_bucketed(
     key: str | Sequence[str],
     num_buckets: int = 32,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a managed table hash-bucketed (and sorted) by
     ``key`` — the co-located join layout.
@@ -135,14 +136,19 @@ def write_bucketed(
     layout is exactly the case where it is safe.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    (
+    writer = (
         df.repartition(num_buckets, *keys)
         .write.mode(mode)
         .bucketBy(num_buckets, keys[0], *keys[1:])
         .sortBy(keys[0], *keys[1:])
         .format("parquet")
-        .saveAsTable(table_name)
     )
+    if path is not None:
+        # EXTERNAL table: files live at ``path`` and outlive this
+        # session's in-memory catalog — a later session re-attaches with
+        # CREATE TABLE ... CLUSTERED BY ... LOCATION (same bucket spec)
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
 
 
 def colocated_join(

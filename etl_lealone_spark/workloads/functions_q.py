@@ -288,3 +288,45 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("l_orderkey"), F.col("l_partkey")), F.lit(9)
         ).alias("tea_oob"),
     )
+
+
+@workload(
+    "udf_alias_agg",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+    doc="CREATE ALIAS end-to-end (SURVEY §2.13, CreateFunctionAlias.java"
+    ":25): the statement router parses the inline-source form, detects "
+    "the pd.Series annotation, and registers an Arrow-vectorized "
+    "pandas_udf; the query then buckets orders through the UDF and "
+    "aggregates. Oracle re-derives the bucket arithmetically — pinning "
+    "that the vectorized UDF path computes exactly the declared "
+    "function (np.floor(p/50000) is the same IEEE sequence in both "
+    "engines).",
+)
+def udf_alias_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import EngineSession
+
+    sess = EngineSession(spark)
+    sess.sql(
+        "CREATE ALIAS WL_PRICE_BUCKET AS $$\n"
+        "import numpy as np\n"
+        "import pandas as pd\n"
+        "def wl_price_bucket(p: pd.Series) -> pd.Series:\n"
+        "    return np.floor(p / 50000.0)\n"
+        "$$"
+    )
+    o = load_tables(spark, sf_dir)["orders"]
+    o.createOrReplaceTempView("wl_udf_orders")
+    return spark.sql(
+        """
+        SELECT CAST(WL_PRICE_BUCKET(o_totalprice) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS decimal(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM wl_udf_orders GROUP BY 1
+        """
+    )

@@ -268,3 +268,117 @@ def salted_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join
+# ---------------------------------------------------------------------------
+def _bucketed_root(sf_dir: str) -> tuple[str, str]:
+    """(persisted root, content key) for the bucketed twin layout —
+    keyed by data path + parquet fingerprint + the writer/workload spec
+    (the persisted-state discipline: regenerated testdata or a spec
+    change must never reuse stale bucket layouts)."""
+    import hashlib
+    import inspect
+    import os
+    import tempfile
+
+    from ..operators import joins as joins_mod
+
+    parts_all = []
+    for t in ("orders", "lineitem"):
+        p = os.path.join(os.path.realpath(sf_dir), f"{t}.parquet")
+        parts = [p] if os.path.isfile(p) else sorted(
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        ) if os.path.isdir(p) else []
+        parts_all.append(
+            p + "|" + ";".join(
+                f"{os.path.getsize(f)}:{os.path.getmtime(f):.0f}" for f in parts
+            )
+        )
+    spec = inspect.getsource(joins_mod.write_bucketed) + inspect.getsource(
+        bucketed_colocated_join
+    )
+    key = hashlib.md5("|".join(parts_all + [spec]).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "etl_lealone_bucketwl", key), key
+
+
+@workload(
+    "bucketed_colocated_join",
+    f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           {o_dsum('l_quantity')} AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Co-located join over bucketed layout (operators/joins."
+    "write_bucketed + colocated_join): both sides persisted hash-"
+    "bucketed-and-sorted on the join key, so the join runs with ZERO "
+    "exchanges — the recurring-fact-join layout that removes the "
+    "two-sided 100 TB shuffle (plan pinned by test_plans::"
+    "test_bucketed_join_no_exchange). Oracle is the plain SQL join: "
+    "the layout is physical only, semantics identical.",
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.joins import colocated_join, write_bucketed
+
+    root, key = _bucketed_root(sf_dir)
+    specs = (
+        ("orders", "okey BIGINT, o_orderpriority STRING"),
+        ("lineitem", "okey BIGINT, l_quantity DOUBLE"),
+    )
+    if not os.path.exists(os.path.join(root, "_wl_done")):
+        t = load_tables(spark, sf_dir)
+        frames = {
+            "orders": t["orders"].select(
+                F.col("o_orderkey").alias("okey"), "o_orderpriority"
+            ),
+            "lineitem": t["lineitem"].select(
+                F.col("l_orderkey").alias("okey"), "l_quantity"
+            ),
+        }
+        build = f"{root}.build.{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        for sub, _schema in specs:
+            stg = f"wlbstg_{key}_{sub}_{os.getpid()}"
+            spark.sql(f"DROP TABLE IF EXISTS {stg}")
+            write_bucketed(
+                frames[sub], stg, "okey", num_buckets=16,
+                path=os.path.join(build, sub),
+            )
+            # drop only the session metadata — the EXTERNAL files stay
+            spark.sql(f"DROP TABLE IF EXISTS {stg}")
+        with open(os.path.join(build, "_wl_done"), "w") as f:
+            f.write("ok")
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        try:
+            os.rename(build, root)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+            if not os.path.exists(os.path.join(root, "_wl_done")):
+                raise
+    # re-attach the persisted bucketed layout in THIS session's catalog:
+    # same bucket spec as the writer, so the scan reports bucketing and
+    # the join plans with zero exchanges
+    names = {}
+    for sub, schema in specs:
+        tbl = f"wlb_{key}_{sub}"
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl} ({schema}) USING PARQUET "
+            f"CLUSTERED BY (okey) SORTED BY (okey) INTO 16 BUCKETS "
+            f"LOCATION '{os.path.join(root, sub)}'"
+        )
+        names[sub] = tbl
+    joined = colocated_join(spark, names["orders"], names["lineitem"], "okey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("okey").cast("long").alias("n_orders"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )

@@ -603,3 +603,38 @@ def test_parquet_aggregate_pushdown(spark, tables, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_external_bucketed_reattach_no_exchange(spark, tmp_path):
+    """A bucketed layout persisted as an EXTERNAL table must keep its
+    zero-exchange join property after the session metadata is dropped
+    and the table is re-attached via CREATE TABLE ... CLUSTERED BY ...
+    LOCATION — the cross-session path the bucketed_colocated_join
+    workload (and any recurring 100 TB job) depends on."""
+    from etl_lealone_spark.operators.joins import colocated_join, write_bucketed
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    pa, pb = str(tmp_path / "ba"), str(tmp_path / "bb")
+    write_bucketed(a, "xb_a", "k", num_buckets=4, path=pa)
+    write_bucketed(b, "xb_b", "k", num_buckets=4, path=pb)
+    spark.sql("DROP TABLE xb_a")
+    spark.sql("DROP TABLE xb_b")
+    spark.sql(
+        f"CREATE TABLE xb_a (k BIGINT, va BIGINT) USING PARQUET "
+        f"CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS LOCATION '{pa}'"
+    )
+    spark.sql(
+        f"CREATE TABLE xb_b (k BIGINT, vb BIGINT) USING PARQUET "
+        f"CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS LOCATION '{pb}'"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "xb_a", "xb_b", "k")
+        assert count_exchanges(joined) == 0, explain_str(joined)
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS xb_a")
+        spark.sql("DROP TABLE IF EXISTS xb_b")
