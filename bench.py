@@ -75,6 +75,7 @@ HEADLINE = [
     "source_overlap_matrix",   # cross-source near-dup contamination
     "bucketed_colocated_join", # zero-exchange bucketed fact join
     "udf_alias_agg",           # CREATE ALIAS pandas-UDF pipeline
+    "hard_negative_mining",    # contrastive hard negatives (cross-label ANN)
 ]
 
 

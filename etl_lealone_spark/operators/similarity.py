@@ -416,6 +416,7 @@ def score_int_cosine(
     q_vecs: "object",
     id_col: str = "vec_id",
     vec_col: str = "cvec",
+    carry_cols: "tuple[tuple[str, str], ...]" = (),
 ) -> DataFrame:
     """Arrow-vectorized exact cosine scores of quantized vectors.
 
@@ -445,16 +446,21 @@ def score_int_cosine(
             sims = dots.astype(np.float64) / (cn[:, None] * qn[None, :])
             m = len(q_ids_arr)
             n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(np.asarray(q_ids_arr, dtype=np.int64), n),
-                    "vec_id": np.tile(pdf[id_col].to_numpy(), m),
-                    "cosine_sim": sims.T.reshape(-1),
-                }
-            )
+            out = {
+                "query_id": np.repeat(np.asarray(q_ids_arr, dtype=np.int64), n),
+                "vec_id": np.tile(pdf[id_col].to_numpy(), m),
+                "cosine_sim": sims.T.reshape(-1),
+            }
+            # carried columns ride the SAME Arrow batch (tiled like
+            # vec_id) — a per-candidate attribute (e.g. a label) reaches
+            # the consumer without a corpus-sized join after the fan-out
+            for cname, _ctype in carry_cols:
+                out[cname] = np.tile(pdf[cname].to_numpy(), m)
+            yield pd.DataFrame(out)
 
+    carry_schema = "".join(f", {c} {t}" for c, t in carry_cols)
     return corpus_q.mapInPandas(
-        score, schema="query_id long, vec_id long, cosine_sim double"
+        score, schema="query_id long, vec_id long, cosine_sim double" + carry_schema
     )
 
 
@@ -1410,3 +1416,58 @@ def semantic_dedup_survivors(
         corpus[id_col] == losers["loser_id"],
         "left_anti",
     ).select(id_col, block_col)
+
+def hard_negatives_int(
+    corpus: DataFrame,
+    k: int = 5,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar vectors with a DIFFERENT label.
+
+    The embedding-training data op (in-batch negatives are easy; the
+    negatives that actually move a model are the near-boundary ones):
+    rank every cross-label candidate by exact int-quantized cosine and
+    keep the k hardest. Same execution shape as brute_force_topk_int —
+    tiny query set collected at plan time, corpus streams map-only
+    through the Arrow int64-matmul scorer, one WindowGroupLimit top-k —
+    plus one label filter; the candidate labels ride the same scan.
+    At production scale the scorer swaps for the IVF probe
+    (IvfIndex.topk_batch) unchanged: only the candidate generator
+    differs, the different-label filter and top-k are identical.
+    """
+    cq = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        quantize(F.col(vec_col)).alias("cvec"),
+        F.col(label_col).alias("clab"),
+    )
+    q_rows = (
+        cq.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
+    )
+    import numpy as np
+
+    q_ids = [r["vec_id"] for r in q_rows]
+    q_vecs = np.asarray([r["cvec"] for r in q_rows], dtype=np.int64)
+    # candidate labels ride the scorer's Arrow batches (carry_cols) and
+    # the m query labels become a literal CASE — NO post-fan-out join of
+    # the |corpus| x m scored stream anywhere
+    scored = score_int_cosine(
+        cq, q_ids, q_vecs, carry_cols=(("clab", "int"),)
+    )
+    q_labs = {r["vec_id"]: r["clab"] for r in q_rows}
+    qlab = F.lit(None).cast("int")
+    for qid, lab in q_labs.items():
+        qlab = F.when(F.col("query_id") == qid, F.lit(lab)).otherwise(qlab)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.filter(F.col("clab") != qlab)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", F.col("clab").alias("neg_label"),
+                "cosine_sim", "rnk")
+    )

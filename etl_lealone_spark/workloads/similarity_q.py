@@ -875,3 +875,52 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = idx.topk(q, k=TOP_K, n_probe=4)
     brute = brute_force_topk_int(e, k=TOP_K, n_queries=N_QUERIES)
     return _recall_vs_truth(brute, approx, TOP_K)
+
+
+_HN_QUERIES = 20
+_HN_K = 5
+
+
+@workload(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS qlab,
+             list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS qvec
+      FROM embeddings WHERE vec_id < {_HN_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id, label AS clab,
+             list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS cvec
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id, c.clab,
+             cast(list_sum([c.cvec[i+1] * q.qvec[i+1] for i in range(len(c.cvec))]) as double)
+             / (sqrt(cast(list_sum([c.cvec[i+1] * c.cvec[i+1] for i in range(len(c.cvec))]) as double))
+                * sqrt(cast(list_sum([q.qvec[i+1] * q.qvec[i+1] for i in range(len(q.qvec))]) as double)))
+               AS cosine_sim
+      FROM c CROSS JOIN q
+      WHERE c.clab <> q.qlab
+    )
+    SELECT query_id, vec_id, clab AS neg_label, cosine_sim, rnk FROM (
+      SELECT query_id, vec_id, clab, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= {_HN_K}
+    """,
+    doc="Hard-negative mining for contrastive embedding training: per "
+    "query, the top-5 most-similar vectors with a DIFFERENT label — "
+    "the near-boundary negatives that actually move a model. Candidate "
+    "labels ride the Arrow scorer batches (carry_cols) so the corpus x "
+    "queries fan-out is never joined; exact int64-matmul cosine, "
+    "WindowGroupLimit top-k. Swap the brute scorer for "
+    "IvfIndex.topk_batch at production scale — filter and top-k are "
+    "unchanged.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hard_negatives_int
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return hard_negatives_int(e, k=_HN_K, n_queries=_HN_QUERIES)

@@ -321,3 +321,40 @@ def test_ivf_compact_lock_excludes_recovery_and_compact(tables, spark, tmp_path)
         F.col("vec_id").alias("query_id"), quantize(F.col("embedding")).alias("qvec")
     )
     assert idx3.topk(q, k=5, n_probe=2).count() == 15
+
+
+def test_hard_negatives_excludes_same_label_and_matches_reference(spark):
+    import numpy as np
+
+    from etl_lealone_spark.operators.similarity import hard_negatives_int
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(8)], int(i % 3))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = hard_negatives_int(df, k=4, n_queries=6).collect()
+    labels = {i: i % 3 for i in range(60)}
+    # no same-label candidate, no self-match, exactly k per query
+    by_q = {}
+    for r in got:
+        assert labels[r["vec_id"]] != labels[r["query_id"]]
+        assert r["neg_label"] == labels[r["vec_id"]]
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(6))
+    assert all(len(v) == 4 for v in by_q.values())
+    # reference: exact int-quantized cosine in numpy, same tie-break
+    q = {r[0]: np.floor(np.array([float(np.float32(x)) for x in r[1]]) * 1e6 + 0.5).astype(np.int64)
+         for r in rows if r[0] < 6}
+    c = {r[0]: np.floor(np.array([float(np.float32(x)) for x in r[1]]) * 1e6 + 0.5).astype(np.int64)
+         for r in rows}
+    for qid, qv in q.items():
+        sims = []
+        for cid, cv in c.items():
+            if labels[cid] == labels[qid]:
+                continue
+            s = float(cv @ qv) / (np.sqrt(float(cv @ cv)) * np.sqrt(float(qv @ qv)))
+            sims.append((-s, cid))
+        expect = [cid for _, cid in sorted(sims)[:4]]
+        assert [r["vec_id"] for r in sorted(by_q[qid], key=lambda r: r["rnk"])] == expect
