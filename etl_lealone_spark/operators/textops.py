@@ -415,14 +415,14 @@ def bigram_pmi(
     promotes to single units. PMI = ln(p(ab) / (p(a)·p(b))) with
     p(ab) = c_ab/N_bi, p(w) = c_w/N_uni.
 
-    Scale shape (the whole thing is three shuffles, all on tiny keys):
-    map-side tokenize + adjacent-pair derivation (no self-join — bigrams
-    come from ``transform`` over the token array, one pass, pure
-    codegen), two vocabulary-sized groupBys with map-side partials, the
-    corpus totals as 1-row broadcasts, and two broadcast joins of the
-    (vocabulary-sized) unigram table onto the bigram table. At 100 TB the
-    only O(corpus) stages are the map-side explodes; everything after is
-    O(vocabulary).
+    Scale shape: three map-only passes over the column-pruned text
+    column (unigram explode; adjacent-pair explode via ``transform`` —
+    no self-join; a per-doc length aggregate for the bigram total),
+    two vocabulary-sized groupBys with map-side partials, corpus totals
+    as 1-row broadcasts, and two plain equi-joins of the unigram table
+    onto the (min_count-filtered) bigram table. At 100 TB the O(corpus)
+    cost is those three codegen scans of one string column — no raw-text
+    shuffle anywhere; everything after is O(vocabulary).
 
     Cross-engine determinism: the ratio is computed as one double
     expression with a fixed operation order, then fixed-point quantized

@@ -447,8 +447,53 @@ def batch_probe(nqs: list[int]) -> None:
         spark.stop()
 
 
+def bloom_probe(ks) -> None:
+    """Bloom semi-join scaling: probe-side wall vs synthetic corpus size.
+
+    The claim under test (SCALE.md r08): probe cost is map-side only —
+    k hash evaluations per row against a 1-row broadcast whose size is
+    CAPPED at m_bits/64 words — so wall grows ~linearly with probe rows
+    and the bitmap row never grows. Build side is held constant (100k
+    keys into m=2^20 bits) while the probe side scales K x 2M rows.
+    """
+    from etl_lealone_spark.operators.joins import bloom_bitmap, bloom_pass_flag
+
+    m_bits, k_hashes = 1 << 20, 3
+    spark = build_spark(app_name="bloom_probe", cores=8, shuffle_partitions=8)
+    try:
+        build = spark.range(0, 100_000).selectExpr("id * 7 AS k")
+        bitmap = bloom_bitmap(build, "k", m_bits, k_hashes, "probe")
+        row = bitmap.collect()[0]
+        print(
+            f"bitmap: {len(row['bloom_words'])} words, "
+            f"{row['bloom_bits_set']} bits set (cap {m_bits // 64} words)",
+            flush=True,
+        )
+        for K in ks:
+            n = 2_000_000 * K
+            probe = spark.range(0, n, 1, 8).selectExpr(
+                "id AS k"
+            )
+            t0 = time.time()
+            n_pass = (
+                probe.crossJoin(F.broadcast(bitmap))
+                .filter(bloom_pass_flag(F.col("k"), m_bits, k_hashes, "probe"))
+                .count()
+            )
+            print(
+                f"K={K} probe_rows={n} pass={n_pass} "
+                f"wall={time.time() - t0:.2f}s",
+                flush=True,
+            )
+    finally:
+        spark.stop()
+
+
 if __name__ == "__main__":
-    if "--recall" in sys.argv:
+    if "--bloom" in sys.argv:
+        ks = [int(a) for a in sys.argv[1:] if a != "--bloom"] or [1, 3, 10, 30]
+        bloom_probe(ks)
+    elif "--recall" in sys.argv:
         ks = [int(a) for a in sys.argv[1:] if a != "--recall"] or [1, 3, 10, 30]
         recall_probe(ks)
     elif "--unigram" in sys.argv:
