@@ -76,6 +76,7 @@ HEADLINE = [
     "bucketed_colocated_join", # zero-exchange bucketed fact join
     "udf_alias_agg",           # CREATE ALIAS pandas-UDF pipeline
     "hard_negative_mining",    # contrastive hard negatives (cross-label ANN)
+    "zipf_slope_top100",       # corpus rank-frequency health signal
 ]
 
 

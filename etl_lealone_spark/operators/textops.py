@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny stopword marker sets per language — matched as ' word ' substrings.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -492,4 +493,62 @@ def bigram_pmi(
         )
         .orderBy(F.desc("pmi_x1e6"), "w1", "w2")
         .limit(top_n)
+    )
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Zipf slope of the corpus rank-frequency curve — the one-number
+    corpus-health signal (natural text tracks slope ~ -1; spam, boiler-
+    plate, or template floods bend it).
+
+    Exact engine-portable regression: the top-N terms are ranked
+    deterministically, ln(rank) and ln(freq) are fixed-point-quantized
+    to BIGINTs (ONE rounding per value), and the OLS slope is computed
+    from integer sums — n·Σxy − Σx·Σy over n·Σx² − (Σx)² — which are
+    exact and associative, so the single final IEEE division is
+    bit-identical in any engine. No double is ever summed.
+
+    Scale shape: one corpus tokenize pass (map-only explode), one
+    vocabulary-sized count, a WindowGroupLimit top-N, and a ≤N-row
+    aggregate. Returns one row: (n_terms, slope_x1e6).
+    """
+    from .dedup import words
+
+    counts = (
+        df.select(F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), "w")
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.floor(F.log(F.col("rank").cast("double")) * scale + F.lit(0.5))
+            .cast("long")
+            .alias("x"),
+            F.floor(F.log(F.col("c").cast("double")) * scale + F.lit(0.5))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "n_terms",
+        F.floor(num.cast("double") / den.cast("double") * scale + F.lit(0.5))
+        .cast("long")
+        .alias("slope_x1e6"),
     )

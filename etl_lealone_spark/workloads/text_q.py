@@ -816,3 +816,44 @@ def corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("bigint").alias("kl_x1e9"),
         )
     )
+
+
+@workload(
+    "zipf_slope_top100",
+    f"""
+    WITH {_WS_CTE},
+    counts AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w
+    ),
+    ranked AS (
+      SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+      FROM (
+        SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank FROM counts
+      ) WHERE rank <= 100
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM ranked
+    )
+    SELECT n_terms,
+           CAST(floor(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                      / CAST(n_terms * sxx - sx * sx AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS slope_x1e6
+    FROM s
+    """,
+    doc="Zipf slope of the top-100 rank-frequency curve — the one-number "
+    "corpus-health signal (natural text ~ -1; template/spam floods bend "
+    "it). Exact cross-engine regression: ln(rank)/ln(freq) fixed-point "
+    "quantized once, OLS numerator/denominator as exact BIGINT sums, a "
+    "single IEEE division at the end — no double is ever summed.",
+)
+def zipf_slope_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import zipf_slope
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return zipf_slope(d, top_n=100)

@@ -347,3 +347,42 @@ def test_snapshot_tree_is_relocatable(spark, tmp_path):
     assert sorted((r["id"], r["v"]) for r in moved.read().collect()) == [
         (1, 11.0), (2, 20.0), (3, 30.0), (4, 40.0)
     ]
+
+
+def test_relocation_nested_partitions_and_unpartitioned(spark, tmp_path):
+    """Relative links must hold at ANY partition depth (relpath is taken
+    from the leaf link's own directory) and for the unpartitioned
+    insert path's file-level links."""
+    import shutil
+
+    # two-level partitioning, pruned update touching one (p,q) leaf
+    b1 = str(tmp_path / "s1")
+    st = SnapshotTable(spark, b1, "n2", partition_by=["p", "q"])
+    st.create(
+        spark.createDataFrame(
+            [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)],
+            "p string, q string, v int",
+        )
+    )
+    st.update(
+        (F.col("p") == "a") & (F.col("q") == "x"),
+        {"v": F.col("v") + 10},
+        partition_filter=(F.col("p") == "a") & (F.col("q") == "x"),
+    )
+    f1 = str(tmp_path / "f1")
+    os.rename(b1, f1)
+    moved = SnapshotTable(spark, f1, "n2", partition_by=["p", "q"])
+    assert sorted(r["v"] for r in moved.read(version=1).collect()) == [2, 3, 11]
+    assert sorted(r["v"] for r in moved.read(version=0).collect()) == [1, 2, 3]
+
+    # unpartitioned insert: file-level links survive the rename
+    b2 = str(tmp_path / "s2")
+    st2 = SnapshotTable(spark, b2, "flat")
+    st2.create(spark.createDataFrame([(1,)], "v int"))
+    st2.insert(spark.createDataFrame([(2,)], "v int"))
+    f2 = str(tmp_path / "f2")
+    os.rename(b2, f2)
+    moved2 = SnapshotTable(spark, f2, "flat")
+    assert sorted(r["v"] for r in moved2.read(version=1).collect()) == [1, 2]
+    assert [r["v"] for r in moved2.read(version=0).collect()] == [1]
+    shutil.rmtree(f1, ignore_errors=True)

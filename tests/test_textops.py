@@ -182,3 +182,35 @@ def test_bigram_pmi_min_count_gate(spark):
     pairs = {(r["w1"], r["w2"]) for r in bigram_pmi(df, min_count=9, top_n=50).collect()}
     assert ("common", "pair") in pairs
     assert ("rare", "pair") not in pairs
+
+
+def test_zipf_slope_exact_reference(spark):
+    """Slope must equal the closed-form OLS over the quantized logs —
+    recomputed independently in Python from the same token stream."""
+    import math
+    import re
+    from collections import Counter
+
+    from etl_lealone_spark.operators.textops import zipf_slope
+
+    docs = [
+        ("alpha " * 32 + "beta " * 16 + "gamma " * 8 + "delta " * 4 + "eps " * 2,)
+        for _ in range(5)
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    row = zipf_slope(df, top_n=4).collect()[0]
+    counts = Counter()
+    for (t,) in docs:
+        counts.update(w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if w)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    xs = [math.floor(math.log(r + 1) * 1e6 + 0.5) for r in range(4)]
+    ys = [math.floor(math.log(c) * 1e6 + 0.5) for _, c in top]
+    n = 4
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(x * x for x in xs) - sum(xs) ** 2
+    expect = math.floor(num / den * 1e6 + 0.5)
+    assert row["n_terms"] == 4
+    assert row["slope_x1e6"] == expect
+    # doubling-frequency ladder: slope should be ~ -ln2-per-rank-ish,
+    # i.e. strongly negative
+    assert row["slope_x1e6"] < -400_000
