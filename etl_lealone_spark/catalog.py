@@ -28,6 +28,7 @@ Everything here is driver-side metadata + Spark jobs; no OLTP machinery.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING, Optional
@@ -511,7 +512,10 @@ class StatementRouter:
             "COMMENT": self._comment,
             "BACKUP": self._backup,
             "SHOW": self._show,
+            "DESCRIBE": self._describe,
+            "DESC": self._describe,
             "OPTIMIZE": self._optimize,
+            "RESTORE": self._restore,
             "VACUUM": self._vacuum,
             "REFRESH": self._refresh,
             "CHECKSUM": self._checksum,
@@ -607,6 +611,68 @@ class StatementRouter:
             s,
             flags=re.IGNORECASE,
         )
+
+    def _restore(self, s: str) -> DataFrame:
+        """``RESTORE TABLE t TO VERSION AS OF n`` — roll back by
+        committing a link-clone of the target version
+        (SnapshotTable.restore; metadata-only, history-preserving)."""
+        m = re.match(
+            rf"RESTORE\s+TABLE\s+(?P<name>{_IDENT})\s+TO\s+VERSION\s+AS\s+OF"
+            r"\s+(?P<v>\d+)\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse RESTORE: {s[:80]}")
+        name = m.group("name").lower()
+        t = self.catalog.table(name)
+        new_v = t.restore(int(m.group("v")))
+        self.catalog.refresh_view(name)
+        self.session.invalidate_cache()
+        return self._ok(
+            f"restored {name} to version "
+            f"{int(m.group('v'))} as v{new_v}"
+        )
+
+    def _describe(self, s: str) -> DataFrame:
+        """``DESCRIBE HISTORY t`` — introspect the snapshot-version chain
+        (the lakehouse twin of the reference's MVCC version metadata;
+        extension: the reference keeps versions in-memory per
+        transaction, this engine keeps them as readable directories).
+        Returns one row per COMMITTED version: version, n_files (logical
+        reader tasks — links count, exactly like compact()'s threshold
+        input), size_bytes (resolved physical bytes; files shared with
+        older versions via links are attributed to every version that
+        references them), is_current. Metadata-only: no table scan.
+
+        Plain ``DESCRIBE t`` / ``DESC t`` routes to the SHOW COLUMNS
+        surface (MySQL-compat, like the reference's parseShow)."""
+        m = re.match(
+            rf"DESC(?:RIBE)?\s+HISTORY\s+(?P<name>{_IDENT})\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            t = self.catalog.table(m.group("name").lower())
+            cur = t.version
+            rows = []
+            for v in t.versions():
+                fm = t._file_map(v)
+                size = 0
+                for resolved in fm:
+                    try:
+                        size += os.path.getsize(resolved)
+                    except OSError:
+                        pass
+                rows.append((v, len(fm), size, v == cur))
+            return self.spark.createDataFrame(
+                rows,
+                "version int, n_files int, size_bytes bigint, is_current boolean",
+            )
+        m = re.match(rf"DESC(?:RIBE)?\s+(?P<name>{_IDENT})\s*$", s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"cannot parse DESCRIBE: {s[:80]}")
+        return self._show(f"SHOW COLUMNS FROM {m.group('name')}")
 
     def _show(self, s: str) -> DataFrame:
         """SHOW … — rewritten to INFORMATION_SCHEMA selects exactly like

@@ -370,11 +370,17 @@ class SnapshotTable:
 
         return unquote(val)
 
-    def _clone_partitions_except(self, new_version: int, touched: DataFrame) -> None:
-        """Hard-link the untouched partition dirs of the current snapshot
-        into the new snapshot (metadata-only on a local FS; a cheap
-        server-side copy/manifest entry on object stores)."""
-        src = self._dir(self._version)
+    def _clone_partitions_except(
+        self,
+        new_version: int,
+        touched: DataFrame,
+        src_version: Optional[int] = None,
+    ) -> None:
+        """Hard-link the untouched partition dirs of the source snapshot
+        (current by default) into the new snapshot (metadata-only on a
+        local FS; a cheap server-side copy/manifest entry on object
+        stores)."""
+        src = self._dir(self._version if src_version is None else src_version)
         dst = self._dir(new_version)
         os.makedirs(dst, exist_ok=True)
         touched_dirs = {
@@ -660,6 +666,40 @@ class SnapshotTable:
             .parquet(*new_files)
             .select(self.read().columns)
         )
+
+    def restore(self, version: int) -> int:
+        """RESTORE: roll the table back to ``version`` by committing a
+        NEW version that is an exact link-clone of it (Delta-style
+        RESTORE semantics). History is preserved — the rollback is
+        itself a version, auditable and re-rollbackable — and the
+        operation is metadata-only (links + a commit marker, no data
+        rewrite, no Spark job). Vacuum's transitive reference graph
+        keeps the restored-from snapshot alive for as long as the
+        restore references it."""
+        if version not in self.versions():
+            raise ValueError(
+                f"table {self.name} has no version {version} "
+                f"(available: {self.versions()})"
+            )
+        new_version = self._version + 1
+        self._clear_torn(new_version)
+        dst = self._dir(new_version)
+        src = self._dir(version)
+        if self.partition_by:
+            empty = self.spark.createDataFrame(
+                [], ", ".join(f"{c} string" for c in self.partition_by)
+            )
+            self._clone_partitions_except(new_version, empty, src_version=version)
+        else:
+            self._link_data_files(src, dst)
+        os.makedirs(dst, exist_ok=True)
+        # metadata-only commit: no Spark write ran, so the committer's
+        # _SUCCESS marker is written here — same torn-crash contract as
+        # every other mutation (an interrupted restore is invisible)
+        with open(os.path.join(dst, "_SUCCESS"), "w"):
+            pass
+        self._version = new_version
+        return new_version
 
     def truncate(self) -> int:
         """TRUNCATE TABLE (TruncateTable.java): empty snapshot, schema kept."""

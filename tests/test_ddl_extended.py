@@ -362,3 +362,27 @@ def test_inserted_since_partitioned_table(spark, tmp_path):
     delta = st.inserted_since(v0)
     got = sorted((r["k"], r["p"], r["v"]) for r in delta.collect())
     assert got == [(3, "a", 30), (4, "c", 40)]
+
+
+def test_describe_history_and_describe(es):
+    es.sql("CREATE TABLE dh (id INT PRIMARY KEY, v INT)")
+    es.sql("INSERT INTO dh VALUES (1, 10), (2, 20)")
+    es.sql("UPDATE dh SET v = v + 1 WHERE id = 1")
+    hist = es.sql("DESCRIBE HISTORY dh").collect()
+    # create (empty) + insert + update — one row per committed version
+    assert len(hist) >= 3
+    assert sum(1 for r in hist if r["is_current"]) == 1
+    cur = max(r["version"] for r in hist)
+    assert [r["version"] for r in hist] == sorted(r["version"] for r in hist)
+    assert all(r["n_files"] >= 1 for r in hist if r["version"] >= 1)
+    assert all(r["size_bytes"] > 0 for r in hist if r["n_files"] > 0)
+    assert next(r for r in hist if r["is_current"])["version"] == cur
+    # plain DESCRIBE routes to the SHOW COLUMNS surface
+    cols = {r["field"] for r in es.sql("DESCRIBE dh").collect()}
+    assert cols == {"id", "v"}
+    # history composes with time travel: the pre-update version reads 10
+    v_ins = sorted(r["version"] for r in hist)[-2]
+    old = es.sql(
+        f"SELECT v FROM dh VERSION AS OF {v_ins} WHERE id = 1"
+    ).collect()
+    assert old[0]["v"] == 10

@@ -386,3 +386,52 @@ def test_relocation_nested_partitions_and_unpartitioned(spark, tmp_path):
     assert sorted(r["v"] for r in moved2.read(version=1).collect()) == [1, 2]
     assert [r["v"] for r in moved2.read(version=0).collect()] == [1]
     shutil.rmtree(f1, ignore_errors=True)
+
+
+def test_restore_rolls_back_by_link_clone(spark, tmp_path):
+    """RESTORE commits a NEW version that is a metadata-only link-clone
+    of the target: content identical, history preserved, vacuum keeps
+    the restored-from snapshot alive through the link references."""
+    st = _table(spark, tmp_path)
+    v0_rows = sorted(tuple(r) for r in st.read().collect())
+    st.update(
+        F.col("dt") == "2024-01-01",
+        {"v": F.col("v") * 100},
+        partition_filter=F.col("dt") == "2024-01-01",
+    )
+    st.delete(F.col("id") == 4)
+    assert sorted(tuple(r) for r in st.read().collect()) != v0_rows
+    new_v = st.restore(0)
+    assert new_v == st.version
+    assert sorted(tuple(r) for r in st.read().collect()) == v0_rows
+    # history preserved: the pre-restore states are still readable
+    assert any(r["v"] == 1000.0 for r in st.read(version=1).collect())
+    # rollback is itself versioned: mutate after restore, restore again
+    st.insert(
+        spark.createDataFrame([("2024-01-04", 9, 90.0)], "dt string, id int, v double")
+    )
+    st.restore(new_v)
+    assert sorted(tuple(r) for r in st.read().collect()) == v0_rows
+    # vacuum keeps what the current (restored) version links to
+    st.vacuum(keep_last=1)
+    assert sorted(tuple(r) for r in st.read().collect()) == v0_rows
+    # unknown version raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        st.restore(999)
+
+
+def test_restore_unpartitioned_and_sql_surface(spark, tmp_path):
+    from etl_lealone_spark.session import EngineSession
+
+    es = EngineSession(spark, warehouse=str(tmp_path))
+    es.sql("CREATE TABLE rt (id INT PRIMARY KEY, v INT)")
+    es.sql("INSERT INTO rt VALUES (1, 10), (2, 20)")
+    es.sql("UPDATE rt SET v = 0")
+    before = sorted(tuple(r) for r in es.sql("SELECT * FROM rt VERSION AS OF 1").collect())
+    es.sql("RESTORE TABLE rt TO VERSION AS OF 1")
+    assert sorted(tuple(r) for r in es.sql("SELECT * FROM rt").collect()) == before
+    hist = es.sql("DESCRIBE HISTORY rt").collect()
+    assert sum(1 for r in hist if r["is_current"]) == 1
+    assert max(r["version"] for r in hist) == 3  # create,insert,update,restore
