@@ -1439,6 +1439,15 @@ def hard_negatives_int(
     (IvfIndex.topk_batch) unchanged: only the candidate generator
     differs, the different-label filter and top-k are identical.
     """
+    if n_queries > 512:
+        # same contract as IvfIndex.topk's query cap: the query set is
+        # collected driver-side and its labels become a literal CASE —
+        # past a few hundred queries, route through the distributed
+        # batch scorer (IvfIndex.topk_batch + the same label filter)
+        raise ValueError(
+            f"hard_negatives_int: n_queries {n_queries} > 512; use the "
+            "IVF batch probe for large query sets"
+        )
     cq = corpus.select(
         F.col(id_col).alias("vec_id"),
         quantize(F.col(vec_col)).alias("cvec"),

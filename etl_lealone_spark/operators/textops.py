@@ -518,6 +518,14 @@ def zipf_slope(
     """
     from .dedup import words
 
+    if top_n > 150:
+        # exactness guard: the OLS sums are kept in signed-64 integers;
+        # with x <= ln(top_n)*scale and y <= ln(2^63)*scale, n*sum(x*y)
+        # crosses 2^63 around top_n ~ 200 — reject before silent
+        # overflow rather than widen to decimal (150 ranks is already
+        # far past where the Zipf fit stabilizes)
+        raise ValueError(f"zipf_slope: top_n {top_n} > 150 would overflow "
+                         "the exact int64 OLS sums")
     counts = (
         df.select(F.explode(words(F.col(text_col))).alias("w"))
         .filter(F.col("w") != "")

@@ -241,38 +241,24 @@ def _scd2_oracle(base_from: str) -> str:
 
 
 def _scd2_stream_root(sf_dir: str) -> str:
-    """Persisted SCD2-workload state root keyed by data path + content
-    fingerprint + build-spec source (the _ivf_index_root discipline,
-    r7 verdict task 5): regenerated testdata or a code change to the
-    applier/snapshot spec must never silently reuse stale state, and a
-    warm root lets the workload return a LIVE lazy plan over the
-    persisted history instead of a driver-collected local relation."""
-    import hashlib
+    """Persisted SCD2-workload state root keyed by data + builder spec
+    (helpers.persisted_state_root discipline, r7 verdict task 5): a warm
+    root lets the workload return a LIVE lazy plan over the persisted
+    history instead of a driver-collected local relation."""
     import inspect
-    import os
-    import tempfile
 
     from ..operators import dml as dml_mod
     from ..streaming import scd2 as scd2_mod
+    from .helpers import persisted_state_root
 
-    parts_all = []
-    for t in ("customer", "orders"):
-        p = os.path.join(os.path.realpath(sf_dir), f"{t}.parquet")
-        parts = [p] if os.path.isfile(p) else sorted(
-            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
-        ) if os.path.isdir(p) else []
-        parts_all.append(
-            p + "|" + ";".join(
-                f"{os.path.getsize(f)}:{os.path.getmtime(f):.0f}" for f in parts
-            )
-        )
     spec = (
         inspect.getsource(scd2_mod)
         + inspect.getsource(dml_mod.SnapshotTable)
         + inspect.getsource(scd2_stream_compacted)
     )
-    key = hashlib.md5("|".join(parts_all + [spec]).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), "etl_lealone_scd2wl", key)
+    return persisted_state_root(
+        sf_dir, ("customer", "orders"), spec, "etl_lealone_scd2wl"
+    )
 
 
 @workload(
@@ -381,30 +367,21 @@ def scd2_dim_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 # snapshot time travel (AS-OF reads over the versioned mutation history)
 # ---------------------------------------------------------------------------
 def _tt_state_root(sf_dir: str) -> str:
-    """Persisted time-travel-workload state root, content-keyed by data
-    path + parquet fingerprint + the mutation spec source (the
-    _scd2_stream_root discipline): regenerated testdata or a code change
-    to SnapshotTable/this workload can never silently reuse stale
-    version history."""
-    import hashlib
+    """Persisted time-travel-workload state root (shared
+    helpers.persisted_state_root discipline): regenerated testdata or a
+    code change to SnapshotTable/this workload can never silently reuse
+    stale version history."""
     import inspect
-    import os
-    import tempfile
 
     from ..operators import dml as dml_mod
+    from .helpers import persisted_state_root
 
-    p = os.path.join(os.path.realpath(sf_dir), "orders.parquet")
-    parts = [p] if os.path.isfile(p) else sorted(
-        os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
-    ) if os.path.isdir(p) else []
-    fp = p + "|" + ";".join(
-        f"{os.path.getsize(f)}:{os.path.getmtime(f):.0f}" for f in parts
-    )
     spec = inspect.getsource(dml_mod.SnapshotTable) + inspect.getsource(
         snapshot_time_travel
     )
-    key = hashlib.md5((fp + "|" + spec).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), "etl_lealone_ttwl", key)
+    return persisted_state_root(
+        sf_dir, ("orders",), spec, "etl_lealone_ttwl"
+    )
 
 
 _TT_ORACLE = """

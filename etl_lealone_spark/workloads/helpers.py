@@ -37,3 +37,35 @@ def o_davg(expr: str, scale: int = 2, precision: int = 18) -> str:
         f"cast(sum(cast({expr} as decimal({precision},{scale}))) as double)"
         f" / count({expr})"
     )
+
+
+def persisted_state_root(
+    sf_dir: str,
+    tables: "tuple[str, ...]",
+    spec: str,
+    namespace: str,
+) -> str:
+    """Content-keyed persisted-state root under /tmp for workloads that
+    build reusable on-disk state (bucketed layouts, snapshot histories,
+    SCD2 state): keyed by the input tables' parquet fingerprints
+    (path + size + mtime per part file) AND the builder's source code
+    (``spec``), so regenerated testdata or a code change can never
+    silently reuse stale state. One definition — the scd2/time-travel/
+    bucketed workloads all key their roots through here."""
+    import hashlib
+    import os
+    import tempfile
+
+    parts_all = []
+    for t in tables:
+        p = os.path.join(os.path.realpath(sf_dir), f"{t}.parquet")
+        parts = [p] if os.path.isfile(p) else sorted(
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        ) if os.path.isdir(p) else []
+        parts_all.append(
+            p + "|" + ";".join(
+                f"{os.path.getsize(f)}:{os.path.getmtime(f):.0f}" for f in parts
+            )
+        )
+    key = hashlib.md5("|".join(parts_all + [spec]).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), namespace, key)

@@ -275,32 +275,20 @@ def salted_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _bucketed_root(sf_dir: str) -> tuple[str, str]:
     """(persisted root, content key) for the bucketed twin layout —
-    keyed by data path + parquet fingerprint + the writer/workload spec
-    (the persisted-state discipline: regenerated testdata or a spec
-    change must never reuse stale bucket layouts)."""
-    import hashlib
+    shared helpers.persisted_state_root discipline."""
     import inspect
     import os
-    import tempfile
 
     from ..operators import joins as joins_mod
+    from .helpers import persisted_state_root
 
-    parts_all = []
-    for t in ("orders", "lineitem"):
-        p = os.path.join(os.path.realpath(sf_dir), f"{t}.parquet")
-        parts = [p] if os.path.isfile(p) else sorted(
-            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
-        ) if os.path.isdir(p) else []
-        parts_all.append(
-            p + "|" + ";".join(
-                f"{os.path.getsize(f)}:{os.path.getmtime(f):.0f}" for f in parts
-            )
-        )
     spec = inspect.getsource(joins_mod.write_bucketed) + inspect.getsource(
         bucketed_colocated_join
     )
-    key = hashlib.md5("|".join(parts_all + [spec]).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), "etl_lealone_bucketwl", key), key
+    root = persisted_state_root(
+        sf_dir, ("orders", "lineitem"), spec, "etl_lealone_bucketwl"
+    )
+    return root, os.path.basename(root)[:12]
 
 
 @workload(

@@ -358,3 +358,15 @@ def test_hard_negatives_excludes_same_label_and_matches_reference(spark):
             sims.append((-s, cid))
         expect = [cid for _, cid in sorted(sims)[:4]]
         assert [r["vec_id"] for r in sorted(by_q[qid], key=lambda r: r["rnk"])] == expect
+
+
+def test_hard_negatives_query_cap(spark):
+    import pytest as _pytest
+
+    from etl_lealone_spark.operators.similarity import hard_negatives_int
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    with _pytest.raises(ValueError, match="n_queries"):
+        hard_negatives_int(df, n_queries=513)

@@ -214,3 +214,13 @@ def test_zipf_slope_exact_reference(spark):
     # doubling-frequency ladder: slope should be ~ -ln2-per-rank-ish,
     # i.e. strongly negative
     assert row["slope_x1e6"] < -400_000
+
+
+def test_zipf_slope_topn_overflow_guard(spark):
+    import pytest as _pytest
+
+    from etl_lealone_spark.operators.textops import zipf_slope
+
+    df = spark.createDataFrame([("a b c",)], "text string")
+    with _pytest.raises(ValueError, match="overflow"):
+        zipf_slope(df, top_n=151)
