@@ -729,6 +729,43 @@ class StatementRouter:
 
     # -- DDL -------------------------------------------------------------
     def _create(self, s: str) -> DataFrame:
+        # CREATE TABLE t2 [SHALLOW] CLONE t1 — zero-copy table clone
+        # (extension; Delta shallow-clone semantics over the snapshot
+        # layout). Metadata-only: SnapshotTable.clone_from link-clones
+        # the source's current snapshot; schema/constraints/PK metadata
+        # are copied; VACUUM on the source protects clone-referenced
+        # versions (see _vacuum's cross-table scan).
+        m = re.match(
+            rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})\s+"
+            rf"(?:SHALLOW\s+)?CLONE\s+(?P<src>{_IDENT})\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            name, src_name = m.group("name").lower(), m.group("src").lower()
+            if name in self.catalog.tables:
+                if re.search(r"IF\s+NOT\s+EXISTS", s, re.IGNORECASE):
+                    return self._ok("exists")
+                raise ValueError(f"table already exists: {name}")
+            src = self.catalog.table(src_name)
+            st = SnapshotTable(
+                self.spark, self.catalog.warehouse, name,
+                partition_by=src.partition_by,
+            )
+            st.clone_from(src)
+            self.catalog.tables[name] = st
+            self.catalog.table_ddl[name] = s
+            self.catalog.constraints[name] = self.catalog.constraints.get(
+                src_name, TableConstraints()
+            )
+            src_pk = self.catalog.indexes.get(f"__pk_{src_name}")
+            if src_pk:
+                self.catalog.indexes[f"__pk_{name}"] = IndexMeta(
+                    f"__pk_{name}", name, src_pk.columns, unique=True
+                )
+            self.catalog.refresh_view(name)
+            return self._ok(f"created table {name} as clone of {src_name}")
+
         # trailing clauses shared by CREATE TABLE / CREATE SERVICE
         # (Parser.java:4271-4293: ENGINE, PACKAGE, IMPLEMENT BY,
         # GENERATE CODE, HIDDEN)
@@ -2373,12 +2410,38 @@ class StatementRouter:
         st = self.catalog.table(name)
         keep = int(m.group("n") or 1)
         before = st.versions()
-        st.vacuum(keep_last=keep)
+        st.vacuum(keep_last=keep, protected=self._external_refs(name))
         after = st.versions()
         return self._ok(
             f"vacuumed {name}: {len(before) - len(after)} snapshots removed, "
             f"{len(after)} kept"
         )
+
+    def _external_refs(self, name: str) -> "set[int]":
+        """Versions of ``name`` that OTHER registered tables link into —
+        shallow clones hold links that the table's own vacuum
+        reachability scan (which only walks its own dirs) cannot see.
+        Metadata-only directory walk; transitive dependencies are then
+        expanded by vacuum's existing reference graph."""
+        st = self.catalog.table(name)
+        base_real = os.path.realpath(os.path.join(st.root, st.name))
+        refs: set[int] = set()
+        for oname, ot in self.catalog.tables.items():
+            if oname == name:
+                continue
+            obase = os.path.join(ot.root, ot.name)
+            for dirpath, dirnames, filenames in os.walk(obase):
+                for d in list(dirnames) + list(filenames):
+                    p = os.path.join(dirpath, d)
+                    if not os.path.islink(p):
+                        continue
+                    rp = os.path.realpath(p)
+                    if not rp.startswith(base_real + os.sep):
+                        continue
+                    top = os.path.relpath(rp, base_real).split(os.sep, 1)[0]
+                    if top.startswith("v") and top[1:].isdigit():
+                        refs.add(int(top[1:]))
+        return refs
 
     def _use(self, s: str) -> DataFrame:
         """``USE [=] schema`` (Parser.java:5063 parseUse — sugar for

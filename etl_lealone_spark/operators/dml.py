@@ -701,6 +701,53 @@ class SnapshotTable:
         self._version = new_version
         return new_version
 
+    def clone_from(self, src: "SnapshotTable") -> int:
+        """SHALLOW CLONE: this (empty) table's first version becomes a
+        metadata-only link-clone of ``src``'s current snapshot — the
+        zero-copy table copy (Delta shallow-clone semantics). The clone
+        then evolves independently: its own mutations write its own
+        versions and never touch the source.
+
+        Vacuum composition: a clone's links resolve into the SOURCE
+        table's version dirs, which the source's own vacuum cannot see.
+        The catalog's VACUUM handler closes that hole — it scans other
+        registered tables for links into the vacuumed table and passes
+        them as ``protected`` versions (transitively kept through the
+        existing reachability graph). Direct ``SnapshotTable.vacuum``
+        callers on shared roots must pass ``protected`` themselves.
+        """
+        if self.exists():
+            raise ValueError(f"clone target {self.name} already has data")
+        if self.partition_by != src.partition_by:
+            raise ValueError(
+                "clone partitioning must match the source "
+                f"({self.partition_by} != {src.partition_by})"
+            )
+        nv = self._version + 1
+        self._clear_torn(nv)
+        dst = self._dir(nv)
+        src_dir = src._dir(src.version)
+        os.makedirs(dst, exist_ok=True)
+        for entry in os.listdir(src_dir):
+            sp = os.path.join(src_dir, entry)
+            if os.path.isdir(sp) and "=" in entry:
+                # whole-partition link (resolved + relative, like
+                # _clone_partitions_except); inner historical links
+                # resolve through it unchanged
+                os.symlink(
+                    os.path.relpath(os.path.realpath(sp), dst),
+                    os.path.join(dst, entry),
+                )
+            elif not os.path.isdir(sp) and not entry.startswith(("_", ".")):
+                os.symlink(
+                    os.path.relpath(os.path.realpath(sp), dst),
+                    os.path.join(dst, entry),
+                )
+        with open(os.path.join(dst, "_SUCCESS"), "w"):
+            pass
+        self._version = nv
+        return nv
+
     def truncate(self) -> int:
         """TRUNCATE TABLE (TruncateTable.java): empty snapshot, schema kept."""
         empty = self.read().limit(0)
@@ -710,12 +757,17 @@ class SnapshotTable:
         shutil.rmtree(os.path.join(self.root, self.name), ignore_errors=True)
         self._version = -1
 
-    def vacuum(self, keep_last: int = 1) -> None:
+    def vacuum(
+        self, keep_last: int = 1, protected: "Optional[set[int]]" = None
+    ) -> None:
         """Remove snapshots older than the newest ``keep_last``.
 
         Partition-pruned rewrites link untouched partitions of the OLD
         snapshot into the new one, so a snapshot is only removable when
-        no surviving snapshot links into it."""
+        no surviving snapshot links into it. ``protected`` versions
+        (e.g. ones a CLONE of this table links into — supplied by the
+        catalog's cross-table scan) are kept regardless of age, along
+        with everything they transitively reference."""
         base = os.path.join(self.root, self.name)
         if not os.path.isdir(base):
             return
@@ -742,6 +794,8 @@ class SnapshotTable:
         keep = {
             v for v in versions if v > self._version - keep_last
         }
+        if protected:
+            keep |= {v for v in protected if v in set(versions)}
         reachable = set(keep)
         work = list(keep)
         while work:

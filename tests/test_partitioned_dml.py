@@ -435,3 +435,39 @@ def test_restore_unpartitioned_and_sql_surface(spark, tmp_path):
     hist = es.sql("DESCRIBE HISTORY rt").collect()
     assert sum(1 for r in hist if r["is_current"]) == 1
     assert max(r["version"] for r in hist) == 3  # create,insert,update,restore
+
+
+def test_shallow_clone_and_vacuum_protection(spark, tmp_path):
+    from etl_lealone_spark.session import EngineSession
+
+    es = EngineSession(spark, warehouse=str(tmp_path))
+    es.sql("CREATE TABLE src (id INT PRIMARY KEY, v INT)")
+    es.sql("INSERT INTO src VALUES (1, 10), (2, 20)")
+    es.sql("CREATE TABLE cp CLONE src")
+    rows = sorted(tuple(r) for r in es.sql("SELECT * FROM cp").collect())
+    assert rows == [(1, 10), (2, 20)]
+    # independent evolution: mutate both sides, neither sees the other
+    es.sql("UPDATE cp SET v = 99 WHERE id = 1")
+    es.sql("UPDATE src SET v = 0 WHERE id = 2")
+    assert sorted(tuple(r) for r in es.sql("SELECT * FROM cp").collect()) == [
+        (1, 99), (2, 20)
+    ]
+    assert sorted(tuple(r) for r in es.sql("SELECT * FROM src").collect()) == [
+        (1, 10), (2, 0)
+    ]
+    # vacuum of the SOURCE must keep the version the clone links into
+    es.sql("VACUUM src RETAIN 1 VERSIONS")
+    assert sorted(tuple(r) for r in es.sql("SELECT * FROM cp").collect()) == [
+        (1, 99), (2, 20)
+    ]
+    # duplicate name rejected; IF NOT EXISTS tolerated
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        es.sql("CREATE TABLE cp CLONE src")
+    es.sql("CREATE TABLE IF NOT EXISTS cp CLONE src")
+    # SHALLOW keyword accepted
+    es.sql("CREATE TABLE cp2 SHALLOW CLONE cp")
+    assert sorted(tuple(r) for r in es.sql("SELECT * FROM cp2").collect()) == [
+        (1, 99), (2, 20)
+    ]
