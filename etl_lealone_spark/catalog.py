@@ -28,6 +28,7 @@ Everything here is driver-side metadata + Spark jobs; no OLTP machinery.
 
 from __future__ import annotations
 
+import copy
 import os
 import re
 from dataclasses import dataclass, field
@@ -669,10 +670,19 @@ class StatementRouter:
                 rows,
                 "version int, n_files int, size_bytes bigint, is_current boolean",
             )
-        m = re.match(rf"DESC(?:RIBE)?\s+(?P<name>{_IDENT})\s*$", s, re.IGNORECASE)
+        m = re.match(
+            rf"DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>{_IDENT})\s*$",
+            s,
+            re.IGNORECASE,
+        )
         if not m:
             raise ValueError(f"cannot parse DESCRIBE: {s[:80]}")
-        return self._show(f"SHOW COLUMNS FROM {m.group('name')}")
+        name = m.group("name").lower()
+        if name not in self.catalog.tables and name not in self.catalog.views:
+            # Not a catalog object — a Spark-native temp view (or an
+            # error Spark will phrase better than we can): fall through.
+            return self.spark.sql(s)
+        return self._show(f"SHOW COLUMNS FROM {name}")
 
     def _show(self, s: str) -> DataFrame:
         """SHOW … — rewritten to INFORMATION_SCHEMA selects exactly like
@@ -755,8 +765,12 @@ class StatementRouter:
             st.clone_from(src)
             self.catalog.tables[name] = st
             self.catalog.table_ddl[name] = s
-            self.catalog.constraints[name] = self.catalog.constraints.get(
-                src_name, TableConstraints()
+            # Deep-copy: ALTER TABLE mutates TableConstraints in place
+            # (setdefault returns the live object), so sharing the
+            # source's instance would let a later ALTER on either table
+            # silently rewrite the other's write-time enforcement.
+            self.catalog.constraints[name] = copy.deepcopy(
+                self.catalog.constraints.get(src_name, TableConstraints())
             )
             src_pk = self.catalog.indexes.get(f"__pk_{src_name}")
             if src_pk:
@@ -1546,7 +1560,7 @@ class StatementRouter:
         m = re.match(
             rf"DROP\s+(?P<kind>MATERIALIZED\s+VIEW|TABLE|VIEW|INDEX|SEQUENCE|"
             rf"TRIGGER|SCHEMA|CONSTANT|ROLE|USER|DOMAIN|ALIAS|AGGREGATE|SERVICE)\s+"
-            rf"(?:IF\s+EXISTS\s+)?(?P<name>{_IDENT})\s*(CASCADE|RESTRICT)?\s*$",
+            rf"(?:IF\s+EXISTS\s+)?(?P<name>{_IDENT})\s*(?P<mode>CASCADE|RESTRICT)?\s*$",
             s,
             re.IGNORECASE,
         )
@@ -1570,6 +1584,21 @@ class StatementRouter:
                 if if_exists:
                     return self._ok("absent")
                 raise KeyError(f"table not found: {name}")
+            # Shallow clones hold symlinks into this table's physical
+            # files; a hard delete would silently corrupt them (VACUUM
+            # already protects via _external_refs — DROP is the other
+            # hard-delete path). RESTRICT by default; CASCADE drops the
+            # dependent clones first (recursively, clone-of-clone safe).
+            deps = self._dependent_tables(name)
+            if deps:
+                if (m.group("mode") or "").upper() != "CASCADE":
+                    raise ValueError(
+                        f"cannot drop table {name}: shallow clone(s) "
+                        f"{sorted(deps)} link into its files; drop them "
+                        f"first or use DROP TABLE {name} CASCADE"
+                    )
+                for dep in sorted(deps):
+                    self._drop(f"DROP TABLE IF EXISTS {dep} CASCADE")
             self.catalog.tables.pop(name).drop()
             self.catalog.table_ddl.pop(name, None)
             self.spark.catalog.dropTempView(name)
@@ -2442,6 +2471,32 @@ class StatementRouter:
                     if top.startswith("v") and top[1:].isdigit():
                         refs.add(int(top[1:]))
         return refs
+
+    def _dependent_tables(self, name: str) -> "set[str]":
+        """Names of OTHER registered tables holding symlinks that resolve
+        into ``name``'s physical files — i.e. shallow clones of it (or of
+        its clones). Same directory walk as :meth:`_external_refs` but
+        keyed by owner table instead of version number; metadata-only."""
+        st = self.catalog.tables.get(name)
+        if st is None:
+            return set()
+        base_real = os.path.realpath(os.path.join(st.root, st.name))
+        deps: set[str] = set()
+        for oname, ot in self.catalog.tables.items():
+            if oname == name:
+                continue
+            obase = os.path.join(ot.root, ot.name)
+            for dirpath, dirnames, filenames in os.walk(obase):
+                if oname in deps:
+                    break
+                for d in list(dirnames) + list(filenames):
+                    p = os.path.join(dirpath, d)
+                    if os.path.islink(p) and os.path.realpath(p).startswith(
+                        base_real + os.sep
+                    ):
+                        deps.add(oname)
+                        break
+        return deps
 
     def _use(self, s: str) -> DataFrame:
         """``USE [=] schema`` (Parser.java:5063 parseUse — sugar for

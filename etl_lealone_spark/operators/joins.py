@@ -347,7 +347,11 @@ def bloom_bitmap(
             F.map_from_entries(
                 F.collect_list(F.struct("word_idx", "word"))
             ).alias("bloom_words"),
-            F.sum(F.bit_count("word")).cast("long").alias("bloom_bits_set"),
+            # coalesce: an EMPTY build side sums over zero rows → NULL;
+            # consumers (and the oracle's COUNT(*) convention) expect 0.
+            F.coalesce(F.sum(F.bit_count("word")), F.lit(0))
+            .cast("long")
+            .alias("bloom_bits_set"),
         )
         .crossJoin(F.broadcast(n_keys))
     )
