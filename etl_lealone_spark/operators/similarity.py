@@ -1133,6 +1133,9 @@ class IvfIndex:
         n_probe: int = 4,
         query_id_col: str = "query_id",
         query_vec_col: str = "qvec",
+        carry: "DataFrame | None" = None,
+        query_label_col: "str | None" = None,
+        cand_label_col: "str | None" = None,
     ) -> DataFrame:
         """Batch-scoring twin of :meth:`topk` for LARGE query sets — the
         offline-reprocessing shape (r6 verdict task 3): the query set is
@@ -1156,11 +1159,34 @@ class IvfIndex:
         Row-identical to :meth:`topk` (same quantized arithmetic, same
         (sim DESC, cid/vec_id ASC) tie-breaks; pinned by test and by the
         shared DuckDB oracle). ``query_id`` must be unique per query.
+
+        Carry / label hooks (r8 verdict task — the hard-negative batch
+        path): ``carry`` is a (vec_id, attributes…) frame joined onto
+        the candidate side BEFORE the cogrouped scorer — one co-keyed
+        corpus-sized join, never a join of the |corpus| × m scored
+        fan-out — and its non-key columns ride the Arrow batches into
+        the output. When ``query_label_col`` (a column of ``queries``)
+        and ``cand_label_col`` (a column of ``carry``) are both set,
+        same-label (query, candidate) pairs are EXCLUDED inside the
+        score kernel before the per-group top-k — the different-label
+        filter of hard-negative mining, applied where it must be so the
+        k survivors are the k best VALID candidates.
         """
         import os
 
         import numpy as np
         import pandas as pd
+
+        if (query_label_col is None) != (cand_label_col is None):
+            raise ValueError(
+                "topk_batch: query_label_col and cand_label_col must be "
+                "set together (the different-label filter needs both)"
+            )
+        if cand_label_col is not None and carry is None:
+            raise ValueError(
+                "topk_batch: cand_label_col requires a carry frame "
+                "providing it"
+            )
 
         cids, CENT, cn = self._load_centroids()
 
@@ -1171,10 +1197,13 @@ class IvfIndex:
         # DIFFERENT vector — silently wrong top-k. Lazy checkpoint: it
         # materializes on the first action (the pairs checkpoint) and is
         # reused by the join.
-        queries = queries.select(
+        qcols = [
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("qvec"),
-        ).localCheckpoint(eager=False)
+        ]
+        if query_label_col is not None:
+            qcols.append(F.col(query_label_col).alias("_qlab"))
+        queries = queries.select(*qcols).localCheckpoint(eager=False)
         query_id_col, query_vec_col = "query_id", "qvec"
 
         def assign_probes(batches):
@@ -1207,25 +1236,34 @@ class IvfIndex:
         cand = assign.filter(F.col("cid").isin(probed_cids)).select(
             F.col("vec_id"), F.col("cvec"), F.col("cid").cast("long").alias("cid")
         )
-        qside = pairs.join(
-            queries.select(
-                F.col(query_id_col).alias("query_id"),
-                F.col(query_vec_col).alias("qvec"),
-            ),
-            "query_id",
-        )
+        carry_fields: list = []
+        if carry is not None:
+            carry_fields = [f for f in carry.schema.fields if f.name != "vec_id"]
+            if not carry_fields:
+                raise ValueError("topk_batch: carry frame has no non-key columns")
+            cand = cand.join(carry, "vec_id")
+        carry_names = [f.name for f in carry_fields]
+        qside = pairs.join(queries, "query_id")
 
         def score_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "vec_id": pd.Series(dtype="int64"),
-                 "cosine_sim": pd.Series(dtype="float64")}
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "vec_id": pd.Series(dtype="int64"),
+                    "cosine_sim": pd.Series(dtype="float64"),
+                    **{c: pd.Series(dtype="object") for c in carry_names},
+                }
             )
             if left.empty or right.empty:
                 return empty
             right = right.sort_values("vec_id")  # vec_id ASC tie-break
             C = _np_rows(right["cvec"])
             vids = right["vec_id"].to_numpy()
+            cl = (
+                right[cand_label_col].to_numpy()
+                if cand_label_col is not None
+                else None
+            )
             cnr = np.sqrt((C * C).sum(axis=1).astype(np.float64))
             out = []
             kk = min(k, len(vids))
@@ -1235,27 +1273,38 @@ class IvfIndex:
                 qnr = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
                 dots = Q @ C.T  # exact int64
                 sims = dots.astype(np.float64) / (cnr[None, :] * qnr[:, None])
+                if cl is not None:
+                    # different-label filter BEFORE top-k: same-label
+                    # candidates sink to -inf (stable sort keeps vec_id
+                    # ASC ties) and are dropped after selection, so the
+                    # kk survivors are the kk best VALID candidates
+                    ql = chunk["_qlab"].to_numpy()
+                    sims = np.where(cl[None, :] == ql[:, None], -np.inf, sims)
                 top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.repeat(
-                                chunk["query_id"].to_numpy(), kk
-                            ),
-                            "vec_id": vids[top].ravel(),
-                            "cosine_sim": np.take_along_axis(
-                                sims, top, axis=1
-                            ).ravel(),
-                        }
-                    )
-                )
+                flat_sims = np.take_along_axis(sims, top, axis=1).ravel()
+                cols = {
+                    "query_id": np.repeat(chunk["query_id"].to_numpy(), kk),
+                    "vec_id": vids[top].ravel(),
+                    "cosine_sim": flat_sims,
+                }
+                for c in carry_names:
+                    cols[c] = right[c].to_numpy()[top].ravel()
+                pdf = pd.DataFrame(cols)
+                if cl is not None:
+                    pdf = pdf[np.isfinite(flat_sims)]
+                out.append(pdf)
             return pd.concat(out, ignore_index=True) if out else empty
 
+        carry_schema = "".join(
+            f", {f.name} {f.dataType.simpleString()}" for f in carry_fields
+        )
         scored = (
             qside.groupBy("cid")
             .cogroup(cand.groupBy("cid"))
             .applyInPandas(
-                score_group, schema="query_id long, vec_id long, cosine_sim double"
+                score_group,
+                schema="query_id long, vec_id long, cosine_sim double"
+                + carry_schema,
             )
         )
         w = Window.partitionBy("query_id").orderBy(
@@ -1264,7 +1313,7 @@ class IvfIndex:
         return (
             scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
-            .select("query_id", "vec_id", "cosine_sim", "rnk")
+            .select("query_id", "vec_id", *carry_names, "cosine_sim", "rnk")
         )
 
 
@@ -1424,6 +1473,7 @@ def hard_negatives_int(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    index: "IvfIndex | None" = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: per query, the
     top-k most-similar vectors with a DIFFERENT label.
@@ -1436,17 +1486,25 @@ def hard_negatives_int(
     through the Arrow int64-matmul scorer, one WindowGroupLimit top-k —
     plus one label filter; the candidate labels ride the same scan.
     At production scale the scorer swaps for the IVF probe
-    (IvfIndex.topk_batch) unchanged: only the candidate generator
-    differs, the different-label filter and top-k are identical.
+    (:func:`hard_negatives_int_batch` over ``IvfIndex.topk_batch``):
+    only the candidate generator differs, the different-label filter
+    and top-k are identical. Pass ``index`` to make the >512 routing
+    automatic instead of an error.
     """
     if n_queries > 512:
-        # same contract as IvfIndex.topk's query cap: the query set is
-        # collected driver-side and its labels become a literal CASE —
-        # past a few hundred queries, route through the distributed
-        # batch scorer (IvfIndex.topk_batch + the same label filter)
+        # same contract as IvfIndex.topk's query cap: this path collects
+        # the query set driver-side — past a few hundred queries, route
+        # through the distributed batch scorer (never collects queries).
+        if index is not None:
+            return hard_negatives_int_batch(
+                corpus, index, k=k, n_queries=n_queries, id_col=id_col,
+                vec_col=vec_col, label_col=label_col,
+            )
         raise ValueError(
-            f"hard_negatives_int: n_queries {n_queries} > 512; use the "
-            "IVF batch probe for large query sets"
+            f"hard_negatives_int: n_queries {n_queries} > 512; use "
+            "hard_negatives_int_batch (IvfIndex.topk_batch with the "
+            "label carry) for large query sets, or pass index= to "
+            "route automatically"
         )
     cq = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -1480,3 +1538,47 @@ def hard_negatives_int(
         .select("query_id", "vec_id", F.col("clab").alias("neg_label"),
                 "cosine_sim", "rnk")
     )
+
+
+def hard_negatives_int_batch(
+    corpus: DataFrame,
+    index: "IvfIndex",
+    k: int = 5,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_probe: "int | None" = None,
+) -> DataFrame:
+    """Batch twin of :func:`hard_negatives_int` — the production-scale
+    path the r8 guard routes to: queries are NEVER collected driver-side
+    (they stream through ``IvfIndex.topk_batch``'s executor-side probe
+    assignment), and candidate labels arrive via the carry join — one
+    co-keyed corpus-sized join before the cogrouped scorer, never a join
+    of the scored fan-out. The different-label filter runs inside the
+    score kernel before the per-group top-k.
+
+    ``n_probe=None`` probes EVERY cluster — the candidate set is the
+    full corpus, making the result row-identical to
+    :func:`hard_negatives_int` (same int64 cosine, same tie-breaks;
+    pinned by test and by the shared DuckDB oracle). Set ``n_probe`` to
+    a small value for the IVF approximation trade at 100 TB, where
+    scanning the full corpus per query is the thing being avoided.
+    """
+    if not index.exists():
+        index.build(corpus)
+    q = corpus.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        quantize(F.col(vec_col)).alias("qvec"),
+        F.col(label_col).alias("_hn_qlab"),
+    )
+    carry = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("neg_label")
+    )
+    if n_probe is None:
+        cids, _, _ = index._load_centroids()
+        n_probe = len(cids)
+    return index.topk_batch(
+        q, k=k, n_probe=n_probe, carry=carry,
+        query_label_col="_hn_qlab", cand_label_col="neg_label",
+    ).select("query_id", "vec_id", "neg_label", "cosine_sim", "rnk")

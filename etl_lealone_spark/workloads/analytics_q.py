@@ -396,3 +396,108 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return orphan.unionAll(dup).unionAll(nulls).unionAll(rng).unionAll(li_orphan)
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join, driver-oracled (r8 verdict task 6)
+# ---------------------------------------------------------------------------
+@workload(
+    "stream_interval_join",
+    """
+    WITH l AS (
+      SELECT user_id, event_id AS l_event_id, ts AS l_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT user_id, event_id AS r_event_id, ts AS r_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.user_id, l_event_id, l_ts, r_event_id, r_ts
+    FROM l JOIN r ON l.user_id = r.user_id
+      AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 4 HOUR
+    """,
+    doc="Stream-stream event-time interval join run as a REAL Structured "
+    "Streaming query (streaming.ingest.join_streams_interval): clicks "
+    "and purchases are split into six-day micro-batch files with pinned "
+    "ascending mtimes (the file source's delivery order), read with "
+    "maxFilesPerTrigger=1, joined on user_id with r_ts in [l_ts, l_ts + "
+    "4h] under 1-day watermarks on BOTH sides — the state-store "
+    "eviction contract that makes the join runnable on an unbounded "
+    "stream — and sunk to memory. Under in-order micro-batches the "
+    "watermark only evicts rows whose join window has closed, so the "
+    "streaming result equals the batch interval join, which is exactly "
+    "what the DuckDB oracle computes: the cross-batch buffering, "
+    "watermark eviction, and interval condition are all hash-checked "
+    "cross-engine, not just pytest-pinned.",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import join_streams_interval, stream_from_parquet_dir
+
+    ev = load_tables(spark, sf_dir)["events"]
+    tmp = tempfile.mkdtemp(prefix="sij_")
+    qname = f"sij_{os.getpid()}"
+    query = None
+    try:
+        ldir, rdir = os.path.join(tmp, "l"), os.path.join(tmp, "r")
+        # six-day buckets over the events span, written oldest-first with
+        # strictly increasing mtimes: the file source processes files in
+        # mod-time order, so delivery is in-order at bucket granularity
+        # (within-bucket disorder is absorbed by the 1-day watermark)
+        bounds = ev.agg(
+            F.min(F.col("ts").cast("date")).alias("lo"),
+            F.max(F.col("ts").cast("date")).alias("hi"),
+        ).collect()[0]
+        n_buckets = 5
+        span_d = max(1, (bounds["hi"] - bounds["lo"]).days + 1)
+        step_d = span_d // n_buckets + 1
+        # day-granular bucketing (TIMESTAMP_NTZ forbids numeric casts;
+        # date arithmetic is the NTZ-safe route)
+        bucket = F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit(bounds["lo"]))
+            / F.lit(step_d)
+        )
+        base = ev.withColumn("_b", bucket)
+        for k in range(n_buckets):
+            for side, etype, d in (("l", "click", ldir), ("r", "purchase", rdir)):
+                (
+                    base.filter((F.col("_b") == k) & (F.col("event_type") == etype))
+                    .drop("_b")
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(d)
+                )
+                parts = [
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if f.startswith("part-")
+                ]
+                newest = max(parts, key=os.path.getmtime)
+                os.utime(newest, (1_700_000_000 + k, 1_700_000_000 + k))
+        joined = join_streams_interval(
+            stream_from_parquet_dir(spark, ldir),
+            stream_from_parquet_dir(spark, rdir),
+            key="user_id",
+            within="4 hours",
+            watermark="1 day",
+        )
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        query.processAllAvailable()
+        out = spark.table(qname)
+        # materialize driver-side (oracle-scale-bounded: the interval
+        # join output) so the tmp state can be removed before returning
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if query is not None:
+            query.stop()
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -478,3 +478,147 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return agg_of(1).unionByName(agg_of(2)).unionByName(agg_of(3))
+
+
+# ---------------------------------------------------------------------------
+# snapshot lineage: CLONE -> mutate -> RESTORE -> DESCRIBE HISTORY
+# ---------------------------------------------------------------------------
+def _lineage_state_root(sf_dir: str) -> str:
+    import inspect
+
+    from ..operators import dml as dml_mod
+    from .helpers import persisted_state_root
+
+    spec = inspect.getsource(dml_mod.SnapshotTable) + inspect.getsource(
+        snapshot_clone_restore
+    )
+    return persisted_state_root(sf_dir, ("orders",), spec, "etl_lealone_clonewl")
+
+
+_LINEAGE_ORACLE = """
+    WITH dim AS (
+      SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    cp AS (
+      SELECT custkey,
+             CASE WHEN custkey % 5 = 0 THEN n_orders + 1000
+                  ELSE n_orders END AS n_orders
+      FROM dim WHERE custkey % 11 <> 0
+    ),
+    pre AS (
+      SELECT custkey,
+             CASE WHEN custkey % 3 = 0 THEN 0 ELSE n_orders END AS n_orders
+      FROM dim
+    )
+    SELECT 'src_restored' AS state, CAST(custkey % 4 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_orders) AS BIGINT) AS sum_orders
+    FROM dim GROUP BY grp
+    UNION ALL
+    SELECT 'clone', CAST(custkey % 4 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(n_orders) AS BIGINT)
+    FROM cp GROUP BY CAST(custkey % 4 AS BIGINT)
+    UNION ALL
+    SELECT 'src_pre_restore', CAST(custkey % 4 AS BIGINT),
+           CAST(count(*) AS BIGINT), CAST(sum(n_orders) AS BIGINT)
+    FROM pre GROUP BY CAST(custkey % 4 AS BIGINT)
+    UNION ALL
+    SELECT 'hist_src', CAST(v AS BIGINT), CAST(cur AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM (VALUES (0, 0), (1, 0), (2, 0), (3, 1)) t(v, cur)
+    UNION ALL
+    SELECT 'hist_clone', CAST(v AS BIGINT), CAST(cur AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM (VALUES (0, 0), (1, 0), (2, 1)) t(v, cur)
+"""
+
+
+@workload(
+    "snapshot_clone_restore",
+    _LINEAGE_ORACLE,
+    doc="The full snapshot-lineage surface through SQL (r8 verdict task "
+    "3): CREATE TABLE (v0) -> INSERT a per-customer dim (v1) -> CREATE "
+    "TABLE ... CLONE (zero-copy, own version chain) -> UPDATE + DELETE "
+    "the CLONE (copy-on-write divergence, v1/v2) -> UPDATE the SOURCE "
+    "(v2) -> RESTORE the source TO VERSION AS OF 1 (a new v3 that "
+    "link-clones v1) -> DESCRIBE HISTORY both. The oracle re-derives "
+    "every state from the base parquet plus literal expected version "
+    "chains, so the driver pins that (a) restore returns exactly the "
+    "pre-clone content, (b) the clone kept its divergent mutations, "
+    "(c) the PRE-restore source state stays readable (lineage "
+    "preserved), and (d) both history chains carry the right current "
+    "pointer. The reference's MVCC version metadata "
+    "(MVCCTransactionEngine.java) re-expressed as snapshot dirs.",
+)
+def snapshot_clone_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.dml import SnapshotTable
+    from ..session import EngineSession
+
+    root = _lineage_state_root(sf_dir)
+    if not os.path.exists(os.path.join(root, "_wl_done")):
+        o = load_tables(spark, sf_dir)["orders"]
+        o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders")
+        ).createOrReplaceTempView("snapcr_dim_src")
+        build = f"{root}.build.{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        es = EngineSession(spark, warehouse=build)
+        es.sql("CREATE TABLE snapcr_src (custkey BIGINT PRIMARY KEY, n_orders BIGINT)")
+        es.sql("INSERT INTO snapcr_src SELECT custkey, n_orders FROM snapcr_dim_src")
+        es.sql("CREATE TABLE snapcr_cp CLONE snapcr_src")
+        es.sql("UPDATE snapcr_cp SET n_orders = n_orders + 1000 WHERE custkey % 5 = 0")
+        es.sql("DELETE FROM snapcr_cp WHERE custkey % 11 = 0")
+        es.sql("UPDATE snapcr_src SET n_orders = 0 WHERE custkey % 3 = 0")
+        es.sql("RESTORE TABLE snapcr_src TO VERSION AS OF 1")
+        # the lineage claims the oracle checks are asserted HERE through
+        # the SQL surface too — a history drift fails the build, not
+        # just the hash compare
+        hist = {
+            n: [(r["version"], r["is_current"])
+                for r in es.sql(f"DESCRIBE HISTORY {n}").collect()]
+            for n in ("snapcr_src", "snapcr_cp")
+        }
+        assert hist["snapcr_src"] == [(0, False), (1, False), (2, False), (3, True)]
+        assert hist["snapcr_cp"] == [(0, False), (1, False), (2, True)]
+        spark.catalog.dropTempView("snapcr_dim_src")
+        with open(os.path.join(build, "_wl_done"), "w") as f:
+            f.write("ok")
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        try:
+            os.rename(build, root)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+            if not os.path.exists(os.path.join(root, "_wl_done")):
+                raise
+    # lazy plans over the persisted chains (relative links survive the
+    # build->root rename; pinned by test_snapshot_tree_is_relocatable)
+    src = SnapshotTable(spark, root, "snapcr_src")
+    cp = SnapshotTable(spark, root, "snapcr_cp")
+
+    def agg_of(df: DataFrame, state: str) -> DataFrame:
+        return (
+            df.groupBy((F.col("custkey") % 4).cast("long").alias("grp"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n_orders").cast("long").alias("sum_orders"),
+            )
+            .select(F.lit(state).alias("state"), "grp", "n_rows", "sum_orders")
+        )
+
+    def hist_of(t: SnapshotTable, state: str) -> DataFrame:
+        rows = [(state, v, int(v == t.version), 0) for v in t.versions()]
+        return spark.createDataFrame(
+            rows, "state string, grp long, n_rows long, sum_orders long"
+        )
+
+    return (
+        agg_of(src.read(), "src_restored")
+        .unionByName(agg_of(cp.read(), "clone"))
+        .unionByName(agg_of(src.read(version=2), "src_pre_restore"))
+        .unionByName(hist_of(src, "hist_src"))
+        .unionByName(hist_of(cp, "hist_clone"))
+    )

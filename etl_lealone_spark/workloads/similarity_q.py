@@ -880,10 +880,12 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HN_QUERIES = 20
 _HN_K = 5
 
-
-@workload(
-    "hard_negative_mining",
-    f"""
+# Shared by hard_negative_mining and hard_negative_mining_batch: the
+# brute Arrow scorer and the full-probe IvfIndex.topk_batch label-carry
+# path promise IDENTICAL results (same int64 cosine, same tie-breaks),
+# so both check against the same exact oracle — the ann_ivf_topk /
+# ann_ivf_topk_batch precedent.
+_HN_ORACLE = f"""
     WITH q AS (
       SELECT vec_id AS query_id, label AS qlab,
              list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)) AS qvec
@@ -909,18 +911,45 @@ _HN_K = 5
                                 ORDER BY cosine_sim DESC, vec_id) AS rnk
       FROM scored
     ) t WHERE rnk <= {_HN_K}
-    """,
+    """
+
+
+@workload(
+    "hard_negative_mining",
+    _HN_ORACLE,
     doc="Hard-negative mining for contrastive embedding training: per "
     "query, the top-5 most-similar vectors with a DIFFERENT label — "
     "the near-boundary negatives that actually move a model. Candidate "
     "labels ride the Arrow scorer batches (carry_cols) so the corpus x "
     "queries fan-out is never joined; exact int64-matmul cosine, "
     "WindowGroupLimit top-k. Swap the brute scorer for "
-    "IvfIndex.topk_batch at production scale — filter and top-k are "
-    "unchanged.",
+    "hard_negatives_int_batch at production scale — filter and top-k "
+    "are unchanged (>512 queries route there automatically when an "
+    "index is passed).",
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import hard_negatives_int
 
     e = load_tables(spark, sf_dir)["embeddings"]
     return hard_negatives_int(e, k=_HN_K, n_queries=_HN_QUERIES)
+
+
+@workload(
+    "hard_negative_mining_batch",
+    _HN_ORACLE,
+    doc="Batch hard-negative mining (hard_negatives_int_batch over "
+    "IvfIndex.topk_batch with the label carry): the production-scale "
+    "path — queries are never collected driver-side, candidate labels "
+    "arrive via ONE co-keyed corpus-sized carry join before the "
+    "cogrouped scorer (never a join of the scored fan-out), and the "
+    "different-label filter runs inside the score kernel before the "
+    "per-group top-k. Full probe (n_probe = all centroids) here so the "
+    "result is row-identical to hard_negative_mining — same oracle; "
+    "at 100 TB, n_probe shrinks to the IVF approximation trade.",
+)
+def hard_negative_mining_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import IvfIndex, hard_negatives_int_batch
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    idx = IvfIndex(spark, _ivf_index_root(sf_dir))
+    return hard_negatives_int_batch(e, idx, k=_HN_K, n_queries=_HN_QUERIES)

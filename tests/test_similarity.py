@@ -370,3 +370,94 @@ def test_hard_negatives_query_cap(spark):
     )
     with _pytest.raises(ValueError, match="n_queries"):
         hard_negatives_int(df, n_queries=513)
+
+
+def test_hard_negatives_batch_matches_brute(spark, tmp_path):
+    """hard_negatives_int_batch (IvfIndex.topk_batch + label carry +
+    in-kernel different-label filter, full probe) is row-identical to
+    the brute hard_negatives_int — including float sims — and invariant
+    to query repartitioning (different Arrow batching)."""
+    import numpy as np
+
+    from etl_lealone_spark.operators.similarity import (
+        IvfIndex,
+        hard_negatives_int,
+        hard_negatives_int_batch,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(8)], int(i % 3))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    brute = sorted(map(tuple, hard_negatives_int(df, k=4, n_queries=6).collect()))
+    idx = IvfIndex(spark, str(tmp_path / "hnidx"))
+    batch = hard_negatives_int_batch(df, idx, k=4, n_queries=6)
+    assert sorted(map(tuple, batch.collect())) == brute
+    batch2 = hard_negatives_int_batch(
+        df.repartition(7), idx, k=4, n_queries=6
+    )
+    assert sorted(map(tuple, batch2.collect())) == brute
+    # reduced probe: still never a same-label or self row, <= k per query
+    approx = hard_negatives_int_batch(df, idx, k=4, n_queries=6, n_probe=1).collect()
+    labels = {i: i % 3 for i in range(80)}
+    for r in approx:
+        assert labels[r["vec_id"]] != labels[r["query_id"]]
+        assert r["neg_label"] == labels[r["vec_id"]]
+
+
+def test_hard_negatives_query_cap_routes_to_batch(spark, tmp_path):
+    """Past 512 queries: raises a typed error naming the batch path
+    when no index is given, ROUTES there (no collect of the query set)
+    when one is."""
+    import pytest as _pytest
+
+    from etl_lealone_spark.operators.similarity import (
+        IvfIndex,
+        hard_negatives_int,
+    )
+
+    rows = [(int(i), [float(i % 7) + 1.0, float(i % 5) + 1.0], int(i % 2))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with _pytest.raises(ValueError, match="hard_negatives_int_batch"):
+        hard_negatives_int(df, n_queries=513)
+    idx = IvfIndex(spark, str(tmp_path / "hnroute"))
+    out = hard_negatives_int(df, k=2, n_queries=513, index=idx)
+    got = out.collect()
+    assert len(got) == 513 * 2
+    for r in got:
+        assert (r["vec_id"] % 2) != (r["query_id"] % 2)
+
+
+def test_topk_batch_carry_hook_validation(spark, tmp_path):
+    """The carry/label hook parameter contract: label cols must come in
+    pairs, cand_label_col needs a carry frame, carry needs non-key
+    columns; a plain carry (no label filter) appends columns verbatim."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_lealone_spark.operators.similarity import IvfIndex, quantize
+
+    rng = np.random.RandomState(3)
+    rows = [(int(i), [float(x) for x in rng.randn(6)]) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = IvfIndex(spark, str(tmp_path / "carryidx"))
+    idx.build(e)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), quantize(F.col("embedding")).alias("qvec")
+    )
+    carry = e.select("vec_id", (F.col("vec_id") * 10).alias("tag"))
+    with _pytest.raises(ValueError, match="must be set together"):
+        idx.topk_batch(q, query_label_col="x")
+    with _pytest.raises(ValueError, match="requires a carry frame"):
+        idx.topk_batch(q, query_label_col="x", cand_label_col="y")
+    with _pytest.raises(ValueError, match="non-key"):
+        idx.topk_batch(q, carry=e.select("vec_id"))
+    plain = sorted(map(tuple, idx.topk_batch(q, k=5, n_probe=4).collect()))
+    carried = idx.topk_batch(q, k=5, n_probe=4, carry=carry).collect()
+    assert sorted(
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rnk"]) for r in carried
+    ) == plain
+    assert all(r["tag"] == r["vec_id"] * 10 for r in carried)
