@@ -77,6 +77,9 @@ HEADLINE = [
     "udf_alias_agg",           # CREATE ALIAS pandas-UDF pipeline
     "hard_negative_mining",    # contrastive hard negatives (cross-label ANN)
     "zipf_slope_top100",       # corpus rank-frequency health signal
+    "hard_negative_mining_batch",  # batch hard negatives (label-carry IVF probe)
+    "snapshot_clone_restore",  # CLONE -> mutate -> RESTORE -> HISTORY lineage
+    "stream_interval_join",    # stream-stream event-time interval join
 ]
 
 

@@ -27,7 +27,7 @@ import time
 
 sys.path.insert(0, ".")
 
-from bench import baseline_workloads  # noqa: E402
+from bench import anchor_run, baseline_workloads  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from etl_lealone_spark.session import build_spark, default_parallelism  # noqa: E402
@@ -108,6 +108,42 @@ def ext_dual_at_scale(
     return out
 
 
+def duck_anchor() -> float:
+    """DuckDB twin of bench.anchor_run: a constant-size, SF-independent
+    CPU probe on a fresh connection (DuckDB gets a fresh connection per
+    dual-run call, so the anchor matches that substrate). Paired with
+    the Spark anchor it turns host drift DURING the settle into a
+    recorded, per-engine quantity (r8 verdict task 5 — W4's 0.89→1.09
+    swing was pure DuckDB host variance with no in-run evidence)."""
+    import duckdb
+
+    con = duckdb.connect()
+    t0 = time.time()
+    con.execute(
+        "SELECT count(*), sum(v % 97), sum(v * 31 % 9973) "
+        "FROM (SELECT range AS v FROM range(20000000))"
+    ).fetchall()
+    con.close()
+    return round(time.time() - t0, 3)
+
+
+def drift_corrected(ratios: dict[str, float], anchors: dict[str, float],
+                    first: str, last: str) -> dict[str, float]:
+    """Raw ratios divided by sqrt(relative anchor drift): each dual-run
+    sits somewhere inside the phase, so on average it sees half the
+    phase's total drift — the sqrt is that half-weight in ratio space.
+    rel > 1 means the Spark substrate slowed more than DuckDB's, so the
+    raw ratios overstate Spark; the corrected set removes that bias
+    while the raw set stays the measurement of record."""
+    s0, s1 = anchors.get(f"spark_{first}"), anchors.get(f"spark_{last}")
+    d0, d1 = anchors.get(f"duckdb_{first}"), anchors.get(f"duckdb_{last}")
+    if not all((s0, s1, d0, d1)):
+        return {}
+    rel = (s1 / s0) / (d1 / d0)
+    corr = rel ** 0.5
+    return {k: round(v / corr, 2) for k, v in ratios.items()}
+
+
 def main() -> None:
     n = int(os.environ.get("SPARK_GRAFT_SETTLE_ROWS", "500000000"))
     ks = [
@@ -119,7 +155,14 @@ def main() -> None:
     # Cache-state control (r5 verdict task 2): W1 runs LAST so its
     # DuckDB bulk COPY (~15 GB at 5e8 rows) cannot evict the scan
     # shapes' pages mid-suite; min-of-3 reps.
+    anchor_run(spark), duck_anchor()  # untimed warms (JIT/codegen)
+    anchors: dict[str, float] = {
+        "spark_first": anchor_run(spark),
+        "duckdb_first": duck_anchor(),
+    }
     base = baseline_workloads(spark, n=n, reps=3, w1_last=True)
+    anchors["spark_last"] = anchor_run(spark)
+    anchors["duckdb_last"] = duck_anchor()
     # Fresh JVM for the ext phase: after the 5e8-row W-suite the executor
     # heap/shuffle state inflates small-corpus walls ~3x (dsir measured
     # 11.5s stale vs 3.7s fresh at identical data) — restart so the ext
@@ -137,8 +180,13 @@ def main() -> None:
         )
         scaled = build_scaled_dir(spark, k)
         try:
+            anchor_run(spark)  # untimed warm (fresh JVM per K)
+            anchors[f"spark_first_k{k}"] = anchor_run(spark)
+            anchors[f"duckdb_first_k{k}"] = duck_anchor()
             for key, v in ext_dual_at_scale(spark, scaled).items():
                 ext[f"{key}_k{k}"] = v
+            anchors[f"spark_last_k{k}"] = anchor_run(spark)
+            anchors[f"duckdb_last_k{k}"] = duck_anchor()
         finally:
             shutil.rmtree(scaled, ignore_errors=True)
     ratios = {}
@@ -159,6 +207,17 @@ def main() -> None:
             d = ext.get(f"ext_{name}_duckdb_k{k}")
             if s and d:
                 ratios[f"ext_{name}_k{k}"] = round(s / d, 2)
+    corrected = drift_corrected(
+        {k: v for k, v in ratios.items() if k.startswith("w")},
+        anchors, "first", "last",
+    )
+    for k in ks:
+        corrected.update(
+            drift_corrected(
+                {r: v for r, v in ratios.items() if r.endswith(f"_k{k}")},
+                anchors, f"first_k{k}", f"last_k{k}",
+            )
+        )
     print(
         json.dumps(
             {
@@ -166,7 +225,9 @@ def main() -> None:
                 "rows": n,
                 "corpus_k": ks,
                 "timings": {**base, **ext},
+                "anchors": anchors,
                 "ratios": ratios,
+                "ratios_drift_corrected": corrected,
             }
         )
     )
