@@ -399,8 +399,98 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# stream-stream interval join, driver-oracled (r8 verdict task 6)
+# streaming workloads, driver-oracled (r8 verdict task 6): micro-batch
+# file feeds with pinned delivery order + memory sink, hash-checked
+# against the batch-equivalent DuckDB SQL
 # ---------------------------------------------------------------------------
+def _stream_bucket_files(ev, out_dirs, n_buckets: int = 5, tail=None) -> None:
+    """Write ``ev`` as day-granular time buckets, oldest-first with
+    strictly increasing pinned mtimes — the parquet file source processes
+    files in mod-time order, so delivery is in-order at bucket
+    granularity and within-bucket disorder is absorbed by the query's
+    watermark. ``out_dirs`` is [(dir, filter_expr|None), ...] (one
+    filtered copy of each bucket per dir — the two sides of a
+    stream-stream join). ``tail`` (same schema) is written LAST into
+    every dir: the watermark-flush sentinel that closes all real
+    append-mode windows (its own window never closes, so it can never
+    leak into output). TIMESTAMP_NTZ forbids numeric casts, so
+    bucketing is date arithmetic."""
+    import os
+
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    ).collect()[0]
+    span_d = max(1, (bounds["hi"] - bounds["lo"]).days + 1)
+    step_d = span_d // n_buckets + 1
+    bucket = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit(bounds["lo"])) / F.lit(step_d)
+    )
+    base = ev.withColumn("_b", bucket)
+
+    def _pin(d: str, mtime: int) -> None:
+        parts = [
+            os.path.join(d, f) for f in os.listdir(d) if f.startswith("part-")
+        ]
+        os.utime(max(parts, key=os.path.getmtime), (mtime, mtime))
+
+    for k in range(n_buckets):
+        for d, flt in out_dirs:
+            sel = base.filter(F.col("_b") == k)
+            if flt is not None:
+                sel = sel.filter(flt)
+            sel.drop("_b").coalesce(1).write.mode("append").parquet(d)
+            _pin(d, 1_700_000_000 + k)
+    if tail is not None:
+        # TWO sentinel batches: watermark advances AFTER the batch that
+        # carries the max event time, and closed-window EMISSION happens
+        # in the batch after that — relying on the engine's optional
+        # no-data flush batch races processAllAvailable (observed: the
+        # final real windows missing). The second identical sentinel
+        # file is that deterministic next batch; both land in the
+        # never-emitted '__flush__' window.
+        for i in range(2):
+            for d, _flt in out_dirs:
+                tail.coalesce(1).write.mode("append").parquet(d)
+                _pin(d, 1_700_000_000 + n_buckets + i)
+
+
+def _flush_sentinel(ev):
+    """One far-future row (max ts + 30 days) that advances the watermark
+    past every real window so append-mode aggregates flush; excluded
+    from output by construction (ids -1, event_type '__flush__')."""
+    return ev.agg(F.max("ts").alias("ts")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+
+
+def _drain_stream(spark, sdf, tmp: str, qname: str):
+    """Run a streaming DataFrame to completion into a memory sink and
+    return its rows as a batch DataFrame (materialized driver-side —
+    oracle-scale-bounded — so the tmp state can be removed)."""
+    import os
+
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        out = spark.table(qname)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        query.stop()
+        spark.catalog.dropTempView(qname)
+
+
 @workload(
     "stream_interval_join",
     """
@@ -439,44 +529,15 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir)["events"]
     tmp = tempfile.mkdtemp(prefix="sij_")
-    qname = f"sij_{os.getpid()}"
-    query = None
     try:
         ldir, rdir = os.path.join(tmp, "l"), os.path.join(tmp, "r")
-        # six-day buckets over the events span, written oldest-first with
-        # strictly increasing mtimes: the file source processes files in
-        # mod-time order, so delivery is in-order at bucket granularity
-        # (within-bucket disorder is absorbed by the 1-day watermark)
-        bounds = ev.agg(
-            F.min(F.col("ts").cast("date")).alias("lo"),
-            F.max(F.col("ts").cast("date")).alias("hi"),
-        ).collect()[0]
-        n_buckets = 5
-        span_d = max(1, (bounds["hi"] - bounds["lo"]).days + 1)
-        step_d = span_d // n_buckets + 1
-        # day-granular bucketing (TIMESTAMP_NTZ forbids numeric casts;
-        # date arithmetic is the NTZ-safe route)
-        bucket = F.floor(
-            F.datediff(F.col("ts").cast("date"), F.lit(bounds["lo"]))
-            / F.lit(step_d)
+        _stream_bucket_files(
+            ev,
+            [
+                (ldir, F.col("event_type") == "click"),
+                (rdir, F.col("event_type") == "purchase"),
+            ],
         )
-        base = ev.withColumn("_b", bucket)
-        for k in range(n_buckets):
-            for side, etype, d in (("l", "click", ldir), ("r", "purchase", rdir)):
-                (
-                    base.filter((F.col("_b") == k) & (F.col("event_type") == etype))
-                    .drop("_b")
-                    .coalesce(1)
-                    .write.mode("append")
-                    .parquet(d)
-                )
-                parts = [
-                    os.path.join(d, f)
-                    for f in os.listdir(d)
-                    if f.startswith("part-")
-                ]
-                newest = max(parts, key=os.path.getmtime)
-                os.utime(newest, (1_700_000_000 + k, 1_700_000_000 + k))
         joined = join_streams_interval(
             stream_from_parquet_dir(spark, ldir),
             stream_from_parquet_dir(spark, rdir),
@@ -484,20 +545,115 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             within="4 hours",
             watermark="1 day",
         )
-        query = (
-            joined.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
-        )
-        query.processAllAvailable()
-        out = spark.table(qname)
-        # materialize driver-side (oracle-scale-bounded: the interval
-        # join output) so the tmp state can be removed before returning
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _drain_stream(spark, joined, tmp, f"sij_{os.getpid()}")
     finally:
-        if query is not None:
-            query.stop()
-        spark.catalog.dropTempView(qname)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@workload(
+    "stream_tumbling_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY window_start, event_type
+    """,
+    doc="Watermarked tumbling-window streaming aggregate "
+    "(streaming.ingest.streaming_tumbling_agg) run as a real Structured "
+    "Streaming query over in-order micro-batch files, APPEND output "
+    "mode — a window row is emitted exactly once, when the 2h watermark "
+    "closes it; a far-future flush sentinel closes the final windows "
+    "(its own never closes, so it cannot leak). Under in-order feed "
+    "nothing is late, so the emitted set equals the batch tumbling "
+    "aggregate — the DuckDB oracle. Decimal-sum discipline keeps the "
+    "float hash cross-engine-stable.",
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import stream_from_parquet_dir, streaming_tumbling_agg
+
+    ev = load_tables(spark, sf_dir)["events"]
+    tmp = tempfile.mkdtemp(prefix="sta_")
+    try:
+        d = os.path.join(tmp, "ev")
+        _stream_bucket_files(ev, [(d, None)], tail=_flush_sentinel(ev))
+        # NO event_type filter on the agg: a filter on a grouping column
+        # gets pushed below the aggregate to the SCAN (correct for the
+        # groups, fatal here — it would drop the sentinel row before the
+        # EventTimeWatermark operator, freezing the watermark and
+        # withholding the final real windows; observed, not
+        # hypothetical). The sentinel needs no exclusion anyway: its
+        # window's end is past every event time the stream will ever
+        # see, so the watermark can never close it — structurally
+        # unemittable in append mode.
+        agg = streaming_tumbling_agg(
+            stream_from_parquet_dir(spark, d), window="1 hour", watermark="2 hours"
+        )
+        return _drain_stream(spark, agg, tmp, f"sta_{os.getpid()}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@workload(
+    "stream_enrich_agg",
+    """
+    SELECT date_trunc('day', ts) AS window_start, n_name,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN nation ON n_nationkey = e.user_id % 25
+    GROUP BY window_start, n_name
+    """,
+    doc="Stream-static enrichment feeding a windowed aggregate — the "
+    "standard streaming-pipeline composition: events stream joins the "
+    "25-row nation dim via streaming.ingest.enrich_stream (broadcast "
+    "static side: every micro-batch is a map-only probe, no stream-side "
+    "shuffle, no state store; nation's cardinality is FIXED by the "
+    "schema at every scale, the bounded-dim broadcast contract), then a "
+    "1-day tumbling window per n_name in append mode. The watermark is "
+    "applied BEFORE the join so the flush sentinel advances it even "
+    "though the join drops the sentinel row (user_id -1 matches no "
+    "nation). Hash-checked against the batch join+agg in DuckDB.",
+)
+def stream_enrich_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import enrich_stream, stream_from_parquet_dir
+
+    t = load_tables(spark, sf_dir)
+    ev, nation = t["events"], t["nation"]
+    dim = nation.select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    tmp = tempfile.mkdtemp(prefix="sea_")
+    try:
+        d = os.path.join(tmp, "ev")
+        _stream_bucket_files(ev, [(d, None)], tail=_flush_sentinel(ev))
+        stream = (
+            stream_from_parquet_dir(spark, d)
+            .withWatermark("ts", "2 hours")
+            .withColumn("nk", F.col("user_id") % 25)
+        )
+        agg = (
+            enrich_stream(stream, dim, on="nk", how="inner")
+            .groupBy(F.window("ts", "1 day").alias("w"), "n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "n_name",
+                "n",
+                "total_value",
+            )
+        )
+        return _drain_stream(spark, agg, tmp, f"sea_{os.getpid()}")
+    finally:
         shutil.rmtree(tmp, ignore_errors=True)
