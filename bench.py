@@ -80,6 +80,8 @@ HEADLINE = [
     "hard_negative_mining_batch",  # batch hard negatives (label-carry IVF probe)
     "snapshot_clone_restore",  # CLONE -> mutate -> RESTORE -> HISTORY lineage
     "stream_interval_join",    # stream-stream event-time interval join
+    "stream_tumbling_agg",     # watermarked append-mode tumbling agg
+    "snapshot_diff_cdc",       # CDC diff between snapshot versions
 ]
 
 

@@ -545,14 +545,38 @@ class StatementRouter:
         return self.spark.sql(rewrite(s, session=self.session))
 
     def _rewrite_time_travel(self, s: str) -> str:
-        """``FROM t VERSION AS OF n`` — AS-OF reads over snapshot tables.
+        """``FROM t VERSION AS OF n`` / ``FROM t TIMESTAMP AS OF 'ts'``
+        — AS-OF reads over snapshot tables.
 
         Each pinned version registers a dedicated temp view over
         ``SnapshotTable.read(version=n)`` (a self-contained parquet dir,
         so the historical scan costs the same as a current one) and the
-        reference is rewritten to it. Unknown tables/versions raise via
-        the table/read lookups.
+        reference is rewritten to it. TIMESTAMP AS OF resolves to the
+        latest version committed at or before the literal (Delta's
+        resolution rule; commit time = the _SUCCESS marker's mtime, see
+        SnapshotTable.commit_ts) and then shares the VERSION AS OF view
+        machinery. Naive literals are interpreted as UTC. Unknown
+        tables/versions/too-early timestamps raise via the lookups.
         """
+        pat_ts = re.compile(
+            r"\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+            re.IGNORECASE,
+        )
+
+        def sub_ts(m: "re.Match[str]") -> str:
+            from datetime import datetime, timezone
+
+            name, lit = m.group(1).lower(), m.group(2)
+            dt = datetime.fromisoformat(lit)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            st = self.catalog.table(name)
+            ver = st.version_as_of_timestamp(dt.timestamp())
+            view = f"{name}__asof_{ver}"
+            st.read(version=ver).createOrReplaceTempView(view)
+            return view
+
+        s = pat_ts.sub(sub_ts, s)
         pat = re.compile(
             r"\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)",
             re.IGNORECASE,
@@ -654,6 +678,8 @@ class StatementRouter:
             re.IGNORECASE,
         )
         if m:
+            from datetime import datetime, timezone
+
             t = self.catalog.table(m.group("name").lower())
             cur = t.version
             rows = []
@@ -665,10 +691,14 @@ class StatementRouter:
                         size += os.path.getsize(resolved)
                     except OSError:
                         pass
-                rows.append((v, len(fm), size, v == cur))
+                cts = datetime.fromtimestamp(
+                    t.commit_ts(v), tz=timezone.utc
+                ).replace(tzinfo=None)
+                rows.append((v, len(fm), size, cts, v == cur))
             return self.spark.createDataFrame(
                 rows,
-                "version int, n_files int, size_bytes bigint, is_current boolean",
+                "version int, n_files int, size_bytes bigint, "
+                "commit_ts timestamp_ntz, is_current boolean",
             )
         m = re.match(
             rf"DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>{_IDENT})\s*$",

@@ -338,6 +338,37 @@ class SnapshotTable:
             and self._committed(os.path.join(base, d))
         )
 
+    def commit_ts(self, version: int) -> float:
+        """Commit timestamp (epoch seconds) of a version — the mtime of
+        its ``_SUCCESS`` marker, i.e. the instant the committer PUBLISHED
+        the snapshot; no extra metadata file to keep consistent. Every
+        commit path (Spark write, restore, clone) ends by creating the
+        marker, so the timestamp exists iff the version is readable.
+        ``os.rename`` of the tree preserves it (the relocatability
+        contract); an archival copy should use ``cp -p`` or the
+        TIMESTAMP AS OF ordering within one second is lost (VERSION AS
+        OF is unaffected either way)."""
+        if version not in self.versions():
+            raise ValueError(
+                f"table {self.name} has no version {version} "
+                f"(available: {self.versions()})"
+            )
+        return os.path.getmtime(os.path.join(self._dir(version), "_SUCCESS"))
+
+    def version_as_of_timestamp(self, ts: float) -> int:
+        """Latest version committed at or before epoch-seconds ``ts`` —
+        Delta's TIMESTAMP AS OF resolution rule. Raises if ``ts``
+        precedes the first commit (a typo must not silently read the
+        oldest data)."""
+        cands = [v for v in self.versions() if self.commit_ts(v) <= ts]
+        if not cands:
+            raise ValueError(
+                f"table {self.name}: no version committed at or before "
+                f"timestamp {ts} (first commit: "
+                f"{min((self.commit_ts(v) for v in self.versions()), default=None)})"
+            )
+        return max(cands)
+
     def write(self, df: DataFrame, mode: str = "overwrite") -> int:
         if mode == "append":
             return self.insert(df)

@@ -490,9 +490,58 @@ def _lineage_state_root(sf_dir: str) -> str:
     from .helpers import persisted_state_root
 
     spec = inspect.getsource(dml_mod.SnapshotTable) + inspect.getsource(
-        snapshot_clone_restore
+        _ensure_lineage_root
     )
     return persisted_state_root(sf_dir, ("orders",), spec, "etl_lealone_clonewl")
+
+
+def _ensure_lineage_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, persisted) the clone/restore lineage state both
+    snapshot_clone_restore and snapshot_diff_cdc read: src = per-customer
+    dim (v0 create, v1 insert, v2 update custkey%3, v3 restore-to-v1);
+    cp = shallow clone of src@v1 with divergent UPDATE+DELETE. The full
+    SQL surface runs HERE — a history drift fails the build, not just
+    the hash compare."""
+    import os
+    import shutil
+
+    from ..session import EngineSession
+
+    root = _lineage_state_root(sf_dir)
+    if os.path.exists(os.path.join(root, "_wl_done")):
+        return root
+    o = load_tables(spark, sf_dir)["orders"]
+    o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    ).createOrReplaceTempView("snapcr_dim_src")
+    build = f"{root}.build.{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    es = EngineSession(spark, warehouse=build)
+    es.sql("CREATE TABLE snapcr_src (custkey BIGINT PRIMARY KEY, n_orders BIGINT)")
+    es.sql("INSERT INTO snapcr_src SELECT custkey, n_orders FROM snapcr_dim_src")
+    es.sql("CREATE TABLE snapcr_cp CLONE snapcr_src")
+    es.sql("UPDATE snapcr_cp SET n_orders = n_orders + 1000 WHERE custkey % 5 = 0")
+    es.sql("DELETE FROM snapcr_cp WHERE custkey % 11 = 0")
+    es.sql("UPDATE snapcr_src SET n_orders = 0 WHERE custkey % 3 = 0")
+    es.sql("RESTORE TABLE snapcr_src TO VERSION AS OF 1")
+    hist = {
+        n: [(r["version"], r["is_current"])
+            for r in es.sql(f"DESCRIBE HISTORY {n}").collect()]
+        for n in ("snapcr_src", "snapcr_cp")
+    }
+    assert hist["snapcr_src"] == [(0, False), (1, False), (2, False), (3, True)]
+    assert hist["snapcr_cp"] == [(0, False), (1, False), (2, True)]
+    spark.catalog.dropTempView("snapcr_dim_src")
+    with open(os.path.join(build, "_wl_done"), "w") as f:
+        f.write("ok")
+    os.makedirs(os.path.dirname(root), exist_ok=True)
+    try:
+        os.rename(build, root)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+        if not os.path.exists(os.path.join(root, "_wl_done")):
+            raise
+    return root
 
 
 _LINEAGE_ORACLE = """
@@ -552,48 +601,9 @@ _LINEAGE_ORACLE = """
     "(MVCCTransactionEngine.java) re-expressed as snapshot dirs.",
 )
 def snapshot_clone_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-
     from ..operators.dml import SnapshotTable
-    from ..session import EngineSession
 
-    root = _lineage_state_root(sf_dir)
-    if not os.path.exists(os.path.join(root, "_wl_done")):
-        o = load_tables(spark, sf_dir)["orders"]
-        o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders")
-        ).createOrReplaceTempView("snapcr_dim_src")
-        build = f"{root}.build.{os.getpid()}"
-        shutil.rmtree(build, ignore_errors=True)
-        es = EngineSession(spark, warehouse=build)
-        es.sql("CREATE TABLE snapcr_src (custkey BIGINT PRIMARY KEY, n_orders BIGINT)")
-        es.sql("INSERT INTO snapcr_src SELECT custkey, n_orders FROM snapcr_dim_src")
-        es.sql("CREATE TABLE snapcr_cp CLONE snapcr_src")
-        es.sql("UPDATE snapcr_cp SET n_orders = n_orders + 1000 WHERE custkey % 5 = 0")
-        es.sql("DELETE FROM snapcr_cp WHERE custkey % 11 = 0")
-        es.sql("UPDATE snapcr_src SET n_orders = 0 WHERE custkey % 3 = 0")
-        es.sql("RESTORE TABLE snapcr_src TO VERSION AS OF 1")
-        # the lineage claims the oracle checks are asserted HERE through
-        # the SQL surface too — a history drift fails the build, not
-        # just the hash compare
-        hist = {
-            n: [(r["version"], r["is_current"])
-                for r in es.sql(f"DESCRIBE HISTORY {n}").collect()]
-            for n in ("snapcr_src", "snapcr_cp")
-        }
-        assert hist["snapcr_src"] == [(0, False), (1, False), (2, False), (3, True)]
-        assert hist["snapcr_cp"] == [(0, False), (1, False), (2, True)]
-        spark.catalog.dropTempView("snapcr_dim_src")
-        with open(os.path.join(build, "_wl_done"), "w") as f:
-            f.write("ok")
-        os.makedirs(os.path.dirname(root), exist_ok=True)
-        try:
-            os.rename(build, root)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)
-            if not os.path.exists(os.path.join(root, "_wl_done")):
-                raise
+    root = _ensure_lineage_root(spark, sf_dir)
     # lazy plans over the persisted chains (relative links survive the
     # build->root rename; pinned by test_snapshot_tree_is_relocatable)
     src = SnapshotTable(spark, root, "snapcr_src")
@@ -622,3 +632,42 @@ def snapshot_clone_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hist_of(src, "hist_src"))
         .unionByName(hist_of(cp, "hist_clone"))
     )
+
+
+@workload(
+    "snapshot_diff_cdc",
+    """
+    WITH dim AS (
+      SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    chg AS (SELECT custkey, n_orders FROM dim WHERE custkey % 3 = 0)
+    SELECT 'v1_v2' AS step, custkey, CAST(0 AS BIGINT) AS n_orders,
+           'update' AS change_type
+    FROM chg
+    UNION ALL
+    SELECT 'v2_v3', custkey, n_orders, 'update' FROM chg
+    """,
+    doc="CDC read between retained snapshot versions "
+    "(operators.dml.snapshot_diff — the SQL shell's DIFF(t, v1, v2)): "
+    "diff v1->v2 of the lineage table captures exactly the UPDATE's "
+    "touched rows (new-side image, n_orders=0), and v2->v3 captures the "
+    "RESTORE undoing them (back to the original counts) — 'the snapshot "
+    "IS the log'. One full-outer join on the key + two map-side row "
+    "hashes per diff; unchanged rows never leave the scan. The oracle "
+    "re-derives both change sets from the base parquet.",
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dml import SnapshotTable, snapshot_diff
+
+    root = _ensure_lineage_root(spark, sf_dir)
+    src = SnapshotTable(spark, root, "snapcr_src")
+
+    def step(label: str, v_old: int, v_new: int) -> DataFrame:
+        return snapshot_diff(
+            src.read(version=v_old), src.read(version=v_new), ["custkey"]
+        ).select(
+            F.lit(label).alias("step"), "custkey", "n_orders", "change_type"
+        )
+
+    return step("v1_v2", 1, 2).unionByName(step("v2_v3", 2, 3))

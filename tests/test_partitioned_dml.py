@@ -557,3 +557,62 @@ def test_bloom_bitmap_empty_build_side(spark):
     assert row["bloom_n_keys"] == 0
     probe = spark.createDataFrame([("a",), ("b",)], "k string")
     assert bloom_semi_join(probe, "k", empty, "k").count() == 0
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    """TIMESTAMP AS OF resolves to the latest version committed at or
+    before the literal (commit time = the _SUCCESS marker's mtime —
+    pinned with utime here so the test is timing-independent), shares
+    the VERSION AS OF machinery, raises before the first commit, and
+    DESCRIBE HISTORY exposes the commit_ts column in version order."""
+    import os
+
+    import pytest as _pytest
+
+    from etl_lealone_spark.session import EngineSession
+
+    es = EngineSession(spark, warehouse=str(tmp_path))
+    es.sql("CREATE TABLE tta (id INT PRIMARY KEY, v INT)")
+    es.sql("INSERT INTO tta VALUES (1, 10)")
+    es.sql("UPDATE tta SET v = 20")
+    # pin commit times: v0 @ 10:00, v1 @ 11:00, v2 @ 12:00 UTC
+    base = 1_700_000_000  # 2023-11-14 22:13:20 UTC; exact value irrelevant
+    from etl_lealone_spark.operators.dml import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "tta")
+    for i, ver in enumerate(t.versions()):
+        marker = os.path.join(t._dir(ver), "_SUCCESS")
+        os.utime(marker, (base + i * 3600, base + i * 3600))
+    from datetime import datetime, timezone
+
+    def iso(off: int) -> str:
+        return (
+            datetime.fromtimestamp(base + off, tz=timezone.utc)
+            .replace(tzinfo=None)
+            .isoformat(sep=" ")
+        )
+
+    # exactly at v1's commit → v1 (the INSERT state)
+    rows = es.sql(f"SELECT * FROM tta TIMESTAMP AS OF '{iso(3600)}'").collect()
+    assert [tuple(r) for r in rows] == [(1, 10)]
+    # between v1 and v2 → still v1
+    rows = es.sql(f"SELECT * FROM tta TIMESTAMP AS OF '{iso(5000)}'").collect()
+    assert [tuple(r) for r in rows] == [(1, 10)]
+    # after v2 → current
+    rows = es.sql(f"SELECT * FROM tta TIMESTAMP AS OF '{iso(99999)}'").collect()
+    assert [tuple(r) for r in rows] == [(1, 20)]
+    # before the first commit → typed error, never silently-oldest
+    with _pytest.raises(ValueError, match="at or before"):
+        es.sql(f"SELECT * FROM tta TIMESTAMP AS OF '{iso(-10)}'").collect()
+    # DESCRIBE HISTORY carries commit_ts, ascending with version
+    hist = es.sql("DESCRIBE HISTORY tta").collect()
+    cts = [r["commit_ts"] for r in sorted(hist, key=lambda r: r["version"])]
+    assert cts == sorted(cts) and len(cts) == 3
+    assert cts[0] == datetime.fromtimestamp(base, tz=timezone.utc).replace(
+        tzinfo=None
+    )
+    # API surface: version_as_of_timestamp matches the SQL resolution
+    assert t.version_as_of_timestamp(base + 3600) == 1
+    assert t.commit_ts(2) == base + 7200
+    with _pytest.raises(ValueError, match="no version 99"):
+        t.commit_ts(99)
