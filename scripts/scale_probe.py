@@ -489,6 +489,61 @@ def bloom_probe(ks) -> None:
         spark.stop()
 
 
+def hardneg_probe(ks) -> None:
+    """Hard-negative mining scale decomposition over K-replicated
+    corpora (distractor replication, see scaled_embeddings) at a fixed
+    64-query set: the brute scorer (hard_negatives_int — every corpus
+    row scored against every query, map-only) vs the batch path
+    (hard_negatives_int_batch) at full probe (exact, row-identical) and
+    at n_probe=4 (the IVF trade: only probed clusters are scanned —
+    the 100 TB shape where full-corpus scoring per query is the thing
+    being avoided). Claim for SCALE.md: brute and full-probe walls grow
+    ~linearly with K; the pruned probe grows sublinearly."""
+    import shutil
+    import tempfile
+
+    from etl_lealone_spark.operators.similarity import (
+        IvfIndex,
+        hard_negatives_int,
+        hard_negatives_int_batch,
+    )
+
+    spark = build_spark(app_name="hardneg_probe", cores=default_parallelism())
+    t = load_tables(spark, "/root/testdata/sf0.1")
+    try:
+        for K in ks:
+            e = scaled_embeddings(t, K).localCheckpoint(eager=True)
+            n = e.count()
+            root = tempfile.mkdtemp(prefix=f"hn_probe_k{K}_")
+            try:
+                idx = IvfIndex(spark, root + "/idx")
+                t0 = time.time()
+                idx.build(e)
+                t_build = time.time() - t0
+                runs = [
+                    ("brute", lambda: hard_negatives_int(e, k=5, n_queries=64)),
+                    ("batch_full", lambda: hard_negatives_int_batch(
+                        e, idx, k=5, n_queries=64)),
+                    ("batch_probe4", lambda: hard_negatives_int_batch(
+                        e, idx, k=5, n_queries=64, n_probe=4)),
+                ]
+                walls = {}
+                for label, fn in runs:
+                    fn().write.format("noop").mode("overwrite").save()  # warm
+                    t0 = time.time()
+                    fn().write.format("noop").mode("overwrite").save()
+                    walls[label] = time.time() - t0
+                print(
+                    f"K={K} corpus={n} build={t_build:.2f}s "
+                    + " ".join(f"{l}={w:.2f}s" for l, w in walls.items()),
+                    flush=True,
+                )
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+    finally:
+        spark.stop()
+
+
 if __name__ == "__main__":
     if "--bloom" in sys.argv:
         ks = [int(a) for a in sys.argv[1:] if a != "--bloom"] or [1, 3, 10, 30]
@@ -499,6 +554,9 @@ if __name__ == "__main__":
     elif "--unigram" in sys.argv:
         ks = [int(a) for a in sys.argv[1:] if a != "--unigram"] or [1, 3, 10]
         unigram_probe(ks)
+    elif "--hardneg" in sys.argv:
+        ks = [int(a) for a in sys.argv[1:] if a != "--hardneg"] or [1, 3, 10]
+        hardneg_probe(ks)
     elif "--batch-probe" in sys.argv:
         nqs = [int(a) for a in sys.argv[1:] if a != "--batch-probe"] or [
             100,
