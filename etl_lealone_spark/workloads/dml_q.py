@@ -541,6 +541,11 @@ def _ensure_lineage_root(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(build, ignore_errors=True)
         if not os.path.exists(os.path.join(root, "_wl_done")):
             raise
+    # the EngineSession registered temp views over the BUILD paths,
+    # which the rename just invalidated — drop them so an accidental
+    # later reference fails loudly instead of reading a dead dir
+    for v in ("snapcr_src", "snapcr_cp"):
+        spark.catalog.dropTempView(v)
     return root
 
 
