@@ -403,6 +403,51 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # file feeds with pinned delivery order + memory sink, hash-checked
 # against the batch-equivalent DuckDB SQL
 # ---------------------------------------------------------------------------
+def _persisted_stream_root(sf_dir: str, tag: str) -> str:
+    """Content-keyed persisted root for a workload's micro-batch feed
+    files (helpers.persisted_state_root discipline): the bucket layout
+    is deterministic given the events parquet + the builder source, so
+    rebuilding it on every gate/bench run is pure waste — and os.rename
+    preserves the pinned mtimes the file-source delivery order rides
+    on."""
+    import inspect
+
+    from .helpers import persisted_state_root
+
+    spec = (
+        inspect.getsource(_stream_bucket_files)
+        + inspect.getsource(_flush_sentinel)
+        + tag
+    )
+    return persisted_state_root(sf_dir, ("events",), spec, "etl_lealone_streamwl")
+
+
+def _ensure_stream_feed(spark, sf_dir: str, tag: str, build_fn) -> str:
+    """Build-once wrapper: ``build_fn(ev, build_dir)`` writes the feed
+    files into a staging dir, which is atomically renamed to the keyed
+    root (concurrent-build race falls back to the winner's root)."""
+    import os
+    import shutil
+
+    root = _persisted_stream_root(sf_dir, tag)
+    if os.path.exists(os.path.join(root, "_wl_done")):
+        return root
+    ev = load_tables(spark, sf_dir)["events"]
+    build = f"{root}.build.{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    build_fn(ev, build)
+    with open(os.path.join(build, "_wl_done"), "w") as f:
+        f.write("ok")
+    os.makedirs(os.path.dirname(root), exist_ok=True)
+    try:
+        os.rename(build, root)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+        if not os.path.exists(os.path.join(root, "_wl_done")):
+            raise
+    return root
+
+
 def _stream_bucket_files(ev, out_dirs, n_buckets: int = 5, tail=None) -> None:
     """Write ``ev`` as day-granular time buckets, oldest-first with
     strictly increasing pinned mtimes — the parquet file source processes
@@ -469,26 +514,43 @@ def _flush_sentinel(ev):
     )
 
 
-def _drain_stream(spark, sdf, tmp: str, qname: str):
+def _drain_stream(spark, sdf, tmp: str, qname: str, state_partitions: int = 8):
     """Run a streaming DataFrame to completion into a memory sink and
     return its rows as a batch DataFrame (materialized driver-side —
-    oracle-scale-bounded — so the tmp state can be removed)."""
+    oracle-scale-bounded — so the tmp state can be removed).
+
+    ``state_partitions`` pins the stateful-stage task count for the
+    query's lifetime (the session conf is held for the WHOLE drain and
+    restored after — the first micro-batch, planned asynchronously
+    after start(), is what captures it; restoring right after start()
+    measurably does nothing). Stateful stages run every micro-batch,
+    so their task count is per-trigger OVERHEAD at oracle/bench scale:
+    32 partitions x ~14 triggers measured 30s where 8 measure 9.5s,
+    identical rows. At cluster scale you size this to state-key
+    cardinality instead — it is the streaming twin of choosing
+    shuffle_partitions for a batch job, NOT a correctness knob (the
+    state store hash-partitions by key either way)."""
     import os
 
-    query = (
-        sdf.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    query = None
     try:
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
         query.processAllAvailable()
         out = spark.table(qname)
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
-        query.stop()
-        spark.catalog.dropTempView(qname)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if query is not None:
+            query.stop()
+            spark.catalog.dropTempView(qname)
 
 
 @workload(
@@ -527,20 +589,21 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.ingest import join_streams_interval, stream_from_parquet_dir
 
-    ev = load_tables(spark, sf_dir)["events"]
-    tmp = tempfile.mkdtemp(prefix="sij_")
-    try:
-        ldir, rdir = os.path.join(tmp, "l"), os.path.join(tmp, "r")
+    def build(ev, d):
         _stream_bucket_files(
             ev,
             [
-                (ldir, F.col("event_type") == "click"),
-                (rdir, F.col("event_type") == "purchase"),
+                (os.path.join(d, "l"), F.col("event_type") == "click"),
+                (os.path.join(d, "r"), F.col("event_type") == "purchase"),
             ],
         )
+
+    feed = _ensure_stream_feed(spark, sf_dir, "sij", build)
+    tmp = tempfile.mkdtemp(prefix="sij_")  # per-run checkpoint only
+    try:
         joined = join_streams_interval(
-            stream_from_parquet_dir(spark, ldir),
-            stream_from_parquet_dir(spark, rdir),
+            stream_from_parquet_dir(spark, os.path.join(feed, "l")),
+            stream_from_parquet_dir(spark, os.path.join(feed, "r")),
             key="user_id",
             within="4 hours",
             watermark="1 day",
@@ -575,11 +638,15 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.ingest import stream_from_parquet_dir, streaming_tumbling_agg
 
-    ev = load_tables(spark, sf_dir)["events"]
-    tmp = tempfile.mkdtemp(prefix="sta_")
+    feed = _ensure_stream_feed(
+        spark, sf_dir, "sta",
+        lambda ev, d: _stream_bucket_files(
+            ev, [(os.path.join(d, "ev"), None)], tail=_flush_sentinel(ev)
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="sta_")  # per-run checkpoint only
     try:
-        d = os.path.join(tmp, "ev")
-        _stream_bucket_files(ev, [(d, None)], tail=_flush_sentinel(ev))
+        d = os.path.join(feed, "ev")
         # NO event_type filter on the agg: a filter on a grouping column
         # gets pushed below the aggregate to the SCAN (correct for the
         # groups, fatal here — it would drop the sentinel row before the
@@ -624,15 +691,19 @@ def stream_enrich_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.ingest import enrich_stream, stream_from_parquet_dir
 
-    t = load_tables(spark, sf_dir)
-    ev, nation = t["events"], t["nation"]
+    nation = load_tables(spark, sf_dir)["nation"]
     dim = nation.select(
         F.col("n_nationkey").cast("long").alias("nk"), "n_name"
     )
-    tmp = tempfile.mkdtemp(prefix="sea_")
+    feed = _ensure_stream_feed(
+        spark, sf_dir, "sea",
+        lambda ev, d: _stream_bucket_files(
+            ev, [(os.path.join(d, "ev"), None)], tail=_flush_sentinel(ev)
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="sea_")  # per-run checkpoint only
     try:
-        d = os.path.join(tmp, "ev")
-        _stream_bucket_files(ev, [(d, None)], tail=_flush_sentinel(ev))
+        d = os.path.join(feed, "ev")
         stream = (
             stream_from_parquet_dir(spark, d)
             .withWatermark("ts", "2 hours")
