@@ -82,6 +82,8 @@ HEADLINE = [
     "stream_interval_join",    # stream-stream event-time interval join
     "stream_tumbling_agg",     # watermarked append-mode tumbling agg
     "snapshot_diff_cdc",       # CDC diff between snapshot versions
+    "stream_stateful_totals",  # applyInPandasWithState running totals
+    "stream_sliding_agg",      # overlapping sliding-window streaming agg
 ]
 
 

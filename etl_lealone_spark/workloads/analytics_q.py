@@ -728,3 +728,110 @@ def stream_enrich_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain_stream(spark, agg, tmp, f"sea_{os.getpid()}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@workload(
+    "stream_stateful_totals",
+    """
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS lo,
+             (date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1)
+               AS span
+      FROM events
+    ),
+    e AS (
+      SELECT user_id, floor(value) AS v,
+             CAST(floor(date_diff('day', b.lo, CAST(ts AS DATE))
+                        / ((b.span // 5) + 1)) AS BIGINT) AS b
+      FROM events, bounds b
+    ),
+    g AS (
+      SELECT user_id, b, CAST(count(*) AS BIGINT) AS n,
+             sum(coalesce(v, 0)) AS s
+      FROM e GROUP BY user_id, b
+    )
+    SELECT user_id,
+           CAST(sum(n) OVER w AS BIGINT) AS n_events,
+           CAST(sum(s) OVER w AS DOUBLE) AS total_value
+    FROM g
+    WINDOW w AS (PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING)
+    """,
+    doc="The CUSTOM STATEFUL streaming operator "
+    "(streaming.ingest.running_user_totals — applyInPandasWithState, "
+    "explicit per-user (count, total) state, one emitted snapshot per "
+    "user per micro-batch it appears in) driver-oracled: with one "
+    "bucket per micro-batch, the emitted row set is exactly the "
+    "per-(user, bucket) cumulative prefix sums, which the oracle "
+    "recomputes as a keyed running-sum window over the batch "
+    "derivation. Values are floored to integer-valued doubles in the "
+    "feed so the Python-side float accumulation is order-exact "
+    "cross-engine. No watermark/sentinel needed: the operator emits "
+    "per batch, not on window close.",
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import running_user_totals, stream_from_parquet_dir
+
+    feed = _ensure_stream_feed(
+        spark, sf_dir, "sst",
+        lambda ev, d: _stream_bucket_files(
+            ev.withColumn("value", F.floor("value").cast("double")),
+            [(os.path.join(d, "ev"), None)],
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="sst_")  # per-run checkpoint only
+    try:
+        totals = running_user_totals(
+            stream_from_parquet_dir(spark, os.path.join(feed, "ev"))
+        )
+        return _drain_stream(spark, totals, tmp, f"sst_{os.getpid()}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@workload(
+    "stream_sliding_agg",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts)
+             - o * INTERVAL '15 minutes' AS window_start,
+           time_bucket(INTERVAL '15 minutes', ts)
+             - o * INTERVAL '15 minutes' + INTERVAL '1 hour' AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(o)
+    GROUP BY window_start, window_end, event_type
+    """,
+    doc="Watermarked SLIDING-window streaming aggregate "
+    "(streaming.ingest.streaming_sliding_agg, 1h window / 15min slide: "
+    "each event lands in exactly window/slide = 4 overlapping windows) "
+    "in append mode over the same sentinel-flushed feed as "
+    "stream_tumbling_agg — the oracle derives the 4 windows per event "
+    "with an explicit offset cross join and recomputes the aggregate; "
+    "the sentinel's windows can never close, so they cannot leak.",
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import stream_from_parquet_dir, streaming_sliding_agg
+
+    feed = _ensure_stream_feed(
+        spark, sf_dir, "sta",
+        lambda ev, d: _stream_bucket_files(
+            ev, [(os.path.join(d, "ev"), None)], tail=_flush_sentinel(ev)
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="ssl_")  # per-run checkpoint only
+    try:
+        agg = streaming_sliding_agg(
+            stream_from_parquet_dir(spark, os.path.join(feed, "ev")),
+            window="1 hour", slide="15 minutes", watermark="2 hours",
+        )
+        return _drain_stream(spark, agg, tmp, f"ssl_{os.getpid()}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
