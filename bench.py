@@ -84,6 +84,7 @@ HEADLINE = [
     "snapshot_diff_cdc",       # CDC diff between snapshot versions
     "stream_stateful_totals",  # applyInPandasWithState running totals
     "stream_sliding_agg",      # overlapping sliding-window streaming agg
+    "stream_session_agg",      # session-window streaming agg (cross-batch merge)
 ]
 
 

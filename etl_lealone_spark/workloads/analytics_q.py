@@ -835,3 +835,61 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain_stream(spark, agg, tmp, f"ssl_{os.getpid()}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@workload(
+    "stream_session_agg",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="SESSION-window streaming aggregate (streaming.ingest."
+    "sessionize_stream — Spark's built-in session_window, 30min gap, "
+    "per-user state merged ACROSS micro-batches) in append mode over "
+    "the shared sentinel-flushed feed: a session emits exactly once, "
+    "when the watermark passes its end (last event + gap). Day-bucketed "
+    "in-order delivery guarantees a boundary-spanning session cannot "
+    "close before its continuation arrives (the continuation is within "
+    "30min of the bucket edge, the watermark lags 2h behind it), so the "
+    "emitted set equals the batch gap-sessionization — the oracle's "
+    "lag+cumsum derivation, the same shape events_sessionize pins for "
+    "the batch operator.",
+)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import sessionize_stream, stream_from_parquet_dir
+
+    feed = _ensure_stream_feed(
+        spark, sf_dir, "sta",
+        lambda ev, d: _stream_bucket_files(
+            ev, [(os.path.join(d, "ev"), None)], tail=_flush_sentinel(ev)
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="sse_")  # per-run checkpoint only
+    try:
+        agg = sessionize_stream(
+            stream_from_parquet_dir(spark, os.path.join(feed, "ev")),
+            gap="30 minutes", watermark="2 hours",
+        )
+        return _drain_stream(spark, agg, tmp, f"sse_{os.getpid()}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
