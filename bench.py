@@ -85,6 +85,8 @@ HEADLINE = [
     "stream_stateful_totals",  # applyInPandasWithState running totals
     "stream_sliding_agg",      # overlapping sliding-window streaming agg
     "stream_session_agg",      # session-window streaming agg (cross-batch merge)
+    "stream_dedup_hashes",     # cross-batch stateful exact dedup
+    "stream_upsert_sink",      # foreachBatch MERGE upsert into a snapshot table
 ]
 
 

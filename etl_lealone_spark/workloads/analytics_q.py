@@ -893,3 +893,142 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain_stream(spark, agg, tmp, f"sse_{os.getpid()}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@workload(
+    "stream_dedup_hashes",
+    """
+    SELECT DISTINCT md5(text) AS content_hash FROM documents
+    """,
+    doc="Streaming exact dedup (streaming.ingest.streaming_dedup — "
+    "stateful dropDuplicates keyed by the 16-byte content digest, state "
+    "carried ACROSS micro-batches) driver-oracled on its deterministic "
+    "projection: which ROW survives a within-batch collision is "
+    "partition-order dependent, but the SET of surviving content "
+    "hashes is exactly the distinct-digest set, which DuckDB "
+    "recomputes. Three doc_id-range micro-batches; the cross-batch "
+    "dedup state is what a batch DISTINCT cannot exercise.",
+)
+def stream_dedup_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import streaming_dedup
+
+    d0 = load_tables(spark, sf_dir)["documents"]
+
+    def build(ev_unused, d):
+        # three ascending-doc_id chunks (the ordered-delivery contract),
+        # mtime-pinned like every feed in this module
+        out = os.path.join(d, "docs")
+        max_id = d0.agg(F.max("doc_id")).collect()[0][0] or 0
+        cuts = [0, max_id // 3 + 1, 2 * max_id // 3 + 1, max_id + 1]
+        for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
+            (
+                d0.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(out)
+            )
+            parts = [
+                os.path.join(out, f)
+                for f in os.listdir(out)
+                if f.startswith("part-")
+            ]
+            newest = max(parts, key=os.path.getmtime)
+            os.utime(newest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    feed = _ensure_stream_feed(spark, sf_dir, "sdh", build)
+    tmp = tempfile.mkdtemp(prefix="sdh_")  # per-run checkpoint only
+    try:
+        docs = (
+            spark.readStream.schema(d0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(feed, "docs"))
+        )
+        deduped = streaming_dedup(docs).select("content_hash")
+        return _drain_stream(spark, deduped, tmp, f"sdh_{os.getpid()}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@workload(
+    "stream_upsert_sink",
+    """
+    WITH per AS (
+      SELECT o_custkey AS custkey, o_orderkey % 3 AS b,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey, b
+    ),
+    last AS (SELECT custkey, max(b) AS mb FROM per GROUP BY custkey)
+    SELECT p.custkey, p.n_orders
+    FROM per p JOIN last l ON p.custkey = l.custkey AND p.b = l.mb
+    """,
+    doc="Continuous upsert of a stream into a SnapshotTable "
+    "(streaming.ingest.upsert_sink — foreachBatch + the oracle-checked "
+    "MERGE-by-key kernel, exactly-once by idempotence): three ordered "
+    "micro-batches of per-customer aggregates, each batch REPLACING the "
+    "target row wholesale, so the final table holds each customer's row "
+    "from the LAST batch that touched it — which the oracle recomputes "
+    "as a keyed argmax over the batch derivation. The sink surface "
+    "(merge semantics + snapshot commit per batch) crosses the DuckDB "
+    "comparator instead of staying pytest-only.",
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.dml import SnapshotTable
+    from ..streaming.ingest import upsert_sink
+
+    o = load_tables(spark, sf_dir)["orders"]
+
+    def build(ev_unused, d):
+        out = os.path.join(d, "ups")
+        for b in range(3):
+            (
+                o.filter(F.col("o_orderkey") % 3 == b)
+                .groupBy(F.col("o_custkey").alias("custkey"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(out)
+            )
+            parts = [
+                os.path.join(out, f)
+                for f in os.listdir(out)
+                if f.startswith("part-")
+            ]
+            newest = max(parts, key=os.path.getmtime)
+            os.utime(newest, (1_700_000_000 + b, 1_700_000_000 + b))
+
+    feed = _ensure_stream_feed(spark, sf_dir, "ups", build)
+    tmp = tempfile.mkdtemp(prefix="ups_")
+    table = SnapshotTable(spark, os.path.join(tmp, "wh"), "ups_target")
+    table.create(
+        spark.createDataFrame([], "custkey long, n_orders long")
+    )
+    stream = (
+        spark.readStream.schema("custkey long, n_orders long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed, "ups"))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    query = None
+    try:
+        query = upsert_sink(
+            stream, table, keys=["custkey"],
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            query_name=f"ups_{os.getpid()}",
+        )
+        query.processAllAvailable()
+        final = table.read()
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if query is not None:
+            query.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
