@@ -155,7 +155,11 @@ def main() -> None:
     # Cache-state control (r5 verdict task 2): W1 runs LAST so its
     # DuckDB bulk COPY (~15 GB at 5e8 rows) cannot evict the scan
     # shapes' pages mid-suite; min-of-3 reps.
-    anchor_run(spark), duck_anchor()  # untimed warms (JIT/codegen)
+    # TWO untimed warms per engine: the r9 settle's spark_first read
+    # 0.658 vs 0.414 at suite end — residual JIT after a single warm
+    # biased the drift correction; two warms pin the steady state.
+    for _ in range(2):
+        anchor_run(spark), duck_anchor()
     anchors: dict[str, float] = {
         "spark_first": anchor_run(spark),
         "duckdb_first": duck_anchor(),
@@ -180,7 +184,7 @@ def main() -> None:
         )
         scaled = build_scaled_dir(spark, k)
         try:
-            anchor_run(spark)  # untimed warm (fresh JVM per K)
+            anchor_run(spark), anchor_run(spark)  # warms (fresh JVM per K)
             anchors[f"spark_first_k{k}"] = anchor_run(spark)
             anchors[f"duckdb_first_k{k}"] = duck_anchor()
             for key, v in ext_dual_at_scale(spark, scaled).items():
