@@ -87,6 +87,10 @@ HEADLINE = [
     "stream_session_agg",      # session-window streaming agg (cross-batch merge)
     "stream_dedup_hashes",     # cross-batch stateful exact dedup
     "stream_upsert_sink",      # foreachBatch MERGE upsert into a snapshot table
+    "kmeans_cluster_profile",  # distributed Lloyd's k-means + purity profile
+    "knn_label_vote",          # k-NN weak-label audit (int-cosine vote)
+    "tfidf_doc_keywords",      # TF-IDF keyword extraction
+    "nb_lang_confusion",       # naive-Bayes corpus classifier confusion
 ]
 
 

@@ -1,0 +1,235 @@
+"""Text classification / relevance operators — TF-IDF keyword
+extraction and a multinomial naive-Bayes corpus classifier.
+
+Why these exist in a training-data engine: the standard corpus-curation
+classifiers (CCNet's LM filter, fastText language-ID, quality/domain
+classifiers a la Brown et al. 2020 appendix A) are all bag-of-words
+linear models — training them IS counting, which is exactly what a
+distributed engine is good at. TF-IDF keywords are the per-document
+relevance profile every dataset card and search index wants.
+
+Reference parity: the reference engine (sevenfang/etl-Lealone) has
+full-text helpers but no corpus statistics; this extends the text
+surface the way operators/textops.py does (SURVEY.md §2 extensions).
+
+Scale shapes:
+
+- **TF-IDF**: document frequency is ONE vocabulary-sized aggregation
+  over the token stream (map-side partials); term frequency is computed
+  only for the target documents (predicate pushed to the scan); the
+  vocabulary-sized idf table broadcasts back onto the bounded tf side.
+  No raw-text shuffle.
+- **Naive Bayes**: tokens hash into a fixed bucket space (the hashing
+  trick — vocabulary becomes a constant), so the entire trained model
+  is |classes| × buckets rows. Training is one aggregation over the
+  training split; scoring joins the broadcast model onto the test token
+  stream and sums per (doc, class) — map-side combinable. The
+  cross-join that fans each test token out to |classes| candidates is a
+  bounded broadcast (|classes| rows).
+- **Determinism**: every log-probability is fixed-point quantized
+  (floor(ln(...)·1e6 + 0.5) as bigint — the unigram_logprob discipline,
+  operators/textops.py:338) so per-document scores are exact integer
+  sums: associative, partitioning-proof, engine-portable. Argmax ties
+  break on the class name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import words
+
+SCALE = 1_000_000
+MAX_CLASSES = 64  # broadcast-model guard: |classes| x buckets rows
+
+
+def _fp(col: Column) -> Column:
+    """floor(x*1e6 + 0.5) as bigint — the fixed-point quantizer."""
+    return F.floor(col * float(SCALE) + F.lit(0.5)).cast("bigint")
+
+
+def _tokens(df: DataFrame, id_cols: list[str], text_col: str = "text") -> DataFrame:
+    return df.select(
+        *id_cols, F.explode(words(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+
+
+def tfidf_doc_keywords(
+    docs: DataFrame,
+    n_docs: int = 10,
+    top: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top`` TF-IDF keywords for documents with id < ``n_docs``.
+
+    idf = ln((N+1)/(df+1)) + 1 (the smoothed sklearn form), fixed-point
+    quantized; score = tf · idf_x1e6 (exact bigint). df/N come from the
+    FULL corpus; tf only from the bounded target docs. Returns
+    (doc_id, term, tf, score_x1e6), top terms per doc, ties on term.
+    """
+    tok_all = _tokens(docs, [id_col])
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    df_tbl = (
+        tok_all.groupBy("w")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w",
+            _fp(
+                F.log(
+                    (F.col("n_total") + 1).cast("double")
+                    / (F.col("df") + 1).cast("double")
+                )
+                + F.lit(1.0)
+            ).alias("idf_x1e6"),
+        )
+    )
+    tf = (
+        _tokens(docs.filter(F.col(id_col) < n_docs), [id_col])
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf.join(df_tbl, "w").select(
+        F.col(id_col).alias("doc_id"),
+        F.col("w").alias("term"),
+        "tf",
+        (F.col("tf") * F.col("idf_x1e6")).alias("score_x1e6"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_x1e6"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top)
+        .select("doc_id", "term", "tf", "score_x1e6")
+        .orderBy("doc_id", F.desc("score_x1e6"), "term")
+    )
+
+
+def _bucket(col: Column, buckets: int) -> Column:
+    """md5-hash a token into a fixed bucket space (the hashing trick;
+    identical to textops.unigram_logprob's bucketing so the oracle
+    mirror is the proven one)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % buckets
+    )
+
+
+def nb_class_confusion(
+    docs: DataFrame,
+    class_col: str = "lang",
+    buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train a multinomial naive-Bayes classifier on even-id documents,
+    score odd-id documents, return the confusion matrix.
+
+    Model: P(class) · Π P(bucket|class) with Laplace smoothing over the
+    ``buckets`` hashed-token space; all log-probs fixed-point bigint.
+    Per-class term probabilities use (c+1)/(n_class+buckets); unseen
+    (class, bucket) pairs fall back to the class's smoothing floor
+    ln(1/(n_class+buckets)). Prediction ties break on the class name.
+    Returns (true_class, pred_class, n_docs) ordered by the pair.
+    """
+    n_cls = docs.agg(F.countDistinct(class_col)).first()[0]
+    if n_cls > MAX_CLASSES:
+        raise ValueError(
+            f"{n_cls} classes exceeds MAX_CLASSES={MAX_CLASSES}: the trained "
+            "model broadcasts |classes| x buckets rows — shard the class "
+            "space or raise buckets-aware limits deliberately"
+        )
+    base = _tokens(docs, [id_col, class_col]).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(class_col).alias("cls"),
+        _bucket(F.col("w"), buckets).alias("b"),
+    )
+    train = base.filter(F.col("doc_id") % 2 == 0)
+    test = base.filter(F.col("doc_id") % 2 == 1).withColumnRenamed(
+        "cls", "true_cls"
+    )
+
+    cls_tok = train.groupBy("cls").agg(F.count(F.lit(1)).alias("n_tok"))
+    n_train_docs = (
+        docs.filter(F.col(id_col) % 2 == 0)
+        .agg(F.count(F.lit(1)).alias("n_train"))
+    )
+    cls_docs = (
+        docs.filter(F.col(id_col) % 2 == 0)
+        .groupBy(F.col(class_col).alias("cls"))
+        .agg(F.count(F.lit(1)).alias("n_docs_cls"))
+    )
+    classes = (
+        cls_tok.join(cls_docs, "cls")
+        .crossJoin(F.broadcast(n_train_docs))
+        .select(
+            "cls",
+            _fp(
+                F.log(
+                    F.lit(1.0)
+                    / (F.col("n_tok") + buckets).cast("double")
+                )
+            ).alias("lp_floor"),
+            _fp(
+                F.log(
+                    F.col("n_docs_cls").cast("double")
+                    / F.col("n_train").cast("double")
+                )
+            ).alias("lp_prior"),
+        )
+        # never truncates (guard above); encodes the |classes| bound in
+        # the physical plan so the broadcast is provably constant-size
+        .limit(MAX_CLASSES)
+    )
+    model = (
+        train.groupBy("cls", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(cls_tok, "cls")
+        .select(
+            "cls",
+            "b",
+            _fp(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("n_tok") + buckets).cast("double")
+                )
+            ).alias("lp"),
+        )
+        # GROUP BY (cls, b) caps cardinality at |classes| x buckets;
+        # the LIMIT states that bound structurally (never truncates)
+        .limit(MAX_CLASSES * buckets)
+    )
+    scored = (
+        test.crossJoin(F.broadcast(classes.select("cls", "lp_floor")))
+        .join(F.broadcast(model), ["cls", "b"], "left")
+        .select(
+            "doc_id",
+            "true_cls",
+            "cls",
+            F.coalesce(F.col("lp"), F.col("lp_floor")).alias("lp_tok"),
+        )
+        .groupBy("doc_id", "true_cls", "cls")
+        .agg(F.sum("lp_tok").cast("bigint").alias("lp_sum"))
+        .join(F.broadcast(classes.select("cls", "lp_prior")), "cls")
+        .select(
+            "doc_id",
+            "true_cls",
+            "cls",
+            (F.col("lp_sum") + F.col("lp_prior")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cls")
+    pred = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", "true_cls", F.col("cls").alias("pred_cls"))
+    )
+    return (
+        pred.groupBy(
+            F.col("true_cls").alias("true_class"),
+            F.col("pred_cls").alias("pred_class"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_class", "pred_class")
+    )

@@ -1,0 +1,267 @@
+"""Corpus clustering operators — distributed Lloyd's k-means over the
+embedding table and k-NN label voting.
+
+Why these exist in a training-data engine: clustering is the backbone of
+corpus curation at scale — topic-balanced sampling, SemDeDup's cluster
+stage, domain discovery, and cluster-purity audits of weak labels all
+start from "assign every vector to a centroid, profile the clusters".
+k-NN label voting is the standard weak-label audit: if a vector's
+nearest neighbours disagree with its label, the label (or the embedding)
+is suspect.
+
+Reference parity: the reference engine (sevenfang/etl-Lealone) has no
+vector clustering; this extends its analytics surface the way
+operators/similarity.py extends search (see SURVEY.md §2 extensions).
+
+Scale shapes (the 100 TB design):
+
+- **Assignment is map-only.** Centroids are a driver-side list of k
+  integer vectors (k ≤ 64 enforced — same bounded-collect contract as
+  pq_train's codebooks), inlined as literals into ONE projection that
+  scores all k distances per row and takes the lexicographic argmin.
+  No join, no shuffle, no broadcast table: the corpus streams through
+  whole-stage codegen once per iteration.
+- **The update step is one vocabulary-sized aggregation.** posexplode
+  to (cid, pos, component) then groupBy(cid, pos) — map-side partial
+  sums reduce the shuffle to k×dim rows regardless of corpus size.
+  The k×dim means are collected driver-side (bounded) to seed the next
+  iteration's literal centroids.
+- **Determinism.** Vectors are integer-quantized (similarity.quantize);
+  distances are exact bigint sums; means are re-quantized to bigint via
+  floor(sum/n + 0.5) so every iteration's centroids — and therefore
+  every assignment — are bit-identical across engines, partitionings,
+  and reruns. Argmin ties break on the lowest centroid id.
+
+Overflow headroom: |component| ≤ ~1e6 (unit-ish floats ×1e6), so a
+squared-diff term ≤ 4e12, a 64-dim distance ≤ 2.6e14, and a corpus
+inertia sum stays < 2^63 up to ~3.5e4 billion rows — not the binding
+constraint at any realistic scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import quantize
+
+MAX_K = 64  # driver-side centroid list stays trivially bounded
+
+
+def _sq_dist_to_literal(vec: Column, centroid: list[int]) -> Column:
+    """Exact bigint squared-L2 distance of an int-vector column to a
+    Python-literal centroid (inlined constants — stays in codegen)."""
+    lit_vec = F.array(*[F.lit(int(c)).cast("bigint") for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit_vec, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _argmin_assignment(vec: Column, centroids: list[list[int]]) -> Column:
+    """struct(dist, cid) of the nearest centroid — array_min over the
+    per-centroid struct array is the lexicographic argmin, so ties break
+    on the lowest cid in both Spark and the SQL oracle's row_number."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist_to_literal(vec, c).alias("dist"),
+                    F.lit(j).cast("bigint").alias("cid"),
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def _seed_centroids(q: DataFrame, k: int) -> list[list[int]]:
+    """First k vectors by id — deterministic, oracle-mirrorable seeding
+    (the PQ codebooks use hash-spread seeds; here the oracle must be
+    able to name the seed rows in plain SQL, so id-order wins)."""
+    rows = q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    if len(rows) < k:
+        raise ValueError(f"need at least {k} seed vectors with vec_id < {k}")
+    return [list(r["qvec"]) for r in rows]
+
+
+def _update_centroids(assigned: DataFrame, k: int, dim: int) -> list[list[int]]:
+    """New centroids = per-(cid, pos) floor-rounded means. One
+    vocabulary-sized shuffle (k×dim groups, map-side partials), then a
+    bounded k×dim driver collect."""
+    sums = (
+        assigned.select("cid", F.posexplode("qvec").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.floor(
+                F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mv")
+        )
+        .collect()
+    )
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in sums:
+        by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = int(r["mv"])
+    out: list[list[int]] = []
+    for j in range(k):
+        comp = by_cid.get(j)
+        if comp is None:
+            # empty cluster: keep zeros; the oracle mirrors this by the
+            # cluster simply vanishing from the means CTE, so callers
+            # should treat it as "keeps no members" — with id-seeded
+            # centroids on real embeddings this does not occur.
+            out.append([0] * dim)
+        else:
+            out.append([comp[p] for p in range(dim)])
+    return out
+
+
+def kmeans_cluster_profile(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Lloyd's k-means (``iters`` assignment passes, ``iters - 1``
+    update steps) returning the per-cluster profile:
+
+    (cluster_id, n_vecs, sum_vec_id, inertia, majority_label,
+    purity_x1e6)
+
+    - inertia: exact bigint sum of squared distances to the final
+      centroids — the objective k-means minimizes;
+    - majority_label / purity: the cluster-vs-weak-label audit
+      (ties break on the smallest label).
+    """
+    if k > MAX_K:
+        raise ValueError(f"k={k} exceeds MAX_K={MAX_K} (driver-side centroids)")
+    q = emb.select(
+        F.col(id_col).alias("vec_id"),
+        quantize(F.col(vec_col)).alias("qvec"),
+        F.col(label_col).cast("bigint").alias("label"),
+    )
+    centroids = _seed_centroids(q, k)
+    dim = len(centroids[0])
+    for _ in range(max(0, iters - 1)):
+        assigned = q.select(
+            "vec_id",
+            "qvec",
+            _argmin_assignment(F.col("qvec"), centroids)["cid"].alias("cid"),
+        )
+        centroids = _update_centroids(assigned, k, dim)
+    final = q.select(
+        "vec_id",
+        "label",
+        _argmin_assignment(F.col("qvec"), centroids).alias("best"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("best")["cid"].alias("cluster_id"),
+        F.col("best")["dist"].alias("dist"),
+    )
+    # single pass over the assignments: per-(cluster, label) partials,
+    # then a k*|labels|-row rollup — the big argmin projection runs once
+    g = final.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("n_lab"),
+        F.sum("vec_id").cast("bigint").alias("sv"),
+        F.sum("dist").cast("bigint").alias("sd"),
+    )
+    return (
+        g.groupBy("cluster_id")
+        .agg(
+            F.sum("n_lab").cast("bigint").alias("n_vecs"),
+            F.sum("sv").cast("bigint").alias("sum_vec_id"),
+            F.sum("sd").cast("bigint").alias("inertia"),
+            F.max(
+                F.struct(F.col("n_lab"), (-F.col("label")).alias("neg"))
+            ).alias("m"),
+        )
+        .select(
+            "cluster_id",
+            "n_vecs",
+            "sum_vec_id",
+            "inertia",
+            (-F.col("m")["neg"]).alias("majority_label"),
+            F.col("m")["n_lab"].alias("n_maj"),
+        )
+        .select(
+            "cluster_id",
+            "n_vecs",
+            "sum_vec_id",
+            "inertia",
+            "majority_label",
+            F.floor(
+                F.col("n_maj").cast("double")
+                * 1000000.0
+                / F.col("n_vecs").cast("double")
+            )
+            .cast("bigint")
+            .alias("purity_x1e6"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def knn_label_vote(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority label vote for the first ``n_queries`` vectors.
+
+    Neighbours come from the exact integer-cosine scorer
+    (:func:`similarity.brute_force_topk_int` — queries broadcast in the
+    Arrow closure, corpus map-only); the self-match is dropped AFTER
+    scoring top-(k+1), so each query votes over exactly k true
+    neighbours. Vote ties break on the smallest label. Returns
+    (query_id, true_label, pred_label, votes) — one row per query; a
+    pred != true row is a label-audit hit.
+    """
+    from pyspark.sql.window import Window
+
+    from .similarity import brute_force_topk_int
+
+    topk = brute_force_topk_int(
+        emb, k=k + 1, n_queries=n_queries, id_col=id_col, vec_col=vec_col
+    )
+    nn = topk.filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy("rnk")
+    nn = nn.withColumn("nn_rank", F.row_number().over(w)).filter(
+        F.col("nn_rank") <= k
+    )
+    labels = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).cast("bigint").alias("label")
+    )
+    votes = (
+        nn.join(labels, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(F.col("n_votes"), (-F.col("label")).alias("neg"))
+            ).alias("m")
+        )
+        .select(
+            "query_id",
+            (-F.col("m")["neg"]).alias("pred_label"),
+            F.col("m")["n_votes"].alias("votes"),
+        )
+    )
+    truth = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "true_label"
+    )
+    return (
+        votes.join(truth, "query_id")
+        .select("query_id", "true_label", "pred_label", "votes")
+        .orderBy("query_id")
+    )

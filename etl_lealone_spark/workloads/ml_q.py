@@ -1,0 +1,285 @@
+"""ML / corpus-curation workloads: distributed k-means, k-NN label
+voting, TF-IDF keyword extraction, naive-Bayes classification.
+
+Every workload carries a full DuckDB oracle. Cross-engine float
+strategy follows the package rules: vectors integer-quantize before any
+arithmetic (similarity_q discipline), log-probabilities fixed-point
+quantize per distinct input (unigram_logprob discipline, one rounding
+per vocabulary entry, integer per-doc sums), argmin/argmax ties break
+on an explicit key. The k-means oracle UNROLLS Lloyd's iterations as
+CTE blocks — assignment via row_number-over-(dist, cid) mirrors the
+engine's lexicographic struct-argmin exactly, and centroid means
+re-quantize to bigint (floor(sum/n + 0.5)) so iteration 2's input is
+bit-identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import load_tables
+from . import workload
+
+_DIM = 64  # fixture embedding dimensionality (TESTDATA.md)
+_K = 8
+_KNN_QUERIES = 20
+_KNN_K = 10
+
+_QUANT = (
+    "list_transform(embedding, x -> "
+    "cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))"
+)
+
+_SQDIST = (
+    "list_sum(list_transform(range(1, {d1}), i -> "
+    "(q.qvec[i] - {c}.cvec[i]) * (q.qvec[i] - {c}.cvec[i])))"
+)
+
+
+_KMEANS_SQL = f"""
+    WITH q AS (
+      SELECT vec_id, cast(label as bigint) AS label, {_QUANT} AS qvec
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, qvec AS cvec FROM q WHERE vec_id < {_K}),
+    d1 AS (
+      SELECT q.vec_id, c0.cid,
+             {_SQDIST.format(d1=_DIM + 1, c="c0")} AS dist
+      FROM q CROSS JOIN c0
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) t WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT a1.cid, t.i AS pos,
+             cast(floor(cast(sum(q.qvec[t.i]) as double) / count(*) + 0.5)
+                  as bigint) AS mv
+      FROM a1 JOIN q USING (vec_id) CROSS JOIN range(1, {_DIM + 1}) t(i)
+      GROUP BY a1.cid, t.i
+    ),
+    c1 AS (SELECT cid, list(mv ORDER BY pos) AS cvec FROM m1 GROUP BY cid),
+    d2 AS (
+      SELECT q.vec_id, q.label, c1.cid,
+             {_SQDIST.format(d1=_DIM + 1, c="c1")} AS dist
+      FROM q CROSS JOIN c1
+    ),
+    a2 AS (
+      SELECT vec_id, label, cid, dist FROM (
+        SELECT vec_id, label, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) t WHERE rn = 1
+    ),
+    prof AS (
+      SELECT cid AS cluster_id, count(*) AS n_vecs,
+             cast(sum(vec_id) as bigint) AS sum_vec_id,
+             cast(sum(dist) as bigint) AS inertia
+      FROM a2 GROUP BY cid
+    ),
+    lab AS (
+      SELECT cluster_id, label AS majority_label, n_lab FROM (
+        SELECT cid AS cluster_id, label, count(*) AS n_lab,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY count(*) DESC, label) AS rn
+        FROM a2 GROUP BY cid, label) t WHERE rn = 1
+    )
+    SELECT p.cluster_id, p.n_vecs, p.sum_vec_id, p.inertia,
+           l.majority_label,
+           cast(floor(cast(l.n_lab as double) * 1000000.0
+                      / cast(p.n_vecs as double)) as bigint) AS purity_x1e6
+    FROM prof p JOIN lab l USING (cluster_id)
+"""
+
+
+@workload(
+    "kmeans_cluster_profile",
+    _KMEANS_SQL,
+    doc="Distributed Lloyd's k-means (k=8, 2 assignment passes, exact "
+    "integer distances, bigint-requantized means) with the per-cluster "
+    "profile: size, inertia, majority weak-label, purity. Assignment is "
+    "map-only (centroid literals in one codegen projection); the update "
+    "is a k*dim-group aggregation with map-side partials.",
+)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_cluster_profile as km
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return km(e, k=_K, iters=2)
+
+
+_KNN_SQL = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, {_QUANT} AS qvec
+      FROM embeddings WHERE vec_id < {_KNN_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id, cast(label as bigint) AS label, {_QUANT} AS cvec
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id, c.label,
+             cast(list_sum([c.cvec[i+1] * q.qvec[i+1]
+                            for i in range(len(c.cvec))]) as double)
+             / (sqrt(cast(list_sum([c.cvec[i+1] * c.cvec[i+1]
+                                    for i in range(len(c.cvec))]) as double))
+                * sqrt(cast(list_sum([q.qvec[i+1] * q.qvec[i+1]
+                                      for i in range(len(q.qvec))]) as double)))
+               AS cosine_sim
+      FROM c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ),
+    nn AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, vec_id) AS rnk
+        FROM scored) t WHERE rnk <= {_KNN_K}
+    ),
+    votes AS (
+      SELECT query_id, label AS pred_label, n_votes FROM (
+        SELECT query_id, label, count(*) AS n_votes,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY count(*) DESC, label) AS rn
+        FROM nn GROUP BY query_id, label) t WHERE rn = 1
+    )
+    SELECT v.query_id, t.label AS true_label, v.pred_label,
+           v.n_votes AS votes
+    FROM votes v JOIN c t ON t.vec_id = v.query_id
+"""
+
+
+@workload(
+    "knn_label_vote",
+    _KNN_SQL,
+    doc="k-NN label audit: exact integer-cosine 10-NN (self excluded) "
+    "for 20 query vectors, majority vote vs the true weak label. "
+    "Queries broadcast in the Arrow scorer closure; corpus map-only.",
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import knn_label_vote as knn
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return knn(e, k=_KNN_K, n_queries=_KNN_QUERIES)
+
+
+_WS_SQL = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+_TFIDF_SQL = f"""
+    WITH w AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+    n AS (SELECT count(*) AS n_total FROM documents),
+    idf AS (
+      SELECT w,
+             cast(floor((ln(cast(n_total + 1 as double)
+                            / cast(count(DISTINCT doc_id) + 1 as double))
+                         + 1.0) * 1000000 + 0.5) as bigint) AS idf_x1e6
+      FROM tok, n GROUP BY w, n_total
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf
+      FROM tok WHERE doc_id < 10 GROUP BY doc_id, w
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term, tf.tf,
+             tf.tf * idf.idf_x1e6 AS score_x1e6
+      FROM tf JOIN idf USING (w)
+    )
+    SELECT doc_id, term, tf, score_x1e6 FROM (
+      SELECT doc_id, term, tf, score_x1e6,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_x1e6 DESC, term) AS rnk
+      FROM scored) t WHERE rnk <= 5
+"""
+
+
+@workload(
+    "tfidf_doc_keywords",
+    _TFIDF_SQL,
+    doc="Per-document TF-IDF keyword extraction: smoothed-idf "
+    "(ln((N+1)/(df+1))+1, fixed-point bigint) over the FULL corpus, "
+    "top-5 terms for the 10 target docs. df is one vocabulary-sized "
+    "agg; tf is computed only for the pushed-down target docs.",
+)
+def tfidf_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import tfidf_doc_keywords as tfidf
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return tfidf(d, n_docs=10, top=5)
+
+
+_NB_SQL = f"""
+    WITH w AS (SELECT doc_id, lang, {_WS_SQL} AS ws FROM documents),
+    tok AS (
+      SELECT doc_id, lang AS cls,
+             ('0x' || substr(md5(wd), 1, 15))::BIGINT % 4096 AS b
+      FROM (SELECT doc_id, lang, unnest(ws) AS wd FROM w) u
+    ),
+    train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+    test AS (SELECT doc_id, cls AS true_cls, b FROM tok WHERE doc_id % 2 = 1),
+    cls_tok AS (SELECT cls, count(*) AS n_tok FROM train GROUP BY cls),
+    n_train AS (SELECT count(*) AS n_train FROM documents WHERE doc_id % 2 = 0),
+    cls_docs AS (
+      SELECT lang AS cls, count(*) AS n_docs_cls
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    ),
+    classes AS (
+      SELECT ct.cls,
+             cast(floor(ln(1.0 / cast(ct.n_tok + 4096 as double))
+                        * 1000000 + 0.5) as bigint) AS lp_floor,
+             cast(floor(ln(cast(cd.n_docs_cls as double)
+                           / cast(nt.n_train as double))
+                        * 1000000 + 0.5) as bigint) AS lp_prior
+      FROM cls_tok ct JOIN cls_docs cd USING (cls), n_train nt
+    ),
+    model AS (
+      SELECT cb.cls, cb.b,
+             cast(floor(ln(cast(cb.c + 1 as double)
+                           / cast(ct.n_tok + 4096 as double))
+                        * 1000000 + 0.5) as bigint) AS lp
+      FROM (SELECT cls, b, count(*) AS c FROM train GROUP BY cls, b) cb
+      JOIN cls_tok ct USING (cls)
+    ),
+    sums AS (
+      SELECT te.doc_id, te.true_cls, cl.cls,
+             cast(sum(coalesce(m.lp, cl.lp_floor)) as bigint) AS lp_sum
+      FROM test te
+      CROSS JOIN (SELECT cls, lp_floor FROM classes) cl
+      LEFT JOIN model m ON m.cls = cl.cls AND m.b = te.b
+      GROUP BY te.doc_id, te.true_cls, cl.cls
+    ),
+    tot AS (
+      SELECT s.doc_id, s.true_cls, s.cls, s.lp_sum + c.lp_prior AS score
+      FROM sums s JOIN classes c ON c.cls = s.cls
+    ),
+    pred AS (
+      SELECT doc_id, true_cls, cls AS pred_cls FROM (
+        SELECT doc_id, true_cls, cls,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cls) AS rn
+        FROM tot) t WHERE rn = 1
+    )
+    SELECT true_cls AS true_class, pred_cls AS pred_class,
+           count(*) AS n_docs
+    FROM pred GROUP BY true_cls, pred_cls
+"""
+
+
+@workload(
+    "nb_lang_confusion",
+    _NB_SQL,
+    doc="Multinomial naive-Bayes language classifier (fastText-style "
+    "corpus-curation model): train on even-id docs over 4096 hashed "
+    "token buckets, score odd-id docs, emit the confusion matrix. "
+    "Model is |classes|x4096 rows broadcast onto the test token stream; "
+    "all log-probs fixed-point bigint.",
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import nb_class_confusion
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return nb_class_confusion(d, class_col="lang", buckets=4096)

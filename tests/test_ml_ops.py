@@ -1,0 +1,157 @@
+"""Tests for operators/clustering.py and operators/classify.py —
+determinism, partitioning-invariance, bounds, and edge semantics the
+DuckDB oracles can't see (error paths, self-exclusion internals)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_lealone_spark.operators.classify import (
+    nb_class_confusion,
+    tfidf_doc_keywords,
+)
+from etl_lealone_spark.operators.clustering import (
+    MAX_K,
+    kmeans_cluster_profile,
+    knn_label_vote,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_kmeans_partitioning_invariant(spark, tables):
+    e = tables["embeddings"]
+    a = kmeans_cluster_profile(e, k=4, iters=2)
+    b = kmeans_cluster_profile(e.repartition(13, "label"), k=4, iters=2)
+    assert _rows(a) == _rows(b)
+
+
+def test_kmeans_profile_accounts_every_vector(spark, tables):
+    e = tables["embeddings"]
+    prof = kmeans_cluster_profile(e, k=4, iters=2).collect()
+    assert sum(r["n_vecs"] for r in prof) == e.count()
+    n = e.count()
+    assert sum(r["sum_vec_id"] for r in prof) == n * (n - 1) // 2
+    for r in prof:
+        assert 0 <= r["cluster_id"] < 4
+        assert r["inertia"] >= 0
+        assert 0 < r["purity_x1e6"] <= 1_000_000
+        assert 0 <= r["majority_label"] <= 9
+
+
+def test_kmeans_more_iters_never_raises_inertia(spark, tables):
+    # Lloyd's is monotone non-increasing in its objective EXCEPT for the
+    # floor-requantization of means (±0.5 per component). Allow that
+    # bounded slack: n_vecs * dim * 1 distance unit is far below 1e-6 of
+    # the objective at this scale.
+    e = tables["embeddings"]
+    i2 = sum(
+        r["inertia"] for r in kmeans_cluster_profile(e, k=4, iters=2).collect()
+    )
+    i3 = sum(
+        r["inertia"] for r in kmeans_cluster_profile(e, k=4, iters=3).collect()
+    )
+    assert i3 <= i2 * 1.000001 + e.count() * 64
+
+
+def test_kmeans_k_bound_and_seed_shortage(spark, tables):
+    e = tables["embeddings"]
+    with pytest.raises(ValueError, match="MAX_K"):
+        kmeans_cluster_profile(e, k=MAX_K + 1)
+    with pytest.raises(ValueError, match="seed"):
+        kmeans_cluster_profile(e.filter(F.col("vec_id") >= 4), k=8)
+
+
+def test_knn_excludes_self_and_votes_bounded(spark, tables):
+    e = tables["embeddings"]
+    out = knn_label_vote(e, k=5, n_queries=8).collect()
+    assert len(out) == 8
+    for r in out:
+        # votes are over exactly k=5 neighbours; majority is in (k/2, k]
+        assert 1 <= r["votes"] <= 5
+        assert 0 <= r["pred_label"] <= 9
+        assert 0 <= r["true_label"] <= 9
+
+
+def test_knn_partitioning_invariant(spark, tables):
+    e = tables["embeddings"]
+    a = knn_label_vote(e, k=5, n_queries=8)
+    b = knn_label_vote(e.repartition(17), k=5, n_queries=8)
+    assert _rows(a) == _rows(b)
+
+
+def test_knn_self_label_wins_on_duplicated_vector(spark):
+    # Build 12 copies of the SAME vector with label 7 plus distant noise:
+    # every query's neighbourhood is the duplicate set, so the vote must
+    # be unanimous label 7 — and the self-row must NOT be among the 5
+    # votes (k=5 of 11 other duplicates).
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], 7) for i in range(12)]
+    rows += [(100 + i, [-1.0, 0.5 * i, 1.0, 0.0], i % 3) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = knn_label_vote(df, k=5, n_queries=3).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["pred_label"] == 7 and r["votes"] == 5
+
+
+def test_tfidf_scores_monotone_in_df(spark):
+    # 'rare' appears in 1 of 4 docs; 'common' in all 4. With equal tf,
+    # the rare term must outscore the common one in the doc holding both.
+    docs = spark.createDataFrame(
+        [
+            (0, "rare common alpha"),
+            (1, "common beta beta"),
+            (2, "common gamma"),
+            (3, "common delta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_doc_keywords(docs, n_docs=1, top=3).collect()
+    scores = {r["term"]: r["score_x1e6"] for r in out}
+    assert scores["rare"] > scores["common"]
+    assert all(r["tf"] == 1 for r in out)
+
+
+def test_tfidf_partitioning_invariant(spark, tables):
+    d = tables["documents"]
+    a = tfidf_doc_keywords(d, n_docs=5, top=5)
+    b = tfidf_doc_keywords(d.repartition(19, "source"), n_docs=5, top=5)
+    assert _rows(a) == _rows(b)
+
+
+def test_nb_confusion_counts_every_test_doc_with_tokens(spark, tables):
+    d = tables["documents"]
+    conf = nb_class_confusion(d, class_col="lang").collect()
+    n_test = d.filter(
+        (F.col("doc_id") % 2 == 1) & (F.trim(F.col("text")) != "")
+    ).count()
+    assert sum(r["n_docs"] for r in conf) == n_test
+    langs = {r["lang"] for r in d.select("lang").distinct().collect()}
+    for r in conf:
+        assert r["true_class"] in langs and r["pred_class"] in langs
+
+
+def test_nb_separable_classes_classify_perfectly(spark):
+    # Two classes with disjoint vocabularies — NB must get every test
+    # doc right regardless of priors.
+    rows = []
+    for i in range(40):
+        cls = "aa" if i % 4 < 2 else "bb"
+        word = "apple banana" if cls == "aa" else "zebra quartz"
+        rows.append((i, f"{word} {word}", cls))
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    conf = {
+        (r["true_class"], r["pred_class"]): r["n_docs"]
+        for r in nb_class_confusion(d, class_col="lang").collect()
+    }
+    assert conf == {("aa", "aa"): 10, ("bb", "bb"): 10}
+
+
+def test_nb_partitioning_invariant(spark, tables):
+    d = tables["documents"]
+    a = nb_class_confusion(d, class_col="lang")
+    b = nb_class_confusion(d.repartition(23, "doc_id"), class_col="lang")
+    assert _rows(a) == _rows(b)
