@@ -91,6 +91,8 @@ HEADLINE = [
     "knn_label_vote",          # k-NN weak-label audit (int-cosine vote)
     "tfidf_doc_keywords",      # TF-IDF keyword extraction
     "nb_lang_confusion",       # naive-Bayes corpus classifier confusion
+    "numeric_corr_matrix",     # exact integer-moment correlation matrix
+    "chi2_term_class_top",     # chi-squared vocabulary selection
 ]
 
 

@@ -116,6 +116,89 @@ def _bucket(col: Column, buckets: int) -> Column:
     )
 
 
+def chi2_top_terms(
+    docs: DataFrame,
+    class_col: str = "lang",
+    buckets: int = 4096,
+    top: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chi-squared feature selection over hashed token buckets — the
+    standard pick-the-discriminative-vocabulary step before training a
+    bag-of-words corpus classifier (and the statistical twin of PMI
+    collocation mining in textops.bigram_pmi).
+
+    Per (class, bucket), the 2x2 token-occurrence contingency is
+      a = tokens of this class in this bucket     b = n_class - a
+      c = tokens of other classes in this bucket  d = n_other - c
+    and chi2 = N*(a*d - b*c)^2 / ((a+b)*(c+d)*(a+c)*(b+d)).
+
+    Counts are exact bigints; the products move to double BEFORE
+    multiplying (a*d at 100 TB token counts overflows int64) in one
+    fixed op sequence, then fixed-point quantize — the engine-portable
+    discipline. Returns the ``top`` (class, bucket, chi2_x1e3) rows by
+    chi2 descending, ties on (class, bucket).
+
+    Scale shape: one vocabulary-sized aggregation (|classes| x buckets
+    groups, map-side partials) joined to two tiny broadcast stat tables;
+    top-k via TakeOrderedAndProject. The corpus never shuffles.
+    """
+    n_cls_distinct = docs.agg(F.countDistinct(class_col)).first()[0]
+    if n_cls_distinct > MAX_CLASSES:
+        raise ValueError(
+            f"{n_cls_distinct} classes exceeds MAX_CLASSES={MAX_CLASSES}"
+        )
+    base = _tokens(docs, [id_col, class_col]).select(
+        F.col(class_col).alias("cls"),
+        _bucket(F.col("w"), buckets).alias("b"),
+    )
+    cb = base.groupBy("cls", "b").agg(F.count(F.lit(1)).alias("a"))
+    # structural bounds (never truncate: GROUP BY caps cardinality at
+    # MAX_CLASSES / buckets by construction) so the broadcasts are
+    # provably constant-size to the fleet lint
+    cls_tot = (
+        base.groupBy("cls")
+        .agg(F.count(F.lit(1)).alias("n_cls"))
+        .limit(MAX_CLASSES)
+    )
+    grand = base.agg(F.count(F.lit(1)).alias("n_all"))
+    bucket_tot = (
+        base.groupBy("b").agg(F.count(F.lit(1)).alias("n_b")).limit(buckets)
+    )
+    j = (
+        cb.join(F.broadcast(cls_tot), "cls")
+        .join(F.broadcast(bucket_tot), "b")
+        .crossJoin(F.broadcast(grand))
+        # degenerate margins (a class or bucket holding EVERY token)
+        # zero the denominator; exclude them on the exact int counts
+        .filter(
+            (F.col("n_cls") < F.col("n_all")) & (F.col("n_b") < F.col("n_all"))
+        )
+    )
+    a = F.col("a").cast("double")
+    bq = (F.col("n_cls") - F.col("a")).cast("double")
+    c = (F.col("n_b") - F.col("a")).cast("double")
+    d = (F.col("n_all") - F.col("n_cls") - F.col("n_b") + F.col("a")).cast(
+        "double"
+    )
+    n = F.col("n_all").cast("double")
+    diff = a * d - bq * c
+    denom = (a + bq) * (c + d) * (a + c) * (bq + d)
+    chi2 = n * diff * diff / denom
+    return (
+        j.select(
+            F.col("cls").alias("cls"),
+            F.col("b").alias("bucket"),
+            F.floor(chi2 * 1000.0 + F.lit(0.5)).cast("bigint").alias(
+                "chi2_x1e3"
+            ),
+        )
+        .orderBy(F.desc("chi2_x1e3"), "cls", "bucket")
+        .limit(top)
+    )
+
+
 def nb_class_confusion(
     docs: DataFrame,
     class_col: str = "lang",

@@ -283,3 +283,115 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"]
     return nb_class_confusion(d, class_col="lang", buckets=4096)
+
+
+# ---------------------------------------------------------------------------
+# exact Pearson correlation matrix: all moments as exact wide integers
+# (Spark decimal(38,0) == DuckDB HUGEINT), one corpus pass, 1-row agg
+# ---------------------------------------------------------------------------
+_CORR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def _corr_sql() -> str:
+    from itertools import combinations
+
+    tags = {c: c.split("_", 1)[1][:2] for c in _CORR_COLS}
+    qs = ",\n             ".join(
+        f"cast(floor({c} * 100.0 + 0.5) as hugeint) AS v_{tags[c]}"
+        for c in _CORR_COLS
+    )
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in _CORR_COLS)
+    sums = ["cast(count(*) as hugeint) AS n"]
+    for c in _CORR_COLS:
+        t = tags[c]
+        sums.append(f"sum(v_{t}) AS s_{t}")
+        sums.append(f"sum(v_{t} * v_{t}) AS s_{t}_{t}")
+    for a, b in combinations(_CORR_COLS, 2):
+        ta, tb = tags[a], tags[b]
+        sums.append(f"sum(v_{ta} * v_{tb}) AS s_{ta}_{tb}")
+    pair_rows = []
+    for a, b in combinations(_CORR_COLS, 2):
+        ta, tb = tags[a], tags[b]
+        pair_rows.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, cast(n as bigint) AS n_rows,\n"
+            f"   cast(floor(cast(n * s_{ta}_{tb} - s_{ta} * s_{tb} as double)\n"
+            f"     / (sqrt(cast(n * s_{ta}_{ta} - s_{ta} * s_{ta} as double))\n"
+            f"        * sqrt(cast(n * s_{tb}_{tb} - s_{tb} * s_{tb} as double)))\n"
+            f"     * 1000000.0 + 0.5) as bigint) AS corr_x1e6 FROM m"
+        )
+    return (
+        f"WITH q AS (SELECT {qs} FROM lineitem WHERE {notnull}),\n"
+        f"m AS (SELECT {', '.join(sums)} FROM q)\n"
+        + "\nUNION ALL\n".join(pair_rows)
+    )
+
+
+@workload(
+    "numeric_corr_matrix",
+    _corr_sql(),
+    doc="Exact Pearson correlation matrix over the four lineitem "
+    "measures: cent-quantized integer moments in decimal(38,0) "
+    "(HUGEINT in the oracle), ALL pair moments in ONE ungrouped "
+    "corpus pass (map-side partials, 1-row result), matrix exploded "
+    "from literals. Bit-identical across engines/partitionings — "
+    "F.corr's raw-double accumulation is not.",
+)
+def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import exact_corr_matrix
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return exact_corr_matrix(li, _CORR_COLS, scale=100)
+
+
+# ---------------------------------------------------------------------------
+# chi-squared feature selection over hashed token buckets
+# ---------------------------------------------------------------------------
+_CHI2_SQL = f"""
+    WITH w AS (SELECT doc_id, lang, {_WS_SQL} AS ws FROM documents),
+    tok AS (
+      SELECT lang AS cls,
+             ('0x' || substr(md5(wd), 1, 15))::BIGINT % 4096 AS b
+      FROM (SELECT doc_id, lang, unnest(ws) AS wd FROM w) u
+    ),
+    cb AS (SELECT cls, b, count(*) AS a FROM tok GROUP BY cls, b),
+    ct AS (SELECT cls, count(*) AS n_cls FROM tok GROUP BY cls),
+    bt AS (SELECT b, count(*) AS n_b FROM tok GROUP BY b),
+    g AS (SELECT count(*) AS n_all FROM tok),
+    j AS (
+      SELECT cb.cls, cb.b,
+             cast(cb.a as double) AS da,
+             cast(ct.n_cls - cb.a as double) AS dbq,
+             cast(bt.n_b - cb.a as double) AS dc,
+             cast(g.n_all - ct.n_cls - bt.n_b + cb.a as double) AS dd,
+             cast(g.n_all as double) AS dn
+      FROM cb JOIN ct USING (cls) JOIN bt USING (b), g
+      WHERE ct.n_cls < g.n_all AND bt.n_b < g.n_all
+    ),
+    scored AS (
+      SELECT cls, b AS bucket,
+             cast(floor(
+               dn * (da * dd - dbq * dc) * (da * dd - dbq * dc)
+               / ((da + dbq) * (dc + dd) * (da + dc) * (dbq + dd))
+               * 1000.0 + 0.5) as bigint) AS chi2_x1e3
+      FROM j
+    )
+    SELECT cls, bucket, chi2_x1e3 FROM scored
+    ORDER BY chi2_x1e3 DESC, cls, bucket
+    LIMIT 30
+"""
+
+
+@workload(
+    "chi2_term_class_top",
+    _CHI2_SQL,
+    doc="Chi-squared feature selection: top-30 most class-discriminative "
+    "hashed token buckets (the vocabulary-selection step before "
+    "training a bag-of-words classifier). One |classes|x4096-group "
+    "aggregation + broadcast margins; exact integer contingencies, "
+    "double products in a fixed op sequence, fixed-point output.",
+)
+def chi2_term_class_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import chi2_top_terms
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return chi2_top_terms(d, class_col="lang", buckets=4096, top=30)

@@ -544,8 +544,62 @@ def hardneg_probe(ks) -> None:
         spark.stop()
 
 
+def ml_probe(ks) -> None:
+    """k-means / naive-Bayes scale decomposition over K-replicated
+    inputs. Claim for SCALE.md: k-means' shuffle volume is CONSTANT in
+    corpus size (only the k*dim update partials move, map-side
+    combined); NB's is linear but tiny — the |classes|*buckets model
+    plus per-(doc, class) score partials, a few bigints per document,
+    never raw text. Walls stay overhead-dominated at probe scale
+    (measured r9: 30x corpus -> 1.8x kmeans wall at flat 0.5 MB
+    shuffle; 2.1x nb wall, shuffle 0.3 -> 13.6 MB linear)."""
+    from etl_lealone_spark.operators.classify import nb_class_confusion
+    from etl_lealone_spark.operators.clustering import kmeans_cluster_profile
+
+    spark = build_spark(
+        app_name="ml_probe",
+        cores=default_parallelism(),
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    t = load_tables(spark, "/root/testdata/sf0.1")
+    try:
+        for K in ks:
+            e = scaled_embeddings(t, K).localCheckpoint(eager=True)
+            n_e = e.count()
+            d = scaled_docs(t, K).localCheckpoint(eager=True)
+            n_d = d.count()
+            walls: dict[str, float] = {}
+            shuf: dict[str, float] = {}
+            runs = [
+                ("kmeans", lambda: kmeans_cluster_profile(e, k=8, iters=2)),
+                ("nb", lambda: nb_class_confusion(d, class_col="lang")),
+            ]
+            for label, fn in runs:
+                fn().write.format("noop").mode("overwrite").save()  # warm
+                s0 = _shuffle_bytes(spark)
+                t0 = time.time()
+                fn().write.format("noop").mode("overwrite").save()
+                walls[label] = time.time() - t0
+                s1 = _shuffle_bytes(spark)
+                shuf[label] = (
+                    round((s1 - s0) / 1e6, 1) if s0 >= 0 and s1 >= 0 else -1
+                )
+            print(
+                f"K={K} emb={n_e} docs={n_d} "
+                + " ".join(
+                    f"{l}={w:.2f}s/{shuf[l]}MB" for l, w in walls.items()
+                ),
+                flush=True,
+            )
+    finally:
+        spark.stop()
+
+
 if __name__ == "__main__":
-    if "--bloom" in sys.argv:
+    if "--ml" in sys.argv:
+        ks = [int(a) for a in sys.argv[1:] if a != "--ml"] or [1, 3, 10]
+        ml_probe(ks)
+    elif "--bloom" in sys.argv:
         ks = [int(a) for a in sys.argv[1:] if a != "--bloom"] or [1, 3, 10, 30]
         bloom_probe(ks)
     elif "--recall" in sys.argv:

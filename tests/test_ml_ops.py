@@ -155,3 +155,76 @@ def test_nb_partitioning_invariant(spark, tables):
     a = nb_class_confusion(d, class_col="lang")
     b = nb_class_confusion(d.repartition(23, "doc_id"), class_col="lang")
     assert _rows(a) == _rows(b)
+
+
+def test_corr_matrix_known_values(spark):
+    from etl_lealone_spark.operators.stats import exact_corr_matrix
+
+    # y = 2x (r=1), z = -x (r=-1), w uncorrelated-ish constant+noise
+    rows = [(float(i), 2.0 * i, -1.0 * i) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {
+        (r["col_a"], r["col_b"]): r["corr_x1e6"]
+        for r in exact_corr_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert out[("x", "y")] == 1_000_000
+    assert out[("x", "z")] == -1_000_000
+    assert out[("y", "z")] == -1_000_000
+
+
+def test_corr_matrix_partitioning_invariant(spark, tables):
+    from etl_lealone_spark.operators.stats import exact_corr_matrix
+
+    cols = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    li = tables["lineitem"]
+    a = exact_corr_matrix(li, cols)
+    b = exact_corr_matrix(li.repartition(29, "l_orderkey"), cols)
+    assert _rows(a) == _rows(b)
+
+
+def test_corr_matrix_bounds_and_nulls(spark, tables):
+    from etl_lealone_spark.operators.stats import exact_corr_matrix
+
+    cols = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    li = tables["lineitem"]
+    out = exact_corr_matrix(li, cols).collect()
+    assert len(out) == 6
+    for r in out:
+        assert -1_000_000 <= r["corr_x1e6"] <= 1_000_000
+        assert r["col_a"] < r["col_b"]
+    # nulls are dropped listwise: null-ing one column shrinks n_rows
+    li2 = li.withColumn(
+        "l_tax",
+        F.when(F.col("l_orderkey") % 100 == 0, None).otherwise(F.col("l_tax")),
+    )
+    out2 = exact_corr_matrix(li2, cols).collect()
+    assert out2[0]["n_rows"] < out[0]["n_rows"]
+
+
+def test_chi2_separable_vocab_tops_the_ranking(spark):
+    from etl_lealone_spark.operators.classify import chi2_top_terms
+
+    # class-pure tokens must dominate; a class-neutral token must not
+    # appear in the top rows
+    rows = []
+    for i in range(60):
+        cls = "aa" if i % 2 == 0 else "bb"
+        pure = "applepure" if cls == "aa" else "zebrapure"
+        rows.append((i, f"{pure} neutraltok", cls))
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = chi2_top_terms(d, class_col="lang", top=4).collect()
+    assert len(out) == 4
+    # top-2: the two class-pure tokens, one (class, bucket) row each,
+    # equal maximal chi2; then the class-neutral token at chi2 = 0
+    assert out[0]["chi2_x1e3"] == out[1]["chi2_x1e3"] > 0
+    assert out[2]["chi2_x1e3"] == out[3]["chi2_x1e3"] == 0
+    assert {out[0]["cls"], out[1]["cls"]} == {"aa", "bb"}
+
+
+def test_chi2_partitioning_invariant(spark, tables):
+    from etl_lealone_spark.operators.classify import chi2_top_terms
+
+    d = tables["documents"]
+    a = chi2_top_terms(d, class_col="lang", top=10)
+    b = chi2_top_terms(d.repartition(21, "source"), class_col="lang", top=10)
+    assert _rows(a) == _rows(b)
