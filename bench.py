@@ -93,6 +93,7 @@ HEADLINE = [
     "nb_lang_confusion",       # naive-Bayes corpus classifier confusion
     "numeric_corr_matrix",     # exact integer-moment correlation matrix
     "chi2_term_class_top",     # chi-squared vocabulary selection
+    "pca_label_projection",    # power-iteration PC1 label-separability audit
 ]
 
 

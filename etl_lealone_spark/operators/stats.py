@@ -28,12 +28,14 @@ products stay inside the window (documented, not silently truncated).
 
 from __future__ import annotations
 
+import math
 from itertools import combinations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _DEC = "decimal(38,0)"
+_V_SCALE = 1_000_000  # fixed-point scale of the power-iteration vector
 
 
 def _q(col: str, scale: int) -> Column:
@@ -94,4 +96,134 @@ def exact_corr_matrix(
         m.select(F.explode(F.array(*pair_structs)).alias("p"))
         .select("p.col_a", "p.col_b", "p.n_rows", "p.corr_x1e6")
         .orderBy("col_a", "col_b")
+    )
+
+
+def _dot_literal(vec: Column, v: list[int]) -> Column:
+    """Exact bigint dot product of an int-vector column with a
+    Python-literal vector (inlined constants, stays in codegen)."""
+    lit_vec = F.array(*[F.lit(int(c)).cast("bigint") for c in v])
+    return F.aggregate(
+        F.zip_with(vec, lit_vec, lambda x, c: x * c),
+        F.lit(0).cast("bigint"),
+        lambda acc, val: acc + val,
+    )
+
+
+def power_iteration_projection(
+    emb: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Top principal direction by fixed-point power iteration, reported
+    as per-label projection statistics — "how separable are the weak
+    labels along PC1", the embedding-quality audit a curation pipeline
+    runs before trusting cluster- or label-based sampling.
+
+    Method (all engine-portable fixed-point):
+
+    1. quantize vectors (``similarity.quantize``) and CENTER on the
+       floor-rounded integer component means — exact ints again;
+    2. v0 = all-ones at scale 1e6; each iteration computes
+       y_i = floor((x_i . v) / 1e6)  (per-row, map-only, exact bigint
+       dot then one deterministic double division), then
+       z = X^T y via a dim-group aggregation whose sums accumulate in
+       decimal(38,0) (exact far past int64 at corpus scale), then
+       renormalizes v = floor(z * 1e6 / max|z| + 0.5) — the vector
+       re-enters integer space, so every iteration is bit-identical
+       across engines and partitionings;
+    3. output per label: n_vecs, sum_proj, min_proj, max_proj of the
+       final projection y (exact bigints — no means, no doubles).
+
+    Scale shape: per iteration ONE map-only projection over the corpus
+    plus ONE dim-group shuffle of map-side partial sums (constant
+    k=dim groups — the k-means update shape); the dim-row z vector is
+    collected driver-side (bounded) to seed the next iteration's
+    literals. max|z| = 0 (an exactly-zero matvec) cannot occur for
+    non-degenerate real data and would raise here rather than divide
+    by zero.
+
+    Reference parity: the reference engine has no linear-algebra
+    surface; this extends the analytics family like
+    operators/similarity.py (SURVEY.md §2 extensions).
+    """
+    from .similarity import quantize
+
+    q = emb.select(
+        F.col(id_col).alias("vec_id"),
+        quantize(F.col(vec_col)).alias("qvec"),
+        F.col(label_col).cast("bigint").alias("label"),
+    )
+    mu_rows = (
+        q.select(F.posexplode("qvec").alias("pos", "vv"))
+        .groupBy("pos")
+        .agg(
+            F.floor(
+                F.sum("vv").cast("double") / F.count(F.lit(1)).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mu")
+        )
+        .collect()
+    )
+    mu = {int(r["pos"]): int(r["mu"]) for r in mu_rows}
+    dim = len(mu)
+    mu_lit = F.array(*[F.lit(mu[p]).cast("bigint") for p in range(dim)])
+    c = q.select(
+        "vec_id",
+        "label",
+        F.zip_with("qvec", mu_lit, lambda x, m: x - m).alias("cvec"),
+    )
+    v = [_V_SCALE] * dim
+    for _ in range(iters):
+        y = c.select(
+            "label",
+            "cvec",
+            F.floor(
+                _dot_literal(F.col("cvec"), v).cast("double")
+                / float(_V_SCALE)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        z_rows = (
+            y.select("y", F.posexplode("cvec").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(
+                F.sum((F.col("y") * F.col("x")).cast(_DEC)).alias("z")
+            )
+            .collect()
+        )
+        z = {int(r["pos"]): int(r["z"]) for r in z_rows}
+        m = max(abs(val) for val in z.values())
+        if m == 0:
+            raise ValueError(
+                "power iteration hit an exactly-zero matvec (degenerate "
+                "input); no principal direction exists"
+            )
+        # identical rounding to the SQL mirror: double mul/div then floor
+        v = [
+            int(math.floor(float(z[p]) * float(_V_SCALE) / float(m) + 0.5))
+            for p in range(dim)
+        ]
+    proj = c.select(
+        "label",
+        F.floor(
+            _dot_literal(F.col("cvec"), v).cast("double") / float(_V_SCALE)
+        )
+        .cast("bigint")
+        .alias("proj"),
+    )
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("proj").cast("bigint").alias("sum_proj"),
+            F.min("proj").alias("min_proj"),
+            F.max("proj").alias("max_proj"),
+        )
+        .orderBy("label")
     )

@@ -395,3 +395,85 @@ def chi2_term_class_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"]
     return chi2_top_terms(d, class_col="lang", buckets=4096, top=30)
+
+
+# ---------------------------------------------------------------------------
+# power-iteration PCA: per-label projection stats along the top
+# principal direction (embedding/label separability audit)
+# ---------------------------------------------------------------------------
+def _pca_sql(iters: int = 3) -> str:
+    d1 = _DIM + 1
+
+    def dot_floor(cvec: str, vexpr: str) -> str:
+        return (
+            f"cast(floor(cast(list_sum(list_transform(range(1, {d1}), "
+            f"i -> {cvec}[i] * {vexpr}[i])) as double) / 1000000.0) as bigint)"
+        )
+
+    blocks = [
+        f"""WITH q AS (
+      SELECT vec_id, cast(label as bigint) AS label, {_QUANT} AS qvec
+      FROM embeddings
+    ),
+    mu AS (
+      SELECT t.i AS pos,
+             cast(floor(cast(sum(q.qvec[t.i]) as double) / count(*) + 0.5)
+                  as bigint) AS mu
+      FROM q CROSS JOIN range(1, {d1}) t(i) GROUP BY t.i
+    ),
+    muv AS (SELECT list(mu ORDER BY pos) AS ml FROM mu),
+    c AS (
+      SELECT q.vec_id, q.label,
+             list_transform(range(1, {d1}), i -> q.qvec[i] - m.ml[i]) AS cvec
+      FROM q, muv m
+    ),
+    v0 AS (SELECT list_transform(range(1, {d1}), i -> 1000000::BIGINT) AS vl)"""
+    ]
+    for t in range(1, iters + 1):
+        blocks.append(
+            f"""y{t} AS (
+      SELECT c.vec_id, c.label, c.cvec,
+             {dot_floor('c.cvec', f'v{t - 1}.vl')} AS y
+      FROM c, v{t - 1}
+    ),
+    z{t} AS (
+      SELECT t.i AS pos,
+             cast(sum(cast(y{t}.y * y{t}.cvec[t.i] as hugeint)) as hugeint) AS z
+      FROM y{t} CROSS JOIN range(1, {d1}) t(i) GROUP BY t.i
+    ),
+    m{t} AS (SELECT max(abs(z)) AS m FROM z{t}),
+    v{t} AS (
+      SELECT list(cast(floor(cast(z.z as double) * 1000000.0
+                             / cast(mm.m as double) + 0.5) as bigint)
+                  ORDER BY z.pos) AS vl
+      FROM z{t} z, m{t} mm
+    )"""
+        )
+    blocks.append(
+        f"""proj AS (
+      SELECT c.label, {dot_floor('c.cvec', f'v{iters}.vl')} AS proj
+      FROM c, v{iters}
+    )
+    SELECT label, count(*) AS n_vecs,
+           cast(sum(proj) as bigint) AS sum_proj,
+           min(proj) AS min_proj, max(proj) AS max_proj
+    FROM proj GROUP BY label"""
+    )
+    return ",\n    ".join(blocks)
+
+
+@workload(
+    "pca_label_projection",
+    _pca_sql(3),
+    doc="Top principal direction via 3 fixed-point power iterations "
+    "(integer-centered vectors, decimal/HUGEINT matvec sums, "
+    "requantized direction each step — bit-identical across engines), "
+    "reported as per-label projection stats: the label-separability "
+    "audit along PC1. Per iteration: one map-only projection + one "
+    "dim-group shuffle of map-side partials.",
+)
+def pca_label_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import power_iteration_projection
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return power_iteration_projection(e, iters=3)

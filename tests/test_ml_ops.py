@@ -228,3 +228,45 @@ def test_chi2_partitioning_invariant(spark, tables):
     a = chi2_top_terms(d, class_col="lang", top=10)
     b = chi2_top_terms(d.repartition(21, "source"), class_col="lang", top=10)
     assert _rows(a) == _rows(b)
+
+
+def test_power_iteration_partitioning_invariant(spark, tables):
+    from etl_lealone_spark.operators.stats import power_iteration_projection
+
+    e = tables["embeddings"]
+    a = power_iteration_projection(e, iters=2)
+    b = power_iteration_projection(e.repartition(11, "vec_id"), iters=2)
+    assert _rows(a) == _rows(b)
+
+
+def test_power_iteration_finds_planted_direction(spark):
+    # Plant variance along axis 0 (values +-big), noise-free elsewhere:
+    # the final projection must separate the two label groups with a
+    # margin, and account for every vector.
+    rows = []
+    for i in range(40):
+        sign = 1.0 if i % 2 == 0 else -1.0
+        vec = [sign * 0.5] + [0.001 * (i % 5)] * 7
+        rows.append((i, vec, 0 if sign > 0 else 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from etl_lealone_spark.operators.stats import power_iteration_projection
+
+    out = {r["label"]: r for r in power_iteration_projection(df, iters=3).collect()}
+    assert out[0]["n_vecs"] == 20 and out[1]["n_vecs"] == 20
+    # the two groups sit on opposite sides of the centered projection
+    assert (out[0]["min_proj"] > 0) != (out[1]["min_proj"] > 0)
+    assert out[0]["max_proj"] != out[1]["max_proj"]
+
+
+def test_power_iteration_zero_matvec_raises(spark):
+    from etl_lealone_spark.operators.stats import power_iteration_projection
+
+    # all-identical vectors center to exact zeros -> zero matvec
+    rows = [(i, [0.25, 0.25, 0.25, 0.25], 0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with pytest.raises(ValueError, match="zero matvec"):
+        power_iteration_projection(df, iters=1)
