@@ -11,6 +11,10 @@ relevance profile every dataset card and search index wants.
 Reference parity: the reference engine (sevenfang/etl-Lealone) has
 full-text helpers but no corpus statistics; this extends the text
 surface the way operators/textops.py does (SURVEY.md §2 extensions).
+Semantics are the public classics: multinomial NB for text (McCallum &
+Nigam 1998), the feature-hashing trick (Weinberger et al. 2009), chi2
+feature selection (Yang & Pedersen 1997), and smoothed TF-IDF
+(Sparck Jones 1972; the +1 idf form sklearn documents).
 
 Scale shapes:
 

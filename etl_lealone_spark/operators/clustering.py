@@ -12,6 +12,10 @@ is suspect.
 Reference parity: the reference engine (sevenfang/etl-Lealone) has no
 vector clustering; this extends its analytics surface the way
 operators/similarity.py extends search (see SURVEY.md §2 extensions).
+Semantics are the public classics: Lloyd's algorithm (Lloyd 1982,
+IEEE Trans. Inf. Theory), cluster-based corpus curation a la SemDeDup
+(Abbas et al. 2023), and k-NN label auditing in the confident-learning
+tradition (Northcutt et al. 2021).
 
 Scale shapes (the 100 TB design):
 

@@ -19,6 +19,12 @@ column pair in a single corpus pass (map-side partials, 1-row result);
 the pair matrix is then a literal explode of that row. No shuffle
 beyond the 1-row final exchange, no second pass, no UDFs.
 
+The power-iteration PCA below is the classic von Mises iteration
+(von Mises & Pollaczek-Geiringer 1929) in fixed-point form. The
+reference engine (sevenfang/etl-Lealone) has neither exact-moment
+statistics nor a linear-algebra surface; both are SURVEY.md §2
+extensions in the operators/similarity.py tradition.
+
 Width headroom: moments accumulate in decimal(38,0) (Spark) / HUGEINT
 (DuckDB oracle) — exact to 1e38. With cent-scaled prices (≤1e7 units)
 the binding term is n*Sxy ≤ n^2 * 1e14, safe to n ≈ 1e12 rows; past
@@ -39,14 +45,15 @@ _V_SCALE = 1_000_000  # fixed-point scale of the power-iteration vector
 
 
 def _q(col: str, scale: int) -> Column:
-    """Exact integer quantization: floor(x*scale + 0.5) as decimal(38,0).
+    """Exact integer quantization: floor(x*scale + 0.5) as bigint.
 
     The inputs are money/measure doubles that ARE exact multiples of
     1/scale (parquet carries 2-decimal values); the floor(+0.5) form is
-    the repo-wide tie-safe rounding."""
-    return (
-        F.floor(F.col(col) * float(scale) + F.lit(0.5)).cast("bigint").cast(_DEC)
-    )
+    the repo-wide tie-safe rounding. Stays bigint so the per-row
+    products run in whole-stage codegen (a cent-scaled product is
+    ≤ ~1e14, far inside int64); only the SUM accumulates in
+    decimal(38,0), where overflow is real."""
+    return F.floor(F.col(col) * float(scale) + F.lit(0.5)).cast("bigint")
 
 
 def exact_corr_matrix(
@@ -63,11 +70,15 @@ def exact_corr_matrix(
     base = df.select(*cols).dropna()
     aggs = [F.count(F.lit(1)).cast(_DEC).alias("n")]
     for c in cols:
-        aggs.append(F.sum(_q(c, scale)).alias(f"s_{c}"))
+        aggs.append(F.sum(_q(c, scale).cast(_DEC)).alias(f"s_{c}"))
     for a, b in combinations(cols, 2):
-        aggs.append(F.sum(_q(a, scale) * _q(b, scale)).alias(f"s_{a}_{b}"))
+        aggs.append(
+            F.sum((_q(a, scale) * _q(b, scale)).cast(_DEC)).alias(f"s_{a}_{b}")
+        )
     for c in cols:
-        aggs.append(F.sum(_q(c, scale) * _q(c, scale)).alias(f"s_{c}_{c}"))
+        aggs.append(
+            F.sum((_q(c, scale) * _q(c, scale)).cast(_DEC)).alias(f"s_{c}_{c}")
+        )
     m = base.agg(*aggs)
 
     pair_structs = []
