@@ -94,6 +94,7 @@ HEADLINE = [
     "numeric_corr_matrix",     # exact integer-moment correlation matrix
     "chi2_term_class_top",     # chi-squared vocabulary selection
     "pca_label_projection",    # power-iteration PC1 label-separability audit
+    "kmeans_separation_audit", # second-nearest-centroid cluster quality audit
 ]
 
 

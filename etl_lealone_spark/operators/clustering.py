@@ -124,6 +124,34 @@ def _update_centroids(assigned: DataFrame, k: int, dim: int) -> list[list[int]]:
     return out
 
 
+def _prepare(
+    emb: DataFrame, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        quantize(F.col(vec_col)).alias("qvec"),
+        F.col(label_col).cast("bigint").alias("label"),
+    )
+
+
+def _lloyd_centroids(q: DataFrame, k: int, iters: int) -> list[list[int]]:
+    """Run ``iters - 1`` Lloyd update steps from the id-seeded start and
+    return the final centroid list (the shared kernel of the profile and
+    separation-audit operators)."""
+    if k > MAX_K:
+        raise ValueError(f"k={k} exceeds MAX_K={MAX_K} (driver-side centroids)")
+    centroids = _seed_centroids(q, k)
+    dim = len(centroids[0])
+    for _ in range(max(0, iters - 1)):
+        assigned = q.select(
+            "vec_id",
+            "qvec",
+            _argmin_assignment(F.col("qvec"), centroids)["cid"].alias("cid"),
+        )
+        centroids = _update_centroids(assigned, k, dim)
+    return centroids
+
+
 def kmeans_cluster_profile(
     emb: DataFrame,
     k: int = 8,
@@ -143,22 +171,8 @@ def kmeans_cluster_profile(
     - majority_label / purity: the cluster-vs-weak-label audit
       (ties break on the smallest label).
     """
-    if k > MAX_K:
-        raise ValueError(f"k={k} exceeds MAX_K={MAX_K} (driver-side centroids)")
-    q = emb.select(
-        F.col(id_col).alias("vec_id"),
-        quantize(F.col(vec_col)).alias("qvec"),
-        F.col(label_col).cast("bigint").alias("label"),
-    )
-    centroids = _seed_centroids(q, k)
-    dim = len(centroids[0])
-    for _ in range(max(0, iters - 1)):
-        assigned = q.select(
-            "vec_id",
-            "qvec",
-            _argmin_assignment(F.col("qvec"), centroids)["cid"].alias("cid"),
-        )
-        centroids = _update_centroids(assigned, k, dim)
+    q = _prepare(emb, id_col, vec_col, label_col)
+    centroids = _lloyd_centroids(q, k, iters)
     final = q.select(
         "vec_id",
         "label",
@@ -207,6 +221,74 @@ def kmeans_cluster_profile(
             )
             .cast("bigint")
             .alias("purity_x1e6"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def kmeans_separation_audit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster separation audit: nearest vs second-nearest centroid
+    mass after the same Lloyd iterations as :func:`kmeans_cluster_profile`.
+
+    For each vector, d1 = squared distance to its centroid and d2 = to
+    the runner-up; per cluster the audit reports exact bigint sums of
+    both and separation_x1e6 = floor(sum_d2 * 1e6 / sum_d1) — the
+    simplified-silhouette/Davies-Bouldin-style centroid proxy (true
+    silhouette needs pairwise intra-cluster distances, which is
+    quadratic; the centroid form is the standard scalable substitute,
+    cf. Vendramin et al. 2010). A ratio near 1e6 flags a cluster whose
+    members sit as close to another centroid as their own — merge/split
+    candidates before cluster-based sampling trusts the partition.
+
+    Same scale shape as the profile: map-only scoring against centroid
+    literals (both distances come from ONE array_sort of the k-struct
+    array), one k-group aggregation.
+    """
+    q = _prepare(emb, id_col, vec_col, label_col)
+    centroids = _lloyd_centroids(q, k, iters)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist_to_literal(F.col("qvec"), c).alias("dist"),
+                    F.lit(j).cast("bigint").alias("cid"),
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+    two = q.select(
+        ranked[0]["cid"].alias("cluster_id"),
+        ranked[0]["dist"].alias("d1"),
+        ranked[1]["dist"].alias("d2"),
+    )
+    return (
+        two.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("d1").cast("bigint").alias("sum_d1"),
+            F.sum("d2").cast("bigint").alias("sum_d2"),
+        )
+        .select(
+            "cluster_id",
+            "n_vecs",
+            "sum_d1",
+            "sum_d2",
+            F.when(
+                F.col("sum_d1") > 0,
+                F.floor(
+                    F.col("sum_d2").cast("double")
+                    * 1000000.0
+                    / F.col("sum_d1").cast("double")
+                ).cast("bigint"),
+            ).alias("separation_x1e6"),  # NULL: all members ON the centroid
         )
         .orderBy("cluster_id")
     )

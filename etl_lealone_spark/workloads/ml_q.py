@@ -36,7 +36,11 @@ _SQDIST = (
 )
 
 
-_KMEANS_SQL = f"""
+# shared Lloyd-iteration CTE prefix (q -> seeded c0 -> assign a1 ->
+# requantized means c1): the profile AND the separation audit build on
+# the SAME final centroids — a kernel change must update both via this
+# one constant (the minhash_banded_cte_sql precedent, dedup_q.py)
+_KMEANS_CTES = f"""
     WITH q AS (
       SELECT vec_id, cast(label as bigint) AS label, {_QUANT} AS qvec
       FROM embeddings
@@ -60,7 +64,9 @@ _KMEANS_SQL = f"""
       FROM a1 JOIN q USING (vec_id) CROSS JOIN range(1, {_DIM + 1}) t(i)
       GROUP BY a1.cid, t.i
     ),
-    c1 AS (SELECT cid, list(mv ORDER BY pos) AS cvec FROM m1 GROUP BY cid),
+    c1 AS (SELECT cid, list(mv ORDER BY pos) AS cvec FROM m1 GROUP BY cid)"""
+
+_KMEANS_SQL = f"""{_KMEANS_CTES},
     d2 AS (
       SELECT q.vec_id, q.label, c1.cid,
              {_SQDIST.format(d1=_DIM + 1, c="c1")} AS dist
@@ -477,3 +483,51 @@ def pca_label_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir)["embeddings"]
     return power_iteration_projection(e, iters=3)
+
+
+_KMEANS_SEP_SQL = f"""{_KMEANS_CTES},
+    ds AS (
+      SELECT q.vec_id, c1.cid,
+             {_SQDIST.format(d1=_DIM + 1, c="c1")} AS dist
+      FROM q CROSS JOIN c1
+    ),
+    rs AS (
+      SELECT vec_id, cid, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM ds
+    ),
+    two AS (
+      SELECT a.vec_id, a.cid AS cluster_id, a.dist AS dd1, b.dist AS dd2
+      FROM (SELECT * FROM rs WHERE rn = 1) a
+      JOIN (SELECT * FROM rs WHERE rn = 2) b USING (vec_id)
+    ),
+    agg AS (
+      SELECT cluster_id, count(*) AS n_vecs,
+             cast(sum(dd1) as bigint) AS sum_d1,
+             cast(sum(dd2) as bigint) AS sum_d2
+      FROM two GROUP BY cluster_id
+    )
+    SELECT cluster_id, n_vecs, sum_d1, sum_d2,
+           CASE WHEN sum_d1 > 0 THEN
+             cast(floor(cast(sum_d2 as double) * 1000000.0
+                        / cast(sum_d1 as double)) as bigint)
+           END AS separation_x1e6
+    FROM agg
+"""
+
+
+@workload(
+    "kmeans_separation_audit",
+    _KMEANS_SEP_SQL,
+    doc="Cluster-separation audit on the SAME Lloyd centroids as "
+    "kmeans_cluster_profile: per cluster, exact bigint sums of the "
+    "nearest and second-nearest squared centroid distances and their "
+    "ratio (simplified-silhouette centroid proxy). separation ~ 1e6 "
+    "flags merge/split candidates. Map-only scoring (both distances "
+    "from one array_sort of the k-struct array), one k-group agg.",
+)
+def kmeans_separation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_separation_audit as audit
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return audit(e, k=_K, iters=2)

@@ -270,3 +270,44 @@ def test_power_iteration_zero_matvec_raises(spark):
     )
     with pytest.raises(ValueError, match="zero matvec"):
         power_iteration_projection(df, iters=1)
+
+
+def test_separation_audit_accounts_and_orders(spark, tables):
+    from etl_lealone_spark.operators.clustering import kmeans_separation_audit
+
+    e = tables["embeddings"]
+    out = kmeans_separation_audit(e, k=4, iters=2).collect()
+    assert sum(r["n_vecs"] for r in out) == e.count()
+    for r in out:
+        # second-nearest is never closer than nearest
+        assert r["sum_d2"] >= r["sum_d1"] >= 0
+        assert r["separation_x1e6"] is None or r["separation_x1e6"] >= 1_000_000
+
+
+def test_separation_audit_partitioning_invariant(spark, tables):
+    from etl_lealone_spark.operators.clustering import kmeans_separation_audit
+
+    e = tables["embeddings"]
+    a = kmeans_separation_audit(e, k=4, iters=2)
+    b = kmeans_separation_audit(e.repartition(9, "vec_id"), k=4, iters=2)
+    assert _rows(a) == _rows(b)
+
+
+def test_separation_audit_zero_variance_cluster_is_null(spark):
+    from etl_lealone_spark.operators.clustering import kmeans_separation_audit
+
+    # two point-masses at distant corners, one seed (vec_id < 2) in
+    # each: after the update every member sits exactly ON its centroid,
+    # so sum_d1 = 0 and the separation ratio must be NULL, not a
+    # division error
+    df = spark.createDataFrame(
+        [(0, [10.0, 10.0], 0), (1, [-10.0, -10.0], 1)]
+        + [(i, [10.0, 10.0], 0) for i in range(2, 7)]
+        + [(i, [-10.0, -10.0], 1) for i in range(7, 12)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = kmeans_separation_audit(df, k=2, iters=2).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["sum_d1"] == 0 and r["separation_x1e6"] is None
+        assert r["sum_d2"] > 0
