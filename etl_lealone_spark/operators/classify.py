@@ -74,7 +74,7 @@ def tfidf_doc_keywords(
     FULL corpus; tf only from the bounded target docs. Returns
     (doc_id, term, tf, score_x1e6), top terms per doc, ties on term.
     """
-    tok_all = _tokens(docs, [id_col])
+    tok_all = _tokens(docs, [id_col], text_col)
     n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
     df_tbl = (
         tok_all.groupBy("w")
@@ -92,7 +92,7 @@ def tfidf_doc_keywords(
         )
     )
     tf = (
-        _tokens(docs.filter(F.col(id_col) < n_docs), [id_col])
+        _tokens(docs.filter(F.col(id_col) < n_docs), [id_col], text_col)
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -153,7 +153,7 @@ def chi2_top_terms(
         raise ValueError(
             f"{n_cls_distinct} classes exceeds MAX_CLASSES={MAX_CLASSES}"
         )
-    base = _tokens(docs, [id_col, class_col]).select(
+    base = _tokens(docs, [id_col, class_col], text_col).select(
         F.col(class_col).alias("cls"),
         _bucket(F.col("w"), buckets).alias("b"),
     )
@@ -227,7 +227,7 @@ def nb_class_confusion(
             "model broadcasts |classes| x buckets rows — shard the class "
             "space or raise buckets-aware limits deliberately"
         )
-    base = _tokens(docs, [id_col, class_col]).select(
+    base = _tokens(docs, [id_col, class_col], text_col).select(
         F.col(id_col).alias("doc_id"),
         F.col(class_col).alias("cls"),
         _bucket(F.col("w"), buckets).alias("b"),

@@ -63,37 +63,47 @@ def _sq_dist_to_literal(vec: Column, centroid: list[int]) -> Column:
     )
 
 
-def _argmin_assignment(vec: Column, centroids: list[list[int]]) -> Column:
+def _argmin_assignment(
+    vec: Column, centroids: list[tuple[int, list[int]]]
+) -> Column:
     """struct(dist, cid) of the nearest centroid — array_min over the
     per-centroid struct array is the lexicographic argmin, so ties break
-    on the lowest cid in both Spark and the SQL oracle's row_number."""
+    on the lowest cid in both Spark and the SQL oracle's row_number.
+    ``centroids`` carries explicit (cid, vector) pairs: a cluster that
+    emptied during an update simply has no entry, exactly like the
+    oracle's means CTE dropping the group — cids stay stable."""
     return F.array_min(
         F.array(
             *[
                 F.struct(
                     _sq_dist_to_literal(vec, c).alias("dist"),
-                    F.lit(j).cast("bigint").alias("cid"),
+                    F.lit(int(cid)).cast("bigint").alias("cid"),
                 )
-                for j, c in enumerate(centroids)
+                for cid, c in centroids
             ]
         )
     )
 
 
-def _seed_centroids(q: DataFrame, k: int) -> list[list[int]]:
+def _seed_centroids(q: DataFrame, k: int) -> list[tuple[int, list[int]]]:
     """First k vectors by id — deterministic, oracle-mirrorable seeding
     (the PQ codebooks use hash-spread seeds; here the oracle must be
     able to name the seed rows in plain SQL, so id-order wins)."""
     rows = q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     if len(rows) < k:
         raise ValueError(f"need at least {k} seed vectors with vec_id < {k}")
-    return [list(r["qvec"]) for r in rows]
+    return [(int(r["vec_id"]), list(r["qvec"])) for r in rows]
 
 
-def _update_centroids(assigned: DataFrame, k: int, dim: int) -> list[list[int]]:
+def _update_centroids(
+    assigned: DataFrame, dim: int
+) -> list[tuple[int, list[int]]]:
     """New centroids = per-(cid, pos) floor-rounded means. One
     vocabulary-sized shuffle (k×dim groups, map-side partials), then a
-    bounded k×dim driver collect."""
+    bounded k×dim driver collect. A cluster that received no members
+    has no groups and DROPS OUT of the returned list — the exact twin
+    of the oracle's means CTE losing the group, so later assignments
+    compete only over surviving centroids in both engines."""
     sums = (
         assigned.select("cid", F.posexplode("qvec").alias("pos", "v"))
         .groupBy("cid", "pos")
@@ -110,18 +120,10 @@ def _update_centroids(assigned: DataFrame, k: int, dim: int) -> list[list[int]]:
     by_cid: dict[int, dict[int, int]] = {}
     for r in sums:
         by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = int(r["mv"])
-    out: list[list[int]] = []
-    for j in range(k):
-        comp = by_cid.get(j)
-        if comp is None:
-            # empty cluster: keep zeros; the oracle mirrors this by the
-            # cluster simply vanishing from the means CTE, so callers
-            # should treat it as "keeps no members" — with id-seeded
-            # centroids on real embeddings this does not occur.
-            out.append([0] * dim)
-        else:
-            out.append([comp[p] for p in range(dim)])
-    return out
+    return [
+        (cid, [comp[p] for p in range(dim)])
+        for cid, comp in sorted(by_cid.items())
+    ]
 
 
 def _prepare(
@@ -134,21 +136,24 @@ def _prepare(
     )
 
 
-def _lloyd_centroids(q: DataFrame, k: int, iters: int) -> list[list[int]]:
+def _lloyd_centroids(
+    q: DataFrame, k: int, iters: int
+) -> list[tuple[int, list[int]]]:
     """Run ``iters - 1`` Lloyd update steps from the id-seeded start and
-    return the final centroid list (the shared kernel of the profile and
-    separation-audit operators)."""
+    return the final (cid, centroid) list — the shared kernel of the
+    profile and separation-audit operators. Emptied clusters drop out
+    (oracle-parity; see :func:`_update_centroids`)."""
     if k > MAX_K:
         raise ValueError(f"k={k} exceeds MAX_K={MAX_K} (driver-side centroids)")
     centroids = _seed_centroids(q, k)
-    dim = len(centroids[0])
+    dim = len(centroids[0][1])
     for _ in range(max(0, iters - 1)):
         assigned = q.select(
             "vec_id",
             "qvec",
             _argmin_assignment(F.col("qvec"), centroids)["cid"].alias("cid"),
         )
-        centroids = _update_centroids(assigned, k, dim)
+        centroids = _update_centroids(assigned, dim)
     return centroids
 
 
@@ -253,14 +258,19 @@ def kmeans_separation_audit(
     """
     q = _prepare(emb, id_col, vec_col, label_col)
     centroids = _lloyd_centroids(q, k, iters)
+    if len(centroids) < 2:
+        raise ValueError(
+            "separation audit needs >= 2 surviving centroids; "
+            f"{len(centroids)} left after the Lloyd updates"
+        )
     ranked = F.array_sort(
         F.array(
             *[
                 F.struct(
                     _sq_dist_to_literal(F.col("qvec"), c).alias("dist"),
-                    F.lit(j).cast("bigint").alias("cid"),
+                    F.lit(int(cid)).cast("bigint").alias("cid"),
                 )
-                for j, c in enumerate(centroids)
+                for cid, c in centroids
             ]
         )
     )

@@ -98,9 +98,14 @@ def exact_corr_matrix(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
                 F.col("n").cast("bigint").alias("n_rows"),
-                F.floor(r * 1000000.0 + F.lit(0.5)).cast("bigint").alias(
-                    "corr_x1e6"
-                ),
+                # zero-variance guard: a constant column has no defined
+                # correlation — emit NULL in BOTH engines instead of
+                # letting NaN/Inf hit the bigint cast (Spark would emit
+                # garbage silently; DuckDB would error)
+                F.when(
+                    (var_a > 0) & (var_b > 0),
+                    F.floor(r * 1000000.0 + F.lit(0.5)).cast("bigint"),
+                ).alias("corr_x1e6"),
             )
         )
     return (

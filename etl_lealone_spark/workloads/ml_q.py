@@ -320,10 +320,12 @@ def _corr_sql() -> str:
         ta, tb = tags[a], tags[b]
         pair_rows.append(
             f"SELECT '{a}' AS col_a, '{b}' AS col_b, cast(n as bigint) AS n_rows,\n"
-            f"   cast(floor(cast(n * s_{ta}_{tb} - s_{ta} * s_{tb} as double)\n"
+            f"   CASE WHEN cast(n * s_{ta}_{ta} - s_{ta} * s_{ta} as double) > 0\n"
+            f"         AND cast(n * s_{tb}_{tb} - s_{tb} * s_{tb} as double) > 0\n"
+            f"   THEN cast(floor(cast(n * s_{ta}_{tb} - s_{ta} * s_{tb} as double)\n"
             f"     / (sqrt(cast(n * s_{ta}_{ta} - s_{ta} * s_{ta} as double))\n"
             f"        * sqrt(cast(n * s_{tb}_{tb} - s_{tb} * s_{tb} as double)))\n"
-            f"     * 1000000.0 + 0.5) as bigint) AS corr_x1e6 FROM m"
+            f"     * 1000000.0 + 0.5) as bigint) END AS corr_x1e6 FROM m"
         )
     return (
         f"WITH q AS (SELECT {qs} FROM lineitem WHERE {notnull}),\n"

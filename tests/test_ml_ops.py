@@ -311,3 +311,47 @@ def test_separation_audit_zero_variance_cluster_is_null(spark):
     for r in out:
         assert r["sum_d1"] == 0 and r["separation_x1e6"] is None
         assert r["sum_d2"] > 0
+
+
+def test_kmeans_empty_cluster_drops_out_like_the_oracle(spark):
+    # seeds 0 and 1 are IDENTICAL points: every vector assigns to cid 0
+    # (lowest-cid tie-break), cluster 1 receives no members and must
+    # DROP OUT of the centroid set (the oracle's means CTE loses the
+    # group) — the profile then reports a single cluster, not a phantom
+    # zero-centroid one.
+    rows = [(0, [1.0, 1.0], 0), (1, [1.0, 1.0], 1)]
+    rows += [(i, [1.0 + 0.01 * i, 1.0], i % 3) for i in range(2, 20)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    prof = kmeans_cluster_profile(df, k=2, iters=2).collect()
+    assert [r["cluster_id"] for r in prof] == [0]
+    assert prof[0]["n_vecs"] == 20
+    # and the audit refuses to rank a second-nearest that does not exist
+    from etl_lealone_spark.operators.clustering import kmeans_separation_audit
+
+    with pytest.raises(ValueError, match="surviving centroids"):
+        kmeans_separation_audit(df, k=2, iters=2)
+
+
+def test_corr_matrix_constant_column_is_null(spark):
+    from etl_lealone_spark.operators.stats import exact_corr_matrix
+
+    rows = [(float(i), 2.0 * i, 7.0) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {
+        (r["col_a"], r["col_b"]): r["corr_x1e6"]
+        for r in exact_corr_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert out[("x", "y")] == 1_000_000
+    assert out[("x", "z")] is None and out[("y", "z")] is None
+
+
+def test_classify_text_col_is_honored(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "IGNORED"), (1, "alpha gamma", "IGNORED")],
+        "doc_id long, body string, text string",
+    )
+    out = tfidf_doc_keywords(docs, n_docs=2, top=5, text_col="body").collect()
+    terms = {r["term"] for r in out}
+    assert "alpha" in terms and "ignored" not in terms
