@@ -314,32 +314,40 @@ def knn_label_vote(
 ) -> DataFrame:
     """k-NN majority label vote for the first ``n_queries`` vectors.
 
-    Neighbours come from the exact integer-cosine scorer
-    (:func:`similarity.brute_force_topk_int` — queries broadcast in the
-    Arrow closure, corpus map-only); the self-match is dropped AFTER
-    scoring top-(k+1), so each query votes over exactly k true
-    neighbours. Vote ties break on the smallest label. Returns
-    (query_id, true_label, pred_label, votes) — one row per query; a
-    pred != true row is a label-audit hit.
+    Neighbours come from the exact integer-cosine Arrow scorer
+    (:func:`similarity.score_int_cosine` — queries broadcast in the
+    closure, corpus map-only) with the candidate label riding the
+    scorer's Arrow batches via ``carry_cols`` — NO corpus-sized join
+    anywhere: the only joins touch the bounded query set (truth labels
+    come from the same driver-collected rows the query vectors do).
+    The self-match is dropped before ranking, so each query votes over
+    exactly k true neighbours; vote ties break on the smallest label.
+    Returns (query_id, true_label, pred_label, votes) — one row per
+    query; a pred != true row is a label-audit hit.
     """
+    import numpy as np
     from pyspark.sql.window import Window
 
-    from .similarity import brute_force_topk_int
+    from .similarity import quantize, score_int_cosine
 
-    topk = brute_force_topk_int(
-        emb, k=k + 1, n_queries=n_queries, id_col=id_col, vec_col=vec_col
+    cq = emb.select(
+        F.col(id_col).alias("vec_id"),
+        quantize(F.col(vec_col)).alias("cvec"),
+        F.col(label_col).cast("bigint").alias("label"),
     )
-    nn = topk.filter(F.col("vec_id") != F.col("query_id"))
-    w = Window.partitionBy("query_id").orderBy("rnk")
-    nn = nn.withColumn("nn_rank", F.row_number().over(w)).filter(
-        F.col("nn_rank") <= k
+    q_rows = cq.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
+    q_ids = [int(r["vec_id"]) for r in q_rows]
+    q_vecs = np.asarray([r["cvec"] for r in q_rows], dtype=np.int64)
+    scored = score_int_cosine(
+        cq, q_ids, q_vecs, carry_cols=(("label", "long"),)
     )
-    labels = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(label_col).cast("bigint").alias("label")
+    nn = scored.filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
     )
+    nn = nn.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
     votes = (
-        nn.join(labels, "vec_id")
-        .groupBy("query_id", "label")
+        nn.groupBy("query_id", "label")
         .agg(F.count(F.lit(1)).alias("n_votes"))
         .groupBy("query_id")
         .agg(
@@ -353,11 +361,12 @@ def knn_label_vote(
             F.col("m")["n_votes"].alias("votes"),
         )
     )
-    truth = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
-        "label", "true_label"
+    truth = emb.sparkSession.createDataFrame(
+        [(int(r["vec_id"]), int(r["label"])) for r in q_rows],
+        "query_id long, true_label long",
     )
     return (
-        votes.join(truth, "query_id")
+        votes.join(F.broadcast(truth), "query_id")
         .select("query_id", "true_label", "pred_label", "votes")
         .orderBy("query_id")
     )

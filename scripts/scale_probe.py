@@ -555,6 +555,7 @@ def ml_probe(ks) -> None:
     shuffle; 2.1x nb wall, shuffle 0.3 -> 13.6 MB linear)."""
     from etl_lealone_spark.operators.classify import nb_class_confusion
     from etl_lealone_spark.operators.clustering import kmeans_cluster_profile
+    from etl_lealone_spark.operators.stats import power_iteration_projection
 
     spark = build_spark(
         app_name="ml_probe",
@@ -562,17 +563,39 @@ def ml_probe(ks) -> None:
         extra_conf={"spark.ui.enabled": "true"},
     )
     t = load_tables(spark, "/root/testdata/sf0.1")
+
+    def scaled_lineitem(k: int):
+        li = t["lineitem"]
+        if k == 1:
+            return li
+        out = li
+        for _ in range(k - 1):
+            out = out.unionAll(li)
+        return out.repartition(32)
+
     try:
         for K in ks:
             e = scaled_embeddings(t, K).localCheckpoint(eager=True)
             n_e = e.count()
             d = scaled_docs(t, K).localCheckpoint(eager=True)
             n_d = d.count()
+            li = scaled_lineitem(K).localCheckpoint(eager=True)
             walls: dict[str, float] = {}
             shuf: dict[str, float] = {}
+
+            def corr():
+                from etl_lealone_spark.operators.stats import exact_corr_matrix
+
+                return exact_corr_matrix(
+                    li,
+                    ["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
+                )
+
             runs = [
                 ("kmeans", lambda: kmeans_cluster_profile(e, k=8, iters=2)),
                 ("nb", lambda: nb_class_confusion(d, class_col="lang")),
+                ("pca", lambda: power_iteration_projection(e, iters=3)),
+                ("corr", corr),
             ]
             for label, fn in runs:
                 fn().write.format("noop").mode("overwrite").save()  # warm
