@@ -95,6 +95,8 @@ HEADLINE = [
     "chi2_term_class_top",     # chi-squared vocabulary selection
     "pca_label_projection",    # power-iteration PC1 label-separability audit
     "kmeans_separation_audit", # second-nearest-centroid cluster quality audit
+    "nb_en_auc_binned",        # binned Mann-Whitney AUC classifier evaluation
+    "nb_score_calibration",    # reliability/calibration table
 ]
 
 

@@ -47,6 +47,7 @@ from .dedup import words
 
 SCALE = 1_000_000
 MAX_CLASSES = 64  # broadcast-model guard: |classes| x buckets rows
+_DEC = "decimal(38,0)"  # exact wide sums (AUC pair mass at corpus scale)
 
 
 def _fp(col: Column) -> Column:
@@ -203,23 +204,18 @@ def chi2_top_terms(
     )
 
 
-def nb_class_confusion(
+def nb_scores(
     docs: DataFrame,
     class_col: str = "lang",
     buckets: int = 4096,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Train a multinomial naive-Bayes classifier on even-id documents,
-    score odd-id documents, return the confusion matrix.
-
-    Model: P(class) · Π P(bucket|class) with Laplace smoothing over the
-    ``buckets`` hashed-token space; all log-probs fixed-point bigint.
-    Per-class term probabilities use (c+1)/(n_class+buckets); unseen
-    (class, bucket) pairs fall back to the class's smoothing floor
-    ln(1/(n_class+buckets)). Prediction ties break on the class name.
-    Returns (true_class, pred_class, n_docs) ordered by the pair.
-    """
+    """Train the NB model on even-id documents and return every
+    (doc_id, true_cls, cls, score) for the odd-id test docs — the
+    shared scoring kernel behind the confusion matrix, the binned AUC,
+    and the calibration table. ``score`` = Σ token log-probs + prior,
+    exact fixed-point bigint (see :func:`nb_class_confusion`)."""
     n_cls = docs.agg(F.countDistinct(class_col)).first()[0]
     if n_cls > MAX_CLASSES:
         raise ValueError(
@@ -306,6 +302,27 @@ def nb_class_confusion(
             (F.col("lp_sum") + F.col("lp_prior")).alias("score"),
         )
     )
+    return scored
+
+
+def nb_class_confusion(
+    docs: DataFrame,
+    class_col: str = "lang",
+    buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train a multinomial naive-Bayes classifier on even-id documents,
+    score odd-id documents, return the confusion matrix.
+
+    Model: P(class) · Π P(bucket|class) with Laplace smoothing over the
+    ``buckets`` hashed-token space; all log-probs fixed-point bigint.
+    Per-class term probabilities use (c+1)/(n_class+buckets); unseen
+    (class, bucket) pairs fall back to the class's smoothing floor
+    ln(1/(n_class+buckets)). Prediction ties break on the class name.
+    Returns (true_class, pred_class, n_docs) ordered by the pair.
+    """
+    scored = nb_scores(docs, class_col, buckets, id_col, text_col)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cls")
     pred = (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -319,4 +336,168 @@ def nb_class_confusion(
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_class", "pred_class")
+    )
+
+
+def _binary_scored(
+    docs: DataFrame,
+    positive_class: str,
+    class_col: str,
+    buckets: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(doc_id, score, is_pos) for the positive class's NB score over
+    the test split — the input both binary-eval operators share."""
+    s = nb_scores(docs, class_col, buckets, id_col, text_col)
+    return s.filter(F.col("cls") == positive_class).select(
+        "doc_id",
+        "score",
+        F.when(F.col("true_cls") == positive_class, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_pos"),
+    )
+
+
+def _score_bins(scored: DataFrame, n_bins: int) -> DataFrame:
+    """Histogram the exact integer scores into ``n_bins`` fixed bins.
+
+    Integer division in BOTH engines (Spark ``DIV``, DuckDB ``//`` —
+    identical on the non-negative operands here), so binning is exact
+    and engine-portable; a double division could round up across a bin
+    boundary. Returns (bin, n_pos, n_neg), ≤ n_bins rows, with the
+    structural LIMIT that makes the bound provable to the fleet lint.
+    """
+    rng = scored.agg(
+        F.min("score").alias("s_min"), F.max("score").alias("s_max")
+    )
+    binned = scored.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            f"(score - s_min) * {n_bins} DIV (s_max - s_min + 1)"
+        ).alias("bin"),
+        "is_pos",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("is_pos").cast("bigint").alias("n_pos"),
+            F.sum(1 - F.col("is_pos")).cast("bigint").alias("n_neg"),
+        )
+        .limit(n_bins)
+    )
+
+
+def nb_binary_auc(
+    docs: DataFrame,
+    positive_class: str = "en",
+    class_col: str = "lang",
+    buckets: int = 4096,
+    n_bins: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Binned AUC (Mann-Whitney) of the NB positive-class score — the
+    standard quality-classifier evaluation at corpus scale.
+
+    Exact scores histogram into ``n_bins`` fixed bins (score resolution
+    beyond 1/n_bins of the range is collapsed — the same downsampling
+    Spark ML's BinaryClassificationMetrics(numBins) applies, because a
+    global per-document rank is the one thing a 100 TB evaluation must
+    not do). Within the binned resolution the computation is EXACT
+    integer arithmetic: 2U = Σ_{b>b'} 2·pos_b·neg_b' + Σ_b pos_b·neg_b
+    (ties at the same bin count half), accumulated in decimal(38,0),
+    and AUC = 2U / (2·n_pos·n_neg) as one final division. The
+    cross-bin term is a bounded self-join of the ≤n_bins-row histogram
+    — no global window, no per-doc rank, nothing data-proportional
+    after the histogram aggregation.
+
+    Returns one row (n_pos, n_neg, auc_x1e6); AUC is NULL when either
+    class is absent from the test split.
+    """
+    hist = _score_bins(
+        _binary_scored(
+            docs, positive_class, class_col, buckets, id_col, text_col
+        ),
+        n_bins,
+    )
+    a = hist.select(
+        F.col("bin").alias("bin_a"),
+        F.col("n_pos").alias("pos_a"),
+        F.col("n_neg").alias("neg_a"),
+    )
+    b = hist.select(
+        F.col("bin").alias("bin_b"), F.col("n_neg").alias("neg_b")
+    )
+    cross = (
+        a.join(F.broadcast(b), F.col("bin_b") < F.col("bin_a"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.lit(2) * F.col("pos_a") * F.col("neg_b")).cast(_DEC)
+                ),
+                F.lit(0).cast(_DEC),
+            ).alias("u2_cross")
+        )
+    )
+    same = hist.agg(
+        F.coalesce(
+            F.sum((F.col("n_pos") * F.col("n_neg")).cast(_DEC)),
+            F.lit(0).cast(_DEC),
+        ).alias("u2_same"),
+        # counts are 0, never NULL, on an empty scored set (the
+        # empty-build bloom_bits_set convention)
+        F.coalesce(F.sum("n_pos").cast("bigint"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum("n_neg").cast("bigint"), F.lit(0)).alias("n_neg"),
+    )
+    return same.crossJoin(F.broadcast(cross)).select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.floor(
+                (F.col("u2_cross") + F.col("u2_same")).cast("double")
+                / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+                * 1000000.0
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("auc_x1e6"),
+    )
+
+
+def nb_calibration_deciles(
+    docs: DataFrame,
+    positive_class: str = "en",
+    class_col: str = "lang",
+    buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reliability table: NB positive-class scores cut into 10 fixed
+    score-range bins; per bin, how often the positive class actually
+    occurs. The calibration read any score-thresholding pipeline needs
+    before it trusts a cutoff. Same exact integer binning as the AUC;
+    one ≤10-group aggregation. Returns (decile, n_docs, n_pos,
+    pos_rate_x1e6) ordered by decile.
+    """
+    hist = _score_bins(
+        _binary_scored(
+            docs, positive_class, class_col, buckets, id_col, text_col
+        ),
+        10,
+    )
+    return (
+        hist.select(
+            F.col("bin").alias("decile"),
+            (F.col("n_pos") + F.col("n_neg")).alias("n_docs"),
+            "n_pos",
+            F.floor(
+                F.col("n_pos").cast("double")
+                * 1000000.0
+                / (F.col("n_pos") + F.col("n_neg")).cast("double")
+            )
+            .cast("bigint")
+            .alias("pos_rate_x1e6"),
+        )
+        .orderBy("decile")
     )

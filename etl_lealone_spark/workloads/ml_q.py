@@ -218,7 +218,7 @@ def tfidf_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf(d, n_docs=10, top=5)
 
 
-_NB_SQL = f"""
+_NB_CTES = f"""
     WITH w AS (SELECT doc_id, lang, {_WS_SQL} AS ws FROM documents),
     tok AS (
       SELECT doc_id, lang AS cls,
@@ -261,7 +261,9 @@ _NB_SQL = f"""
     tot AS (
       SELECT s.doc_id, s.true_cls, s.cls, s.lp_sum + c.lp_prior AS score
       FROM sums s JOIN classes c ON c.cls = s.cls
-    ),
+    )"""
+
+_NB_SQL = f"""{_NB_CTES},
     pred AS (
       SELECT doc_id, true_cls, cls AS pred_cls FROM (
         SELECT doc_id, true_cls, cls,
@@ -533,3 +535,86 @@ def kmeans_separation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir)["embeddings"]
     return audit(e, k=_K, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# binary-classifier evaluation on the shared NB scoring kernel:
+# binned AUC (Mann-Whitney) + reliability/calibration table
+# ---------------------------------------------------------------------------
+def _binary_cte(n_bins: int) -> str:
+    return f"""
+    bs AS (
+      SELECT doc_id, score,
+             CASE WHEN true_cls = 'en' THEN 1 ELSE 0 END AS is_pos
+      FROM tot WHERE cls = 'en'
+    ),
+    rng AS (SELECT min(score) AS s_min, max(score) AS s_max FROM bs),
+    hist AS (
+      SELECT (score - s_min) * {n_bins} // (s_max - s_min + 1) AS bin,
+             cast(sum(is_pos) as bigint) AS n_pos,
+             cast(sum(1 - is_pos) as bigint) AS n_neg
+      FROM bs, rng GROUP BY 1
+    )"""
+
+
+_NB_AUC_SQL = f"""{_NB_CTES},{_binary_cte(4096)},
+    cross_u AS (
+      SELECT coalesce(cast(sum(cast(2 * a.n_pos * b.n_neg as hugeint))
+                           as hugeint), 0::hugeint) AS u2_cross
+      FROM hist a JOIN hist b ON b.bin < a.bin
+    ),
+    same_u AS (
+      SELECT coalesce(cast(sum(cast(n_pos * n_neg as hugeint)) as hugeint),
+                      0::hugeint) AS u2_same,
+             coalesce(cast(sum(n_pos) as bigint), 0) AS n_pos,
+             coalesce(cast(sum(n_neg) as bigint), 0) AS n_neg
+      FROM hist
+    )
+    SELECT s.n_pos, s.n_neg,
+           CASE WHEN s.n_pos > 0 AND s.n_neg > 0 THEN
+             cast(floor(cast(c.u2_cross + s.u2_same as double)
+                        / cast(2 * s.n_pos * s.n_neg as double)
+                        * 1000000.0 + 0.5) as bigint)
+           END AS auc_x1e6
+    FROM same_u s, cross_u c
+"""
+
+
+@workload(
+    "nb_en_auc_binned",
+    _NB_AUC_SQL,
+    doc="Binned AUC (Mann-Whitney) of the NB 'en'-vs-rest score over "
+    "4096 exact integer score bins — the quality-classifier evaluation "
+    "that never computes a per-document global rank: the histogram is "
+    "one bounded aggregation and the pair mass is a <=4096-row "
+    "self-join with decimal-exact sums. Ties at a bin count half.",
+)
+def nb_en_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import nb_binary_auc
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return nb_binary_auc(d, positive_class="en", class_col="lang")
+
+
+_NB_CALIB_SQL = f"""{_NB_CTES},{_binary_cte(10)}
+    SELECT bin AS decile, n_pos + n_neg AS n_docs, n_pos,
+           cast(floor(cast(n_pos as double) * 1000000.0
+                      / cast(n_pos + n_neg as double)) as bigint)
+             AS pos_rate_x1e6
+    FROM hist
+"""
+
+
+@workload(
+    "nb_score_calibration",
+    _NB_CALIB_SQL,
+    doc="Reliability table for the NB 'en' score: 10 fixed score-range "
+    "bins, per-bin positive rate — the calibration read a thresholding "
+    "pipeline needs before trusting a cutoff. Shares the NB scoring "
+    "kernel and the exact integer binning with the AUC row.",
+)
+def nb_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import nb_calibration_deciles
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return nb_calibration_deciles(d, positive_class="en", class_col="lang")

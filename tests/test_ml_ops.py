@@ -355,3 +355,56 @@ def test_classify_text_col_is_honored(spark):
     out = tfidf_doc_keywords(docs, n_docs=2, top=5, text_col="body").collect()
     terms = {r["term"] for r in out}
     assert "alpha" in terms and "ignored" not in terms
+
+
+def test_nb_auc_separable_is_perfect_and_single_class_is_null(spark):
+    from etl_lealone_spark.operators.classify import nb_binary_auc
+
+    rows = []
+    for i in range(40):
+        cls = "en" if i % 4 < 2 else "xx"
+        word = "engword english" if cls == "en" else "zzq yyx"
+        rows.append((i, f"{word} {word}", cls))
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = nb_binary_auc(d, positive_class="en").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (10, 10)
+    assert r["auc_x1e6"] == 1_000_000
+    # scoring the class the test split never contains as positive
+    only = d.filter(F.col("lang") == "en")
+    r2 = nb_binary_auc(only, positive_class="xx").collect()[0]
+    assert r2["n_pos"] == 0 and r2["auc_x1e6"] is None
+
+
+def test_nb_auc_all_ties_is_half(spark):
+    from etl_lealone_spark.operators.classify import nb_binary_auc
+
+    # identical text everywhere: every test doc gets the SAME 'en'
+    # score, so AUC must be exactly 0.5 (all mass in the tie term)
+    rows = [(i, "same same same", "en" if i % 4 < 2 else "xx") for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = nb_binary_auc(d, positive_class="en").collect()[0]
+    assert r["auc_x1e6"] == 500_000
+
+
+def test_nb_calibration_accounts_and_bounds(spark, tables):
+    from etl_lealone_spark.operators.classify import nb_calibration_deciles
+
+    d = tables["documents"]
+    out = nb_calibration_deciles(d, positive_class="en").collect()
+    n_test = d.filter(
+        (F.col("doc_id") % 2 == 1) & (F.trim(F.col("text")) != "")
+    ).count()
+    assert sum(r["n_docs"] for r in out) == n_test
+    for r in out:
+        assert 0 <= r["decile"] <= 9
+        assert 0 <= r["n_pos"] <= r["n_docs"]
+        assert 0 <= r["pos_rate_x1e6"] <= 1_000_000
+
+
+def test_nb_auc_partitioning_invariant(spark, tables):
+    from etl_lealone_spark.operators.classify import nb_binary_auc
+
+    d = tables["documents"]
+    a = nb_binary_auc(d, positive_class="en")
+    b = nb_binary_auc(d.repartition(27, "source"), positive_class="en")
+    assert _rows(a) == _rows(b)
