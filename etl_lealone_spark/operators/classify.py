@@ -369,23 +369,35 @@ def _score_bins(scored: DataFrame, n_bins: int) -> DataFrame:
     boundary. Returns (bin, n_pos, n_neg), ≤ n_bins rows, with the
     structural LIMIT that makes the bound provable to the fleet lint.
     """
-    rng = scored.agg(
-        F.min("score").alias("s_min"), F.max("score").alias("s_max")
-    )
-    binned = scored.crossJoin(F.broadcast(rng)).select(
-        F.expr(
-            f"(score - s_min) * {n_bins} DIV (s_max - s_min + 1)"
-        ).alias("bin"),
-        "is_pos",
-    )
-    return (
-        binned.groupBy("bin")
-        .agg(
-            F.sum("is_pos").cast("bigint").alias("n_pos"),
-            F.sum(1 - F.col("is_pos")).cast("bigint").alias("n_neg"),
+    # the NB train+score pipeline above is the expensive part; without
+    # pinning, min/max + binning re-execute it and every downstream
+    # reference of the histogram multiplies that again (measured 54
+    # FileScan copies / 40 jobs for one AUC row). Persist the scored
+    # set for its two passes, then eagerly checkpoint the <= n_bins-row
+    # histogram so consumers reuse a bounded materialized table.
+    scored = scored.persist()
+    try:
+        rng = scored.agg(
+            F.min("score").alias("s_min"), F.max("score").alias("s_max")
         )
-        .limit(n_bins)
-    )
+        binned = scored.crossJoin(F.broadcast(rng)).select(
+            F.expr(
+                f"(score - s_min) * {n_bins} DIV (s_max - s_min + 1)"
+            ).alias("bin"),
+            "is_pos",
+        )
+        hist = (
+            binned.groupBy("bin")
+            .agg(
+                F.sum("is_pos").cast("bigint").alias("n_pos"),
+                F.sum(1 - F.col("is_pos")).cast("bigint").alias("n_neg"),
+            )
+            .limit(n_bins)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        scored.unpersist()
+    return hist
 
 
 def nb_binary_auc(
@@ -429,12 +441,18 @@ def nb_binary_auc(
     b = hist.select(
         F.col("bin").alias("bin_b"), F.col("n_neg").alias("neg_b")
     )
+    # widen BEFORE multiplying: a bigint product of two ~2e9+ bin
+    # counts wraps silently in Spark (and errors in DuckDB) — the
+    # decimal/hugeint accumulation only guarantees parity if the
+    # factors enter it un-wrapped
     cross = (
         a.join(F.broadcast(b), F.col("bin_b") < F.col("bin_a"))
         .agg(
             F.coalesce(
                 F.sum(
-                    (F.lit(2) * F.col("pos_a") * F.col("neg_b")).cast(_DEC)
+                    F.lit(2).cast(_DEC)
+                    * F.col("pos_a").cast(_DEC)
+                    * F.col("neg_b").cast(_DEC)
                 ),
                 F.lit(0).cast(_DEC),
             ).alias("u2_cross")
@@ -442,7 +460,7 @@ def nb_binary_auc(
     )
     same = hist.agg(
         F.coalesce(
-            F.sum((F.col("n_pos") * F.col("n_neg")).cast(_DEC)),
+            F.sum(F.col("n_pos").cast(_DEC) * F.col("n_neg").cast(_DEC)),
             F.lit(0).cast(_DEC),
         ).alias("u2_same"),
         # counts are 0, never NULL, on an empty scored set (the
@@ -457,7 +475,11 @@ def nb_binary_auc(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
             F.floor(
                 (F.col("u2_cross") + F.col("u2_same")).cast("double")
-                / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+                / (
+                    F.lit(2).cast(_DEC)
+                    * F.col("n_pos").cast(_DEC)
+                    * F.col("n_neg").cast(_DEC)
+                ).cast("double")
                 * 1000000.0
                 + F.lit(0.5)
             ).cast("bigint"),

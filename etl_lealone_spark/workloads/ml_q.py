@@ -559,12 +559,12 @@ def _binary_cte(n_bins: int) -> str:
 
 _NB_AUC_SQL = f"""{_NB_CTES},{_binary_cte(4096)},
     cross_u AS (
-      SELECT coalesce(cast(sum(cast(2 * a.n_pos * b.n_neg as hugeint))
+      SELECT coalesce(cast(sum(2::hugeint * a.n_pos * b.n_neg)
                            as hugeint), 0::hugeint) AS u2_cross
       FROM hist a JOIN hist b ON b.bin < a.bin
     ),
     same_u AS (
-      SELECT coalesce(cast(sum(cast(n_pos * n_neg as hugeint)) as hugeint),
+      SELECT coalesce(cast(sum(n_pos::hugeint * n_neg) as hugeint),
                       0::hugeint) AS u2_same,
              coalesce(cast(sum(n_pos) as bigint), 0) AS n_pos,
              coalesce(cast(sum(n_neg) as bigint), 0) AS n_neg
@@ -573,7 +573,7 @@ _NB_AUC_SQL = f"""{_NB_CTES},{_binary_cte(4096)},
     SELECT s.n_pos, s.n_neg,
            CASE WHEN s.n_pos > 0 AND s.n_neg > 0 THEN
              cast(floor(cast(c.u2_cross + s.u2_same as double)
-                        / cast(2 * s.n_pos * s.n_neg as double)
+                        / cast(2::hugeint * s.n_pos * s.n_neg as double)
                         * 1000000.0 + 0.5) as bigint)
            END AS auc_x1e6
     FROM same_u s, cross_u c

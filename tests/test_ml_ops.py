@@ -22,6 +22,13 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def _has_tokens():
+    # the kernel's own emptiness predicate: a doc counts only if the
+    # normalized tokenizer yields at least one [a-z0-9] token ('!!!' is
+    # non-blank but token-free)
+    return F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")) != ""
+
+
 def test_kmeans_partitioning_invariant(spark, tables):
     e = tables["embeddings"]
     a = kmeans_cluster_profile(e, k=4, iters=2)
@@ -126,7 +133,7 @@ def test_nb_confusion_counts_every_test_doc_with_tokens(spark, tables):
     d = tables["documents"]
     conf = nb_class_confusion(d, class_col="lang").collect()
     n_test = d.filter(
-        (F.col("doc_id") % 2 == 1) & (F.trim(F.col("text")) != "")
+        (F.col("doc_id") % 2 == 1) & _has_tokens()
     ).count()
     assert sum(r["n_docs"] for r in conf) == n_test
     langs = {r["lang"] for r in d.select("lang").distinct().collect()}
@@ -392,7 +399,7 @@ def test_nb_calibration_accounts_and_bounds(spark, tables):
     d = tables["documents"]
     out = nb_calibration_deciles(d, positive_class="en").collect()
     n_test = d.filter(
-        (F.col("doc_id") % 2 == 1) & (F.trim(F.col("text")) != "")
+        (F.col("doc_id") % 2 == 1) & _has_tokens()
     ).count()
     assert sum(r["n_docs"] for r in out) == n_test
     for r in out:
