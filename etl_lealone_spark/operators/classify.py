@@ -397,7 +397,10 @@ def _score_bins(scored: DataFrame, n_bins: int) -> DataFrame:
         )
     finally:
         scored.unpersist()
-    return hist
+    # the checkpoint replaced the plan with a bare RDD scan, which
+    # erases the GlobalLimit the fleet lint reads as the bound —
+    # re-state it above the materialized table (still never truncates)
+    return hist.limit(n_bins)
 
 
 def nb_binary_auc(
