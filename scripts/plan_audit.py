@@ -89,6 +89,16 @@ AUDIT = [
     "udf_alias_agg",
     "hard_negative_mining",
     "zipf_slope_top100",
+    "kmeans_cluster_profile",
+    "kmeans_separation_audit",
+    "knn_label_vote",
+    "tfidf_doc_keywords",
+    "nb_lang_confusion",
+    "chi2_term_class_top",
+    "numeric_corr_matrix",
+    "pca_label_projection",
+    "nb_en_auc_binned",
+    "nb_score_calibration",
 ]
 
 # Workloads whose RETURNED frame is a driver-materialized result by
@@ -127,6 +137,42 @@ NOTES = {
         "spec-keyed root (r7 verdict task 5), so the audited plan is a "
         "LIVE partition-pruned parquet scan of the compacted history — "
         "no driver-collected relation."
+    ),
+    "kmeans_cluster_profile": (
+        "Lloyd iterations execute eagerly during build (seed collect + "
+        "one k*dim-group update collect per iteration); the audited "
+        "plan is the FINAL pass — a map-only centroid-literal argmin "
+        "projection feeding one two-level aggregation. The corpus "
+        "never shuffles; only k*dim partial sums do."
+    ),
+    "kmeans_separation_audit": (
+        "Shares the eager Lloyd kernel; the audited plan is the final "
+        "map-only projection taking d1/d2 from one array_sort of the "
+        "k-struct distance array, then a k-group aggregation."
+    ),
+    "knn_label_vote": (
+        "The bounded query set (vectors + true labels) is collected at "
+        "build time; the audited plan is the mapInPandas Arrow scorer "
+        "over the corpus (labels ride carry_cols — no corpus join) "
+        "plus the per-query WindowGroupLimit rank and the bounded "
+        "vote aggregation."
+    ),
+    "pca_label_projection": (
+        "Power iterations execute eagerly during build (one map-only "
+        "matvec projection + one dim-group decimal-sum collect per "
+        "iteration); the audited plan is the final projection against "
+        "the converged direction literals feeding a per-label agg."
+    ),
+    "nb_en_auc_binned": (
+        "The NB train+score pipeline and the score histogram execute "
+        "eagerly (persist + localCheckpoint — the pipeline runs ONCE); "
+        "the audited plan is the bounded <=4096-row histogram "
+        "self-join computing the pair mass, with the re-stated LIMIT "
+        "bound above the checkpointed scan."
+    ),
+    "nb_score_calibration": (
+        "Shares the eager NB scoring + histogram kernel; the audited "
+        "plan is a projection over the checkpointed <=10-row table."
     ),
 }
 
