@@ -415,3 +415,25 @@ def test_nb_auc_partitioning_invariant(spark, tables):
     a = nb_binary_auc(d, positive_class="en")
     b = nb_binary_auc(d.repartition(27, "source"), positive_class="en")
     assert _rows(a) == _rows(b)
+
+
+def test_kmeans_iterations_are_not_vacuous(spark, tables):
+    # the unrolled oracle CTEs must be load-bearing: one Lloyd update
+    # actually moves the centroids on the fixture, so an oracle that
+    # ignored iteration depth would hash-mismatch
+    e = tables["embeddings"]
+    p1 = _rows(kmeans_cluster_profile(e, k=8, iters=1))
+    p2 = _rows(kmeans_cluster_profile(e, k=8, iters=2))
+    assert p1 != p2
+
+
+def test_auc_bin_resolution_is_not_vacuous(spark, tables):
+    from etl_lealone_spark.operators.classify import nb_binary_auc
+
+    d = tables["documents"]
+    fine = nb_binary_auc(d, n_bins=4096).collect()[0]["auc_x1e6"]
+    coarse = nb_binary_auc(d, n_bins=10).collect()[0]["auc_x1e6"]
+    # binning collapses resolution — the two must differ on real data,
+    # and both stay in [0, 1e6]
+    assert fine != coarse
+    assert 0 <= coarse <= 1_000_000 and 0 <= fine <= 1_000_000
