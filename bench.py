@@ -97,6 +97,7 @@ HEADLINE = [
     "kmeans_separation_audit", # second-nearest-centroid cluster quality audit
     "nb_en_auc_binned",        # binned Mann-Whitney AUC classifier evaluation
     "nb_score_calibration",    # reliability/calibration table
+    "bpe_encode_stats",        # BPE train->encode->token budgets per source
 ]
 
 

@@ -144,3 +144,42 @@ def bpe_encode_expr(tokens: Column, merges: list[tuple[str, str, int]]) -> Colum
     for a, b, _ in merges:
         out = _merge_pair_expr(out, a, b)
     return out
+
+
+def bpe_encode_udf(merges: list[tuple[str, str, int]]):
+    """Arrow-batched BPE encoder: the merge table rides the closure and
+    each word encodes in one Python pass per merge (greedy left-to-right
+    with skip-after-merge — exactly :func:`_merge_pair_expr`'s carry
+    fold, pinned equal by test).
+
+    Why not the fold expression for big merge tables: ``bpe_encode_expr``
+    nests one ``aggregate`` PER MERGE, so analysis/codegen cost grows
+    with the merge count (measured ~20s at 8 merges; a real 32k-merge
+    tokenizer is unreachable in expression space). The UDF's cost is
+    O(merges x symbols) per DISTINCT word in an Arrow batch — and the
+    encode input is the vocabulary, never the corpus (callers join the
+    per-word token counts back onto frequencies).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    pairs = [(a, b) for a, b, _ in merges]
+
+    def one(w: str) -> list[str]:
+        syms = list(w) + [EOW]
+        for a, b in pairs:
+            out: list[str] = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    # hint-less form: PEP 563 (module-level `from __future__ import
+    # annotations`) stringifies hints pandas_udf cannot resolve here
+    return pandas_udf(lambda col: col.map(one), "array<string>")

@@ -101,3 +101,38 @@ def test_bpe_train_partitioning_invariant(spark):
     a = bpe_train(d.coalesce(1), n_merges=6)
     b = bpe_train(d.repartition(7), n_merges=6)
     assert a == b
+
+
+def test_encode_udf_matches_fold_expression(spark):
+    # the Arrow encoder (scale path: merge table in the closure) must be
+    # row-identical to the nested-fold expression (codegen path) on the
+    # same trained merges — including overlap chains and repeated pairs
+    from pyspark.sql import functions as F
+
+    from etl_lealone_spark.operators.bpe import (
+        _initial_symbols,
+        bpe_encode_expr,
+        bpe_encode_udf,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low lower lowest", "new newer newest", "wide wider widest",
+             "aaa aaaa aa", "low low low new new wide"] * 4
+        )],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=6, checkpoint_every=1)
+    assert len(merges) == 6
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).distinct()
+    both = words.select(
+        "w",
+        bpe_encode_expr(_initial_symbols(F.col("w")), merges).alias("fold"),
+        bpe_encode_udf(merges)(F.col("w")).alias("arrow"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        assert r["fold"] == r["arrow"], r["w"]
