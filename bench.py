@@ -456,24 +456,67 @@ def main() -> None:
     baseline = baseline_workloads(spark, n=base_rows)
     ext = extension_dual_run(spark, wl)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": {
-                    **timings,
-                    **baseline,
-                    **ext,
-                    "anchor_first": anchor_first,
-                    "anchor_last": anchor_last,
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "baseline_rows": base_rows,
-            }
-        )
+    payload = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            **timings,
+            **baseline,
+            **ext,
+            "anchor_first": anchor_first,
+            "anchor_last": anchor_last,
+        },
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "baseline_rows": base_rows,
+    }
+    emit(payload, timings, baseline, ext)
+
+
+# The round-record keeps only the LAST 2000 chars of stdout and parses
+# the final line as JSON; the full payload serializes to ~3 KB, so a
+# single full-detail final line gets its FRONT truncated and every
+# BENCH_r0*.json through r9 recorded "parsed": null. Framing fix (r9
+# verdict task 2): the full payload goes to BENCH_DETAIL.json (repo
+# root, committed with the round) AND a full-detail penultimate stdout
+# line; the FINAL line is a compact summary hard-capped below the tail
+# window — baseline/ext dual-run pairs and anchors always included
+# (they are the graded ratios), then headline timings slowest-first
+# until the cap, with the spill count recorded in queries_omitted.
+_TAIL_BUDGET = 1800  # < 2000-char tail, with headroom for a preceding \n
+
+
+def emit(payload, timings, baseline, ext) -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail = json.dumps(payload, separators=(",", ":"))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        f.write(json.dumps(payload, indent=1) + "\n")
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "sf": payload["sf"],
+        "baseline_rows": payload["baseline_rows"],
+        "detail": "BENCH_DETAIL.json",
+        "queries_omitted": 0,
+        "queries": {
+            **baseline,
+            **ext,
+            "anchor_first": payload["queries"]["anchor_first"],
+            "anchor_last": payload["queries"]["anchor_last"],
+        },
+    }
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        compact["queries"][name] = t
+        if len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET:
+            del compact["queries"][name]
+    compact["queries_omitted"] = len(payload["queries"]) - len(
+        compact["queries"]
     )
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= _TAIL_BUDGET + 40, len(line)
+    print(detail)
+    print(line)
 
 
 if __name__ == "__main__":
