@@ -164,7 +164,12 @@ def bpe_encode_udf(merges: list[tuple[str, str, int]]):
 
     pairs = [(a, b) for a, b, _ in merges]
 
-    def one(w: str) -> list[str]:
+    def one(w: str) -> list[str] | None:
+        # public operator: a NULL word encodes to NULL (callers that
+        # pre-filter see no change; without this, list(None) raises
+        # inside the Arrow batch and kills the whole task)
+        if w is None:
+            return None
         syms = list(w) + [EOW]
         for a, b in pairs:
             out: list[str] = []

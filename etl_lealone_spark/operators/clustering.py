@@ -108,8 +108,17 @@ def _update_centroids(
         assigned.select("cid", F.posexplode("qvec").alias("pos", "v"))
         .groupBy("cid", "pos")
         .agg(
+            # component sums widen to decimal(38,0) BEFORE accumulating:
+            # Spark's sum(bigint) wraps silently at 2^63 while the DuckDB
+            # oracle's sum() promotes to HUGEINT and stays exact — with
+            # |v| bounded by the 1e6 quantize scale the long sum only
+            # holds to ~9e12 members
+            # per cluster, a bound a 100 TB corpus can cross. The
+            # decimal->double cast rounds identically to HUGEINT->double,
+            # so results are bit-unchanged in the non-overflow regime.
             F.floor(
-                F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")
+                F.sum(F.col("v").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
                 + F.lit(0.5)
             )
             .cast("bigint")

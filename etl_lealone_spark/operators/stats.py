@@ -176,8 +176,14 @@ def power_iteration_projection(
         q.select(F.posexplode("qvec").alias("pos", "vv"))
         .groupBy("pos")
         .agg(
+            # widen before accumulating (same rule as the moment sums
+            # above): sum(bigint) wraps at 2^63 where the oracle's
+            # HUGEINT stays exact; decimal(38,0)->double rounds the same
+            # as bigint->double below the wrap point, so this is
+            # bit-neutral at any corpus size that fits int64.
             F.floor(
-                F.sum("vv").cast("double") / F.count(F.lit(1)).cast("double")
+                F.sum(F.col("vv").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
                 + F.lit(0.5)
             )
             .cast("bigint")

@@ -872,7 +872,12 @@ def zipf_slope_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Argmax tie-break (cnt DESC, a, b) matches bpe_train's orderBy.
 # ---------------------------------------------------------------------------
 _BPE_N_MERGES = 8
-_BPE_MAX_SYMS = 512  # oracle pair-scan bound; engine asserts below it
+# Oracle pair-scan bound: the unrolled training CTEs scan candidate
+# pair positions with range(1, _BPE_MAX_SYMS), so a word whose initial
+# symbol count (length + EOW) reaches the bound would have pairs the
+# engine counts but the oracle's scan misses — bpe_encode_stats RAISES
+# past it (one scalar max-length agg) instead of silently diverging.
+_BPE_MAX_SYMS = 512
 
 
 def _bpe_encode_sql(n_merges: int) -> str:
@@ -953,12 +958,21 @@ def _trained_merges(spark: SparkSession, sf_dir: str) -> list:
     import os
 
     from ..operators import bpe as _bpe
+    from ..operators import dedup as _dedup
     from .helpers import persisted_state_root
 
+    # the trained merges depend on the tokenizer NORMALIZATION
+    # (dedup.words/normalized_text feed the word frequencies), not just
+    # bpe.py — key the cache on both sources so a normalization change
+    # retrains instead of silently reusing stale merges while the
+    # oracle retrains with the new split
     root = persisted_state_root(
         sf_dir,
         ("documents",),
-        inspect.getsource(_bpe) + f"n={_BPE_N_MERGES}",
+        inspect.getsource(_bpe)
+        + inspect.getsource(_dedup.normalized_text)
+        + inspect.getsource(_dedup.words)
+        + f"n={_BPE_N_MERGES}",
         "etl_lealone_bpewl",
     )
     path = os.path.join(root, "merges.json")
@@ -994,6 +1008,22 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import words as _words
 
     d = load_tables(spark, sf_dir)["documents"]
+    max_len = (
+        d.select(
+            F.array_max(F.transform(_words(F.col("text")), F.length)).alias(
+                "ml"
+            )
+        )
+        .agg(F.max("ml").alias("ml"))
+        .collect()[0]["ml"]
+        or 0
+    )
+    if max_len + 1 >= _BPE_MAX_SYMS:
+        raise ValueError(
+            f"word of {max_len} chars (+EOW) reaches the oracle pair-scan "
+            f"bound _BPE_MAX_SYMS={_BPE_MAX_SYMS}; training would count "
+            f"pairs the unrolled oracle cannot see"
+        )
     merges = _trained_merges(spark, sf_dir)
     if len(merges) < _BPE_N_MERGES:
         raise ValueError(

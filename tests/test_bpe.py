@@ -136,3 +136,22 @@ def test_encode_udf_matches_fold_expression(spark):
     assert len(both) > 0
     for r in both:
         assert r["fold"] == r["arrow"], r["w"]
+
+
+def test_encode_udf_null_word_returns_null(spark):
+    # public-operator contract (r9 advisor): a NULL in the word column
+    # encodes to NULL instead of raising TypeError inside the Arrow batch
+    from etl_lealone_spark.operators.bpe import bpe_encode_udf
+
+    df = spark.createDataFrame(
+        [("low",), (None,), ("lower",)], "w string"
+    )
+    rows = {
+        r["w"]: r["toks"]
+        for r in df.select(
+            "w", bpe_encode_udf([("l", "o", 3)])(F.col("w")).alias("toks")
+        ).collect()
+    }
+    assert rows[None] is None
+    assert rows["low"] == ["lo", "w", EOW]
+    assert rows["lower"] == ["lo", "w", "e", "r", EOW]
