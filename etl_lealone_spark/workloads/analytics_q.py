@@ -448,17 +448,25 @@ def _ensure_stream_feed(spark, sf_dir: str, tag: str, build_fn) -> str:
     return root
 
 
-def _stream_bucket_files(ev, out_dirs, n_buckets: int = 5, tail=None) -> None:
+def _stream_bucket_files(ev, out_dirs, n_buckets: int = 3, tail=None) -> None:
     """Write ``ev`` as day-granular time buckets, oldest-first with
     strictly increasing pinned mtimes — the parquet file source processes
     files in mod-time order, so delivery is in-order at bucket
     granularity and within-bucket disorder is absorbed by the query's
-    watermark. ``out_dirs`` is [(dir, filter_expr|None), ...] (one
+    watermark. 3 buckets (r10, was 5): each file is one micro-batch
+    (maxFilesPerTrigger=1) and stateful stages re-run every trigger, so
+    trigger count is pure per-workload overhead at oracle/bench scale —
+    3 real batches still exercise every cross-batch contract (state
+    carry, watermark advance, eviction, session merge) and the
+    5-bucket/3-bucket results are identical by the same in-order
+    argument that makes the batch oracle valid at ANY bucketing; the
+    cut measured 40.2s -> ~25s across the 8-workload suite at sf0.1. ``out_dirs`` is [(dir, filter_expr|None), ...] (one
     filtered copy of each bucket per dir — the two sides of a
-    stream-stream join). ``tail`` (same schema) is written LAST into
-    every dir: the watermark-flush sentinel that closes all real
-    append-mode windows (its own window never closes, so it can never
-    leak into output). TIMESTAMP_NTZ forbids numeric casts, so
+    stream-stream join). ``tail`` (same schema) is the watermark-flush
+    sentinel that closes all real append-mode windows (its own window
+    never closes, so it can never leak into output): one copy rides in
+    the LAST bucket file (advances the watermark), one is written as
+    the trailing file (the deterministic emission batch). TIMESTAMP_NTZ forbids numeric casts, so
     bucketing is date arithmetic."""
     import os
 
@@ -484,20 +492,27 @@ def _stream_bucket_files(ev, out_dirs, n_buckets: int = 5, tail=None) -> None:
             sel = base.filter(F.col("_b") == k)
             if flt is not None:
                 sel = sel.filter(flt)
-            sel.drop("_b").coalesce(1).write.mode("append").parquet(d)
+            sel = sel.drop("_b")
+            if tail is not None and k == n_buckets - 1:
+                # Sentinel #1 rides IN the last real bucket (r10 trigger
+                # cut): the watermark is recomputed from the batch's max
+                # event time at batch END, so "last bucket + sentinel"
+                # advances it past every real window exactly like a
+                # separate sentinel batch would — one fewer trigger per
+                # dir. Closed-window EMISSION then happens in the batch
+                # AFTER the advance, and relying on the engine's
+                # optional no-data flush batch races
+                # processAllAvailable (observed: final real windows
+                # missing) — so sentinel #2 below stays a real trailing
+                # file. Both sentinel rows land in the never-emitted
+                # '__flush__' window.
+                sel = sel.unionByName(tail)
+            sel.coalesce(1).write.mode("append").parquet(d)
             _pin(d, 1_700_000_000 + k)
     if tail is not None:
-        # TWO sentinel batches: watermark advances AFTER the batch that
-        # carries the max event time, and closed-window EMISSION happens
-        # in the batch after that — relying on the engine's optional
-        # no-data flush batch races processAllAvailable (observed: the
-        # final real windows missing). The second identical sentinel
-        # file is that deterministic next batch; both land in the
-        # never-emitted '__flush__' window.
-        for i in range(2):
-            for d, _flt in out_dirs:
-                tail.coalesce(1).write.mode("append").parquet(d)
-                _pin(d, 1_700_000_000 + n_buckets + i)
+        for d, _flt in out_dirs:
+            tail.coalesce(1).write.mode("append").parquet(d)
+            _pin(d, 1_700_000_000 + n_buckets)
 
 
 def _flush_sentinel(ev):
@@ -514,43 +529,33 @@ def _flush_sentinel(ev):
     )
 
 
-def _drain_stream(spark, sdf, tmp: str, qname: str, state_partitions: int = 8):
-    """Run a streaming DataFrame to completion into a memory sink and
-    return its rows as a batch DataFrame (materialized driver-side —
-    oracle-scale-bounded — so the tmp state can be removed).
 
-    ``state_partitions`` pins the stateful-stage task count for the
-    query's lifetime (the session conf is held for the WHOLE drain and
-    restored after — the first micro-batch, planned asynchronously
-    after start(), is what captures it; restoring right after start()
-    measurably does nothing). Stateful stages run every micro-batch,
-    so their task count is per-trigger OVERHEAD at oracle/bench scale:
-    32 partitions x ~14 triggers measured 30s where 8 measure 9.5s,
-    identical rows. At cluster scale you size this to state-key
-    cardinality instead — it is the streaming twin of choosing
-    shuffle_partitions for a batch job, NOT a correctness knob (the
-    state store hash-partitions by key either way)."""
+def _ckpt_tmp(prefix: str) -> str:
+    """Per-run streaming-checkpoint scratch dir, on tmpfs when the host
+    has one. The checkpoint (offset WAL, commit log, state-store
+    deltas) is fsync-per-trigger traffic that lives only for the
+    drain — on ext4 those fsyncs measured ~120ms of every ~500ms
+    micro-batch, pure per-trigger overhead at oracle/bench scale. On a
+    real cluster the checkpoint goes to reliable shared storage
+    instead (it IS the recovery contract there); a memory-backed
+    checkpoint is only sound because these drains are
+    run-to-completion-then-discard."""
     import os
+    import tempfile
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    query = None
-    try:
-        query = (
-            sdf.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
-        )
-        query.processAllAvailable()
-        out = spark.table(qname)
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        if query is not None:
-            query.stop()
-            spark.catalog.dropTempView(qname)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+def _drain_stream(spark, sdf, tmp: str, qname: str, state_partitions: int = 4):
+    """Workload-side alias of the public knob-bearing drain
+    (streaming.ingest.drain_to_batch, r9 verdict task 6) — the
+    ``state_partitions`` sizing guidance lives on that docstring."""
+    from ..streaming.ingest import drain_to_batch
+
+    return drain_to_batch(
+        spark, sdf, tmp, qname, state_partitions=state_partitions
+    )
 
 
 @workload(
@@ -599,7 +604,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     feed = _ensure_stream_feed(spark, sf_dir, "sij", build)
-    tmp = tempfile.mkdtemp(prefix="sij_")  # per-run checkpoint only
+    tmp = _ckpt_tmp("sij_")  # per-run checkpoint only
     try:
         joined = join_streams_interval(
             stream_from_parquet_dir(spark, os.path.join(feed, "l")),
@@ -644,7 +649,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev, [(os.path.join(d, "ev"), None)], tail=_flush_sentinel(ev)
         ),
     )
-    tmp = tempfile.mkdtemp(prefix="sta_")  # per-run checkpoint only
+    tmp = _ckpt_tmp("sta_")  # per-run checkpoint only
     try:
         d = os.path.join(feed, "ev")
         # NO event_type filter on the agg: a filter on a grouping column
@@ -701,7 +706,7 @@ def stream_enrich_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev, [(os.path.join(d, "ev"), None)], tail=_flush_sentinel(ev)
         ),
     )
-    tmp = tempfile.mkdtemp(prefix="sea_")  # per-run checkpoint only
+    tmp = _ckpt_tmp("sea_")  # per-run checkpoint only
     try:
         d = os.path.join(feed, "ev")
         stream = (
@@ -742,7 +747,7 @@ def stream_enrich_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e AS (
       SELECT user_id, floor(value) AS v,
              CAST(floor(date_diff('day', b.lo, CAST(ts AS DATE))
-                        / ((b.span // 5) + 1)) AS BIGINT) AS b
+                        / ((b.span // 3) + 1)) AS BIGINT) AS b
       FROM events, bounds b
     ),
     g AS (
@@ -782,12 +787,20 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(os.path.join(d, "ev"), None)],
         ),
     )
-    tmp = tempfile.mkdtemp(prefix="sst_")  # per-run checkpoint only
+    tmp = _ckpt_tmp("sst_")  # per-run checkpoint only
     try:
         totals = running_user_totals(
             stream_from_parquet_dir(spark, os.path.join(feed, "ev"))
         )
-        return _drain_stream(spark, totals, tmp, f"sst_{os.getpid()}")
+        # state_partitions=8 here, against the suite's 4: the stateful
+        # stage is applyInPandasWithState, so partition count = Python
+        # workers running concurrently per trigger — the Arrow/Python
+        # stage wants MORE parallelism where the JVM stateful aggs want
+        # less per-trigger task overhead (measured: 4.0s at 8 vs 6.6s
+        # at 4; rows identical — the knob-pinning test's contract)
+        return _drain_stream(
+            spark, totals, tmp, f"sst_{os.getpid()}", state_partitions=8
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -826,7 +839,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev, [(os.path.join(d, "ev"), None)], tail=_flush_sentinel(ev)
         ),
     )
-    tmp = tempfile.mkdtemp(prefix="ssl_")  # per-run checkpoint only
+    tmp = _ckpt_tmp("ssl_")  # per-run checkpoint only
     try:
         agg = streaming_sliding_agg(
             stream_from_parquet_dir(spark, os.path.join(feed, "ev")),
@@ -884,7 +897,7 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev, [(os.path.join(d, "ev"), None)], tail=_flush_sentinel(ev)
         ),
     )
-    tmp = tempfile.mkdtemp(prefix="sse_")  # per-run checkpoint only
+    tmp = _ckpt_tmp("sse_")  # per-run checkpoint only
     try:
         agg = sessionize_stream(
             stream_from_parquet_dir(spark, os.path.join(feed, "ev")),
@@ -940,7 +953,7 @@ def stream_dedup_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(newest, (1_700_000_000 + i, 1_700_000_000 + i))
 
     feed = _ensure_stream_feed(spark, sf_dir, "sdh", build)
-    tmp = tempfile.mkdtemp(prefix="sdh_")  # per-run checkpoint only
+    tmp = _ckpt_tmp("sdh_")  # per-run checkpoint only
     try:
         docs = (
             spark.readStream.schema(d0.schema)
@@ -1005,7 +1018,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(newest, (1_700_000_000 + b, 1_700_000_000 + b))
 
     feed = _ensure_stream_feed(spark, sf_dir, "ups", build)
-    tmp = tempfile.mkdtemp(prefix="ups_")
+    tmp = _ckpt_tmp("ups_")
     table = SnapshotTable(spark, os.path.join(tmp, "wh"), "ups_target")
     table.create(
         spark.createDataFrame([], "custkey long, n_orders long")

@@ -43,8 +43,10 @@ def test_flush_sentinel_shape(spark):
 
 def test_stream_bucket_files_order_and_tail(spark, tmp_path):
     """Buckets land oldest-first with strictly increasing pinned
-    mtimes; the tail sentinel is written TWICE (two micro-batches —
-    the emission-trails-watermark contract) and always LAST."""
+    mtimes; the sentinel appears TWICE (emission-trails-watermark
+    contract): once riding in the last bucket file (advances the
+    watermark with that batch), once as the trailing file (the
+    deterministic emission batch)."""
     from etl_lealone_spark.workloads.analytics_q import (
         _flush_sentinel,
         _stream_bucket_files,
@@ -58,20 +60,22 @@ def test_stream_bucket_files_order_and_tail(spark, tmp_path):
         for f in os.listdir(d)
         if f.startswith("part-")
     )
-    assert len(parts) == 5  # 3 buckets + 2 sentinel batches
+    assert len(parts) == 4  # 3 buckets (sentinel rides the last) + 1 tail
     mtimes = [m for m, _ in parts]
     assert mtimes == sorted(set(mtimes)), "mtimes must be strictly increasing"
-    # tail files are the two newest and contain exactly the sentinel
-    for _, p in parts[-2:]:
-        rows = spark.read.parquet(p).collect()
-        assert len(rows) == 1 and rows[0]["event_type"] == "__flush__"
-    # bucket files partition the input in time order
-    n_real = sum(spark.read.parquet(p).count() for _, p in parts[:-2])
-    assert n_real == 40
-    maxes = [
-        spark.read.parquet(p).agg(F.max("ts")).collect()[0][0]
-        for _, p in parts[:-2]
+    # trailing file is exactly the sentinel
+    rows = spark.read.parquet(parts[-1][1]).collect()
+    assert len(rows) == 1 and rows[0]["event_type"] == "__flush__"
+    # last bucket file carries its real rows plus ONE sentinel row
+    last_bucket = spark.read.parquet(parts[-2][1])
+    assert last_bucket.filter(F.col("event_type") == "__flush__").count() == 1
+    # bucket files partition the real input in time order
+    real = [
+        spark.read.parquet(p).filter(F.col("event_type") != "__flush__")
+        for _, p in parts[:-1]
     ]
+    assert sum(r.count() for r in real) == 40
+    maxes = [r.agg(F.max("ts")).collect()[0][0] for r in real]
     assert maxes == sorted(maxes)
 
 
@@ -93,3 +97,37 @@ def test_drain_stream_restores_conf_and_drains(spark, tmp_path):
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
     # the memory-sink temp view is gone
     assert not any(t.name == "drain_test" for t in spark.catalog.listTables())
+
+
+def test_drain_state_partitions_not_a_correctness_knob(spark, tmp_path):
+    """streaming.ingest.drain_to_batch (the public knob surface): the
+    emitted row set is IDENTICAL at two state_partitions settings — the
+    knob sizes stateful-stage task count, never results."""
+    from etl_lealone_spark.streaming.ingest import (
+        drain_to_batch,
+        stream_from_parquet_dir,
+        streaming_tumbling_agg,
+    )
+    from etl_lealone_spark.workloads.analytics_q import (
+        _flush_sentinel,
+        _stream_bucket_files,
+    )
+
+    ev = _events(spark)
+    d = str(tmp_path / "feed")
+    _stream_bucket_files(ev, [(d, None)], n_buckets=3, tail=_flush_sentinel(ev))
+    outs = []
+    for i, sp in enumerate((2, 8)):
+        sdf = stream_from_parquet_dir(spark, d)
+        agg = streaming_tumbling_agg(sdf, window="1 hour", watermark="2 hours")
+        out = drain_to_batch(
+            spark, agg, str(tmp_path / f"ck{i}"), f"dsp_{i}", state_partitions=sp
+        )
+        outs.append(
+            sorted(
+                (r["window_start"], r["event_type"], r["n"], r["total_value"])
+                for r in out.collect()
+            )
+        )
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0
