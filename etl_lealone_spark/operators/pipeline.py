@@ -649,13 +649,20 @@ def dsir_log_weights(
     result as summing per token). Nothing is quadratic and no stage
     holds more than |docs| × ``buckets`` rows beyond the corpus itself.
     """
-    from .dedup import words
-
+    # fused tokenizer (r9 verdict task 4a): one regex pass —
+    # split(lower(text), '[^a-z0-9]+') — instead of dedup.words'
+    # regexp_replace + trim + split two-pass form. The token MULTISET is
+    # identical after the w != '' filter (the fused form only adds
+    # empty leading/trailing fragments), so the oracle and every
+    # downstream count are bit-unchanged; the substrate probe measured
+    # the fused split at ~0.6x the two-pass split's wall on this stage.
     per_doc_bucket = (
         df.select(
             F.col(id_col).alias("id"),
             target_pred.alias("is_t"),
-            F.explode(words(F.col(text_col))).alias("w"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("w"),
         )
         .filter(F.col("w") != "")
         .select(

@@ -618,3 +618,139 @@ def nb_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"]
     return nb_calibration_deciles(d, positive_class="en", class_col="lang")
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression (fixed-point gradient steps) — r10 addition
+# ---------------------------------------------------------------------------
+_LOGREG_DIMS = 8
+_LOGREG_ITERS = 2
+_LOGREG_TARGET = 0
+_LOGREG_LR_NUM = 4
+_LOGREG_LR_DEN = 1
+
+
+def _logreg_sql(
+    dims: int, iters: int, target: int, lr_num: int, lr_den: int
+) -> str:
+    """Generated oracle for operators/logreg.py: UNROLLS the gradient
+    steps as CTE blocks (the kmeans/pca discipline). Per step: the
+    fast-sigmoid score quantizes once per row, the gradient accumulates
+    as exact HUGEINT sums per feature position, and the weight update
+    replays delta_w's pinned double sequence — so step t+1's weight
+    literals are bit-identical to the engine's driver-side loop. The
+    sigmoid / update expressions mirror logreg._fast_sigmoid_x1e6 and
+    logreg.delta_w VERBATIM (same parenthesization); edit them
+    together."""
+    d1 = dims + 1
+    dot = (
+        "cast(list_sum(list_transform(range(1, {d1}), i -> "
+        "q.qvec[i] * w.wvec[i])) as double)"
+    ).format(d1=d1 + 1)
+    sig = (
+        "cast(floor((0.5 + (z / (2.0 * (1.0 + abs(z))))) * 1000000.0 "
+        "+ 0.5) as bigint)"
+    )
+    blocks = [
+        f"""
+    WITH q AS (
+      SELECT vec_id, cast(label as bigint) AS label,
+             CASE WHEN cast(label as bigint) = {target}
+                  THEN 1 ELSE 0 END AS y,
+             list_append(
+               list_transform(embedding[1:{dims}], x ->
+                 cast(floor(cast(x as double) * 1000000.0 + 0.5)
+                      as bigint)),
+               1000000) AS qvec
+      FROM embeddings
+    ),
+    w0 AS (SELECT [{", ".join(["0"] * d1)}]::BIGINT[] AS wvec)"""
+    ]
+    for t in range(1, iters + 1):
+        blocks.append(f""",
+    s{t} AS (
+      SELECT z.y, z.qvec, {sig} AS s
+      FROM (SELECT q.y, q.qvec, {dot} / 1000000000000.0 AS z
+            FROM q CROSS JOIN w{t - 1} w) z
+    ),
+    g{t} AS (
+      SELECT t.i AS pos,
+             sum((s{t}.y * 1000000 - s{t}.s)::hugeint * s{t}.qvec[t.i])
+               AS g,
+             count(*) AS n
+      FROM s{t} CROSS JOIN range(1, {d1 + 1}) t(i)
+      GROUP BY t.i
+    ),
+    w{t} AS (
+      SELECT list(
+               cast(w.wvec[g.pos]
+                    + cast(floor((cast(g.g as double) * {lr_num})
+                                 / ((cast(g.n as double) * 1000000.0)
+                                    * {lr_den})
+                                 + 0.5) as bigint)
+                    as bigint)
+               ORDER BY g.pos) AS wvec
+      FROM g{t} g CROSS JOIN w0 w
+      -- NOTE: w0 here is only the indexing base when t=1; see fixup
+    )"""
+        )
+    sql = "".join(blocks)
+    # each update must add to the PREVIOUS step's weights, not w0
+    for t in range(2, iters + 1):
+        sql = sql.replace(
+            f"FROM g{t} g CROSS JOIN w0 w",
+            f"FROM g{t} g CROSS JOIN w{t - 1} w",
+        )
+    final = f""",
+    fin AS (
+      SELECT z.label, cast(z.zdot as bigint) AS dot, {sig} AS s
+      FROM (SELECT q.label,
+                   list_sum(list_transform(range(1, {d1 + 1}), i ->
+                     q.qvec[i] * w.wvec[i])) AS zdot,
+                   {dot} / 1000000000000.0 AS z
+            FROM q CROSS JOIN w{iters} w) z
+    )
+    SELECT label, count(*) AS n_vecs,
+           cast(sum(CASE WHEN dot >= 0 THEN 1 ELSE 0 END) as bigint)
+             AS n_pred_target,
+           cast(floor(cast(sum(s::hugeint) as double)
+                      / cast(count(*) as double)) as bigint)
+             AS avg_score_x1e6
+    FROM fin
+    GROUP BY label
+    ORDER BY label
+"""
+    return sql + final
+
+
+@workload(
+    "logreg_label_probe",
+    _logreg_sql(
+        _LOGREG_DIMS,
+        _LOGREG_ITERS,
+        _LOGREG_TARGET,
+        _LOGREG_LR_NUM,
+        _LOGREG_LR_DEN,
+    ),
+    doc="Distributed one-vs-all logistic regression (fast-sigmoid link, "
+    f"{_LOGREG_ITERS} full-batch fixed-point gradient steps, "
+    f"{_LOGREG_DIMS} dims + bias) probing label {_LOGREG_TARGET}'s "
+    "linear separability: per original label, the trained classifier's "
+    "positive-call count and mean quantized score. Each step is one "
+    "map-only scoring pass (weight literals in codegen — no join) plus "
+    "a (dims+1)-group shuffle of map-side partials; driver state is "
+    "the weight vector. The oracle unrolls both steps as CTE blocks "
+    "and matches bit-for-bit (see operators/logreg.py).",
+)
+def logreg_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.logreg import logreg_label_probe as probe
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return probe(
+        e,
+        target_label=_LOGREG_TARGET,
+        dims=_LOGREG_DIMS,
+        iters=_LOGREG_ITERS,
+        lr_num=_LOGREG_LR_NUM,
+        lr_den=_LOGREG_LR_DEN,
+    )

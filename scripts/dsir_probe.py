@@ -41,10 +41,14 @@ from bench_settle import build_scaled_dir, ext_dual_at_scale  # noqa: E402
 
 from etl_lealone_spark.session import build_spark, default_parallelism  # noqa: E402
 
-# The tokenize+explode+hash substrate twin: the same words() split,
-# md5 bucket hash, and a global count — no importance-weight logic, no
-# per-doc aggregation, nothing plan-dependent. Spark side mirrors
-# operators/pipeline.dsir_log_weights' first stage verbatim.
+# The tokenize+explode+hash substrate twin: the same fused split as
+# dsir's first stage (split(lower, '[^a-z0-9]+'), r10 — one regex pass
+# instead of regexp_replace+trim+split), md5 bucket hash, and a global
+# count — no importance-weight logic, no per-doc aggregation, nothing
+# plan-dependent. Spark side mirrors
+# operators/pipeline.dsir_log_weights' first stage verbatim; the
+# DuckDB side keeps its own best form (the two produce the identical
+# nonempty-token multiset — asserted below before timing).
 _TWIN_DUCKDB = """
     SELECT count(*) AS n, cast(sum(b) as bigint) AS s FROM (
       SELECT ('0x' || substr(md5(wd), 1, 15))::BIGINT % 1024 AS b
@@ -61,12 +65,15 @@ _TWIN_DUCKDB = """
 def twin_spark(spark, sf_dir: str) -> tuple[int, int]:
     from pyspark.sql import functions as F
 
-    from etl_lealone_spark.operators.dedup import words
     from etl_lealone_spark.tables import load_tables
 
     d = load_tables(spark, sf_dir)["documents"]
     r = (
-        d.select(F.explode(words(F.col("text"))).alias("w"))
+        d.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            ).alias("w")
+        )
         .filter(F.col("w") != "")
         .select(
             (

@@ -591,11 +591,19 @@ def ml_probe(ks) -> None:
                     ["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
                 )
 
+            def logreg():
+                from etl_lealone_spark.operators.logreg import (
+                    logreg_label_probe,
+                )
+
+                return logreg_label_probe(e, target_label=0)
+
             runs = [
                 ("kmeans", lambda: kmeans_cluster_profile(e, k=8, iters=2)),
                 ("nb", lambda: nb_class_confusion(d, class_col="lang")),
                 ("pca", lambda: power_iteration_projection(e, iters=3)),
                 ("corr", corr),
+                ("logreg", logreg),
             ]
             for label, fn in runs:
                 fn().write.format("noop").mode("overwrite").save()  # warm

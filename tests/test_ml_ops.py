@@ -437,3 +437,52 @@ def test_auc_bin_resolution_is_not_vacuous(spark, tables):
     # and both stay in [0, 1e6]
     assert fine != coarse
     assert 0 <= coarse <= 1_000_000 and 0 <= fine <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# logistic regression (operators/logreg.py)
+# ---------------------------------------------------------------------------
+def test_logreg_partitioning_invariant(spark, tables):
+    from etl_lealone_spark.operators.logreg import logreg_label_probe
+
+    e = tables["embeddings"]
+    a = _rows(logreg_label_probe(e.coalesce(1), target_label=0))
+    b = _rows(logreg_label_probe(e.repartition(7), target_label=0))
+    assert a == b and len(a) > 0
+
+
+def test_logreg_iterations_are_not_vacuous(spark, tables):
+    # each unrolled oracle CTE block must be load-bearing: one more
+    # gradient step moves the per-label scores on the fixture
+    from etl_lealone_spark.operators.logreg import logreg_label_probe
+
+    e = tables["embeddings"]
+    p1 = _rows(logreg_label_probe(e, target_label=0, iters=1))
+    p2 = _rows(logreg_label_probe(e, target_label=0, iters=2))
+    assert p1 != p2
+
+
+def test_logreg_bounds_and_empty(spark, tables):
+    from etl_lealone_spark.operators.logreg import (
+        MAX_DIMS,
+        logreg_train,
+    )
+
+    e = tables["embeddings"]
+    with pytest.raises(ValueError, match="MAX_DIMS"):
+        logreg_train(e, target_label=0, dims=MAX_DIMS + 1)
+    with pytest.raises(ValueError, match="iters"):
+        logreg_train(e, target_label=0, iters=0)
+    with pytest.raises(ValueError, match="empty"):
+        logreg_train(e.filter(F.col("vec_id") < 0), target_label=0)
+
+
+def test_logreg_probe_accounts_every_vector(spark, tables):
+    from etl_lealone_spark.operators.logreg import logreg_label_probe
+
+    e = tables["embeddings"]
+    rows = logreg_label_probe(e, target_label=0).collect()
+    assert sum(r["n_vecs"] for r in rows) == e.count()
+    for r in rows:
+        assert 0 <= r["n_pred_target"] <= r["n_vecs"]
+        assert 0 <= r["avg_score_x1e6"] <= 1_000_000

@@ -258,3 +258,85 @@ def test_chi2_contingency_counts_are_exact(spark, docs):
     for r in out:
         assert (r["cls"], r["bucket"]) in counts
         assert r["chi2_x1e3"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# logistic regression (operators/logreg.py): pure-Python bit replay —
+# its float ops are cast/mul/div/abs/floor only (the fast-sigmoid link
+# exists precisely so exp never enters), so the replay contract applies
+# ---------------------------------------------------------------------------
+def _ref_sigmoid_x1e6(dot: int) -> int:
+    z = float(dot) / 1.0e12
+    p = 0.5 + z / (2.0 * (1.0 + abs(z)))
+    return math.floor(p * 1.0e6 + 0.5)
+
+
+def _ref_logreg_probe(vectors, labels, target, dims, iters, lr_num, lr_den):
+    qv = [
+        [_q(v[i]) for i in range(dims)] + [1_000_000] for v in vectors
+    ]
+    ys = [1 if lab == target else 0 for lab in labels]
+    d1 = dims + 1
+    n = len(qv)
+    w = [0] * d1
+    for _ in range(iters):
+        g = [0] * d1
+        for x, y in zip(qv, ys):
+            dot = sum(xj * wj for xj, wj in zip(x, w))
+            r = y * 1_000_000 - _ref_sigmoid_x1e6(dot)
+            for j in range(d1):
+                g[j] += r * x[j]
+        w = [
+            w[j]
+            + math.floor(
+                (float(g[j]) * lr_num)
+                / ((float(n) * 1.0e6) * lr_den)
+                + 0.5
+            )
+            for j in range(d1)
+        ]
+    per_label: dict[int, list] = {}
+    for x, lab in zip(qv, labels):
+        dot = sum(xj * wj for xj, wj in zip(x, w))
+        s = _ref_sigmoid_x1e6(dot)
+        e = per_label.setdefault(lab, [0, 0, 0])
+        e[0] += 1
+        e[1] += 1 if dot >= 0 else 0
+        e[2] += s
+    return sorted(
+        (lab, e[0], e[1], math.floor(float(e[2]) / float(e[0])))
+        for lab, e in per_label.items()
+    )
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.lists(_COMP, min_size=4, max_size=4),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=3,
+        max_size=14,
+    ),
+    lr_num=st.sampled_from([1, 4, 64]),
+)
+@settings(**_SETTINGS)
+def test_logreg_matches_pure_python_reference(spark, data, lr_num):
+    from etl_lealone_spark.operators.logreg import logreg_label_probe
+
+    vectors = [d[0] for d in data]
+    labels = [d[1] for d in data]
+    df = spark.createDataFrame(
+        [(i, vectors[i], labels[i]) for i in range(len(data))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = sorted(
+        tuple(r)
+        for r in logreg_label_probe(
+            df, target_label=0, dims=3, iters=2, lr_num=lr_num
+        ).collect()
+    )
+    want = _ref_logreg_probe(
+        vectors, labels, target=0, dims=3, iters=2, lr_num=lr_num, lr_den=1
+    )
+    assert got == want
