@@ -460,7 +460,9 @@ def _stream_bucket_files(ev, out_dirs, n_buckets: int = 3, tail=None) -> None:
     carry, watermark advance, eviction, session merge) and the
     5-bucket/3-bucket results are identical by the same in-order
     argument that makes the batch oracle valid at ANY bucketing; the
-    cut measured 40.2s -> ~25s across the 8-workload suite at sf0.1. ``out_dirs`` is [(dir, filter_expr|None), ...] (one
+    bucket cut + sentinel merge + tmpfs checkpoints + localCheckpoint
+    drain together measured 40.2s -> 22.5s across the 8-workload suite
+    at sf0.1. ``out_dirs`` is [(dir, filter_expr|None), ...] (one
     filtered copy of each bucket per dir — the two sides of a
     stream-stream join). ``tail`` (same schema) is the watermark-flush
     sentinel that closes all real append-mode windows (its own window
