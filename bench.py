@@ -433,7 +433,11 @@ def main() -> None:
             ).save()
         except Exception:
             pass
-    anchor_run(spark)  # untimed warm
+    # TWO untimed warms (r9 settle lesson: a single warm left residual
+    # JIT in the first anchor reading — bench_settle.py carries the
+    # same fix)
+    anchor_run(spark)
+    anchor_run(spark)
     anchor_first = anchor_run(spark)
     timings: dict[str, float] = {}
     for name in HEADLINE:

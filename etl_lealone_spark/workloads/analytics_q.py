@@ -577,7 +577,7 @@ def _drain_stream(spark, sdf, tmp: str, qname: str, state_partitions: int = 4):
     """,
     doc="Stream-stream event-time interval join run as a REAL Structured "
     "Streaming query (streaming.ingest.join_streams_interval): clicks "
-    "and purchases are split into six-day micro-batch files with pinned "
+    "and purchases are split into day-bucketed micro-batch files with pinned "
     "ascending mtimes (the file source's delivery order), read with "
     "maxFilesPerTrigger=1, joined on user_id with r_ts in [l_ts, l_ts + "
     "4h] under 1-day watermarks on BOTH sides — the state-store "

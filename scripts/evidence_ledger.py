@@ -89,6 +89,23 @@ MODULE_CHANGED: frozenset[str] = frozenset(
         "update_projection",             # catalog.py DML surface (r04)
         "dedup_clusters",                # dedup.py CC convergence (r06)
         "dedup_clusters_lp",             # dedup.py CC convergence (r06)
+        # r10: streaming harness rework (3-bucket feeds, sentinel rides
+        # the last bucket, localCheckpoint drain — analytics_q/ingest);
+        # all eight re-verified at sf0.001+sf0.01 in-round, but their
+        # r09 driver rows certify the 5-bucket harness
+        "stream_tumbling_agg",
+        "stream_sliding_agg",
+        "stream_session_agg",
+        "stream_stateful_totals",
+        "stream_dedup_hashes",
+        "stream_enrich_agg",
+        "stream_interval_join",
+        "stream_upsert_sink",
+        "dsir_importance_weights",       # pipeline.py fused tokenizer (r10)
+        "kmeans_cluster_profile",        # clustering.py decimal sums (r10)
+        "kmeans_separation_audit",       # clustering.py decimal sums (r10)
+        "pca_label_projection",          # stats.py decimal mu sums (r10)
+        "bpe_encode_stats",              # text_q guard + cache key (r10)
     }
 )
 
