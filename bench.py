@@ -98,6 +98,7 @@ HEADLINE = [
     "nb_en_auc_binned",        # binned Mann-Whitney AUC classifier evaluation
     "nb_score_calibration",    # reliability/calibration table
     "bpe_encode_stats",        # BPE train->encode->token budgets per source
+    "logreg_label_probe",      # fixed-point logistic regression probe (r10)
 ]
 
 
