@@ -159,7 +159,16 @@ def logreg_train(
         )
         if not g_rows:
             raise ValueError("empty input: no vectors to train on")
-        n = int(g_rows[0]["n"])  # identical for every pos group
+        counts = {int(r["n"]) for r in g_rows}
+        if len(counts) != 1 or len(g_rows) != d1:
+            # a vector shorter than ``dims`` posexplodes into fewer
+            # positions — fail loudly instead of training on silently
+            # NULL-padded dots the oracle cannot mirror
+            raise ValueError(
+                f"ragged input: expected {d1} equal-count position "
+                f"groups, got {len(g_rows)} with counts {sorted(counts)}"
+            )
+        n = counts.pop()
         g = {int(r["pos"]): int(r["g"]) for r in g_rows}
         w = [
             w[p] + delta_w(g[p], n, lr_num, lr_den) for p in range(d1)

@@ -690,17 +690,10 @@ def _logreg_sql(
                                  + 0.5) as bigint)
                     as bigint)
                ORDER BY g.pos) AS wvec
-      FROM g{t} g CROSS JOIN w0 w
-      -- NOTE: w0 here is only the indexing base when t=1; see fixup
+      FROM g{t} g CROSS JOIN w{t - 1} w
     )"""
         )
     sql = "".join(blocks)
-    # each update must add to the PREVIOUS step's weights, not w0
-    for t in range(2, iters + 1):
-        sql = sql.replace(
-            f"FROM g{t} g CROSS JOIN w0 w",
-            f"FROM g{t} g CROSS JOIN w{t - 1} w",
-        )
     final = f""",
     fin AS (
       SELECT z.label, cast(z.zdot as bigint) AS dot, {sig} AS s
