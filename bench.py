@@ -99,6 +99,7 @@ HEADLINE = [
     "nb_score_calibration",    # reliability/calibration table
     "bpe_encode_stats",        # BPE train->encode->token budgets per source
     "logreg_label_probe",      # fixed-point logistic regression probe (r10)
+    "ols_price_model",         # closed-form grouped OLS (r10)
 ]
 
 

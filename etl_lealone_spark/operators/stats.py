@@ -249,3 +249,105 @@ def power_iteration_projection(
         )
         .orderBy("label")
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    group_cols: list[str],
+    y_scale: int = 100,
+    x1_scale: int = 1,
+    x2_scale: int = 100,
+) -> DataFrame:
+    """Per-group ordinary least squares with two features + intercept,
+    solved in CLOSED FORM from exact integer moments — the regression
+    twin of :func:`exact_corr_matrix` (no iterations, no driver state).
+
+    Per group, ONE aggregation accumulates the ten normal-equation
+    moments (n, Sx1, Sx2, Sy, Sx1x1, Sx1x2, Sx2x2, Sx1y, Sx2y, Syy) as
+    exact decimal(38,0) sums of quantized-integer products; the 3x3
+    system then solves via Cramer's rule in a FIXED double sequence —
+    each moment casts to double once (decimal->double and the oracle's
+    HUGEINT->double both round to nearest, so the inputs agree
+    bit-for-bit), then only mul/sub/add/div in a pinned
+    parenthesization mirrored verbatim by the workload oracle SQL.
+    Coefficients and R^2 quantize x1e6 (floor(v*1e6 + 0.5)).
+
+    Outputs per group: n_rows, b0/b1/b2_x1e6 (in quantized-unit space:
+    y_q ~ b0 + b1*x1_q + b2*x2_q), r2_x1e6. A singular system (exactly
+    collinear features — det == 0.0 after the pinned arithmetic) and a
+    zero-variance target both yield NULLs in BOTH engines rather than
+    an Inf/NaN reaching the bigint cast.
+
+    Scale shape: one grouped aggregation with map-side partials — the
+    shuffle carries |groups| x 10 decimals no matter the corpus size —
+    and everything after is a projection on the aggregate row. The
+    100 TB cost is exactly one scan.
+    """
+    q_y = _q(y_col, y_scale)
+    q_1 = _q(x1_col, x1_scale)
+    q_2 = _q(x2_col, x2_scale)
+    base = df.select(
+        *group_cols, q_y.alias("qy"), q_1.alias("q1"), q_2.alias("q2")
+    ).dropna()
+    m = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum(F.col("q1").cast(_DEC)).alias("sx1"),
+        F.sum(F.col("q2").cast(_DEC)).alias("sx2"),
+        F.sum(F.col("qy").cast(_DEC)).alias("sy"),
+        F.sum((F.col("q1") * F.col("q1")).cast(_DEC)).alias("s11"),
+        F.sum((F.col("q1") * F.col("q2")).cast(_DEC)).alias("s12"),
+        F.sum((F.col("q2") * F.col("q2")).cast(_DEC)).alias("s22"),
+        F.sum((F.col("q1") * F.col("qy")).cast(_DEC)).alias("s1y"),
+        F.sum((F.col("q2") * F.col("qy")).cast(_DEC)).alias("s2y"),
+        F.sum((F.col("qy") * F.col("qy")).cast(_DEC)).alias("syy"),
+    )
+    # every moment to double ONCE, then the pinned Cramer sequence —
+    # the oracle SQL (_OLS solve block in workloads/ml_q.py) mirrors
+    # this parenthesization term for term; edit both together
+    d = {
+        c: F.col(c).cast("double")
+        for c in (
+            "n", "sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y",
+            "syy",
+        )
+    }
+    det = (
+        d["n"] * (d["s11"] * d["s22"] - d["s12"] * d["s12"])
+        - d["sx1"] * (d["sx1"] * d["s22"] - d["s12"] * d["sx2"])
+        + d["sx2"] * (d["sx1"] * d["s12"] - d["s11"] * d["sx2"])
+    )
+    d0 = (
+        d["sy"] * (d["s11"] * d["s22"] - d["s12"] * d["s12"])
+        - d["sx1"] * (d["s1y"] * d["s22"] - d["s12"] * d["s2y"])
+        + d["sx2"] * (d["s1y"] * d["s12"] - d["s11"] * d["s2y"])
+    )
+    d1 = (
+        d["n"] * (d["s1y"] * d["s22"] - d["s12"] * d["s2y"])
+        - d["sy"] * (d["sx1"] * d["s22"] - d["s12"] * d["sx2"])
+        + d["sx2"] * (d["sx1"] * d["s2y"] - d["s1y"] * d["sx2"])
+    )
+    d2 = (
+        d["n"] * (d["s11"] * d["s2y"] - d["s1y"] * d["s12"])
+        - d["sx1"] * (d["sx1"] * d["s2y"] - d["s1y"] * d["sx2"])
+        + d["sy"] * (d["sx1"] * d["s12"] - d["s11"] * d["sx2"])
+    )
+    b0, b1, b2 = d0 / det, d1 / det, d2 / det
+    ss_tot = d["syy"] - (d["sy"] * d["sy"]) / d["n"]
+    ss_res = d["syy"] - (b0 * d["sy"] + b1 * d["s1y"] + b2 * d["s2y"])
+    r2 = F.lit(1.0) - ss_res / ss_tot
+    ok = det != F.lit(0.0)
+
+    def _x1e6(v):
+        return F.floor(v * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+
+    return m.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.when(ok, _x1e6(b0)).alias("b0_x1e6"),
+        F.when(ok, _x1e6(b1)).alias("b1_x1e6"),
+        F.when(ok, _x1e6(b2)).alias("b2_x1e6"),
+        F.when(ok & (ss_tot > F.lit(0.0)), _x1e6(r2)).alias("r2_x1e6"),
+    ).orderBy(*group_cols)

@@ -747,3 +747,98 @@ def logreg_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr_num=_LOGREG_LR_NUM,
         lr_den=_LOGREG_LR_DEN,
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped closed-form OLS (r10) — the regression twin of numeric_corr_matrix
+# ---------------------------------------------------------------------------
+_OLS_SQL = """
+    WITH q AS (
+      SELECT l_returnflag,
+             cast(floor(l_extendedprice * 100.0 + 0.5) as bigint) AS qy,
+             cast(floor(l_quantity * 1.0 + 0.5) as bigint) AS q1,
+             cast(floor(l_discount * 100.0 + 0.5) as bigint) AS q2
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    ),
+    m AS (
+      SELECT l_returnflag,
+             count(*)::hugeint AS n,
+             sum(q1::hugeint) AS sx1, sum(q2::hugeint) AS sx2,
+             sum(qy::hugeint) AS sy,
+             sum((q1*q1)::hugeint) AS s11, sum((q1*q2)::hugeint) AS s12,
+             sum((q2*q2)::hugeint) AS s22,
+             sum((q1*qy)::hugeint) AS s1y, sum((q2*qy)::hugeint) AS s2y,
+             sum((qy*qy)::hugeint) AS syy
+      FROM q GROUP BY l_returnflag
+    ),
+    d AS (
+      SELECT l_returnflag,
+             cast(n as double) AS n, cast(sx1 as double) AS sx1,
+             cast(sx2 as double) AS sx2, cast(sy as double) AS sy,
+             cast(s11 as double) AS s11, cast(s12 as double) AS s12,
+             cast(s22 as double) AS s22, cast(s1y as double) AS s1y,
+             cast(s2y as double) AS s2y, cast(syy as double) AS syy
+      FROM m
+    ),
+    -- the pinned Cramer sequence: mirrors operators/stats.grouped_ols
+    -- term for term (edit both together)
+    solve AS (
+      SELECT l_returnflag, n, sy, s1y, s2y, syy,
+             n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)
+               + sx2*(sx1*s12 - s11*sx2) AS det,
+             sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y)
+               + sx2*(s1y*s12 - s11*s2y) AS det0,
+             n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2)
+               + sx2*(sx1*s2y - s1y*sx2) AS det1,
+             n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2)
+               + sy*(sx1*s12 - s11*sx2) AS det2
+      FROM d
+    ),
+    beta AS (
+      SELECT l_returnflag, n, sy, s1y, s2y, syy, det,
+             det0/det AS b0, det1/det AS b1, det2/det AS b2,
+             syy - (sy*sy)/n AS ss_tot
+      FROM solve
+    )
+    SELECT l_returnflag,
+           cast(n as bigint) AS n_rows,
+           CASE WHEN det <> 0.0 THEN
+             cast(floor(b0 * 1000000.0 + 0.5) as bigint) END AS b0_x1e6,
+           CASE WHEN det <> 0.0 THEN
+             cast(floor(b1 * 1000000.0 + 0.5) as bigint) END AS b1_x1e6,
+           CASE WHEN det <> 0.0 THEN
+             cast(floor(b2 * 1000000.0 + 0.5) as bigint) END AS b2_x1e6,
+           CASE WHEN det <> 0.0 AND ss_tot > 0.0 THEN
+             cast(floor((1.0 - (syy - (b0*sy + b1*s1y + b2*s2y)) / ss_tot)
+                        * 1000000.0 + 0.5) as bigint) END AS r2_x1e6
+    FROM beta
+    ORDER BY l_returnflag
+"""
+
+
+@workload(
+    "ols_price_model",
+    _OLS_SQL,
+    doc="Per-group closed-form OLS (2 features + intercept): regress "
+    "cent-quantized l_extendedprice on l_quantity and l_discount per "
+    "l_returnflag. Ten exact decimal/HUGEINT normal-equation moments "
+    "in ONE grouped aggregation (map-side partials — the shuffle is "
+    "|groups| x 10 decimals at any corpus size), then Cramer's rule "
+    "in a pinned double sequence both engines evaluate identically; "
+    "coefficients and R^2 quantize x1e6. Singular systems yield NULLs "
+    "in both engines. The closed-form companion of "
+    "logreg_label_probe's iterative family (operators/stats.py).",
+)
+def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import grouped_ols
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return grouped_ols(
+        li,
+        y_col="l_extendedprice",
+        x1_col="l_quantity",
+        x2_col="l_discount",
+        group_cols=["l_returnflag"],
+    )

@@ -486,3 +486,61 @@ def test_logreg_probe_accounts_every_vector(spark, tables):
     for r in rows:
         assert 0 <= r["n_pred_target"] <= r["n_vecs"]
         assert 0 <= r["avg_score_x1e6"] <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# grouped OLS (operators/stats.grouped_ols)
+# ---------------------------------------------------------------------------
+def test_ols_partitioning_invariant(spark, tables):
+    from etl_lealone_spark.operators.stats import grouped_ols
+
+    li = tables["lineitem"]
+    kw = dict(
+        y_col="l_extendedprice", x1_col="l_quantity",
+        x2_col="l_discount", group_cols=["l_returnflag"],
+    )
+    a = _rows(grouped_ols(li.coalesce(1), **kw))
+    b = _rows(grouped_ols(li.repartition(7), **kw))
+    assert a == b and len(a) > 0
+
+
+def test_ols_singular_system_yields_nulls(spark):
+    # x2 exactly collinear with x1 -> Cramer det is exactly 0.0 in the
+    # pinned arithmetic -> NULL coefficients, never Inf/NaN
+    from etl_lealone_spark.operators.stats import grouped_ols
+
+    rows = [(0, float(i), float(i), float(i)) for i in range(1, 9)]
+    out = grouped_ols(
+        spark.createDataFrame(rows, "g int, y double, x1 double, x2 double"),
+        y_col="y", x1_col="x1", x2_col="x2", group_cols=["g"],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rows"] == 8
+    assert r["b0_x1e6"] is None and r["b1_x1e6"] is None
+    assert r["b2_x1e6"] is None and r["r2_x1e6"] is None
+
+
+def test_ols_recovers_exact_linear_relation(spark):
+    # y = 3 + 2*x1 - 0.5*x2 exactly (in quantized units: qy values are
+    # exact cents) -> R^2 must be exactly 1e6 and coefficients match
+    # the generating model in quantized space
+    from etl_lealone_spark.operators.stats import grouped_ols
+
+    rows = []
+    for i in range(1, 13):
+        # x2 in 0.02 steps so 0.5*x2 is a whole cent — the relation
+        # stays EXACT after cent quantization (odd half-cents would
+        # round and break R^2 = 1)
+        x1, x2 = float(i), 2.0 * float((i * 7) % 5) / 100.0
+        y = 3.0 + 2.0 * x1 - 0.5 * x2
+        rows.append((0, y, x1, x2))
+    out = grouped_ols(
+        spark.createDataFrame(rows, "g int, y double, x1 double, x2 double"),
+        y_col="y", x1_col="x1", x2_col="x2", group_cols=["g"],
+    ).collect()[0]
+    # quantized-unit space: qy(cents) = 300 + 200*q1 - 0.5*q2
+    assert out["r2_x1e6"] == 1_000_000
+    assert out["b0_x1e6"] == 300 * 1_000_000
+    assert out["b1_x1e6"] == 200 * 1_000_000
+    assert out["b2_x1e6"] == -500_000

@@ -340,3 +340,107 @@ def test_logreg_matches_pure_python_reference(spark, data, lr_num):
         vectors, labels, target=0, dims=3, iters=2, lr_num=lr_num, lr_den=1
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# grouped OLS (operators/stats.grouped_ols): closed-form Cramer solve in
+# a pinned double sequence — mul/sub/add/div only, so the replay
+# contract applies
+# ---------------------------------------------------------------------------
+def _ref_ols(rows, y_scale=100, x1_scale=1, x2_scale=100):
+    groups: dict = {}
+    for g, y, x1, x2 in rows:
+        qy = math.floor(y * float(y_scale) + 0.5)
+        q1 = math.floor(x1 * float(x1_scale) + 0.5)
+        q2 = math.floor(x2 * float(x2_scale) + 0.5)
+        m = groups.setdefault(
+            g, dict(n=0, sx1=0, sx2=0, sy=0, s11=0, s12=0, s22=0,
+                    s1y=0, s2y=0, syy=0)
+        )
+        m["n"] += 1
+        m["sx1"] += q1
+        m["sx2"] += q2
+        m["sy"] += qy
+        m["s11"] += q1 * q1
+        m["s12"] += q1 * q2
+        m["s22"] += q2 * q2
+        m["s1y"] += q1 * qy
+        m["s2y"] += q2 * qy
+        m["syy"] += qy * qy
+    out = []
+    for g, m in groups.items():
+        n, sx1, sx2, sy = (
+            float(m["n"]), float(m["sx1"]), float(m["sx2"]), float(m["sy"])
+        )
+        s11, s12, s22 = float(m["s11"]), float(m["s12"]), float(m["s22"])
+        s1y, s2y, syy = float(m["s1y"]), float(m["s2y"]), float(m["syy"])
+        det = (
+            n * (s11 * s22 - s12 * s12)
+            - sx1 * (sx1 * s22 - s12 * sx2)
+            + sx2 * (sx1 * s12 - s11 * sx2)
+        )
+        if det == 0.0:
+            out.append((g, m["n"], None, None, None, None))
+            continue
+        d0 = (
+            sy * (s11 * s22 - s12 * s12)
+            - sx1 * (s1y * s22 - s12 * s2y)
+            + sx2 * (s1y * s12 - s11 * s2y)
+        )
+        d1 = (
+            n * (s1y * s22 - s12 * s2y)
+            - sy * (sx1 * s22 - s12 * sx2)
+            + sx2 * (sx1 * s2y - s1y * sx2)
+        )
+        d2 = (
+            n * (s11 * s2y - s1y * s12)
+            - sx1 * (sx1 * s2y - s1y * sx2)
+            + sy * (sx1 * s12 - s11 * sx2)
+        )
+        b0, b1, b2 = d0 / det, d1 / det, d2 / det
+        ss_tot = syy - (sy * sy) / n
+        ss_res = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+        r2 = (
+            math.floor((1.0 - ss_res / ss_tot) * 1000000.0 + 0.5)
+            if ss_tot > 0.0
+            else None
+        )
+        out.append(
+            (
+                g,
+                m["n"],
+                math.floor(b0 * 1000000.0 + 0.5),
+                math.floor(b1 * 1000000.0 + 0.5),
+                math.floor(b2 * 1000000.0 + 0.5),
+                r2,
+            )
+        )
+    return sorted(out)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            _COMP,
+            st.integers(min_value=1, max_value=40).map(float),
+            _COMP,
+        ),
+        min_size=6,
+        max_size=24,
+    )
+)
+@settings(**_SETTINGS)
+def test_grouped_ols_matches_pure_python_reference(spark, rows):
+    from etl_lealone_spark.operators.stats import grouped_ols
+
+    df = spark.createDataFrame(
+        rows, "g int, y double, x1 double, x2 double"
+    )
+    got = sorted(
+        tuple(r)
+        for r in grouped_ols(
+            df, y_col="y", x1_col="x1", x2_col="x2", group_cols=["g"]
+        ).collect()
+    )
+    assert got == _ref_ols(rows)
