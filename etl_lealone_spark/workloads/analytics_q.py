@@ -489,13 +489,22 @@ def _stream_bucket_files(ev, out_dirs, n_buckets: int = 3, tail=None) -> None:
         ]
         os.utime(max(parts, key=os.path.getmtime), (mtime, mtime))
 
+    # ``tail`` may be one DataFrame (same sentinel into every dir) or a
+    # list aligned with ``out_dirs`` (per-side sentinels — a
+    # stream-stream OUTER join needs flush rows on BOTH sides whose
+    # keys can never match each other)
+    tails = (
+        list(tail)
+        if isinstance(tail, (list, tuple))
+        else ([tail] * len(out_dirs) if tail is not None else None)
+    )
     for k in range(n_buckets):
-        for d, flt in out_dirs:
+        for di, (d, flt) in enumerate(out_dirs):
             sel = base.filter(F.col("_b") == k)
             if flt is not None:
                 sel = sel.filter(flt)
             sel = sel.drop("_b")
-            if tail is not None and k == n_buckets - 1:
+            if tails is not None and k == n_buckets - 1:
                 # Sentinel #1 rides IN the last real bucket (r10 trigger
                 # cut): the watermark is recomputed from the batch's max
                 # event time at batch END, so "last bucket + sentinel"
@@ -508,23 +517,27 @@ def _stream_bucket_files(ev, out_dirs, n_buckets: int = 3, tail=None) -> None:
                 # missing) — so sentinel #2 below stays a real trailing
                 # file. Both sentinel rows land in the never-emitted
                 # '__flush__' window.
-                sel = sel.unionByName(tail)
+                sel = sel.unionByName(tails[di])
             sel.coalesce(1).write.mode("append").parquet(d)
             _pin(d, 1_700_000_000 + k)
-    if tail is not None:
-        for d, _flt in out_dirs:
-            tail.coalesce(1).write.mode("append").parquet(d)
+    if tails is not None:
+        for di, (d, _flt) in enumerate(out_dirs):
+            tails[di].coalesce(1).write.mode("append").parquet(d)
             _pin(d, 1_700_000_000 + n_buckets)
 
 
-def _flush_sentinel(ev):
+def _flush_sentinel(ev, uid: int = -1):
     """One far-future row (max ts + 30 days) that advances the watermark
     past every real window so append-mode aggregates flush; excluded
-    from output by construction (ids -1, event_type '__flush__')."""
+    from output by construction (ids ``uid`` < 0, event_type
+    '__flush__'). ``uid`` matters for stream-stream OUTER joins: each
+    side gets a DIFFERENT negative key so the two sides' sentinels can
+    never join each other, while each still advances its own side's
+    watermark (the engine evicts on min(left_wm, right_wm))."""
     return ev.agg(F.max("ts").alias("ts")).select(
-        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(int(uid)).cast("long").alias("event_id"),
         (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
-        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(int(uid)).cast("long").alias("user_id"),
         F.lit("__flush__").alias("event_type"),
         F.lit(0.0).alias("value"),
         F.lit(None).cast("string").alias("props"),
@@ -616,6 +629,75 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             watermark="1 day",
         )
         return _drain_stream(spark, joined, tmp, f"sij_{os.getpid()}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@workload(
+    "stream_interval_join_left",
+    """
+    WITH l AS (
+      SELECT user_id, event_id AS l_event_id, ts AS l_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT user_id, event_id AS r_event_id, ts AS r_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.user_id, l_event_id, l_ts, r_event_id, r_ts
+    FROM l LEFT JOIN r ON l.user_id = r.user_id
+      AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 4 HOUR
+    """,
+    doc="Stream-stream LEFT OUTER event-time interval join — the "
+    "append-mode contract the inner variant can't check: an unmatched "
+    "click emits (with NULL purchase columns) only after the watermark "
+    "proves no in-window purchase can still arrive, i.e. outer results "
+    "trail state eviction. Needs flush sentinels on BOTH sides (the "
+    "engine evicts on min(left_wm, right_wm)) with DIFFERENT negative "
+    "keys so the sentinels can never join each other; each sentinel is "
+    "itself an unmatched left/buffered right row whose own window "
+    "never closes, so neither can leak. Under the in-order feed the "
+    "emitted set equals the batch LEFT JOIN — the DuckDB oracle.",
+)
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..streaming.ingest import join_streams_interval, stream_from_parquet_dir
+
+    def build(ev, d):
+        _stream_bucket_files(
+            ev,
+            [
+                (os.path.join(d, "l"), F.col("event_type") == "click"),
+                (os.path.join(d, "r"), F.col("event_type") == "purchase"),
+            ],
+            tail=[_flush_sentinel(ev, uid=-1), _flush_sentinel(ev, uid=-2)],
+        )
+
+    feed = _ensure_stream_feed(spark, sf_dir, "sijl", build)
+    tmp = _ckpt_tmp("sijl_")  # per-run checkpoint only
+    try:
+        # NO sentinel-exclusion filter — none is needed (a filter would
+        # also be dangerous: pushed below the watermark it would eat
+        # the flush row, the r9 grouping-filter lesson). The left
+        # sentinel is an unmatched left row whose join window
+        # [sent_ts, sent_ts + 4h] can never be passed by the global
+        # watermark (= min over both sides of max_seen - 1 day, and
+        # sent_ts IS max_seen), so the engine can never prove it
+        # unmatched and never emits it; the right sentinel can never
+        # appear in LEFT-join output at all.
+        joined = join_streams_interval(
+            stream_from_parquet_dir(spark, os.path.join(feed, "l")),
+            stream_from_parquet_dir(spark, os.path.join(feed, "r")),
+            key="user_id",
+            within="4 hours",
+            watermark="1 day",
+            how="left_outer",
+        )
+        return _drain_stream(
+            spark, joined, tmp, f"sijl_{os.getpid()}"
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

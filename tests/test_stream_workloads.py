@@ -131,3 +131,50 @@ def test_drain_state_partitions_not_a_correctness_knob(spark, tmp_path):
         )
     assert outs[0] == outs[1]
     assert len(outs[0]) > 0
+
+
+def test_outer_join_emits_unmatched_and_no_sentinels(spark):
+    """The left-outer workload's two contracts the oracle hash can't
+    localize: unmatched left rows DO emit (with NULL right columns —
+    the watermark-eviction proof worked), and neither side's sentinel
+    ever reaches the output."""
+    from etl_lealone_spark.workloads.analytics_q import (
+        stream_interval_join_left,
+    )
+
+    out = stream_interval_join_left(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) > 0
+    unmatched = [r for r in rows if r["r_event_id"] is None]
+    matched = [r for r in rows if r["r_event_id"] is not None]
+    assert len(unmatched) > 0, "no unmatched lefts emitted — eviction broke"
+    assert len(matched) > 0
+    assert all(r["l_event_id"] >= 0 and r["user_id"] >= 0 for r in rows), (
+        "a flush sentinel leaked into the outer-join output"
+    )
+
+
+def test_per_dir_tails_land_per_side(spark, tmp_path):
+    """tail=[l_sentinel, r_sentinel]: each dir gets ITS side's sentinel
+    (different negative uids) in the last bucket and as trailing file."""
+    from etl_lealone_spark.workloads.analytics_q import (
+        _flush_sentinel,
+        _stream_bucket_files,
+    )
+
+    ev = _events(spark)
+    dl, dr = str(tmp_path / "l"), str(tmp_path / "r")
+    _stream_bucket_files(
+        ev,
+        [(dl, None), (dr, None)],
+        n_buckets=3,
+        tail=[_flush_sentinel(ev, uid=-1), _flush_sentinel(ev, uid=-2)],
+    )
+    for d, uid in ((dl, -1), (dr, -2)):
+        sents = (
+            spark.read.parquet(d)
+            .filter(F.col("event_type") == "__flush__")
+            .collect()
+        )
+        assert len(sents) == 2
+        assert all(r["user_id"] == uid for r in sents)
