@@ -482,13 +482,7 @@ def _stream_bucket_files(ev, out_dirs, n_buckets: int = 3, tail=None) -> None:
         F.datediff(F.col("ts").cast("date"), F.lit(bounds["lo"])) / F.lit(step_d)
     )
     base = ev.withColumn("_b", bucket)
-
-    def _pin(d: str, mtime: int) -> None:
-        parts = [
-            os.path.join(d, f) for f in os.listdir(d) if f.startswith("part-")
-        ]
-        os.utime(max(parts, key=os.path.getmtime), (mtime, mtime))
-
+    _pin = _pin_newest
     # ``tail`` may be one DataFrame (same sentinel into every dir) or a
     # list aligned with ``out_dirs`` (per-side sentinels — a
     # stream-stream OUTER join needs flush rows on BOTH sides whose
@@ -524,6 +518,17 @@ def _stream_bucket_files(ev, out_dirs, n_buckets: int = 3, tail=None) -> None:
         for di, (d, _flt) in enumerate(out_dirs):
             tails[di].coalesce(1).write.mode("append").parquet(d)
             _pin(d, 1_700_000_000 + n_buckets)
+
+
+def _pin_newest(d: str, mtime: int) -> None:
+    """Pin the newest part file's mtime — the file source's delivery
+    order rides on these (one pinned file per write call)."""
+    import os
+
+    parts = [
+        os.path.join(d, f) for f in os.listdir(d) if f.startswith("part-")
+    ]
+    os.utime(max(parts, key=os.path.getmtime), (mtime, mtime))
 
 
 def _flush_sentinel(ev, uid: int = -1):
@@ -698,6 +703,92 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain_stream(
             spark, joined, tmp, f"sijl_{os.getpid()}"
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@workload(
+    "stream_late_data_drop",
+    """
+    WITH inorder AS (
+      SELECT * FROM events WHERE event_id % 17 <> 0
+    ),
+    late AS (
+      SELECT * FROM events WHERE event_id % 17 = 0
+    ),
+    b AS (
+      SELECT min(CAST(ts AS DATE)) AS lo,
+             (date_diff('day', min(CAST(ts AS DATE)),
+                        max(CAST(ts AS DATE))) + 1) AS span
+      FROM inorder
+    ),
+    wm AS (
+      SELECT max(ts) - INTERVAL 1 DAY AS cut
+      FROM inorder, b
+      WHERE floor(date_diff('day', b.lo, CAST(ts AS DATE))
+                  / ((b.span // 3) + 1)) <= 1
+    ),
+    kept AS (
+      SELECT ts, event_type, value FROM inorder
+      UNION ALL
+      SELECT l.ts, l.event_type, l.value FROM late l, wm
+      WHERE date_trunc('hour', l.ts) + INTERVAL 1 HOUR > wm.cut
+    )
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM kept GROUP BY window_start, event_type
+    """,
+    doc="LATE-DATA semantics under a real watermark — the one streaming "
+    "contract an in-order feed can never exercise: a deterministic "
+    "slice of events (event_id % 17 = 0) is WITHHELD from the in-order "
+    "buckets and delivered as a fourth, out-of-order micro-batch. "
+    "Spark keeps TWO watermarks per trigger (discovered by this "
+    "oracle's first mismatch, not assumed): the LATE-EVENT filter for "
+    "batch N uses the watermark as of batch N-1's START — i.e. data "
+    "through batch N-2 (here: the first two buckets) — while EVICTION "
+    "uses the batch-N-1-end value, so rows that raced the update are "
+    "not dropped prematurely. A late row is therefore DROPPED iff its "
+    "1h window end <= max(ts of buckets 0-1) - 1 day, and MERGED into "
+    "still-live state otherwise (including windows the eviction "
+    "watermark closes in that same trigger — they emit WITH the "
+    "merged counts). The oracle replicates exactly that rule (the "
+    "b/wm/kept CTEs mirror the bucket arithmetic), so the hash check "
+    "pins both the drop set and the late-merge arithmetic "
+    "cross-engine. The flush sentinel rides IN the late batch, "
+    "closing all surviving windows one trailing batch later.",
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..streaming.ingest import stream_from_parquet_dir, streaming_tumbling_agg
+
+    def build(ev, d):
+        dd = os.path.join(d, "ev")
+        inorder = ev.filter(F.col("event_id") % 17 != 0)
+        late = ev.filter(F.col("event_id") % 17 == 0)
+        _stream_bucket_files(inorder, [(dd, None)])  # 3 in-order batches
+        # batch 4: the late slice + sentinel #1 (late rows are filtered
+        # against the PRE-batch watermark, so the sentinel riding along
+        # cannot save them; it advances the watermark for the flush)
+        late.unionByName(_flush_sentinel(ev)).coalesce(1).write.mode(
+            "append"
+        ).parquet(dd)
+        _pin_newest(dd, 1_700_000_000 + 10)
+        # batch 5: the deterministic emission batch
+        _flush_sentinel(ev).coalesce(1).write.mode("append").parquet(dd)
+        _pin_newest(dd, 1_700_000_000 + 11)
+
+    feed = _ensure_stream_feed(spark, sf_dir, "sld", build)
+    tmp = _ckpt_tmp("sld_")  # per-run checkpoint only
+    try:
+        agg = streaming_tumbling_agg(
+            stream_from_parquet_dir(spark, os.path.join(feed, "ev")),
+            window="1 hour",
+            watermark="1 day",
+        )
+        return _drain_stream(spark, agg, tmp, f"sld_{os.getpid()}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -178,3 +178,21 @@ def test_per_dir_tails_land_per_side(spark, tmp_path):
         )
         assert len(sents) == 2
         assert all(r["user_id"] == uid for r in sents)
+
+
+def test_late_data_drop_exercises_both_paths(spark):
+    """stream_late_data_drop is only meaningful if the fixture actually
+    DROPS some late rows and MERGES others: the emitted totals must sit
+    strictly between 'in-order only' and 'everything' row counts."""
+    from etl_lealone_spark.workloads.analytics_q import stream_late_data_drop
+    from etl_lealone_spark.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    out = stream_late_data_drop(spark, sf)
+    emitted = out.agg(F.sum("n")).collect()[0][0]
+    ev = load_tables(spark, sf)["events"]
+    n_all = ev.count()
+    n_inorder = ev.filter(F.col("event_id") % 17 != 0).count()
+    assert n_inorder < emitted < n_all, (
+        f"late path vacuous: inorder={n_inorder} emitted={emitted} all={n_all}"
+    )
