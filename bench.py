@@ -100,6 +100,8 @@ HEADLINE = [
     "bpe_encode_stats",        # BPE train->encode->token budgets per source
     "logreg_label_probe",      # fixed-point logistic regression probe (r10)
     "ols_price_model",         # closed-form grouped OLS (r10)
+    "stream_interval_join_left",  # outer stream-stream join (r10)
+    "stream_late_data_drop",   # dual-watermark late-data semantics (r10)
 ]
 
 
