@@ -518,13 +518,25 @@ def emit(payload, timings, baseline, ext) -> None:
         compact["queries"][name] = t
         if len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET:
             del compact["queries"][name]
+    # graceful degrade (r10 advisor): the baseline/ext/anchor set is
+    # added unconditionally above, so if it ever outgrows the budget on
+    # its own, trim IT too (fastest-first, anchors last) instead of
+    # asserting after the full timed run completed — a truncated compact
+    # line still parses; a dead process records nothing.
+    droppable = sorted(
+        (k for k in compact["queries"] if not k.startswith("anchor_")),
+        key=lambda k: compact["queries"][k],
+    ) + ["anchor_first", "anchor_last"]
+    while (
+        len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET
+        and droppable
+    ):
+        compact["queries"].pop(droppable.pop(0), None)
     compact["queries_omitted"] = len(payload["queries"]) - len(
         compact["queries"]
     )
-    line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) <= _TAIL_BUDGET + 40, len(line)
     print(detail)
-    print(line)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

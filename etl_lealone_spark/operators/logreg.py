@@ -137,6 +137,17 @@ def logreg_train(
     if iters < 1:
         raise ValueError("iters must be >= 1")
     q = _prepare(emb, target_label, dims, id_col, vec_col, label_col)
+    # NULL-label guard (r10 advisor): a NULL label yields y = NULL, which
+    # drops the row from the gradient numerator but still counts in n —
+    # while the oracle's CASE WHEN maps NULL to y = 0 and keeps the row
+    # in the gradient. The engines diverge silently, so non-null labels
+    # are an enforced precondition (same discipline as the ragged-input
+    # guard below). One pushed-IsNotNull probe scan, limit-1 bounded.
+    if q.filter(F.col("label").isNull()).limit(1).count():
+        raise ValueError(
+            "NULL label: logreg train requires non-null labels (a NULL "
+            "row diverges between engine and oracle); filter upstream"
+        )
     d1 = dims + 1
     w = [0] * d1
     for _ in range(iters):

@@ -338,7 +338,21 @@ def grouped_ols(
     ss_tot = d["syy"] - (d["sy"] * d["sy"]) / d["n"]
     ss_res = d["syy"] - (b0 * d["sy"] + b1 * d["s1y"] + b2 * d["s2y"])
     r2 = F.lit(1.0) - ss_res / ss_tot
-    ok = det != F.lit(0.0)
+    # singular AND near-singular guard (r10 advisor): exactly-zero det is
+    # not the only degenerate case — a tiny nonzero det yields Inf-scale
+    # coefficients, and the engines then diverge at the bigint cast
+    # (DuckDB errors on cast(inf as bigint); Spark's floor/cast does
+    # not). NULL every output when any coefficient exceeds |b| < 1e12
+    # (so the x1e6 quantization stays inside bigint with 6.9x headroom);
+    # abs(NaN) < bound is false in both engines, so NaN solves NULL too.
+    # The oracle SQL pins the IDENTICAL predicate — edit both together.
+    _B = F.lit(1.0e12)
+    ok = (
+        (det != F.lit(0.0))
+        & (F.abs(b0) < _B)
+        & (F.abs(b1) < _B)
+        & (F.abs(b2) < _B)
+    )
 
     def _x1e6(v):
         return F.floor(v * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")

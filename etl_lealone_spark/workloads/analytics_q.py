@@ -403,13 +403,16 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # file feeds with pinned delivery order + memory sink, hash-checked
 # against the batch-equivalent DuckDB SQL
 # ---------------------------------------------------------------------------
-def _persisted_stream_root(sf_dir: str, tag: str) -> str:
+def _persisted_stream_root(sf_dir: str, tag: str, build_fn=None) -> str:
     """Content-keyed persisted root for a workload's micro-batch feed
     files (helpers.persisted_state_root discipline): the bucket layout
-    is deterministic given the events parquet + the builder source, so
-    rebuilding it on every gate/bench run is pure waste — and os.rename
-    preserves the pinned mtimes the file-source delivery order rides
-    on."""
+    is deterministic given the events parquet + EVERY function that
+    shapes it — the shared bucketizer/sentinel/mtime-pin helpers AND the
+    per-workload ``build_fn`` closure (r10 advisor: a feed cache keyed
+    only on the shared helpers silently reuses a stale layout after an
+    edit to a workload's build closure, making the edit inert). Rebuilt
+    only when any of those sources change; os.rename preserves the
+    pinned mtimes the file-source delivery order rides on."""
     import inspect
 
     from .helpers import persisted_state_root
@@ -417,6 +420,8 @@ def _persisted_stream_root(sf_dir: str, tag: str) -> str:
     spec = (
         inspect.getsource(_stream_bucket_files)
         + inspect.getsource(_flush_sentinel)
+        + inspect.getsource(_pin_newest)
+        + (inspect.getsource(build_fn) if build_fn is not None else "")
         + tag
     )
     return persisted_state_root(sf_dir, ("events",), spec, "etl_lealone_streamwl")
@@ -429,7 +434,7 @@ def _ensure_stream_feed(spark, sf_dir: str, tag: str, build_fn) -> str:
     import os
     import shutil
 
-    root = _persisted_stream_root(sf_dir, tag)
+    root = _persisted_stream_root(sf_dir, tag, build_fn)
     if os.path.exists(os.path.join(root, "_wl_done")):
         return root
     ev = load_tables(spark, sf_dir)["events"]

@@ -802,15 +802,22 @@ _OLS_SQL = """
              syy - (sy*sy)/n AS ss_tot
       FROM solve
     )
+    -- ok mirrors stats.grouped_ols: det <> 0 AND every |b| < 1e12
+    -- (near-singular guard — Inf/NaN coefficients NULL in BOTH engines
+    -- instead of DuckDB erroring at cast(inf as bigint))
     SELECT l_returnflag,
            cast(n as bigint) AS n_rows,
-           CASE WHEN det <> 0.0 THEN
+           CASE WHEN det <> 0.0 AND abs(b0) < 1e12 AND abs(b1) < 1e12
+                     AND abs(b2) < 1e12 THEN
              cast(floor(b0 * 1000000.0 + 0.5) as bigint) END AS b0_x1e6,
-           CASE WHEN det <> 0.0 THEN
+           CASE WHEN det <> 0.0 AND abs(b0) < 1e12 AND abs(b1) < 1e12
+                     AND abs(b2) < 1e12 THEN
              cast(floor(b1 * 1000000.0 + 0.5) as bigint) END AS b1_x1e6,
-           CASE WHEN det <> 0.0 THEN
+           CASE WHEN det <> 0.0 AND abs(b0) < 1e12 AND abs(b1) < 1e12
+                     AND abs(b2) < 1e12 THEN
              cast(floor(b2 * 1000000.0 + 0.5) as bigint) END AS b2_x1e6,
-           CASE WHEN det <> 0.0 AND ss_tot > 0.0 THEN
+           CASE WHEN det <> 0.0 AND abs(b0) < 1e12 AND abs(b1) < 1e12
+                     AND abs(b2) < 1e12 AND ss_tot > 0.0 THEN
              cast(floor((1.0 - (syy - (b0*sy + b1*s1y + b2*s2y)) / ss_tot)
                         * 1000000.0 + 0.5) as bigint) END AS r2_x1e6
     FROM beta

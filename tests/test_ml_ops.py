@@ -521,6 +521,49 @@ def test_ols_singular_system_yields_nulls(spark):
     assert r["b2_x1e6"] is None and r["r2_x1e6"] is None
 
 
+def test_ols_near_singular_yields_nulls(spark):
+    # EXACTLY collinear features (q2 = q1 + 13) whose moments exceed
+    # 2^53: the exact-integer det is 0, but each decimal moment rounds
+    # independently at the double cast, so the pinned Cramer sequence
+    # leaves a tiny-but-NONZERO residue det (-1.6e15 against ~1e35-scale
+    # products) and the solved b0 is a garbage 3.5e12 — past the
+    # |b| < 1e12 sanity bound, so every output NULLs in BOTH engines
+    # instead of DuckDB erroring at cast(3.5e18 as bigint)
+    # (r10 advisor finding). All quantized products fit bigint: this is
+    # inside the operator's input contract, unlike an Inf from overflow.
+    from etl_lealone_spark.operators.stats import grouped_ols
+
+    rows = []
+    for i in range(1, 8):
+        q1 = 7.0e8 + i * i * 1.0e4 + i * 31
+        rows.append((0, float(i * 997 + i % 3), q1, (q1 + 13) / 100.0))
+    out = grouped_ols(
+        spark.createDataFrame(rows, "g int, y double, x1 double, x2 double"),
+        y_col="y", x1_col="x1", x2_col="x2", group_cols=["g"],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rows"] == 7
+    assert r["b0_x1e6"] is None and r["b1_x1e6"] is None
+    assert r["b2_x1e6"] is None and r["r2_x1e6"] is None
+
+
+def test_logreg_null_label_raises(spark, tables):
+    # a NULL label would drop out of the gradient numerator but still
+    # count in n, while the oracle's CASE maps it to y = 0 — enforced
+    # precondition, typed error (r10 advisor finding)
+    from etl_lealone_spark.operators.logreg import logreg_train
+
+    e = tables["embeddings"].withColumn(
+        "label",
+        F.when(F.col("vec_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("label")
+        ),
+    )
+    with pytest.raises(ValueError, match="NULL label"):
+        logreg_train(e, target_label=0)
+
+
 def test_ols_recovers_exact_linear_relation(spark):
     # y = 3 + 2*x1 - 0.5*x2 exactly (in quantized units: qy values are
     # exact cents) -> R^2 must be exactly 1e6 and coefficients match
