@@ -54,7 +54,22 @@ MAX_K = 64  # driver-side centroid list stays trivially bounded
 
 def _sq_dist_to_literal(vec: Column, centroid: list[int]) -> Column:
     """Exact bigint squared-L2 distance of an int-vector column to a
-    Python-literal centroid (inlined constants — stays in codegen)."""
+    Python-literal centroid.
+
+    Stays the ``aggregate(zip_with(...))`` fold DELIBERATELY (r10
+    verdict task 4, measured verdict: rejection for this call site).
+    The fold runs interpreted outside whole-stage codegen and an
+    unrolled ``(get(vec,i)-c_i)^2 + ...`` tree is 4.4x faster PER ROW
+    (20M-row x 16-dim probe: 0.44s vs 1.95s warm) — but this helper is
+    instantiated k times inside _argmin_assignment, and the resulting
+    k*dims-term tree pays ~2.3s extra Catalyst analysis + janino
+    compile PER ACTION (k=8 x 64 dims: plan 3.5s vs 1.2s, first-exec
+    4.4s vs 0.9s), repeated every Lloyd iteration. At bench corpus
+    scale (2000 embedding rows) fixed cost dominates: unrolled made
+    kmeans_cluster_profile 3x SLOWER end-to-end (16.9s vs 5.0s A/B,
+    BENCHLOG.md r11). Revisit only behind a row-count switch if a
+    billion-row assignment pass ever dominates a real profile — the
+    map-only shape itself is unchanged either way."""
     lit_vec = F.array(*[F.lit(int(c)).cast("bigint") for c in centroid])
     return F.aggregate(
         F.zip_with(vec, lit_vec, lambda x, c: (x - c) * (x - c)),

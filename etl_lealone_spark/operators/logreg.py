@@ -71,12 +71,15 @@ def _fast_sigmoid_x1e6(dot: Column) -> Column:
 
 
 def _dot_literal(vec: Column, w: list[int]) -> Column:
-    lit_vec = F.array(*[F.lit(int(c)).cast("bigint") for c in w])
-    return F.aggregate(
-        F.zip_with(vec, lit_vec, lambda x, c: x * c),
-        F.lit(0).cast("bigint"),
-        lambda acc, val: acc + val,
-    )
+    # UNROLLED bounded sum, not aggregate(zip_with(...)) — the fold runs
+    # interpreted outside codegen (r10 verdict task 4; measurement in
+    # clustering._sq_dist_to_literal). Bit-identical by integer
+    # associativity; F.get + the size guard preserve the fold's NULL
+    # semantics on ragged input in both directions.
+    out: Column = F.lit(0).cast("bigint")
+    for i, c in enumerate(w):
+        out = out + F.get(vec, i) * F.lit(int(c)).cast("bigint")
+    return F.when(F.size(vec) <= F.lit(len(w)), out)
 
 
 def _prepare(

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -230,16 +230,17 @@ def pq_adc_topk(
         sub = q[s : s + ln]
         d = ((cents - sub[None, :]) ** 2).sum(axis=1)
         table.append(d.tolist())
-    tbl = F.array(*[F.array(*[F.lit(int(v)) for v in row]) for row in table])
-    dist = F.aggregate(
-        F.zip_with(
-            tbl,
-            F.col("codes"),
-            lambda row, code: F.element_at(row, code + 1),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    # UNROLLED ADC sum, not aggregate(zip_with(...)) — the fold runs
+    # interpreted outside codegen (r10 verdict task 4; measurement in
+    # clustering._sq_dist_to_literal). m is bounded by the codebook
+    # count, so the element_at(tbl_i, code_i+1) + ... tree is bounded;
+    # F.get NULLs a short codes array like zip_with's padding, and the
+    # size guard preserves the fold's NULL when codes outruns the table.
+    dist: Column = F.lit(0).cast("long")
+    for i, row in enumerate(table):
+        row_lit = F.array(*[F.lit(int(v)) for v in row])
+        dist = dist + F.element_at(row_lit, F.get(F.col("codes"), i) + 1)
+    dist = F.when(F.size(F.col("codes")) <= F.lit(len(table)), dist)
     return (
         codes_df.select(F.col(id_col), dist.alias("adc_dist"))
         .orderBy("adc_dist", id_col)

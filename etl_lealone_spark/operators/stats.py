@@ -117,7 +117,17 @@ def exact_corr_matrix(
 
 def _dot_literal(vec: Column, v: list[int]) -> Column:
     """Exact bigint dot product of an int-vector column with a
-    Python-literal vector (inlined constants, stays in codegen)."""
+    Python-literal vector.
+
+    Stays the ``aggregate(zip_with(...))`` fold DELIBERATELY (r10
+    verdict task 4, measured verdict: rejection for this call site —
+    same finding as clustering._sq_dist_to_literal). The unrolled
+    64-term tree wins per row but pays Catalyst-analysis + janino
+    compile per ACTION, and power iteration re-plans every step on a
+    2000-row corpus: unrolled read 4.8s vs 3.5s for the fold on
+    pca_label_projection A/B (BENCHLOG.md r11). logreg._dot_literal is
+    the adopted twin — its dims+1 <= 9-term tree is too small to show
+    plan cost."""
     lit_vec = F.array(*[F.lit(int(c)).cast("bigint") for c in v])
     return F.aggregate(
         F.zip_with(vec, lit_vec, lambda x, c: x * c),
