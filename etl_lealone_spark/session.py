@@ -99,6 +99,16 @@ def build_spark(
         .config("spark.memory.offHeap.enabled", "true")
         .config("spark.memory.offHeap.size", offheap_size or _default_offheap())
         .config("spark.sql.columnVector.offheap.enabled", "true")
+        # Streaming state retention: the default (100) keeps up to 100
+        # HDFSBackedStateStore map VERSIONS in executor memory per
+        # stateful partition — after a dozen drained streaming queries
+        # in one long session that is real heap pressure on every later
+        # batch query (r10 driver bench read the ML family 2.8-7.5x
+        # slow right after the streaming block; this is the leading
+        # mechanism a slower host amplifies). 2 is the safe minimum for
+        # micro-batch recovery; our drains checkpoint to per-run tmp
+        # dirs and never restart, so deep version history buys nothing.
+        .config("spark.sql.streaming.minBatchesToRetain", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -85,14 +85,14 @@ def registered() -> list[str]:
 # wrap hardening) — only the CC-cluster workloads run that path.
 MODULE_CHANGED: frozenset[str] = frozenset(
     {
-        "sample_hash_stratified",        # pipeline.py (r04 DSIR single-pass)
-        "update_projection",             # catalog.py DML surface (r04)
-        "dedup_clusters",                # dedup.py CC convergence (r06)
-        "dedup_clusters_lp",             # dedup.py CC convergence (r06)
+        # dropped r11: sample_hash_stratified + update_projection got
+        # r10-green rows under the changed code; dedup_clusters (r07) and
+        # dedup_clusters_lp (r08) greened after their r06 change.
         # r10: streaming harness rework (3-bucket feeds, sentinel rides
         # the last bucket, localCheckpoint drain — analytics_q/ingest);
         # all eight re-verified at sf0.001+sf0.01 in-round, but their
-        # r09 driver rows certify the 5-bucket harness
+        # r09 driver rows certify the 5-bucket harness (r11: feed cache
+        # key now also hashes the per-workload build closure)
         "stream_tumbling_agg",
         "stream_sliding_agg",
         "stream_session_agg",
@@ -106,15 +106,22 @@ MODULE_CHANGED: frozenset[str] = frozenset(
         "kmeans_separation_audit",       # clustering.py decimal sums (r10)
         "pca_label_projection",          # stats.py decimal mu sums (r10)
         "bpe_encode_stats",              # text_q guard + cache key (r10)
+        # r11: HOF-kernel unroll adoptions + advisor guards
+        "logreg_label_probe",            # logreg.py unrolled dot + NULL-label guard (r11)
+        "ols_price_model",               # stats.py near-singular bound, oracle mirrored (r11)
+        "ann_ivfpq_topk_batch",          # pq.py unrolled ADC sum (r11)
     }
 )
 
 
 def propose_window(last_green: dict[str, int], names: list[str]) -> list[str]:
-    """Oldest-evidence-first: never-checked (incl. brand-new) workloads,
-    then ascending last-green round; within a stratum, workloads whose
-    module changed since that green row come first (their evidence
-    certifies old code); names break remaining ties deterministically."""
+    """Evidence-invalid-first, then oldest-evidence-first: never-checked
+    (incl. brand-new) workloads lead, then MODULE_CHANGED workloads
+    (their green row certifies code that no longer exists — r10 verdict
+    task 2 hardened this from within-stratum promotion to stratum 0:
+    a 50-slot window of genuinely-older strata would otherwise never
+    reach a changed kernel sitting in a young stratum), then ascending
+    last-green round; names break ties deterministically."""
     return propose_priority(last_green, names)[:WINDOW]
 
 
@@ -122,14 +129,16 @@ def propose_priority(last_green: dict[str, int], names: list[str]) -> list[str]:
     """Full registration order: the window policy applied to ALL
     workloads, so the tail is already sorted for the NEXT round's
     rotation."""
-    return sorted(
-        names,
-        key=lambda n: (
-            last_green.get(n, 0),
-            0 if n in MODULE_CHANGED else 1,
+    def key(n: str):
+        lg = last_green.get(n, 0)
+        invalid = lg == 0 or n in MODULE_CHANGED
+        return (
+            0 if invalid else lg,      # invalid evidence = stratum 0
+            0 if lg == 0 else 1,       # truly-never-checked lead it
             n,
-        ),
-    )
+        )
+
+    return sorted(names, key=key)
 
 
 def main() -> int:
