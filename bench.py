@@ -236,6 +236,15 @@ def baseline_workloads(
                 F.count(F.lit(1))
             ).collect()
 
+        def w2sub():
+            # W2's decode-substrate twin (r10 verdict task 3): a pure
+            # decode + trivial aggregate — nothing a planner can change —
+            # measured in the SAME session/state as W2 itself, so the
+            # substrate floor and the query ratio always come from one
+            # host state (the r6 pin was a separate-session number and
+            # drifted apart from the r10 settle's W2 reading).
+            t_scan.agg(F.sum("f2"), F.sum(F.col("f1").cast("long"))).collect()
+
         def w3():
             # collect, not a noop write: the result is 97 rows and the
             # DuckDB twin fetches the same rows — materialization must be
@@ -284,6 +293,9 @@ def baseline_workloads(
                 f"range({n})) TO '{tmp}/duck_test.parquet' (FORMAT parquet)"
             ],
             "w2": [f"SELECT count(*) FROM '{glob_t}' WHERE f2 % 1000 = 0"],
+            "w2sub": [
+                f"SELECT sum(f2), sum(cast(f1 as bigint)) FROM '{glob_t}'"
+            ],
             "w3": [
                 f"SELECT f1 % 97 g, count(*) n, avg(f2) a FROM '{glob_t}' "
                 f"GROUP BY g HAVING count(*) > 10"
@@ -307,6 +319,7 @@ def baseline_workloads(
         spark_keys = {
             "w1": ("w1_bulk_insert", w1),
             "w2": ("w2_scan_predicate", w2),
+            "w2sub": ("w2_decode_substrate", w2sub),
             "w3": ("w3_groupby_having", w3),
             "w4": ("w4_joins", w4),
             "w5": ("w5_topk_offset", w5),

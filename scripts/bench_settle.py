@@ -197,6 +197,9 @@ def main() -> None:
     spark_keys = {
         "w1": "w1_bulk_insert",
         "w2": "w2_scan_predicate",
+        # W2's same-session decode-substrate twin (r10 verdict task 3):
+        # the floor W2 is judged against, from the same host state
+        "w2sub": "w2_decode_substrate",
         "w3": "w3_groupby_having",
         "w4": "w4_joins",
         "w5": "w5_topk_offset",
