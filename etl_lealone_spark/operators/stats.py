@@ -375,3 +375,138 @@ def grouped_ols(
         F.when(ok, _x1e6(b2)).alias("b2_x1e6"),
         F.when(ok & (ss_tot > F.lit(0.0)), _x1e6(r2)).alias("r2_x1e6"),
     ).orderBy(*group_cols)
+
+
+def grouped_ridge(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    group_cols: list[str],
+    y_scale: int = 100,
+    x1_scale: int = 1,
+    x2_scale: int = 100,
+    lam_num: int = 100,
+    lam_den: int = 1,
+) -> DataFrame:
+    """Per-group RIDGE regression (two features + intercept, L2 penalty
+    on the feature coefficients, intercept unpenalized) solved in closed
+    form — grouped_ols generalized with the r9-verdict option's
+    pinned-solve discipline (r10 verdict task 7).
+
+    Same ten exact decimal(38,0) moments in ONE grouped aggregation
+    (the 100 TB cost is one scan; the shuffle carries |groups| x 10
+    decimals); the solve then runs Cramer on the RIDGE normal matrix
+
+        [[n,   sx1,        sx2       ],
+         [sx1, s11 + w*n,  s12       ],     w = lam_num / lam_den
+         [sx2, s12,        s22 + w*n ]]
+
+    in a FIXED double sequence the oracle SQL (_RIDGE_SQL in
+    workloads/ml_q.py) mirrors term for term — edit both together. The
+    penalty is PER-ROW scaled (``w*n``, the sklearn ``alpha*n`` /
+    lambda-per-sample convention): s11/s22 grow linearly with corpus
+    size, so a raw constant would shrink less the more data arrives —
+    w*n keeps the shrinkage strength invariant as the same distribution
+    scales from sf0.001 to 100 TB. ``w`` is in squared quantized-x
+    units; w = 0 degenerates to OLS exactly (t11 = s11 + 0.0*n is
+    bit-identical to s11 for the nonnegative moments here).
+
+    Ridge R^2 is computed HONESTLY from the full quadratic form —
+    ss_res = syy - 2*b'X'y + b'X'Xb with the RAW (unpenalized) X'X —
+    because the OLS shortcut ss_res = syy - b'X'y relies on the normal
+    equations holding at b, which a penalized solution violates.
+
+    NULL semantics match grouped_ols: singular / near-singular (any
+    |b| >= 1e12) and zero-variance-target groups yield NULL outputs in
+    BOTH engines. With any w > 0 the ridge matrix is positive definite
+    for n >= 1, so exactly-collinear features — NULL under OLS — get
+    finite, defined coefficients (pinned by test).
+    """
+    q_y = _q(y_col, y_scale)
+    q_1 = _q(x1_col, x1_scale)
+    q_2 = _q(x2_col, x2_scale)
+    base = df.select(
+        *group_cols, q_y.alias("qy"), q_1.alias("q1"), q_2.alias("q2")
+    ).dropna()
+    m = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum(F.col("q1").cast(_DEC)).alias("sx1"),
+        F.sum(F.col("q2").cast(_DEC)).alias("sx2"),
+        F.sum(F.col("qy").cast(_DEC)).alias("sy"),
+        F.sum((F.col("q1") * F.col("q1")).cast(_DEC)).alias("s11"),
+        F.sum((F.col("q1") * F.col("q2")).cast(_DEC)).alias("s12"),
+        F.sum((F.col("q2") * F.col("q2")).cast(_DEC)).alias("s22"),
+        F.sum((F.col("q1") * F.col("qy")).cast(_DEC)).alias("s1y"),
+        F.sum((F.col("q2") * F.col("qy")).cast(_DEC)).alias("s2y"),
+        F.sum((F.col("qy") * F.col("qy")).cast(_DEC)).alias("syy"),
+    )
+    d = {
+        c: F.col(c).cast("double")
+        for c in (
+            "n", "sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y",
+            "syy",
+        )
+    }
+    # one pinned division, then one pinned mul/add per diagonal term
+    w = F.lit(float(lam_num)).cast("double") / F.lit(float(lam_den)).cast(
+        "double"
+    )
+    t11 = d["s11"] + w * d["n"]
+    t22 = d["s22"] + w * d["n"]
+    det = (
+        d["n"] * (t11 * t22 - d["s12"] * d["s12"])
+        - d["sx1"] * (d["sx1"] * t22 - d["s12"] * d["sx2"])
+        + d["sx2"] * (d["sx1"] * d["s12"] - t11 * d["sx2"])
+    )
+    d0 = (
+        d["sy"] * (t11 * t22 - d["s12"] * d["s12"])
+        - d["sx1"] * (d["s1y"] * t22 - d["s12"] * d["s2y"])
+        + d["sx2"] * (d["s1y"] * d["s12"] - t11 * d["s2y"])
+    )
+    d1 = (
+        d["n"] * (d["s1y"] * t22 - d["s12"] * d["s2y"])
+        - d["sy"] * (d["sx1"] * t22 - d["s12"] * d["sx2"])
+        + d["sx2"] * (d["sx1"] * d["s2y"] - d["s1y"] * d["sx2"])
+    )
+    d2 = (
+        d["n"] * (t11 * d["s2y"] - d["s1y"] * d["s12"])
+        - d["sx1"] * (d["sx1"] * d["s2y"] - d["s1y"] * d["sx2"])
+        + d["sy"] * (d["sx1"] * d["s12"] - t11 * d["sx2"])
+    )
+    b0, b1, b2 = d0 / det, d1 / det, d2 / det
+    ss_tot = d["syy"] - (d["sy"] * d["sy"]) / d["n"]
+    # full quadratic form with the RAW moments (see docstring)
+    bxxb = (
+        b0 * b0 * d["n"]
+        + b1 * b1 * d["s11"]
+        + b2 * b2 * d["s22"]
+        + F.lit(2.0) * b0 * b1 * d["sx1"]
+        + F.lit(2.0) * b0 * b2 * d["sx2"]
+        + F.lit(2.0) * b1 * b2 * d["s12"]
+    )
+    ss_res = (
+        d["syy"]
+        - F.lit(2.0) * (b0 * d["sy"] + b1 * d["s1y"] + b2 * d["s2y"])
+        + bxxb
+    )
+    r2 = F.lit(1.0) - ss_res / ss_tot
+    _B = F.lit(1.0e12)
+    ok = (
+        (det != F.lit(0.0))
+        & (F.abs(b0) < _B)
+        & (F.abs(b1) < _B)
+        & (F.abs(b2) < _B)
+    )
+
+    def _x1e6(v):
+        return F.floor(v * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+
+    return m.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.when(ok, _x1e6(b0)).alias("b0_x1e6"),
+        F.when(ok, _x1e6(b1)).alias("b1_x1e6"),
+        F.when(ok, _x1e6(b2)).alias("b2_x1e6"),
+        F.when(ok & (ss_tot > F.lit(0.0)), _x1e6(r2)).alias("r2_x1e6"),
+    ).orderBy(*group_cols)

@@ -849,3 +849,129 @@ def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         x2_col="l_discount",
         group_cols=["l_returnflag"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped closed-form RIDGE (r11) — grouped_ols generalized with an L2
+# penalty; per-row-scaled lambda (w*n), honest quadratic-form R^2
+# ---------------------------------------------------------------------------
+_RIDGE_LAM_NUM, _RIDGE_LAM_DEN = 100, 1
+
+_RIDGE_SQL = f"""
+    WITH q AS (
+      SELECT l_returnflag,
+             cast(floor(l_extendedprice * 100.0 + 0.5) as bigint) AS qy,
+             cast(floor(l_quantity * 1.0 + 0.5) as bigint) AS q1,
+             cast(floor(l_discount * 100.0 + 0.5) as bigint) AS q2
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    ),
+    m AS (
+      SELECT l_returnflag,
+             count(*)::hugeint AS n,
+             sum(q1::hugeint) AS sx1, sum(q2::hugeint) AS sx2,
+             sum(qy::hugeint) AS sy,
+             sum((q1*q1)::hugeint) AS s11, sum((q1*q2)::hugeint) AS s12,
+             sum((q2*q2)::hugeint) AS s22,
+             sum((q1*qy)::hugeint) AS s1y, sum((q2*qy)::hugeint) AS s2y,
+             sum((qy*qy)::hugeint) AS syy
+      FROM q GROUP BY l_returnflag
+    ),
+    d AS (
+      SELECT l_returnflag,
+             cast(n as double) AS n, cast(sx1 as double) AS sx1,
+             cast(sx2 as double) AS sx2, cast(sy as double) AS sy,
+             cast(s11 as double) AS s11, cast(s12 as double) AS s12,
+             cast(s22 as double) AS s22, cast(s1y as double) AS s1y,
+             cast(s2y as double) AS s2y, cast(syy as double) AS syy
+      FROM m
+    ),
+    -- ridge diagonal: t11/t22 = s11/s22 + w*n with w one pinned
+    -- division — mirrors operators/stats.grouped_ridge term for term
+    -- (edit both together)
+    rd AS (
+      SELECT *,
+             s11 + (cast({_RIDGE_LAM_NUM} as double)
+                    / cast({_RIDGE_LAM_DEN} as double)) * n AS t11,
+             s22 + (cast({_RIDGE_LAM_NUM} as double)
+                    / cast({_RIDGE_LAM_DEN} as double)) * n AS t22
+      FROM d
+    ),
+    solve AS (
+      SELECT l_returnflag, n, sx1, sx2, sy, s11, s12, s22, s1y, s2y, syy,
+             n*(t11*t22 - s12*s12) - sx1*(sx1*t22 - s12*sx2)
+               + sx2*(sx1*s12 - t11*sx2) AS det,
+             sy*(t11*t22 - s12*s12) - sx1*(s1y*t22 - s12*s2y)
+               + sx2*(s1y*s12 - t11*s2y) AS det0,
+             n*(s1y*t22 - s12*s2y) - sy*(sx1*t22 - s12*sx2)
+               + sx2*(sx1*s2y - s1y*sx2) AS det1,
+             n*(t11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2)
+               + sy*(sx1*s12 - t11*sx2) AS det2
+      FROM rd
+    ),
+    beta AS (
+      SELECT l_returnflag, n, sx1, sx2, sy, s11, s12, s22, s1y, s2y, syy,
+             det,
+             det0/det AS b0, det1/det AS b1, det2/det AS b2,
+             syy - (sy*sy)/n AS ss_tot
+      FROM solve
+    ),
+    fit AS (
+      SELECT *,
+             -- honest ridge residual: syy - 2*b'X'y + b'X'Xb with the
+             -- RAW (unpenalized) moments
+             syy - 2.0*(b0*sy + b1*s1y + b2*s2y)
+                 + (b0*b0*n + b1*b1*s11 + b2*b2*s22
+                    + 2.0*b0*b1*sx1 + 2.0*b0*b2*sx2 + 2.0*b1*b2*s12)
+               AS ss_res
+      FROM beta
+    )
+    SELECT l_returnflag,
+           cast(n as bigint) AS n_rows,
+           CASE WHEN det <> 0.0 AND abs(b0) < 1e12 AND abs(b1) < 1e12
+                     AND abs(b2) < 1e12 THEN
+             cast(floor(b0 * 1000000.0 + 0.5) as bigint) END AS b0_x1e6,
+           CASE WHEN det <> 0.0 AND abs(b0) < 1e12 AND abs(b1) < 1e12
+                     AND abs(b2) < 1e12 THEN
+             cast(floor(b1 * 1000000.0 + 0.5) as bigint) END AS b1_x1e6,
+           CASE WHEN det <> 0.0 AND abs(b0) < 1e12 AND abs(b1) < 1e12
+                     AND abs(b2) < 1e12 THEN
+             cast(floor(b2 * 1000000.0 + 0.5) as bigint) END AS b2_x1e6,
+           CASE WHEN det <> 0.0 AND abs(b0) < 1e12 AND abs(b1) < 1e12
+                     AND abs(b2) < 1e12 AND ss_tot > 0.0 THEN
+             cast(floor((1.0 - ss_res / ss_tot)
+                        * 1000000.0 + 0.5) as bigint) END AS r2_x1e6
+    FROM fit
+    ORDER BY l_returnflag
+"""
+
+
+@workload(
+    "ridge_price_model",
+    _RIDGE_SQL,
+    doc="Per-group closed-form RIDGE regression (price ~ quantity + "
+    "discount per return flag): the grouped_ols moments with the L2 "
+    "penalty w*n added to the feature diagonal (per-row-scaled lambda, "
+    "so shrinkage strength is invariant from sf0.001 to 100 TB) and "
+    "R^2 from the honest quadratic form (the OLS shortcut assumes the "
+    "normal equations hold at b, which a penalized solution violates). "
+    "One grouped aggregation carries all ten decimal(38,0) moments; "
+    "the solve is a pinned double sequence mirrored verbatim by the "
+    "oracle. Exactly-collinear features -> finite coefficients "
+    "(positive-definite ridge matrix), unlike OLS's NULLs "
+    "(operators/stats.py grouped_ridge).",
+)
+def ridge_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import grouped_ridge
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return grouped_ridge(
+        li,
+        y_col="l_extendedprice",
+        x1_col="l_quantity",
+        x2_col="l_discount",
+        group_cols=["l_returnflag"],
+        lam_num=_RIDGE_LAM_NUM,
+        lam_den=_RIDGE_LAM_DEN,
+    )

@@ -587,3 +587,82 @@ def test_ols_recovers_exact_linear_relation(spark):
     assert out["b0_x1e6"] == 300 * 1_000_000
     assert out["b1_x1e6"] == 200 * 1_000_000
     assert out["b2_x1e6"] == -500_000
+
+
+# ---------------------------------------------------------------------------
+# grouped ridge (operators/stats.grouped_ridge, r11)
+# ---------------------------------------------------------------------------
+def test_ridge_partitioning_invariant(spark, tables):
+    from etl_lealone_spark.operators.stats import grouped_ridge
+
+    li = tables["lineitem"]
+    kw = dict(
+        y_col="l_extendedprice", x1_col="l_quantity",
+        x2_col="l_discount", group_cols=["l_returnflag"],
+    )
+    a = _rows(grouped_ridge(li.coalesce(1), **kw))
+    b = _rows(grouped_ridge(li.repartition(7), **kw))
+    assert a == b and len(a) > 0
+
+
+def test_ridge_lam_zero_matches_ols_coefficients(spark, tables):
+    # w = 0 -> t11 = s11 + 0.0*n, bit-identical for the nonnegative
+    # moments here, so the Cramer solve IS the OLS solve. (R^2 differs
+    # by construction: ridge evaluates the honest quadratic form, OLS
+    # the normal-equation shortcut — algebraically equal at the OLS
+    # optimum but not the same IEEE sequence.)
+    from etl_lealone_spark.operators.stats import grouped_ols, grouped_ridge
+
+    li = tables["lineitem"]
+    kw = dict(
+        y_col="l_extendedprice", x1_col="l_quantity",
+        x2_col="l_discount", group_cols=["l_returnflag"],
+    )
+    ols = {r["l_returnflag"]: r for r in grouped_ols(li, **kw).collect()}
+    rdg = {
+        r["l_returnflag"]: r
+        for r in grouped_ridge(li, lam_num=0, lam_den=1, **kw).collect()
+    }
+    assert set(ols) == set(rdg) and len(ols) > 0
+    for g in ols:
+        for c in ("n_rows", "b0_x1e6", "b1_x1e6", "b2_x1e6"):
+            assert ols[g][c] == rdg[g][c], (g, c)
+
+
+def test_ridge_shrinks_and_differs_from_ols(spark, tables):
+    # non-vacuity: the workload's lambda actually moves the estimates
+    from etl_lealone_spark.operators.stats import grouped_ols, grouped_ridge
+
+    li = tables["lineitem"]
+    kw = dict(
+        y_col="l_extendedprice", x1_col="l_quantity",
+        x2_col="l_discount", group_cols=["l_returnflag"],
+    )
+    ols = _rows(grouped_ols(li, **kw))
+    rdg = _rows(grouped_ridge(li, lam_num=100, lam_den=1, **kw))
+    assert ols != rdg
+
+
+def test_ridge_solves_exactly_collinear_system(spark):
+    # the whole point of the penalty: q2 = 100*q1 exactly (OLS det = 0
+    # -> NULLs), but the ridge matrix is positive definite for any
+    # w > 0, so coefficients are finite and defined in both engines
+    from etl_lealone_spark.operators.stats import grouped_ols, grouped_ridge
+
+    rows = [(0, 3.0 + 2.0 * i, float(i), float(i)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "g int, y double, x1 double, x2 double")
+    kw = dict(y_col="y", x1_col="x1", x2_col="x2", group_cols=["g"])
+    o = grouped_ols(df, **kw).collect()[0]
+    assert o["b1_x1e6"] is None  # singular under OLS
+    r = grouped_ridge(df, lam_num=1, lam_den=1, **kw).collect()[0]
+    assert r["n_rows"] == 8
+    for c in ("b0_x1e6", "b1_x1e6", "b2_x1e6", "r2_x1e6"):
+        assert r[c] is not None, c
+    # under an equal penalty the weight concentrates on the larger-scale
+    # feature in proportion to scale: q2 = 100*q1 -> b2 = 100*b1 exactly
+    # (numpy replay: b = [300.017, 0.0199976, 1.99976]); and the
+    # effective slope b1 + 100*b2 stays ~200 qy-units per q1 (the
+    # generating 2.0 y-per-x in quantized space) minus the small shrink
+    assert abs(r["b2_x1e6"] - 100 * r["b1_x1e6"]) <= 100
+    eff = r["b1_x1e6"] + 100 * r["b2_x1e6"]
+    assert abs(eff - 200_000_000) <= 100_000
