@@ -99,6 +99,9 @@ AUDIT = [
     "pca_label_projection",
     "nb_en_auc_binned",
     "nb_score_calibration",
+    "logreg_label_probe",
+    "ols_price_model",
+    "ridge_price_model",
 ]
 
 # Workloads whose RETURNED frame is a driver-materialized result by
@@ -173,6 +176,24 @@ NOTES = {
     "nb_score_calibration": (
         "Shares the eager NB scoring + histogram kernel; the audited "
         "plan is a projection over the checkpointed <=10-row table."
+    ),
+    "logreg_label_probe": (
+        "Gradient steps execute eagerly during build (one map-only "
+        "scoring pass + one (dims+1)-group decimal-sum collect per "
+        "step); the audited plan is the final scoring projection "
+        "against the learned weight literals (UNROLLED dims+1-term "
+        "dot, whole-stage codegen) feeding a per-label aggregation."
+    ),
+    "ols_price_model": (
+        "Closed form — no eager stage at all: the audited plan is the "
+        "complete operator, one grouped ten-moment decimal aggregation "
+        "with map-side partials and the pinned Cramer projection on "
+        "the aggregate rows."
+    ),
+    "ridge_price_model": (
+        "grouped_ols's plan with two extra pinned double ops on the "
+        "aggregate rows (the w*n ridge diagonal) and the quadratic-"
+        "form R^2 — same one-scan, |groups|x10-decimal shuffle shape."
     ),
 }
 
