@@ -598,12 +598,29 @@ def ml_probe(ks) -> None:
 
                 return logreg_label_probe(e, target_label=0)
 
+            _REG_KW = dict(
+                y_col="l_extendedprice", x1_col="l_quantity",
+                x2_col="l_discount", group_cols=["l_returnflag"],
+            )
+
+            def ols():
+                from etl_lealone_spark.operators.stats import grouped_ols
+
+                return grouped_ols(li, **_REG_KW)
+
+            def ridge():
+                from etl_lealone_spark.operators.stats import grouped_ridge
+
+                return grouped_ridge(li, **_REG_KW)
+
             runs = [
                 ("kmeans", lambda: kmeans_cluster_profile(e, k=8, iters=2)),
                 ("nb", lambda: nb_class_confusion(d, class_col="lang")),
                 ("pca", lambda: power_iteration_projection(e, iters=3)),
                 ("corr", corr),
                 ("logreg", logreg),
+                ("ols", ols),
+                ("ridge", ridge),
             ]
             for label, fn in runs:
                 fn().write.format("noop").mode("overwrite").save()  # warm
