@@ -109,6 +109,10 @@ HEADLINE = [
     "bpe_encode_stats",        # BPE train->encode->token budgets per source
     "logreg_label_probe",      # fixed-point logistic regression probe (r10)
     "ols_price_model",         # closed-form grouped OLS (r10)
+    "ridge_price_model",       # closed-form grouped ridge (r11 — benched
+                               # from birth; the r10 verdict flagged
+                               # stream_enrich_agg for landing without a
+                               # bench row)
 ]
 
 # First workload of the ML family (see HEADLINE comment): an anchor run
