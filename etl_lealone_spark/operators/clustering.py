@@ -52,52 +52,58 @@ from .similarity import quantize
 MAX_K = 64  # driver-side centroid list stays trivially bounded
 
 
-def _sq_dist_to_literal(vec: Column, centroid: list[int]) -> Column:
+def _sq_dist_sql(vec_sql: str, centroid: list[int]) -> str:
     """Exact bigint squared-L2 distance of an int-vector column to a
-    Python-literal centroid.
+    Python-literal centroid, as ONE Spark-SQL expression string.
 
-    Stays the ``aggregate(zip_with(...))`` fold DELIBERATELY (r10
-    verdict task 4, measured verdict: rejection for this call site).
-    The fold runs interpreted outside whole-stage codegen and an
-    unrolled ``(get(vec,i)-c_i)^2 + ...`` tree is 4.4x faster PER ROW
-    (20M-row x 16-dim probe: 0.44s vs 1.95s warm) — but this helper is
-    instantiated k times inside _argmin_assignment, and the resulting
-    k*dims-term tree pays ~2.3s extra Catalyst analysis + janino
-    compile PER ACTION (k=8 x 64 dims: plan 3.5s vs 1.2s, first-exec
-    4.4s vs 0.9s), repeated every Lloyd iteration. At bench corpus
-    scale (2000 embedding rows) fixed cost dominates: unrolled made
-    kmeans_cluster_profile 3x SLOWER end-to-end (16.9s vs 5.0s A/B,
-    BENCHLOG.md r11). Revisit only behind a row-count switch if a
-    billion-row assignment pass ever dominates a real profile — the
-    map-only shape itself is unchanged either way."""
-    lit_vec = F.array(*[F.lit(int(c)).cast("bigint") for c in centroid])
-    return F.aggregate(
-        F.zip_with(vec, lit_vec, lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
+    Two deliberate choices, both measured (BENCHLOG.md r11):
+
+    - Stays the ``aggregate(zip_with(...))`` fold, not an unrolled
+      ``(get(vec,i)-c_i)^2 + ...`` sum (r10 verdict task 4 verdict:
+      rejection for this call site). The unrolled tree is 4.4x faster
+      PER ROW (20M-row probe) but is instantiated k times inside the
+      argmin and pays ~2.3s Catalyst+janino fixed cost PER ACTION,
+      re-paid every Lloyd iteration — 3x slower end-to-end at bench
+      corpus scale (2000 rows). Revisit only behind a row-count switch
+      if a billion-row assignment pass ever dominates a real profile.
+    - Built as a SQL STRING parsed JVM-side in one call, not
+      Column-by-Column: constructing k x dim literal Columns costs
+      1.1-1.6s of pure py4j roundtrips per argmin (measured k=8 x 64d)
+      — more than the query itself at probe scale — where F.expr
+      measures ~0.00s with a hash-identical result (the parsed `123L`
+      literals fold to the same bigint constants).
+    """
+    arr = "array(" + ",".join(f"{int(c)}L" for c in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        f"(x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"
     )
 
 
+def _dist_struct_array_sql(
+    vec_sql: str, centroids: list[tuple[int, list[int]]]
+) -> str:
+    """SQL text of the per-centroid array<struct<dist,cid>> — shared by
+    the argmin (array_min) and the separation audit (array_sort)."""
+    return "array(" + ", ".join(
+        f"struct({_sq_dist_sql(vec_sql, c)} AS dist, "
+        f"CAST({int(cid)} AS BIGINT) AS cid)"
+        for cid, c in centroids
+    ) + ")"
+
+
 def _argmin_assignment(
-    vec: Column, centroids: list[tuple[int, list[int]]]
+    vec_sql: str, centroids: list[tuple[int, list[int]]]
 ) -> Column:
     """struct(dist, cid) of the nearest centroid — array_min over the
     per-centroid struct array is the lexicographic argmin, so ties break
     on the lowest cid in both Spark and the SQL oracle's row_number.
     ``centroids`` carries explicit (cid, vector) pairs: a cluster that
     emptied during an update simply has no entry, exactly like the
-    oracle's means CTE dropping the group — cids stay stable."""
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sq_dist_to_literal(vec, c).alias("dist"),
-                    F.lit(int(cid)).cast("bigint").alias("cid"),
-                )
-                for cid, c in centroids
-            ]
-        )
-    )
+    oracle's means CTE dropping the group — cids stay stable.
+    ``vec_sql`` is the column NAME (the expression is built as one
+    JVM-parsed SQL string — see _sq_dist_sql)."""
+    return F.expr(f"array_min({_dist_struct_array_sql(vec_sql, centroids)})")
 
 
 def _seed_centroids(q: DataFrame, k: int) -> list[tuple[int, list[int]]]:
@@ -175,7 +181,7 @@ def _lloyd_centroids(
         assigned = q.select(
             "vec_id",
             "qvec",
-            _argmin_assignment(F.col("qvec"), centroids)["cid"].alias("cid"),
+            _argmin_assignment("qvec", centroids)["cid"].alias("cid"),
         )
         centroids = _update_centroids(assigned, dim)
     return centroids
@@ -205,7 +211,7 @@ def kmeans_cluster_profile(
     final = q.select(
         "vec_id",
         "label",
-        _argmin_assignment(F.col("qvec"), centroids).alias("best"),
+        _argmin_assignment("qvec", centroids).alias("best"),
     ).select(
         "vec_id",
         "label",
@@ -287,16 +293,8 @@ def kmeans_separation_audit(
             "separation audit needs >= 2 surviving centroids; "
             f"{len(centroids)} left after the Lloyd updates"
         )
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    _sq_dist_to_literal(F.col("qvec"), c).alias("dist"),
-                    F.lit(int(cid)).cast("bigint").alias("cid"),
-                )
-                for cid, c in centroids
-            ]
-        )
+    ranked = F.expr(
+        f"array_sort({_dist_struct_array_sql('qvec', centroids)})"
     )
     two = q.select(
         ranked[0]["cid"].alias("cluster_id"),

@@ -115,24 +115,24 @@ def exact_corr_matrix(
     )
 
 
-def _dot_literal(vec: Column, v: list[int]) -> Column:
+def _dot_sql(vec_sql: str, v: list[int]) -> str:
     """Exact bigint dot product of an int-vector column with a
-    Python-literal vector.
+    Python-literal vector, as ONE Spark-SQL expression string.
 
     Stays the ``aggregate(zip_with(...))`` fold DELIBERATELY (r10
     verdict task 4, measured verdict: rejection for this call site —
-    same finding as clustering._sq_dist_to_literal). The unrolled
-    64-term tree wins per row but pays Catalyst-analysis + janino
-    compile per ACTION, and power iteration re-plans every step on a
-    2000-row corpus: unrolled read 4.8s vs 3.5s for the fold on
-    pca_label_projection A/B (BENCHLOG.md r11). logreg._dot_literal is
-    the adopted twin — its dims+1 <= 9-term tree is too small to show
-    plan cost."""
-    lit_vec = F.array(*[F.lit(int(c)).cast("bigint") for c in v])
-    return F.aggregate(
-        F.zip_with(vec, lit_vec, lambda x, c: x * c),
-        F.lit(0).cast("bigint"),
-        lambda acc, val: acc + val,
+    same finding as clustering._sq_dist_sql: the unrolled 64-term tree
+    wins per row but pays Catalyst+janino fixed cost per ACTION, and
+    power iteration re-plans every step on a 2000-row corpus; unrolled
+    read 4.8s vs 3.5s on pca_label_projection A/B, BENCHLOG.md r11.
+    logreg._dot_literal is the adopted twin — its dims+1 <= 9-term
+    tree is too small to show plan cost). Built as a SQL string parsed
+    JVM-side in one call — Column-by-Column literal construction costs
+    ~1s of py4j roundtrips per 64-dim expression (same measurement)."""
+    arr = "array(" + ",".join(f"{int(c)}L" for c in v) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, c) -> x * c), "
+        f"0L, (acc, val) -> acc + val)"
     )
 
 
@@ -203,11 +203,13 @@ def power_iteration_projection(
     )
     mu = {int(r["pos"]): int(r["mu"]) for r in mu_rows}
     dim = len(mu)
-    mu_lit = F.array(*[F.lit(mu[p]).cast("bigint") for p in range(dim)])
+    # centering as one JVM-parsed expression string (same py4j-storm
+    # avoidance as _dot_sql; the zip_with fold semantics are unchanged)
+    mu_arr = "array(" + ",".join(f"{mu[p]}L" for p in range(dim)) + ")"
     c = q.select(
         "vec_id",
         "label",
-        F.zip_with("qvec", mu_lit, lambda x, m: x - m).alias("cvec"),
+        F.expr(f"zip_with(qvec, {mu_arr}, (x, m) -> x - m)").alias("cvec"),
     )
     v = [_V_SCALE] * dim
     for _ in range(iters):
@@ -215,7 +217,7 @@ def power_iteration_projection(
             "label",
             "cvec",
             F.floor(
-                _dot_literal(F.col("cvec"), v).cast("double")
+                F.expr(_dot_sql("cvec", v)).cast("double")
                 / float(_V_SCALE)
             )
             .cast("bigint")
@@ -244,7 +246,7 @@ def power_iteration_projection(
     proj = c.select(
         "label",
         F.floor(
-            _dot_literal(F.col("cvec"), v).cast("double") / float(_V_SCALE)
+            F.expr(_dot_sql("cvec", v)).cast("double") / float(_V_SCALE)
         )
         .cast("bigint")
         .alias("proj"),
