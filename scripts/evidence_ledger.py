@@ -110,6 +110,7 @@ MODULE_CHANGED: frozenset[str] = frozenset(
         "logreg_label_probe",            # logreg.py unrolled dot + NULL-label guard (r11)
         "ols_price_model",               # stats.py near-singular bound, oracle mirrored (r11)
         "ann_ivfpq_topk_batch",          # pq.py unrolled ADC sum (r11)
+        "pq_adc_topk",                   # pq.py ADC expr-string build (r11)
     }
 )
 
