@@ -666,3 +666,45 @@ def test_ridge_solves_exactly_collinear_system(spark):
     assert abs(r["b2_x1e6"] - 100 * r["b1_x1e6"]) <= 100
     eff = r["b1_x1e6"] + 100 * r["b2_x1e6"]
     assert abs(eff - 200_000_000) <= 100_000
+
+
+def test_argmin_expr_string_matches_column_built_reference(spark, tables):
+    # the argmin is built as ONE JVM-parsed SQL string (BENCHLOG.md r11
+    # addendum: Column-by-Column literal construction costs 1.1-1.6s of
+    # py4j roundtrips per expression); this pins the string form to a
+    # Column-built reference bit-for-bit so future edits to the SQL
+    # text can't drift the semantics
+    from etl_lealone_spark.operators.clustering import (
+        _argmin_assignment,
+        _prepare,
+        _seed_centroids,
+    )
+
+    q = _prepare(tables["embeddings"], "vec_id", "embedding", "label")
+    cents = _seed_centroids(q, 5)
+
+    def column_reference(vec, centroids):
+        def dist(c):
+            lit_vec = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
+            return F.aggregate(
+                F.zip_with(vec, lit_vec, lambda x, cc: (x - cc) * (x - cc)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        dist(c).alias("dist"),
+                        F.lit(int(cid)).cast("bigint").alias("cid"),
+                    )
+                    for cid, c in centroids
+                ]
+            )
+        )
+
+    a = _rows(q.select("vec_id", _argmin_assignment("qvec", cents).alias("b"))
+              .select("vec_id", "b.dist", "b.cid"))
+    b = _rows(q.select("vec_id", column_reference(F.col("qvec"), cents).alias("b"))
+              .select("vec_id", "b.dist", "b.cid"))
+    assert a == b and len(a) > 0
