@@ -585,20 +585,54 @@ def emit(payload, timings, baseline, ext) -> None:
         compact["queries"][name] = t
         if len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET:
             del compact["queries"][name]
-    # graceful degrade (r10 advisor): the baseline/ext/anchor set is
-    # added unconditionally above, so if it ever outgrows the budget on
-    # its own, trim IT too (fastest-first, anchors last) instead of
-    # asserting after the full timed run completed — a truncated compact
-    # line still parses; a dead process records nothing.
-    droppable = sorted(
-        (k for k in compact["queries"] if not k.startswith("anchor_")),
-        key=lambda k: compact["queries"][k],
-    ) + ["anchor_first", "anchor_last"]
+    # graceful degrade (r10 advisor + r11 review): the baseline/ext/
+    # anchor set is added unconditionally above, so if it ever outgrows
+    # the budget on its own, trim IT too instead of asserting after the
+    # full timed run completed — a truncated compact line still parses;
+    # a dead process records nothing. Trimming drops each spark/duckdb
+    # DUAL-RUN PAIR as one unit (half a ratio pair is worthless to the
+    # grader), fastest-pair-first, then the ML anchors, then the suite
+    # anchors; if even the skeleton exceeds the budget, the final
+    # fallback empties queries entirely — the line ALWAYS fits.
+    _BASE_PAIR = {
+        "w1_bulk_insert": "w1_duckdb",
+        "w2_scan_predicate": "w2_duckdb",
+        "w2_decode_substrate": "w2sub_duckdb",
+        "w3_groupby_having": "w3_duckdb",
+        "w4_joins": "w4_duckdb",
+        "w5_topk_offset": "w5_duckdb",
+    }
+
+    def _pair_groups():
+        seen, groups = set(), []
+        for k in compact["queries"]:
+            if k.startswith("anchor_") or k in seen:
+                continue
+            if k in _BASE_PAIR:
+                g = [k, _BASE_PAIR[k]]
+                if k == "w5_topk_offset":
+                    g.append("w5_plain_sort")
+            elif k.startswith("ext_") and k.endswith("_spark"):
+                g = [k, k[: -len("_spark")] + "_duckdb"]
+            else:
+                g = [k]
+            g = [x for x in g if x in compact["queries"]]
+            seen.update(g)
+            groups.append(g)
+        groups.sort(key=lambda g: max(compact["queries"][k] for k in g))
+        return groups
+    droppable = _pair_groups() + [
+        ["anchor_pre_ml", "anchor_post_ml"],
+        ["anchor_first", "anchor_last"],
+    ]
     while (
         len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET
         and droppable
     ):
-        compact["queries"].pop(droppable.pop(0), None)
+        for k in droppable.pop(0):
+            compact["queries"].pop(k, None)
+    if len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET:
+        compact["queries"] = {}
     compact["queries_omitted"] = len(payload["queries"]) - len(
         compact["queries"]
     )

@@ -263,6 +263,79 @@ def power_iteration_projection(
     )
 
 
+def _reg_moments(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    group_cols: list[str],
+    y_scale: int,
+    x1_scale: int,
+    x2_scale: int,
+):
+    """The ten exact decimal(38,0) normal-equation moments per group —
+    the shared single-scan kernel of grouped_ols and grouped_ridge
+    (r11 review: the guard bound and moment set were hand-mirrored
+    twice; only the pinned SOLVES must stay separate). Returns
+    (m, d): the aggregate DataFrame and its double-cast column dict —
+    every moment casts to double exactly once, mirrored by the
+    oracles' d CTE."""
+    q_y = _q(y_col, y_scale)
+    q_1 = _q(x1_col, x1_scale)
+    q_2 = _q(x2_col, x2_scale)
+    base = df.select(
+        *group_cols, q_y.alias("qy"), q_1.alias("q1"), q_2.alias("q2")
+    ).dropna()
+    m = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum(F.col("q1").cast(_DEC)).alias("sx1"),
+        F.sum(F.col("q2").cast(_DEC)).alias("sx2"),
+        F.sum(F.col("qy").cast(_DEC)).alias("sy"),
+        F.sum((F.col("q1") * F.col("q1")).cast(_DEC)).alias("s11"),
+        F.sum((F.col("q1") * F.col("q2")).cast(_DEC)).alias("s12"),
+        F.sum((F.col("q2") * F.col("q2")).cast(_DEC)).alias("s22"),
+        F.sum((F.col("q1") * F.col("qy")).cast(_DEC)).alias("s1y"),
+        F.sum((F.col("q2") * F.col("qy")).cast(_DEC)).alias("s2y"),
+        F.sum((F.col("qy") * F.col("qy")).cast(_DEC)).alias("syy"),
+    )
+    d = {
+        c: F.col(c).cast("double")
+        for c in (
+            "n", "sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y",
+            "syy",
+        )
+    }
+    return m, d
+
+
+# the shared near-singular bound (r10 advisor): NULL every output when
+# any |coefficient| >= _REG_BOUND or |r2| >= _REG_BOUND, so the x1e6
+# quantization stays inside bigint in BOTH engines (DuckDB errors on
+# the cast; Spark saturates silently). abs(NaN) < bound is false in
+# both engines, so NaN solves NULL too. The oracle SQL pins the
+# IDENTICAL predicate — edit both together.
+_REG_BOUND = 1.0e12
+
+
+def _reg_select(m, group_cols, ok, b0, b1, b2, r2, ss_tot):
+    """The shared quantize-and-guard output projection."""
+    _B = F.lit(_REG_BOUND)
+
+    def _x1e6(v):
+        return F.floor(v * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+
+    return m.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.when(ok, _x1e6(b0)).alias("b0_x1e6"),
+        F.when(ok, _x1e6(b1)).alias("b1_x1e6"),
+        F.when(ok, _x1e6(b2)).alias("b2_x1e6"),
+        F.when(
+            ok & (ss_tot > F.lit(0.0)) & (F.abs(r2) < _B), _x1e6(r2)
+        ).alias("r2_x1e6"),
+    ).orderBy(*group_cols)
+
+
 def grouped_ols(
     df: DataFrame,
     y_col: str,
@@ -298,34 +371,12 @@ def grouped_ols(
     and everything after is a projection on the aggregate row. The
     100 TB cost is exactly one scan.
     """
-    q_y = _q(y_col, y_scale)
-    q_1 = _q(x1_col, x1_scale)
-    q_2 = _q(x2_col, x2_scale)
-    base = df.select(
-        *group_cols, q_y.alias("qy"), q_1.alias("q1"), q_2.alias("q2")
-    ).dropna()
-    m = base.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast(_DEC).alias("n"),
-        F.sum(F.col("q1").cast(_DEC)).alias("sx1"),
-        F.sum(F.col("q2").cast(_DEC)).alias("sx2"),
-        F.sum(F.col("qy").cast(_DEC)).alias("sy"),
-        F.sum((F.col("q1") * F.col("q1")).cast(_DEC)).alias("s11"),
-        F.sum((F.col("q1") * F.col("q2")).cast(_DEC)).alias("s12"),
-        F.sum((F.col("q2") * F.col("q2")).cast(_DEC)).alias("s22"),
-        F.sum((F.col("q1") * F.col("qy")).cast(_DEC)).alias("s1y"),
-        F.sum((F.col("q2") * F.col("qy")).cast(_DEC)).alias("s2y"),
-        F.sum((F.col("qy") * F.col("qy")).cast(_DEC)).alias("syy"),
+    m, d = _reg_moments(
+        df, y_col, x1_col, x2_col, group_cols, y_scale, x1_scale, x2_scale
     )
-    # every moment to double ONCE, then the pinned Cramer sequence —
-    # the oracle SQL (_OLS solve block in workloads/ml_q.py) mirrors
-    # this parenthesization term for term; edit both together
-    d = {
-        c: F.col(c).cast("double")
-        for c in (
-            "n", "sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y",
-            "syy",
-        )
-    }
+    # the pinned Cramer sequence — the oracle SQL (_OLS solve block in
+    # workloads/ml_q.py) mirrors this parenthesization term for term;
+    # edit both together
     det = (
         d["n"] * (d["s11"] * d["s22"] - d["s12"] * d["s12"])
         - d["sx1"] * (d["sx1"] * d["s22"] - d["s12"] * d["sx2"])
@@ -346,37 +397,30 @@ def grouped_ols(
         - d["sx1"] * (d["sx1"] * d["s2y"] - d["s1y"] * d["sx2"])
         + d["sy"] * (d["sx1"] * d["s12"] - d["s11"] * d["sx2"])
     )
-    b0, b1, b2 = d0 / det, d1 / det, d2 / det
+    # try_divide, not `/`: ANSI errors on a zero denominator, and
+    # whole-stage codegen's common-subexpression elimination hoists
+    # these shared divisions OUT of the CASE's conditional protection —
+    # a singular group (det = 0) would crash the query instead of
+    # NULLing (caught by test_ols_singular_system_yields_nulls when the
+    # r2 bound joined the CASE condition). try_divide is bit-identical
+    # for det != 0 and yields NULL at 0, which the ok guard absorbs;
+    # the oracle's double division returns Inf/NULL at 0, absorbed by
+    # the SAME CASE predicate.
+    b0 = F.try_divide(d0, det)
+    b1 = F.try_divide(d1, det)
+    b2 = F.try_divide(d2, det)
     ss_tot = d["syy"] - (d["sy"] * d["sy"]) / d["n"]
     ss_res = d["syy"] - (b0 * d["sy"] + b1 * d["s1y"] + b2 * d["s2y"])
-    r2 = F.lit(1.0) - ss_res / ss_tot
-    # singular AND near-singular guard (r10 advisor): exactly-zero det is
-    # not the only degenerate case — a tiny nonzero det yields Inf-scale
-    # coefficients, and the engines then diverge at the bigint cast
-    # (DuckDB errors on cast(inf as bigint); Spark's floor/cast does
-    # not). NULL every output when any coefficient exceeds |b| < 1e12
-    # (so the x1e6 quantization stays inside bigint with 6.9x headroom);
-    # abs(NaN) < bound is false in both engines, so NaN solves NULL too.
-    # The oracle SQL pins the IDENTICAL predicate — edit both together.
-    _B = F.lit(1.0e12)
+    r2 = F.lit(1.0) - F.try_divide(ss_res, ss_tot)
+    # singular AND near-singular guard — see _REG_BOUND
+    _B = F.lit(_REG_BOUND)
     ok = (
         (det != F.lit(0.0))
         & (F.abs(b0) < _B)
         & (F.abs(b1) < _B)
         & (F.abs(b2) < _B)
     )
-
-    def _x1e6(v):
-        return F.floor(v * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
-
-    return m.select(
-        *group_cols,
-        F.col("n").cast("bigint").alias("n_rows"),
-        F.when(ok, _x1e6(b0)).alias("b0_x1e6"),
-        F.when(ok, _x1e6(b1)).alias("b1_x1e6"),
-        F.when(ok, _x1e6(b2)).alias("b2_x1e6"),
-        F.when(ok & (ss_tot > F.lit(0.0)), _x1e6(r2)).alias("r2_x1e6"),
-    ).orderBy(*group_cols)
+    return _reg_select(m, group_cols, ok, b0, b1, b2, r2, ss_tot)
 
 
 def grouped_ridge(
@@ -425,31 +469,13 @@ def grouped_ridge(
     for n >= 1, so exactly-collinear features — NULL under OLS — get
     finite, defined coefficients (pinned by test).
     """
-    q_y = _q(y_col, y_scale)
-    q_1 = _q(x1_col, x1_scale)
-    q_2 = _q(x2_col, x2_scale)
-    base = df.select(
-        *group_cols, q_y.alias("qy"), q_1.alias("q1"), q_2.alias("q2")
-    ).dropna()
-    m = base.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast(_DEC).alias("n"),
-        F.sum(F.col("q1").cast(_DEC)).alias("sx1"),
-        F.sum(F.col("q2").cast(_DEC)).alias("sx2"),
-        F.sum(F.col("qy").cast(_DEC)).alias("sy"),
-        F.sum((F.col("q1") * F.col("q1")).cast(_DEC)).alias("s11"),
-        F.sum((F.col("q1") * F.col("q2")).cast(_DEC)).alias("s12"),
-        F.sum((F.col("q2") * F.col("q2")).cast(_DEC)).alias("s22"),
-        F.sum((F.col("q1") * F.col("qy")).cast(_DEC)).alias("s1y"),
-        F.sum((F.col("q2") * F.col("qy")).cast(_DEC)).alias("s2y"),
-        F.sum((F.col("qy") * F.col("qy")).cast(_DEC)).alias("syy"),
+    if lam_den == 0:
+        raise ValueError("lam_den must be nonzero")
+    if lam_num < 0 or lam_den < 0:
+        raise ValueError("ridge penalty must be nonnegative (w = lam_num/lam_den)")
+    m, d = _reg_moments(
+        df, y_col, x1_col, x2_col, group_cols, y_scale, x1_scale, x2_scale
     )
-    d = {
-        c: F.col(c).cast("double")
-        for c in (
-            "n", "sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y",
-            "syy",
-        )
-    }
     # one pinned division, then one pinned mul/add per diagonal term
     w = F.lit(float(lam_num)).cast("double") / F.lit(float(lam_den)).cast(
         "double"
@@ -476,7 +502,10 @@ def grouped_ridge(
         - d["sx1"] * (d["sx1"] * d["s2y"] - d["s1y"] * d["sx2"])
         + d["sy"] * (d["sx1"] * d["s12"] - t11 * d["sx2"])
     )
-    b0, b1, b2 = d0 / det, d1 / det, d2 / det
+    # try_divide for the same CSE-under-ANSI reason as grouped_ols
+    b0 = F.try_divide(d0, det)
+    b1 = F.try_divide(d1, det)
+    b2 = F.try_divide(d2, det)
     ss_tot = d["syy"] - (d["sy"] * d["sy"]) / d["n"]
     # full quadratic form with the RAW moments (see docstring)
     bxxb = (
@@ -492,23 +521,12 @@ def grouped_ridge(
         - F.lit(2.0) * (b0 * d["sy"] + b1 * d["s1y"] + b2 * d["s2y"])
         + bxxb
     )
-    r2 = F.lit(1.0) - ss_res / ss_tot
-    _B = F.lit(1.0e12)
+    r2 = F.lit(1.0) - F.try_divide(ss_res, ss_tot)
+    _B = F.lit(_REG_BOUND)
     ok = (
         (det != F.lit(0.0))
         & (F.abs(b0) < _B)
         & (F.abs(b1) < _B)
         & (F.abs(b2) < _B)
     )
-
-    def _x1e6(v):
-        return F.floor(v * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
-
-    return m.select(
-        *group_cols,
-        F.col("n").cast("bigint").alias("n_rows"),
-        F.when(ok, _x1e6(b0)).alias("b0_x1e6"),
-        F.when(ok, _x1e6(b1)).alias("b1_x1e6"),
-        F.when(ok, _x1e6(b2)).alias("b2_x1e6"),
-        F.when(ok & (ss_tot > F.lit(0.0)), _x1e6(r2)).alias("r2_x1e6"),
-    ).orderBy(*group_cols)
+    return _reg_select(m, group_cols, ok, b0, b1, b2, r2, ss_tot)

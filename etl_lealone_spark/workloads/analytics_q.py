@@ -403,16 +403,25 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # file feeds with pinned delivery order + memory sink, hash-checked
 # against the batch-equivalent DuckDB SQL
 # ---------------------------------------------------------------------------
-def _persisted_stream_root(sf_dir: str, tag: str, build_fn=None) -> str:
+def _persisted_stream_root(
+    sf_dir: str, tag: str, build_fn, tables: tuple[str, ...]
+) -> str:
     """Content-keyed persisted root for a workload's micro-batch feed
     files (helpers.persisted_state_root discipline): the bucket layout
-    is deterministic given the events parquet + EVERY function that
-    shapes it — the shared bucketizer/sentinel/mtime-pin helpers AND the
-    per-workload ``build_fn`` closure (r10 advisor: a feed cache keyed
-    only on the shared helpers silently reuses a stale layout after an
-    edit to a workload's build closure, making the edit inert). Rebuilt
-    only when any of those sources change; os.rename preserves the
-    pinned mtimes the file-source delivery order rides on."""
+    is deterministic given the SOURCE parquet tables + EVERY function
+    that shapes it — the shared bucketizer/sentinel/mtime-pin helpers
+    AND the per-workload ``build_fn`` closure (r10 advisor: a feed
+    cache keyed only on the shared helpers silently reuses a stale
+    layout after an edit to a workload's build closure, making the
+    edit inert). ``tables`` names the parquet inputs the builder
+    actually reads (most feeds cut events, but stream_dedup_hashes
+    reads documents and stream_upsert_sink reads orders — keying those
+    on events would survive a documents/orders regeneration and feed
+    the oracle stale rows; r11 review finding). ``build_fn`` is
+    REQUIRED — a None default would let a future caller silently opt
+    back into the stale-cache bug. Rebuilt only when any source
+    changes; os.rename preserves the pinned mtimes the file-source
+    delivery order rides on."""
     import inspect
 
     from .helpers import persisted_state_root
@@ -421,20 +430,23 @@ def _persisted_stream_root(sf_dir: str, tag: str, build_fn=None) -> str:
         inspect.getsource(_stream_bucket_files)
         + inspect.getsource(_flush_sentinel)
         + inspect.getsource(_pin_newest)
-        + (inspect.getsource(build_fn) if build_fn is not None else "")
+        + inspect.getsource(build_fn)
         + tag
     )
-    return persisted_state_root(sf_dir, ("events",), spec, "etl_lealone_streamwl")
+    return persisted_state_root(sf_dir, tables, spec, "etl_lealone_streamwl")
 
 
-def _ensure_stream_feed(spark, sf_dir: str, tag: str, build_fn) -> str:
+def _ensure_stream_feed(
+    spark, sf_dir: str, tag: str, build_fn, tables: tuple[str, ...] = ("events",)
+) -> str:
     """Build-once wrapper: ``build_fn(ev, build_dir)`` writes the feed
     files into a staging dir, which is atomically renamed to the keyed
-    root (concurrent-build race falls back to the winner's root)."""
+    root (concurrent-build race falls back to the winner's root).
+    ``tables`` must name every parquet table the builder reads."""
     import os
     import shutil
 
-    root = _persisted_stream_root(sf_dir, tag, build_fn)
+    root = _persisted_stream_root(sf_dir, tag, build_fn, tables)
     if os.path.exists(os.path.join(root, "_wl_done")):
         return root
     ev = load_tables(spark, sf_dir)["events"]
@@ -1132,7 +1144,9 @@ def stream_dedup_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
             newest = max(parts, key=os.path.getmtime)
             os.utime(newest, (1_700_000_000 + i, 1_700_000_000 + i))
 
-    feed = _ensure_stream_feed(spark, sf_dir, "sdh", build)
+    feed = _ensure_stream_feed(
+        spark, sf_dir, "sdh", build, tables=("documents",)
+    )
     tmp = _ckpt_tmp("sdh_")  # per-run checkpoint only
     try:
         docs = (
@@ -1197,7 +1211,9 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             newest = max(parts, key=os.path.getmtime)
             os.utime(newest, (1_700_000_000 + b, 1_700_000_000 + b))
 
-    feed = _ensure_stream_feed(spark, sf_dir, "ups", build)
+    feed = _ensure_stream_feed(
+        spark, sf_dir, "ups", build, tables=("orders",)
+    )
     tmp = _ckpt_tmp("ups_")
     table = SnapshotTable(spark, os.path.join(tmp, "wh"), "ups_target")
     table.create(

@@ -817,7 +817,9 @@ _OLS_SQL = """
                      AND abs(b2) < 1e12 THEN
              cast(floor(b2 * 1000000.0 + 0.5) as bigint) END AS b2_x1e6,
            CASE WHEN det <> 0.0 AND abs(b0) < 1e12 AND abs(b1) < 1e12
-                     AND abs(b2) < 1e12 AND ss_tot > 0.0 THEN
+                     AND abs(b2) < 1e12 AND ss_tot > 0.0
+                     AND abs(1.0 - (syy - (b0*sy + b1*s1y + b2*s2y))
+                             / ss_tot) < 1e12 THEN
              cast(floor((1.0 - (syy - (b0*sy + b1*s1y + b2*s2y)) / ss_tot)
                         * 1000000.0 + 0.5) as bigint) END AS r2_x1e6
     FROM beta
@@ -939,7 +941,8 @@ _RIDGE_SQL = f"""
                      AND abs(b2) < 1e12 THEN
              cast(floor(b2 * 1000000.0 + 0.5) as bigint) END AS b2_x1e6,
            CASE WHEN det <> 0.0 AND abs(b0) < 1e12 AND abs(b1) < 1e12
-                     AND abs(b2) < 1e12 AND ss_tot > 0.0 THEN
+                     AND abs(b2) < 1e12 AND ss_tot > 0.0
+                     AND abs(1.0 - ss_res / ss_tot) < 1e12 THEN
              cast(floor((1.0 - ss_res / ss_tot)
                         * 1000000.0 + 0.5) as bigint) END AS r2_x1e6
     FROM fit

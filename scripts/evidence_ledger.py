@@ -101,6 +101,13 @@ MODULE_CHANGED: frozenset[str] = frozenset(
         "stream_enrich_agg",
         "stream_interval_join",
         "stream_upsert_sink",
+        # r11: feed-root computation rewritten (cache key hashes the
+        # build closure + source tables) and session-wide
+        # minBatchesToRetain=2 — the whole streaming family's r10/r09
+        # evidence certifies the old path, including the two r10-green
+        # additions (r11 review finding)
+        "stream_interval_join_left",
+        "stream_late_data_drop",
         "dsir_importance_weights",       # pipeline.py fused tokenizer (r10)
         "kmeans_cluster_profile",        # clustering.py decimal sums (r10)
         "kmeans_separation_audit",       # clustering.py decimal sums (r10)
