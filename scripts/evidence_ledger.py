@@ -85,41 +85,27 @@ def registered() -> list[str]:
 # wrap hardening) — only the CC-cluster workloads run that path.
 MODULE_CHANGED: frozenset[str] = frozenset(
     {
-        # dropped r11: sample_hash_stratified + update_projection got
-        # r10-green rows under the changed code; dedup_clusters (r07) and
-        # dedup_clusters_lp (r08) greened after their r06 change.
-        # r10: streaming harness rework (3-bucket feeds, sentinel rides
-        # the last bucket, localCheckpoint drain — analytics_q/ingest);
-        # all eight re-verified at sf0.001+sf0.01 in-round, but their
-        # r09 driver rows certify the 5-bucket harness (r11: feed cache
-        # key now also hashes the per-workload build closure)
-        "stream_tumbling_agg",
-        "stream_sliding_agg",
-        "stream_session_agg",
-        "stream_stateful_totals",
-        "stream_dedup_hashes",
-        "stream_enrich_agg",
-        "stream_interval_join",
-        "stream_upsert_sink",
-        # r11: feed-root computation rewritten (cache key hashes the
-        # build closure + source tables) and session-wide
-        # minBatchesToRetain=2 — the whole streaming family's r10/r09
-        # evidence certifies the old path, including the two r10-green
-        # additions (r11 review finding)
-        "stream_interval_join_left",
-        "stream_late_data_drop",
-        "dsir_importance_weights",       # pipeline.py fused tokenizer (r10)
-        "kmeans_cluster_profile",        # clustering.py decimal sums (r10)
-        "kmeans_separation_audit",       # clustering.py decimal sums (r10)
-        "pca_label_projection",          # stats.py decimal mu sums (r10)
-        "bpe_encode_stats",              # text_q guard + cache key (r10)
-        # r11: HOF-kernel unroll adoptions + advisor guards
-        "logreg_label_probe",            # logreg.py unrolled dot + NULL-label guard (r11)
-        "ols_price_model",               # stats.py near-singular bound, oracle mirrored (r11)
-        "ann_ivfpq_topk_batch",          # pq.py unrolled ADC sum (r11)
-        "pq_adc_topk",                   # pq.py ADC expr-string build (r11)
+        # dropped r12: the entire r11 set (10 streaming workloads +
+        # dsir/kmeans x2/pca/bpe from the r10 kernels and logreg/ols/
+        # ann_ivfpq/pq_adc from the r11 kernels) — all 19 got fully-green
+        # CORRECTNESS_r11 rows under the changed code, and no
+        # etl_lealone_spark module changed between that driver run and
+        # the r11 close (dfb032d added round files only), so their
+        # evidence certifies exactly the code in tree. Empty set = the
+        # r12 window is pure staleness rotation (leads with the
+        # 41-workload r07 stratum).
     }
 )
+
+
+# Workloads promoted into the window ahead of their natural staleness
+# stratum for a stated, verdict-level reason (NOT module drift — that is
+# MODULE_CHANGED). r12: minhash_band_skew carries the round's only
+# perf-weak grade (driver bench 6.34s vs its r10 record 2.49s on
+# untouched code); a fresh correctness row removes the
+# stale-evidence variable from that investigation (r11 verdict task 2).
+# Entries are dropped the round after they green.
+PROMOTED: frozenset[str] = frozenset({"minhash_band_skew"})
 
 
 def propose_window(last_green: dict[str, int], names: list[str]) -> list[str]:
@@ -140,8 +126,12 @@ def propose_priority(last_green: dict[str, int], names: list[str]) -> list[str]:
     def key(n: str):
         lg = last_green.get(n, 0)
         invalid = lg == 0 or n in MODULE_CHANGED
+        # PROMOTED: pseudo-stratum 1 — after invalid evidence, before
+        # every real round stratum (rounds start at 1 but no real
+        # stratum is ever younger than the window policy's reach)
+        stratum = 0 if invalid else (1 if n in PROMOTED else lg)
         return (
-            0 if invalid else lg,      # invalid evidence = stratum 0
+            stratum,                   # invalid evidence = stratum 0
             0 if lg == 0 else 1,       # truly-never-checked lead it
             n,
         )
