@@ -120,6 +120,25 @@ HEADLINE = [
 # query, published as anchor_pre_ml / anchor_post_ml.
 _ML_FAMILY_START = "kmeans_cluster_profile"
 
+# Per-segment anchors (r11 verdict task 1): the r11 driver record read
+# minhash_band_skew at 6.34s vs its own r10 record 2.49s on UNTOUCHED
+# code while the suite-edge and ML-bracket anchors got faster — the
+# mid-suite segment containing it had no in-run attribution, so host
+# drift vs code regression was undecidable from the record. Generalize
+# the ML bracketing: an anchor run immediately before each of these
+# headline queries splits the suite into ~13-query segments, each
+# bracketed by two anchors (anchor_first / seg anchors / anchor_pre_ml /
+# anchor_post_ml=anchor_last). A segment whose queries drift while BOTH
+# its bracketing anchors hold is a code/plan regression; drift that the
+# anchors mirror is host state. Cost: 4 extra constant-size probes
+# (~0.7s each), outside every per-query timing and the suite total.
+_SEGMENT_ANCHORS = {
+    "ann_bruteforce_topk": "anchor_seg_ann",        # idx 13: ANN/text block
+    "join_seven_tables": "anchor_seg_tpch",         # idx 26: join/TPC-H block
+    "scd2_stream_compacted": "anchor_seg_snap",     # idx 39: snapshot/skew block
+    "hard_negative_mining_batch": "anchor_seg_strm",  # idx 52: streaming block
+}
+
 
 def baseline_workloads(
     spark, n: int = 50_000_000, reps: int = 3, w1_last: bool = False
@@ -493,6 +512,7 @@ def main() -> None:
     anchor_run(spark)
     anchor_first = anchor_run(spark)
     timings: dict[str, float] = {}
+    anchors: dict[str, float] = {}
     anchor_pre_ml = anchor_post_ml = None
     for name in HEADLINE:
         w = wl[name]
@@ -503,6 +523,8 @@ def main() -> None:
         # (localCheckpoint blocks included) alive until the Python
         # wrappers are collected — System.gc alone cannot release them.
         _isolate(spark)
+        if name in _SEGMENT_ANCHORS:
+            anchors[_SEGMENT_ANCHORS[name]] = anchor_run(spark)
         if name == _ML_FAMILY_START:
             anchor_pre_ml = anchor_run(spark)
         t0 = time.time()
@@ -536,6 +558,7 @@ def main() -> None:
             **baseline,
             **ext,
             "anchor_first": anchor_first,
+            **anchors,
             "anchor_last": anchor_last,
             "anchor_pre_ml": anchor_pre_ml,
             "anchor_post_ml": anchor_post_ml,
@@ -559,8 +582,8 @@ def main() -> None:
 _TAIL_BUDGET = 1800  # < 2000-char tail, with headroom for a preceding \n
 
 
-def emit(payload, timings, baseline, ext) -> None:
-    here = os.path.dirname(os.path.abspath(__file__))
+def emit(payload, timings, baseline, ext, out_dir: str | None = None) -> None:
+    here = out_dir or os.path.dirname(os.path.abspath(__file__))
     detail = json.dumps(payload, separators=(",", ":"))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         f.write(json.dumps(payload, indent=1) + "\n")
@@ -571,14 +594,21 @@ def emit(payload, timings, baseline, ext) -> None:
         "sf": payload["sf"],
         "baseline_rows": payload["baseline_rows"],
         "detail": "BENCH_DETAIL.json",
-        "queries_omitted": 0,
+        # placeholder = the widest value this key can take (the real
+        # count is <= len(payload queries)), so substituting the final
+        # count after trimming can only SHRINK the line — the trim loop
+        # below therefore bounds the printed length, provably (r11
+        # advisor: the old post-trim substitution 0 -> N could exceed
+        # the budget by the digit difference)
+        "queries_omitted": len(payload["queries"]),
         "queries": {
             **baseline,
             **ext,
-            "anchor_first": payload["queries"]["anchor_first"],
-            "anchor_last": payload["queries"]["anchor_last"],
-            "anchor_pre_ml": payload["queries"]["anchor_pre_ml"],
-            "anchor_post_ml": payload["queries"]["anchor_post_ml"],
+            **{
+                k: v
+                for k, v in payload["queries"].items()
+                if k.startswith("anchor_")
+            },
         },
     }
     for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
@@ -622,6 +652,7 @@ def emit(payload, timings, baseline, ext) -> None:
         groups.sort(key=lambda g: max(compact["queries"][k] for k in g))
         return groups
     droppable = _pair_groups() + [
+        sorted(_SEGMENT_ANCHORS.values()),
         ["anchor_pre_ml", "anchor_post_ml"],
         ["anchor_first", "anchor_last"],
     ]

@@ -146,6 +146,11 @@ def logreg_train(
     # in the gradient. The engines diverge silently, so non-null labels
     # are an enforced precondition (same discipline as the ragged-input
     # guard below). One pushed-IsNotNull probe scan, limit-1 bounded.
+    # Cost disposition (r11 advisor, accepted as-is): the probe adds one
+    # extra action per train call, paid unconditionally; it has never
+    # shown in a profile (limit-1 short-circuits the scan). If it ever
+    # does, fold it into the first gradient pass — count NULL labels in
+    # that aggregation and raise after its collect.
     if q.filter(F.col("label").isNull()).limit(1).count():
         raise ValueError(
             "NULL label: logreg train requires non-null labels (a NULL "

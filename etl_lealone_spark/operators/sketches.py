@@ -251,6 +251,187 @@ def cms_counters(
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
 
 
+def stride_quantile_points(
+    df: DataFrame, value: Column, key: Column,
+    buckets: int = 32, k: int = 64,
+) -> DataFrame:
+    """The mergeable quantile sketch itself: ≤ ``buckets * k`` weighted
+    points ``(bucket, v, w, berr)`` whose weights sum to the (non-null)
+    row count.
+
+    Construction (KLL-style bounded summary, made cross-engine
+    deterministic the same way KMV/CMS are): rows hash-partition into
+    ``buckets`` by the 60-bit md5 of ``key``; within a bucket, rows take
+    a total order (value, key-hash — the hash tiebreak makes the order,
+    hence the whole sketch, a pure function of the data); a bucket of
+    n_b rows keeps every s_b-th row where ``s_b = ceil(n_b / k)``, each
+    kept point carrying the weight of the ≤ s_b rows it stands for.
+    Equivalent to one level of deterministic KLL compaction per bucket
+    (compact-by-stride instead of compact-by-coin; Karnin-Lang-Liberty
+    2016 uses random offsets for an unbiased estimator — the stride
+    variant trades that for bit-for-bit oracle replay, keeping the same
+    worst-case rank-error shape).
+
+    Guarantee (pinned by test): for any value x, the sketch's cumulative
+    weight below x overestimates the true rank of x by at most
+    ``sum_b (s_b - 1)`` — ≈ n/k under balanced hashing — so any quantile
+    read from the sketch lands within that many ranks of exact.
+    ``berr`` carries ``s_b - 1`` on each bucket's first point (rn=1 is
+    always kept) so the bound is a cheap SUM downstream.
+
+    Plan shape at scale: one hash-partition shuffle on ``bucket`` (the
+    window), then a map-side filter keeps ≤ k points per bucket — the
+    sketch that leaves the stage is ``buckets * k`` rows regardless of
+    input size, and sketches of disjoint row sets union-merge (weights
+    are additive; re-striding a merged sketch re-bounds its size).
+    ``buckets`` is the parallelism knob: size it like shuffle partitions
+    (a 1000-executor run wants thousands), k is the accuracy knob."""
+    from pyspark.sql.window import Window
+
+    hv = md5_hash60(key.cast("string"))
+    base = df.filter(value.isNotNull()).select(
+        (hv % buckets).alias("bucket"),
+        value.cast("double").alias("v"),
+        hv.alias("hv"),
+    )
+    w_rn = Window.partitionBy("bucket").orderBy("v", "hv")
+    w_nb = Window.partitionBy("bucket")
+    return (
+        base.withColumn("rn", F.row_number().over(w_rn))
+        .withColumn("nb", F.count(F.lit(1)).over(w_nb))
+        .withColumn("s", F.expr(f"CAST((nb + {k} - 1) DIV {k} AS BIGINT)"))
+        .filter((F.col("rn") - 1) % F.col("s") == 0)
+        .select(
+            "bucket",
+            "v",
+            F.least(F.col("s"), F.col("nb") - F.col("rn") + 1)
+            .cast("long")
+            .alias("w"),
+            F.when(F.col("rn") == 1, F.col("s") - 1)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("berr"),
+        )
+    )
+
+
+def stride_quantiles(
+    df: DataFrame, value: Column, key: Column,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    buckets: int = 32, k: int = 64,
+) -> DataFrame:
+    """Approximate quantiles from a :func:`stride_quantile_points`
+    sketch: one row per q with ``(q, est_value, n_total, n_points,
+    rank_err_bound)`` — ``est_value`` is the smallest sketch point whose
+    cumulative weight reaches ``max(1, ceil(q * n))`` (lower-rank
+    selection), within ``rank_err_bound`` ranks of the exact quantile.
+
+    The final selection deliberately AVOIDS a global window: the point
+    set is bounded (``buckets * k``) by construction, so it folds into
+    ONE ungrouped aggregate row — ``sort_array`` orders the points
+    (struct field order (v, bucket, w) makes tie order deterministic;
+    the selected VALUE is tie-order-invariant anyway) and a JVM
+    ``aggregate`` HOF walks the running weight per q. An ungrouped
+    final aggregate is the lint-sanctioned 1-row SinglePartition shape;
+    a cumulative-sum Window here would funnel through one task with no
+    WindowGroupLimit bound."""
+    pts = stride_quantile_points(df, value, key, buckets=buckets, k=k)
+    folded = pts.agg(
+        F.sort_array(
+            F.collect_list(F.struct("v", "bucket", "w", "berr"))
+        ).alias("pts"),
+        F.sum("w").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("berr").cast("long").alias("rank_err_bound"),
+    )
+    sel = F.expr(
+        """
+        aggregate(
+          pts,
+          named_struct('cum', CAST(0 AS BIGINT), 'est', CAST(NULL AS DOUBLE)),
+          (a, x) -> CASE
+            WHEN a.est IS NOT NULL THEN a
+            WHEN a.cum + x.w >= GREATEST(CAST(1 AS BIGINT),
+                                         CAST(ceil(q * n_total) AS BIGINT))
+              THEN named_struct('cum', a.cum + x.w, 'est', x.v)
+            ELSE named_struct('cum', a.cum + x.w,
+                              'est', CAST(NULL AS DOUBLE))
+          END
+        ).est
+        """
+    )
+    return (
+        folded.select(
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in qs])
+            ).alias("q"),
+            "pts",
+            "n_total",
+            "n_points",
+            "rank_err_bound",
+        )
+        .select(
+            "q",
+            sel.alias("est_value"),
+            "n_total",
+            "n_points",
+            "rank_err_bound",
+        )
+        .orderBy("q")
+    )
+
+
+def stride_quantiles_sql(
+    table_expr: str, value_expr: str, key_expr: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    buckets: int = 32, k: int = 64,
+) -> str:
+    """DuckDB SQL recomputing :func:`stride_quantiles` bit-for-bit —
+    the same bucketing hash, stride, weights, and lower-rank selection."""
+    h = md5_hash60_sql(f"cast({key_expr} as varchar)")
+    q_list = ", ".join(repr(float(q)) for q in qs)
+    return f"""
+    WITH base AS (
+      SELECT {h} % {buckets} AS bucket,
+             CAST({value_expr} AS DOUBLE) AS v,
+             {h} AS hv
+      FROM {table_expr} WHERE {value_expr} IS NOT NULL
+    ),
+    rk AS (
+      SELECT bucket, v,
+             row_number() OVER (PARTITION BY bucket ORDER BY v, hv) AS rn,
+             count(*) OVER (PARTITION BY bucket) AS nb
+      FROM base
+    ),
+    pts AS (
+      SELECT bucket, v,
+             CAST(least(s, nb - rn + 1) AS BIGINT) AS w,
+             CAST(CASE WHEN rn = 1 THEN s - 1 ELSE 0 END AS BIGINT) AS berr
+      FROM (SELECT *, (nb + {k} - 1) // {k} AS s FROM rk)
+      WHERE (rn - 1) % s = 0
+    ),
+    tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_points,
+             CAST(sum(berr) AS BIGINT) AS rank_err_bound
+      FROM pts
+    ),
+    cum AS (
+      SELECT v, sum(w) OVER (ORDER BY v, bucket, w
+                             ROWS UNBOUNDED PRECEDING) AS cw
+      FROM pts
+    )
+    SELECT q,
+           (SELECT min(v) FROM cum
+            WHERE cw >= greatest(CAST(1 AS BIGINT),
+                                 CAST(ceil(q * tot.n_total) AS BIGINT)))
+             AS est_value,
+           tot.n_total, tot.n_points, tot.rank_err_bound
+    FROM unnest([{q_list}]) AS t(q), tot
+    ORDER BY q
+    """
+
+
 def cms_point_estimate(
     counters: DataFrame, terms: DataFrame, term_col: str,
     depth: int = 4, width: int = 512, *, tag: str = "cms",

@@ -442,7 +442,17 @@ def _ensure_stream_feed(
     """Build-once wrapper: ``build_fn(ev, build_dir)`` writes the feed
     files into a staging dir, which is atomically renamed to the keyed
     root (concurrent-build race falls back to the winner's root).
-    ``tables`` must name every parquet table the builder reads."""
+    ``tables`` must name every parquet table the builder reads.
+
+    CONSTRAINT (r11 advisor): ``build_fn`` must be a PURE function of
+    (a) its source text and (b) the named ``tables`` parquet — the
+    cache key hashes ``inspect.getsource(build_fn)``, so a closure
+    that captures mutable non-source state (a module-level variable
+    whose VALUE changes without a source edit) would silently reuse a
+    stale feed. Every current builder only captures module-level
+    helper FUNCTIONS (which the key also hashes via the shared-helper
+    sources); keep it that way, or extend the key with the captured
+    cell values if a data-bearing closure ever becomes necessary."""
     import os
     import shutil
 

@@ -20,6 +20,7 @@ from ..operators.sketches import (
     hash_sample_pred_sql,
     kmv_estimate,
     kmv_estimate_sql,
+    stride_quantiles_sql,
 )
 from ..operators.xhash import md5_hash60, md5_hash60_sql
 from ..tables import load_tables
@@ -121,6 +122,44 @@ def quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sample"),
         F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
         F.percentile("l_extendedprice", F.lit(0.95)).alias("p95_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stride-quantile sketch: bounded mergeable quantile summary (the
+# KLL-shaped companion to KMV/CMS — operators/sketches.py
+# stride_quantile_points / stride_quantiles). percentile_agg is the
+# exact-path counterpart; this is what replaces it when the column no
+# longer fits a sort: the sketch that leaves the shuffle is
+# buckets*k rows at ANY input size.
+# ---------------------------------------------------------------------------
+_QSK_QS = (0.25, 0.5, 0.9, 0.99)
+_QSK_KEY = "cast(l_orderkey as varchar) || '-' || cast(l_linenumber as varchar)"
+
+
+@workload(
+    "quantile_sketch_price",
+    stride_quantiles_sql("lineitem", "l_extendedprice", _QSK_KEY, _QSK_QS),
+    doc="Bounded mergeable quantile sketch (deterministic KLL-style "
+    "stride compaction, buckets=32 x k=64 points): p25/p50/p90/p99 of "
+    "l_extendedprice with a per-run rank-error bound column, rebuilt "
+    "bit-for-bit by the oracle. One bucket-hash shuffle; the sketch "
+    "leaving the stage is <=2048 weighted points regardless of input "
+    "size (exact sort/percentile over 100 TB is shuffle-bound; this "
+    "is the scale path, quantile_hash_sample the sampling one, "
+    "percentile_agg the exact small-data one).",
+)
+def quantile_sketch_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import stride_quantiles
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return stride_quantiles(
+        li, F.col("l_extendedprice"), key, qs=_QSK_QS
     )
 
 

@@ -208,3 +208,144 @@ def test_cms_probe_rejects_reserved_columns(spark):
     bad2 = spark.createDataFrame([("x", 1)], "term string, CNT int")
     with pytest.raises(ValueError, match="cnt"):
         cms_point_estimate(counters, bad2, "term", depth=3, width=64)
+
+
+# ---------------------------------------------------------------------------
+# stride-quantile sketch (deterministic KLL-style bounded summary)
+# ---------------------------------------------------------------------------
+def _exact_rank_bounds(values, est):
+    """[#values strictly below est + 1, #values <= est] — the rank range
+    the estimate occupies in the exact sorted order (ties collapse)."""
+    lo = sum(1 for v in values if v < est) + 1
+    hi = sum(1 for v in values if v <= est)
+    return lo, hi
+
+
+def test_stride_quantiles_exact_when_small(spark, tables):
+    """Every bucket under k rows → stride 1, every row is a point with
+    weight 1, rank_err_bound 0, and the estimates are EXACT lower-rank
+    quantiles."""
+    from etl_lealone_spark.operators.sketches import stride_quantiles
+
+    li = tables["lineitem"].limit(500)
+    qs = (0.1, 0.5, 0.9)
+    rows = stride_quantiles(
+        li, F.col("l_extendedprice"), F.col("l_orderkey"), qs=qs,
+        buckets=4, k=200,
+    ).collect()
+    vals = sorted(
+        float(r.l_extendedprice) for r in li.select("l_extendedprice").collect()
+    )
+    n = len(vals)
+    assert rows[0].n_total == n
+    for r in rows:
+        assert r.rank_err_bound == 0
+        import math
+
+        target = max(1, math.ceil(r.q * n))
+        assert r.est_value == vals[target - 1], (r.q, r.est_value)
+
+
+def test_stride_quantiles_rank_error_within_bound(spark, tables):
+    """The pinned guarantee: the exact rank of each estimate lands
+    within rank_err_bound of the target rank max(1, ceil(q*n))."""
+    import math
+
+    from etl_lealone_spark.operators.sketches import stride_quantiles
+
+    li = tables["lineitem"]
+    qs = (0.25, 0.5, 0.9, 0.99)
+    rows = stride_quantiles(
+        li, F.col("l_extendedprice"), F.col("l_orderkey"), qs=qs,
+        buckets=8, k=32,
+    ).collect()
+    vals = [
+        float(r.l_extendedprice) for r in li.select("l_extendedprice").collect()
+    ]
+    n = len(vals)
+    assert rows[0].n_total == n
+    assert rows[0].n_points <= 8 * 32
+    # bound must be meaningfully sublinear before the assertion means
+    # anything (≈ n/k under balanced hashing)
+    assert 0 < rows[0].rank_err_bound < n / 4
+    for r in rows:
+        target = max(1, math.ceil(r.q * n))
+        lo, hi = _exact_rank_bounds(vals, r.est_value)
+        # estimate's rank range must intersect [target-bound, target+bound]
+        assert lo <= target + r.rank_err_bound, (r.q, lo, target)
+        assert hi >= target - r.rank_err_bound, (r.q, hi, target)
+
+
+def test_stride_points_weights_partition_the_input(spark, tables):
+    """sum(w) == non-null row count; per-bucket point count <= k; the
+    sketch is a weighted partition of the rows, never a sample that
+    loses mass."""
+    from etl_lealone_spark.operators.sketches import stride_quantile_points
+
+    li = tables["lineitem"]
+    pts = stride_quantile_points(
+        li, F.col("l_extendedprice"), F.col("l_orderkey"), buckets=8, k=32
+    )
+    agg = pts.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("np"), F.sum("w").alias("wsum")
+    )
+    rows = agg.collect()
+    assert all(r.np <= 32 for r in rows)
+    total = sum(r.wsum for r in rows)
+    assert total == li.filter(F.col("l_extendedprice").isNotNull()).count()
+
+
+def test_stride_points_union_merge_keeps_bound(spark, tables):
+    """Mergeability: sketches of disjoint halves UNION into a valid
+    sketch of the whole — cumulative-weight rank error is bounded by the
+    SUM of the halves' bounds (weights are additive; no recompaction
+    needed until size matters)."""
+    import math
+
+    from etl_lealone_spark.operators.sketches import stride_quantile_points
+
+    li = tables["lineitem"]
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    pa = stride_quantile_points(
+        a, F.col("l_extendedprice"), F.col("l_orderkey"), buckets=4, k=32
+    )
+    pb = stride_quantile_points(
+        b, F.col("l_extendedprice"), F.col("l_orderkey"), buckets=4, k=32
+    )
+    merged = sorted(
+        ((r.v, r.w, r.berr) for r in pa.unionAll(pb).collect()),
+        key=lambda t: t[0],
+    )
+    bound = sum(t[2] for t in merged)
+    n = sum(t[1] for t in merged)
+    vals = [
+        float(r.l_extendedprice) for r in li.select("l_extendedprice").collect()
+    ]
+    assert n == len(vals)
+    for q in (0.5, 0.95):
+        target = max(1, math.ceil(q * n))
+        cum = 0
+        est = None
+        for v, w, _ in merged:
+            cum += w
+            if cum >= target:
+                est = v
+                break
+        lo, hi = _exact_rank_bounds(vals, est)
+        assert lo <= target + bound and hi >= target - bound, (q, lo, hi)
+
+
+def test_stride_quantiles_single_shuffle_before_fold(spark, tables):
+    """Plan pin: the sketch stage is ONE hash-partition exchange on the
+    bucket key plus the 1-row fold — an exact global percentile would
+    need a full sort instead."""
+    from etl_lealone_spark.operators.sketches import stride_quantile_points
+
+    li = tables["lineitem"]
+    pts = stride_quantile_points(
+        li, F.col("l_extendedprice"), F.col("l_orderkey"), buckets=8, k=32
+    )
+    plan = explain_str(pts)
+    assert count_exchanges(pts) == 1, plan
+    assert "hashpartitioning(bucket" in plan, plan
