@@ -643,6 +643,76 @@ def ml_probe(ks) -> None:
         spark.stop()
 
 
+def qsketch_probe(ks) -> None:
+    """Stride-quantile sketch scale decomposition over K-replicated
+    lineitem. Claim for SCALE.md: the sketch LEAVING the bucket stage
+    is constant (buckets*k weighted points) at any corpus size; the
+    bucket-hash exchange feeding it is linear but NARROW — exactly
+    (bucket, v, hv) = ~24 bytes/row, the price of cross-engine
+    deterministic in-bucket order (a partition-local KLL would be
+    shuffle-free but partitioning-dependent, hence un-oracleable).
+    The exact-percentile twin pays the same row volume AND a global
+    sort; composing with hash_sample(rate=r) divides the shuffle by r
+    when sqrt-sample error is acceptable."""
+    from etl_lealone_spark.operators.sketches import stride_quantiles
+
+    spark = build_spark(
+        app_name="qsketch_probe",
+        cores=default_parallelism(),
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    t = load_tables(spark, "/root/testdata/sf0.1")
+
+    def scaled_lineitem(k: int):
+        # only the probe's two columns: a full-width 18M-row
+        # localCheckpoint at K=30 OOMs the local JVM heap, and the
+        # operator under test reads nothing else anyway
+        li = t["lineitem"].select("l_orderkey", "l_extendedprice")
+        out = li
+        for _ in range(k - 1):
+            out = out.unionAll(li)
+        return out.repartition(32) if k > 1 else li
+
+    try:
+        for K in ks:
+            li = scaled_lineitem(K).localCheckpoint(eager=True)
+            n = li.count()
+
+            def qs():
+                return stride_quantiles(
+                    li, F.col("l_extendedprice"), F.col("l_orderkey"),
+                    qs=(0.5, 0.9, 0.99),
+                )
+
+            def exact():
+                return li.agg(
+                    F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+                    F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+                    F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+                )
+
+            out: dict[str, tuple] = {}
+            for label, fn in (("sketch", qs), ("exact", exact)):
+                fn().write.format("noop").mode("overwrite").save()  # warm
+                s0 = _shuffle_bytes(spark)
+                t0 = time.time()
+                fn().write.format("noop").mode("overwrite").save()
+                wall = time.time() - t0
+                s1 = _shuffle_bytes(spark)
+                mb = round((s1 - s0) / 1e6, 1) if s0 >= 0 and s1 >= 0 else -1
+                out[label] = (wall, mb)
+            pts = qs().agg(F.max("n_points")).collect()[0][0]
+            print(
+                f"K={K} rows={n} points={pts} "
+                + " ".join(
+                    f"{l}={w:.2f}s/{mb}MB" for l, (w, mb) in out.items()
+                ),
+                flush=True,
+            )
+    finally:
+        spark.stop()
+
+
 if __name__ == "__main__":
     if "--ml" in sys.argv:
         ks = [int(a) for a in sys.argv[1:] if a != "--ml"] or [1, 3, 10]
@@ -659,6 +729,9 @@ if __name__ == "__main__":
     elif "--hardneg" in sys.argv:
         ks = [int(a) for a in sys.argv[1:] if a != "--hardneg"] or [1, 3, 10]
         hardneg_probe(ks)
+    elif "--qsketch" in sys.argv:
+        ks = [int(a) for a in sys.argv[1:] if a != "--qsketch"] or [1, 3, 10, 30]
+        qsketch_probe(ks)
     elif "--batch-probe" in sys.argv:
         nqs = [int(a) for a in sys.argv[1:] if a != "--batch-probe"] or [
             100,
