@@ -91,6 +91,8 @@ HEADLINE = [
                                # oracled workload with no bench row)
     "stream_interval_join_left",  # outer stream-stream join (r10)
     "stream_late_data_drop",   # dual-watermark late-data semantics (r10)
+    "quantile_sketch_price",   # stride-quantile sketch (r12 — benched
+                               # from birth, same rule as ridge)
     # ---- ML / corpus-statistics family: contiguous and LAST, bracketed
     # by anchor_pre_ml/anchor_post_ml (r10 verdict task 1 — the driver's
     # r10 record read this family 2.8-7.5x over the same code run
