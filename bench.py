@@ -93,6 +93,7 @@ HEADLINE = [
     "stream_late_data_drop",   # dual-watermark late-data semantics (r10)
     "quantile_sketch_price",   # stride-quantile sketch (r12 — benched
                                # from birth, same rule as ridge)
+    "quantile_sketch_by_flag",  # grouped stride-quantile twin (r12)
     # ---- ML / corpus-statistics family: contiguous and LAST, bracketed
     # by anchor_pre_ml/anchor_post_ml (r10 verdict task 1 — the driver's
     # r10 record read this family 2.8-7.5x over the same code run

@@ -254,6 +254,7 @@ def cms_counters(
 def stride_quantile_points(
     df: DataFrame, value: Column, key: Column,
     buckets: int = 32, k: int = 64,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """The mergeable quantile sketch itself: ≤ ``buckets * k`` weighted
     points ``(bucket, v, w, berr)`` whose weights sum to the (non-null)
@@ -285,23 +286,32 @@ def stride_quantile_points(
     input size, and sketches of disjoint row sets union-merge (weights
     are additive; re-striding a merged sketch re-bounds its size).
     ``buckets`` is the parallelism knob: size it like shuffle partitions
-    (a 1000-executor run wants thousands), k is the accuracy knob."""
+    (a 1000-executor run wants thousands), k is the accuracy knob.
+
+    ``group_cols`` builds one independent sketch per group (the grouped
+    twin, same convention as the KMV global/per-group pair): buckets
+    nest INSIDE each group — partitioning, stride, and the error bound
+    are all per-group, so a group's accuracy is governed by its own
+    size, never its neighbors'."""
     from pyspark.sql.window import Window
 
+    g = list(group_cols or [])
     hv = md5_hash60(key.cast("string"))
     base = df.filter(value.isNotNull()).select(
+        *g,
         (hv % buckets).alias("bucket"),
         value.cast("double").alias("v"),
         hv.alias("hv"),
     )
-    w_rn = Window.partitionBy("bucket").orderBy("v", "hv")
-    w_nb = Window.partitionBy("bucket")
+    w_rn = Window.partitionBy(*g, "bucket").orderBy("v", "hv")
+    w_nb = Window.partitionBy(*g, "bucket")
     return (
         base.withColumn("rn", F.row_number().over(w_rn))
         .withColumn("nb", F.count(F.lit(1)).over(w_nb))
         .withColumn("s", F.expr(f"CAST((nb + {k} - 1) DIV {k} AS BIGINT)"))
         .filter((F.col("rn") - 1) % F.col("s") == 0)
         .select(
+            *g,
             "bucket",
             "v",
             F.least(F.col("s"), F.col("nb") - F.col("rn") + 1)
@@ -319,6 +329,7 @@ def stride_quantiles(
     df: DataFrame, value: Column, key: Column,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     buckets: int = 32, k: int = 64,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Approximate quantiles from a :func:`stride_quantile_points`
     sketch: one row per q with ``(q, est_value, n_total, n_points,
@@ -334,9 +345,16 @@ def stride_quantiles(
     ``aggregate`` HOF walks the running weight per q. An ungrouped
     final aggregate is the lint-sanctioned 1-row SinglePartition shape;
     a cumulative-sum Window here would funnel through one task with no
-    WindowGroupLimit bound."""
-    pts = stride_quantile_points(df, value, key, buckets=buckets, k=k)
-    folded = pts.agg(
+    WindowGroupLimit bound.
+
+    With ``group_cols`` the fold becomes a grouped aggregate (one
+    ≤ buckets*k point list PER GROUP — still bounded by construction)
+    and the output carries the group columns, one row per (group, q)."""
+    g = list(group_cols or [])
+    pts = stride_quantile_points(
+        df, value, key, buckets=buckets, k=k, group_cols=g
+    )
+    folded = pts.groupBy(*g).agg(
         F.sort_array(
             F.collect_list(F.struct("v", "bucket", "w", "berr"))
         ).alias("pts"),
@@ -362,6 +380,7 @@ def stride_quantiles(
     )
     return (
         folded.select(
+            *g,
             F.explode(
                 F.array(*[F.lit(float(q)) for q in qs])
             ).alias("q"),
@@ -371,13 +390,14 @@ def stride_quantiles(
             "rank_err_bound",
         )
         .select(
+            *g,
             "q",
             sel.alias("est_value"),
             "n_total",
             "n_points",
             "rank_err_bound",
         )
-        .orderBy("q")
+        .orderBy(*g, "q")
     )
 
 
@@ -385,50 +405,64 @@ def stride_quantiles_sql(
     table_expr: str, value_expr: str, key_expr: str,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     buckets: int = 32, k: int = 64,
+    group_cols: list[str] | None = None,
 ) -> str:
     """DuckDB SQL recomputing :func:`stride_quantiles` bit-for-bit —
-    the same bucketing hash, stride, weights, and lower-rank selection."""
+    the same bucketing hash, stride, weights, and lower-rank selection
+    (per group when ``group_cols`` is given, mirroring the Spark build's
+    nested (group, bucket) partitioning)."""
+    g = list(group_cols or [])
     h = md5_hash60_sql(f"cast({key_expr} as varchar)")
     q_list = ", ".join(repr(float(q)) for q in qs)
+    gsel = "".join(f"{c}, " for c in g)          # "g1, g2, " or ""
+    gpart = ", ".join(g)                          # window partition keys
+    gpart_pre = f"{gpart}, " if g else ""
+    gby = f"GROUP BY {gpart}" if g else ""
+    tot_g = "".join(f"tot.{c}, " for c in g)
+    cum_part = f"PARTITION BY {gpart} " if g else ""
+    corr = " AND ".join(f"cum.{c} = tot.{c}" for c in g)
+    corr_pre = f"{corr} AND " if g else ""
+    order = ", ".join([f"tot.{c}" for c in g] + ["q"])
     return f"""
     WITH base AS (
-      SELECT {h} % {buckets} AS bucket,
+      SELECT {gsel}{h} % {buckets} AS bucket,
              CAST({value_expr} AS DOUBLE) AS v,
              {h} AS hv
       FROM {table_expr} WHERE {value_expr} IS NOT NULL
     ),
     rk AS (
-      SELECT bucket, v,
-             row_number() OVER (PARTITION BY bucket ORDER BY v, hv) AS rn,
-             count(*) OVER (PARTITION BY bucket) AS nb
+      SELECT {gsel}bucket, v,
+             row_number() OVER (PARTITION BY {gpart_pre}bucket
+                                ORDER BY v, hv) AS rn,
+             count(*) OVER (PARTITION BY {gpart_pre}bucket) AS nb
       FROM base
     ),
     pts AS (
-      SELECT bucket, v,
+      SELECT {gsel}bucket, v,
              CAST(least(s, nb - rn + 1) AS BIGINT) AS w,
              CAST(CASE WHEN rn = 1 THEN s - 1 ELSE 0 END AS BIGINT) AS berr
       FROM (SELECT *, (nb + {k} - 1) // {k} AS s FROM rk)
       WHERE (rn - 1) % s = 0
     ),
     tot AS (
-      SELECT CAST(sum(w) AS BIGINT) AS n_total,
+      SELECT {gsel}CAST(sum(w) AS BIGINT) AS n_total,
              CAST(count(*) AS BIGINT) AS n_points,
              CAST(sum(berr) AS BIGINT) AS rank_err_bound
-      FROM pts
+      FROM pts {gby}
     ),
     cum AS (
-      SELECT v, sum(w) OVER (ORDER BY v, bucket, w
+      SELECT {gsel}v, sum(w) OVER ({cum_part}ORDER BY v, bucket, w
                              ROWS UNBOUNDED PRECEDING) AS cw
       FROM pts
     )
-    SELECT q,
+    SELECT {tot_g}q,
            (SELECT min(v) FROM cum
-            WHERE cw >= greatest(CAST(1 AS BIGINT),
+            WHERE {corr_pre}cw >= greatest(CAST(1 AS BIGINT),
                                  CAST(ceil(q * tot.n_total) AS BIGINT)))
              AS est_value,
            tot.n_total, tot.n_points, tot.rank_err_bound
     FROM unnest([{q_list}]) AS t(q), tot
-    ORDER BY q
+    ORDER BY {order}
     """
 
 

@@ -163,6 +163,35 @@ def quantile_sketch_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "quantile_sketch_by_flag",
+    stride_quantiles_sql(
+        "lineitem", "l_extendedprice", _QSK_KEY, _QSK_QS,
+        group_cols=["l_returnflag"],
+    ),
+    doc="Grouped stride-quantile sketch: one independent bounded "
+    "summary per l_returnflag group (buckets nest inside the group, "
+    "so each group's rank-error bound is governed by its own size) — "
+    "the grouped twin of quantile_sketch_price, same convention as "
+    "the KMV global/per-source pair. The grouped fold is a keyed "
+    "aggregate of <= buckets*k points per group; never a global "
+    "window.",
+)
+def quantile_sketch_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import stride_quantiles
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return stride_quantiles(
+        li, F.col("l_extendedprice"), key, qs=_QSK_QS,
+        group_cols=["l_returnflag"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # KMV join-key overlap estimate — sketch-based join planning
 # ---------------------------------------------------------------------------

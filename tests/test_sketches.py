@@ -349,3 +349,34 @@ def test_stride_quantiles_single_shuffle_before_fold(spark, tables):
     plan = explain_str(pts)
     assert count_exchanges(pts) == 1, plan
     assert "hashpartitioning(bucket" in plan, plan
+
+
+def test_stride_quantiles_grouped_equals_per_group_runs(spark, tables):
+    """Group independence: the grouped sketch must equal running the
+    ungrouped operator on each group's filtered rows — buckets, stride,
+    and bound all nest inside the group."""
+    from etl_lealone_spark.operators.sketches import stride_quantiles
+
+    li = tables["lineitem"]
+    key = F.col("l_orderkey")
+    qs = (0.5, 0.9)
+    grouped = {
+        (r.l_returnflag, r.q): (
+            r.est_value, r.n_total, r.n_points, r.rank_err_bound
+        )
+        for r in stride_quantiles(
+            li, F.col("l_extendedprice"), key, qs=qs,
+            buckets=8, k=32, group_cols=["l_returnflag"],
+        ).collect()
+    }
+    flags = [r.l_returnflag for r in li.select("l_returnflag").distinct().collect()]
+    for flag in flags:
+        solo = stride_quantiles(
+            li.filter(F.col("l_returnflag") == flag),
+            F.col("l_extendedprice"), key, qs=qs, buckets=8, k=32,
+        ).collect()
+        for r in solo:
+            assert grouped[(flag, r.q)] == (
+                r.est_value, r.n_total, r.n_points, r.rank_err_bound
+            ), (flag, r.q)
+    assert len(grouped) == len(flags) * len(qs)
