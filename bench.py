@@ -94,6 +94,7 @@ HEADLINE = [
     "quantile_sketch_price",   # stride-quantile sketch (r12 — benched
                                # from birth, same rule as ridge)
     "quantile_sketch_by_flag",  # grouped stride-quantile twin (r12)
+    "quantile_sketch_merged",  # sharded-build merge path (r12)
     # ---- ML / corpus-statistics family: contiguous and LAST, bracketed
     # by anchor_pre_ml/anchor_post_ml (r10 verdict task 1 — the driver's
     # r10 record read this family 2.8-7.5x over the same code run

@@ -255,6 +255,7 @@ def stride_quantile_points(
     df: DataFrame, value: Column, key: Column,
     buckets: int = 32, k: int = 64,
     group_cols: list[str] | None = None,
+    chunk: tuple[int, int] | None = None,
 ) -> DataFrame:
     """The mergeable quantile sketch itself: ≤ ``buckets * k`` weighted
     points ``(bucket, v, w, berr)`` whose weights sum to the (non-null)
@@ -297,7 +298,14 @@ def stride_quantile_points(
 
     g = list(group_cols or [])
     hv = md5_hash60(key.cast("string"))
-    base = df.filter(value.isNotNull()).select(
+    base = df.filter(value.isNotNull())
+    if chunk is not None:
+        n_chunks, chunk_id = chunk
+        # shard membership from the SAME key hash the sketch already
+        # derives — the per-shard/per-batch build path: each chunk
+        # sketches independently and the results union-merge
+        base = base.filter((hv % n_chunks) == chunk_id)
+    base = base.select(
         *g,
         (hv % buckets).alias("bucket"),
         value.cast("double").alias("v"),
@@ -354,6 +362,18 @@ def stride_quantiles(
     pts = stride_quantile_points(
         df, value, key, buckets=buckets, k=k, group_cols=g
     )
+    return fold_quantiles_from_points(pts, qs, group_cols=g)
+
+
+def fold_quantiles_from_points(
+    pts: DataFrame, qs: tuple[float, ...],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The sketch→quantiles fold, factored so MERGED point sets (union
+    of per-shard/per-batch sketches — weights are additive, ``berr``
+    bounds add) read through the identical selection as a single-build
+    sketch. ``pts`` must carry (``group_cols``…, v, bucket, w, berr)."""
+    g = list(group_cols or [])
     folded = pts.groupBy(*g).agg(
         F.sort_array(
             F.collect_list(F.struct("v", "bucket", "w", "berr"))
@@ -399,6 +419,100 @@ def stride_quantiles(
         )
         .orderBy(*g, "q")
     )
+
+
+def stride_quantiles_merged(
+    df: DataFrame, value: Column, key: Column,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    buckets: int = 32, k: int = 64, n_chunks: int = 3,
+) -> DataFrame:
+    """Quantiles from ``n_chunks`` INDEPENDENTLY-built sketches
+    union-merged — the sharded/incremental build path a 100 TB ingest
+    actually takes (each shard or micro-batch sketches its own rows;
+    the driver merges buckets*k-point summaries, never re-reads data).
+
+    Chunk membership comes from the same key hash the sketch derives
+    (hv % n_chunks), so the decomposition is deterministic and the
+    oracle replays every per-chunk sketch bit-for-bit. Weights are
+    additive under union; the merged rank_err_bound is the SUM of the
+    chunks' bounds — typically SMALLER than the single build's
+    (pytest-pinned: each chunk's per-bucket stride is ~1/n_chunks of
+    the whole-corpus stride), at the cost of an n_chunks-times-bigger
+    summary. A long-running ingest that must hold the summary at
+    buckets*k points re-strides the merged set (trading points back
+    for bound); the final fold is the same bounded selection either
+    way — fold_quantiles_from_points."""
+    parts = [
+        stride_quantile_points(
+            df, value, key, buckets=buckets, k=k, chunk=(n_chunks, i)
+        )
+        for i in range(n_chunks)
+    ]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionAll(p)
+    return fold_quantiles_from_points(merged, qs)
+
+
+def stride_quantiles_merged_sql(
+    table_expr: str, value_expr: str, key_expr: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    buckets: int = 32, k: int = 64, n_chunks: int = 3,
+) -> str:
+    """DuckDB SQL recomputing :func:`stride_quantiles_merged`
+    bit-for-bit — one pts chain per chunk, unioned, then the shared
+    selection."""
+    h = md5_hash60_sql(f"cast({key_expr} as varchar)")
+    q_list = ", ".join(repr(float(q)) for q in qs)
+    chains = []
+    for i in range(n_chunks):
+        chains.append(f"""
+    base_{i} AS (
+      SELECT {h} % {buckets} AS bucket,
+             CAST({value_expr} AS DOUBLE) AS v,
+             {h} AS hv
+      FROM {table_expr}
+      WHERE {value_expr} IS NOT NULL AND {h} % {n_chunks} = {i}
+    ),
+    rk_{i} AS (
+      SELECT bucket, v,
+             row_number() OVER (PARTITION BY bucket ORDER BY v, hv) AS rn,
+             count(*) OVER (PARTITION BY bucket) AS nb
+      FROM base_{i}
+    ),
+    pts_{i} AS (
+      SELECT bucket, v,
+             CAST(least(s, nb - rn + 1) AS BIGINT) AS w,
+             CAST(CASE WHEN rn = 1 THEN s - 1 ELSE 0 END AS BIGINT) AS berr
+      FROM (SELECT *, (nb + {k} - 1) // {k} AS s FROM rk_{i})
+      WHERE (rn - 1) % s = 0
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM pts_{i}" for i in range(n_chunks)
+    )
+    return f"""
+    WITH {",".join(chains)},
+    pts AS ({union}),
+    tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_points,
+             CAST(sum(berr) AS BIGINT) AS rank_err_bound
+      FROM pts
+    ),
+    cum AS (
+      SELECT v, sum(w) OVER (ORDER BY v, bucket, w
+                             ROWS UNBOUNDED PRECEDING) AS cw
+      FROM pts
+    )
+    SELECT q,
+           (SELECT min(v) FROM cum
+            WHERE cw >= greatest(CAST(1 AS BIGINT),
+                                 CAST(ceil(q * tot.n_total) AS BIGINT)))
+             AS est_value,
+           tot.n_total, tot.n_points, tot.rank_err_bound
+    FROM unnest([{q_list}]) AS t(q), tot
+    ORDER BY q
+    """
 
 
 def stride_quantiles_sql(

@@ -20,6 +20,7 @@ from ..operators.sketches import (
     hash_sample_pred_sql,
     kmv_estimate,
     kmv_estimate_sql,
+    stride_quantiles_merged_sql,
     stride_quantiles_sql,
 )
 from ..operators.xhash import md5_hash60, md5_hash60_sql
@@ -189,6 +190,34 @@ def quantile_sketch_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stride_quantiles(
         li, F.col("l_extendedprice"), key, qs=_QSK_QS,
         group_cols=["l_returnflag"],
+    )
+
+
+@workload(
+    "quantile_sketch_merged",
+    stride_quantiles_merged_sql(
+        "lineitem", "l_extendedprice", _QSK_KEY, _QSK_QS, n_chunks=3
+    ),
+    doc="Sharded/incremental sketch build: three INDEPENDENT per-chunk "
+    "stride sketches (chunk = key-hash % 3 — the per-shard or "
+    "per-micro-batch path a 100 TB ingest takes) union-merged and read "
+    "through the same bounded selection as the single build. Weights "
+    "add; the merged rank_err_bound is the SUM of the chunks' bounds "
+    "(typically smaller than the single build's, for a 3x-bigger "
+    "summary — pytest-pinned). Oracle replays every per-chunk sketch "
+    "bit-for-bit (one pts CTE chain per chunk).",
+)
+def quantile_sketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import stride_quantiles_merged
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return stride_quantiles_merged(
+        li, F.col("l_extendedprice"), key, qs=_QSK_QS, n_chunks=3
     )
 
 

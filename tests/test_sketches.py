@@ -380,3 +380,45 @@ def test_stride_quantiles_grouped_equals_per_group_runs(spark, tables):
                 r.est_value, r.n_total, r.n_points, r.rank_err_bound
             ), (flag, r.q)
     assert len(grouped) == len(flags) * len(qs)
+
+
+def test_stride_quantiles_merged_matches_contract(spark, tables):
+    """Sharded build: merged per-chunk sketches cover the same mass
+    (n_total == non-null rows), carry the SUMMED error bound, and every
+    estimate's exact rank stays inside that merged bound."""
+    import math
+
+    from etl_lealone_spark.operators.sketches import (
+        stride_quantiles,
+        stride_quantiles_merged,
+    )
+
+    li = tables["lineitem"]
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    qs = (0.5, 0.95)
+    merged = stride_quantiles_merged(
+        li, F.col("l_extendedprice"), key, qs=qs, buckets=8, k=32,
+        n_chunks=3,
+    ).collect()
+    single = stride_quantiles(
+        li, F.col("l_extendedprice"), key, qs=qs, buckets=8, k=32,
+    ).collect()
+    n = li.filter(F.col("l_extendedprice").isNotNull()).count()
+    assert merged[0].n_total == n == single[0].n_total
+    # union without recompaction keeps up to n_chunks x the points, so
+    # the merged bound is sum-of-chunk-bounds — typically SMALLER than
+    # the single build's (each chunk's per-bucket stride is ~1/3), at
+    # the cost of a bigger summary; both stay sublinear in n
+    assert single[0].n_points <= merged[0].n_points <= 3 * 8 * 32
+    assert 0 < merged[0].rank_err_bound < n / 2
+    vals = [
+        float(r.l_extendedprice) for r in li.select("l_extendedprice").collect()
+    ]
+    for r in merged:
+        target = max(1, math.ceil(r.q * n))
+        lo, hi = _exact_rank_bounds(vals, r.est_value)
+        assert lo <= target + r.rank_err_bound, (r.q, lo, target)
+        assert hi >= target - r.rank_err_bound, (r.q, hi, target)
