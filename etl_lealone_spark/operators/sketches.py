@@ -255,7 +255,7 @@ def stride_quantile_points(
     df: DataFrame, value: Column, key: Column,
     buckets: int = 32, k: int = 64,
     group_cols: list[str] | None = None,
-    chunk: tuple[int, int] | None = None,
+    chunk: tuple[int, int | None] | None = None,
 ) -> DataFrame:
     """The mergeable quantile sketch itself: ≤ ``buckets * k`` weighted
     points ``(bucket, v, w, berr)`` whose weights sum to the (non-null)
@@ -299,20 +299,35 @@ def stride_quantile_points(
     g = list(group_cols or [])
     hv = md5_hash60(key.cast("string"))
     base = df.filter(value.isNotNull())
+    part_cols = [*g, "bucket"]
+    chunk_sel: list = []
     if chunk is not None:
         n_chunks, chunk_id = chunk
-        # shard membership from the SAME key hash the sketch already
-        # derives — the per-shard/per-batch build path: each chunk
-        # sketches independently and the results union-merge
-        base = base.filter((hv % n_chunks) == chunk_id)
+        if chunk_id is None:
+            # ALL chunks in one scan (r12 optimization, guide §2.4 /
+            # §1.2-1): chunk membership becomes a partition column of
+            # the same window instead of a per-chunk filter, so the
+            # n_chunks independent sketches come out of ONE pass over
+            # the data. Per-(chunk, bucket) row sets, order (v, hv),
+            # rn/nb/stride — hence every emitted point — are identical
+            # to n_chunks filtered builds; the chunk id is dropped from
+            # the output exactly like the filtered path never had it.
+            chunk_sel = [(hv % n_chunks).alias("_ck")]
+            part_cols = ["_ck", *part_cols]
+        else:
+            # shard membership from the SAME key hash the sketch already
+            # derives — the per-shard/per-batch build path: each chunk
+            # sketches independently and the results union-merge
+            base = base.filter((hv % n_chunks) == chunk_id)
     base = base.select(
         *g,
+        *chunk_sel,
         (hv % buckets).alias("bucket"),
         value.cast("double").alias("v"),
         hv.alias("hv"),
     )
-    w_rn = Window.partitionBy(*g, "bucket").orderBy("v", "hv")
-    w_nb = Window.partitionBy(*g, "bucket")
+    w_rn = Window.partitionBy(*part_cols).orderBy("v", "hv")
+    w_nb = Window.partitionBy(*part_cols)
     return (
         base.withColumn("rn", F.row_number().over(w_rn))
         .withColumn("nb", F.count(F.lit(1)).over(w_nb))
@@ -442,16 +457,17 @@ def stride_quantiles_merged(
     buckets*k points re-strides the merged set (trading points back
     for bound); the final fold is the same bounded selection either
     way — fold_quantiles_from_points."""
-    parts = [
-        stride_quantile_points(
-            df, value, key, buckets=buckets, k=k, chunk=(n_chunks, i)
-        )
-        for i in range(n_chunks)
-    ]
-    merged = parts[0]
-    for p in parts[1:]:
-        merged = merged.unionAll(p)
-    return fold_quantiles_from_points(merged, qs)
+    # ONE scan builds all n_chunks sketches (chunk=(n, None) nests the
+    # chunk id as a window partition key): the emitted point multiset is
+    # identical to n_chunks filtered builds union-merged — pinned by
+    # tests/test_sketches.py::test_merged_single_scan_equals_filtered —
+    # but the data is read (and the key hashed) once instead of
+    # n_chunks times, and the n_chunks window shuffles collapse to one
+    # (guide §2.4: remove shuffles outright / §1.2: fewer passes).
+    pts = stride_quantile_points(
+        df, value, key, buckets=buckets, k=k, chunk=(n_chunks, None)
+    )
+    return fold_quantiles_from_points(pts, qs)
 
 
 def stride_quantiles_merged_sql(

@@ -422,3 +422,31 @@ def test_stride_quantiles_merged_matches_contract(spark, tables):
         lo, hi = _exact_rank_bounds(vals, r.est_value)
         assert lo <= target + r.rank_err_bound, (r.q, lo, target)
         assert hi >= target - r.rank_err_bound, (r.q, hi, target)
+
+
+def test_merged_single_scan_equals_filtered(spark, tables):
+    """The r12 single-scan merged build (chunk id as a window partition
+    key) emits the EXACT point multiset of n_chunks independent
+    filtered builds union-merged — the equivalence the optimization
+    rides on (one scan + one shuffle instead of n_chunks of each)."""
+    from etl_lealone_spark.operators.sketches import stride_quantile_points
+
+    li = tables["lineitem"]
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    single_scan = stride_quantile_points(
+        li, F.col("l_extendedprice"), key, buckets=8, k=32, chunk=(3, None)
+    ).collect()
+    filtered = []
+    for i in range(3):
+        filtered.extend(
+            stride_quantile_points(
+                li, F.col("l_extendedprice"), key, buckets=8, k=32,
+                chunk=(3, i),
+            ).collect()
+        )
+    canon = lambda rows: sorted((r.bucket, r.v, r.w, r.berr) for r in rows)
+    assert canon(single_scan) == canon(filtered)
+    assert len(single_scan) > 8  # non-degenerate sketch
