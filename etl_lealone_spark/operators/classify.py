@@ -56,9 +56,18 @@ def _fp(col: Column) -> Column:
 
 
 def _tokens(df: DataFrame, id_cols: list[str], text_col: str = "text") -> DataFrame:
-    return df.select(
-        *id_cols, F.explode(words(F.col(text_col))).alias("w")
-    ).filter(F.col("w") != "")
+    # repartition BEFORE the tokenize explode (r12, guide §2.5 input
+    # skew): a single parquet split otherwise runs the whole
+    # explode+hash pass in ONE task (the dedup kernels'
+    # _parallelize_for_compute rationale — measured there 12s vs <1s at
+    # sf0.1). At cluster scale the input arrives as many splits and
+    # this is a cheap keyed rebalance.
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(n, *id_cols[:1])
+        .select(*id_cols, F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+    )
 
 
 def tfidf_doc_keywords(
@@ -158,18 +167,31 @@ def chi2_top_terms(
         F.col(class_col).alias("cls"),
         _bucket(F.col("w"), buckets).alias("b"),
     )
-    cb = base.groupBy("cls", "b").agg(F.count(F.lit(1)).alias("a"))
-    # structural bounds (never truncate: GROUP BY caps cardinality at
-    # MAX_CLASSES / buckets by construction) so the broadcasts are
-    # provably constant-size to the fleet lint
+    # ONE tokenize pass (r12, guide §1.2): every margin of the 2x2
+    # contingency is a re-sum of the (cls, bucket) counts — identical
+    # exact bigints by associativity — so the class/bucket/grand totals
+    # derive from cb instead of re-tokenizing the corpus three more
+    # times. cb is bounded (GROUP BY caps it at |classes| x buckets);
+    # eager checkpoint so its four consumers read the materialized
+    # table, with the structural LIMIT re-stated above the checkpoint
+    # (never truncates) for the fleet lint.
+    cb = (
+        base.groupBy("cls", "b")
+        .agg(F.count(F.lit(1)).alias("a"))
+        .limit(MAX_CLASSES * buckets)
+        .localCheckpoint(eager=True)
+        .limit(MAX_CLASSES * buckets)
+    )
     cls_tot = (
-        base.groupBy("cls")
-        .agg(F.count(F.lit(1)).alias("n_cls"))
+        cb.groupBy("cls")
+        .agg(F.sum("a").cast("long").alias("n_cls"))
         .limit(MAX_CLASSES)
     )
-    grand = base.agg(F.count(F.lit(1)).alias("n_all"))
+    grand = cb.agg(F.sum("a").cast("long").alias("n_all"))
     bucket_tot = (
-        base.groupBy("b").agg(F.count(F.lit(1)).alias("n_b")).limit(buckets)
+        cb.groupBy("b")
+        .agg(F.sum("a").cast("long").alias("n_b"))
+        .limit(buckets)
     )
     j = (
         cb.join(F.broadcast(cls_tot), "cls")
@@ -233,7 +255,27 @@ def nb_scores(
         "cls", "true_cls"
     )
 
-    cls_tok = train.groupBy("cls").agg(F.count(F.lit(1)).alias("n_tok"))
+    # ONE tokenize pass over the training split (r12, guide §1.2): the
+    # (cls, bucket) counts are the finest aggregate every model table
+    # needs — cls_tok is their per-class re-sum (identical bigint
+    # totals by associativity), so deriving it from cb instead of from
+    # the token stream removes a second explode+hash pass over the
+    # corpus. cb is bounded (GROUP BY caps it at |classes| x buckets);
+    # the eager checkpoint materializes it once for its two consumers
+    # (model + cls_tok) — without it each reference re-runs the
+    # tokenize subtree (the _score_bins lesson).
+    cb = (
+        train.groupBy("cls", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .limit(MAX_CLASSES * buckets)
+        .localCheckpoint(eager=True)
+        .limit(MAX_CLASSES * buckets)
+    )
+    cls_tok = (
+        cb.groupBy("cls")
+        .agg(F.sum("c").cast("long").alias("n_tok"))
+        .limit(MAX_CLASSES)
+    )
     n_train_docs = (
         docs.filter(F.col(id_col) % 2 == 0)
         .agg(F.count(F.lit(1)).alias("n_train"))
@@ -266,9 +308,7 @@ def nb_scores(
         .limit(MAX_CLASSES)
     )
     model = (
-        train.groupBy("cls", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .join(cls_tok, "cls")
+        cb.join(cls_tok, "cls")
         .select(
             "cls",
             "b",

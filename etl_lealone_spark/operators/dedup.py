@@ -396,7 +396,13 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in p.toLocalIterator():
+        # one parallel-fetch collect, not toLocalIterator: the iterator
+        # runs ONE JOB PER PARTITION sequentially (~30 round-trips of
+        # scheduler latency for a 32-partition pair table), while the
+        # gate above already bounds the collect at 500k 16-byte edges
+        # (guide §5: a bounded driver transfer is fine; an unbounded
+        # per-partition job loop is pure fixed cost)
+        for row in p.collect():
             a, b = row["a"], row["b"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
