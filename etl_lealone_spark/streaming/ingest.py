@@ -316,6 +316,19 @@ def drain_to_batch(
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # no-data micro-batches OFF for the drain (r12, measured): the
+    # harness NEVER relies on them — every emission happens in a DATA
+    # batch by the sentinel design (closed-window emission rides the
+    # trailing sentinel file; relying on the engine's optional no-data
+    # flush batch races processAllAvailable — the r9 lesson), so the
+    # extra trigger the engine schedules after the last file is pure
+    # per-query overhead (measured 1.5-1.7s on the stream-stream
+    # interval join: a 0-input batch that still pays full state-store
+    # commit). A live low-latency deployment wants it ON (it is what
+    # advances emission between arrivals); run-to-completion drains by
+    # construction do not. Scoped + restored like shuffle.partitions.
+    prev_ndmb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     query = None
     try:
         query = (
@@ -335,6 +348,9 @@ def drain_to_batch(
         return out.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb
+        )
         if query is not None:
             query.stop()
             spark.catalog.dropTempView(query_name)
