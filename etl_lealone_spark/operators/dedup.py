@@ -303,11 +303,24 @@ def minhash_lsh_pairs(
     # broadcast the (tiny) candidate-id set so the corpus is filtered
     # in-place during its scan — no second full-text shuffle; only the
     # surviving docs (≲2×|cand|) are repartitioned for the pair join
+    # intersect 8-byte shingle HASHES, not the strings (r12 — the
+    # ngram_jaccard_pairs_blocked kernel's rationale applies verbatim):
+    # the per-pair intersect is the verification hot loop and long-array
+    # intersection is ~10x cheaper than string-array, the pair-join
+    # shuffle carries 8 bytes per shingle instead of the string (guide
+    # §2.3 narrower types), and |distinct hashes| == |distinct shingles|
+    # up to 64-bit collisions (~n²/2⁶⁵ — vanishing), so the Jaccard
+    # value — and the string-based DuckDB oracle — are unchanged.
     sh = (
         df.join(F.broadcast(needed), F.col(id_col) == F.col("nid"), "left_semi")
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("ws"))
-        .select("id", word_shingles_from(F.col("ws")).alias("sh"))
+        .select(
+            "id",
+            F.transform(
+                word_shingles_from(F.col("ws")), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        )
     )
     a, b = sh.alias("a"), sh.alias("b")
     paired = (

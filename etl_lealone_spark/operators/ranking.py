@@ -182,24 +182,51 @@ def phrase_search(
 
     Returns (id, n_matches) for documents with >= 1 occurrence.
 
-    Scale shape: the postings build is a map-side explode + a SELECTIVE
-    filter (only the phrase's terms survive — pushed into the exploded
-    stream, so the corpus text is scanned once and only matching tokens
-    are materialized); the m-way intersection is ONE equi-join keyed on
-    (doc, start_pos) — never a positional window over the whole corpus.
-    Posting lists for rare terms are tiny; for a phrase of common terms
-    the join keys on an 8-byte compound and AQE handles the skew.
+    Scale shape (r12 form): the postings build is ONE map-side explode
+    + a SELECTIVE filter (only the phrase's terms survive), and the
+    m-way intersection is a count over (doc, start_pos) groups — a
+    token matching term i votes for start position pos - i, and a
+    start where all m term slots voted is a phrase hit. One corpus
+    scan and one aggregation shuffle replace the previous m filtered
+    sub-scans + (m-1)-way self-join (guide §1.2: fewer passes; the
+    votes-per-start count is exactly the join's AND because positions
+    are unique per doc, so (i, p0) rows are distinct). Posting rows
+    for rare terms are tiny; for a phrase of common terms the
+    aggregate keys on an 8-byte compound and AQE handles the skew.
     """
     terms = [t.lower() for t in phrase]
+    m = len(terms)
     tok = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(words(F.col(text_col))).alias("pos", "w"),
     ).filter(F.col("w").isin(terms))
-    parts = [
-        tok.filter(F.col("w") == t).select("id", (F.col("pos") - i).alias("p0"))
-        for i, t in enumerate(terms)
-    ]
-    matches = parts[0]
-    for p in parts[1:]:
-        matches = matches.join(p, ["id", "p0"])
-    return matches.groupBy("id").agg(F.count(F.lit(1)).alias("n_matches"))
+    aligned = (
+        tok.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.when(
+                            F.col("w") == t,
+                            F.struct(
+                                F.lit(i).alias("i"),
+                                (F.col("pos") - i).alias("p0"),
+                            ),
+                        )
+                        for i, t in enumerate(terms)
+                    ]
+                )
+            ).alias("hit"),
+        )
+        .filter(F.col("hit").isNotNull())
+        .select("id", "hit.i", "hit.p0")
+    )
+    # (id, p0, i) rows are distinct (a doc position is unique), so the
+    # plain count equals the distinct-slot count; == m means every term
+    # slot of the phrase matched at this start
+    starts = (
+        aligned.groupBy("id", "p0")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") == m)
+    )
+    return starts.groupBy("id").agg(F.count(F.lit(1)).alias("n_matches"))

@@ -363,8 +363,15 @@ def unigram_logprob(
     """
     from .dedup import words
 
+    # repartition BEFORE the tokenize explode (r12, guide §2.5 input
+    # skew — the classify._tokens / dedup._parallelize_for_compute
+    # rationale): a single parquet split otherwise runs both of this
+    # operator's explode+md5 passes in ONE task each; at cluster scale
+    # the input is already many splits and this is a cheap rebalance.
+    n = df.sparkSession.sparkContext.defaultParallelism
     tok = (
-        df.select(
+        df.repartition(n, F.col(id_col))
+        .select(
             F.col(id_col).alias("id"),
             F.explode(words(F.col(text_col))).alias("w"),
         )
@@ -433,6 +440,12 @@ def bigram_pmi(
     """
     from .dedup import words
 
+    # deliberately NOT repartitioned (r12 A/B, interleaved, sf0.1:
+    # 1.69/1.60 with-vs-without — noise): the three passes are cheap
+    # map-only splits, so a raw-text rebalance shuffle buys nothing
+    # here and would cost a full-corpus exchange at cluster scale;
+    # contrast unigram_logprob/classify._tokens, whose per-token md5
+    # work makes the rebalance pay (the dedup kernel rationale).
     toked = df.select(words(F.col(text_col)).alias("ws")).select(
         F.expr("filter(ws, w -> w <> '')").alias("ws")
     )
