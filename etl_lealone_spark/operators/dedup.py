@@ -113,6 +113,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
+    carry_cols: "dict[str, Column] | None" = None,
 ) -> DataFrame:
     """(id, mh0..mhN) min-hash signature table — fully map-side, no shuffle.
 
@@ -129,12 +130,23 @@ def minhash_signatures(
     Map-only beats the explode→groupBy form at every scale: zero shuffle,
     no hash-aggregate state, and at 100 TB the signature stage pipelines
     straight into the band explode with no exchange in between.
+
+    ``carry_cols`` (alias → source column) rides extra per-document
+    columns through the map-only projections, so callers that need a
+    doc attribute alongside the signature (e.g. the source label in
+    :func:`minhash_source_overlap`) avoid a corpus-wide join back.
     """
+    carry = dict(carry_cols or {})
     hs = (
         _parallelize_for_compute(df, id_col)
-        .select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("ws"))
+        .select(
+            F.col(id_col).alias("id"),
+            *[c.alias(a) for a, c in carry.items()],
+            words(F.col(text_col)).alias("ws"),
+        )
         .select(
             "id",
+            *carry,
             F.transform(
                 word_shingles_from(F.col("ws")), lambda s: md5_hash60(s)
             ).alias("hs"),
@@ -146,7 +158,7 @@ def minhash_signatures(
         ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return hs.select("id", *lanes)
+    return hs.select("id", *carry, *lanes)
 
 
 def minhash_band_keys(
@@ -155,6 +167,7 @@ def minhash_band_keys(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 8,
+    carry_cols: "dict[str, Column] | None" = None,
 ) -> DataFrame:
     """(id, band, band_hash) LSH bucket keys — the shared kernel of the
     pair generator and the band-skew diagnostic.
@@ -177,9 +190,11 @@ def minhash_band_keys(
             ) % P61
         return acc
 
-    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    carry = dict(carry_cols or {})
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, carry_cols=carry)
     return sig.select(
         "id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -191,7 +206,7 @@ def minhash_band_keys(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.band_hash")
+    ).select("id", *carry, "bb.band", "bb.band_hash")
 
 
 def minhash_band_stats(
@@ -778,33 +793,37 @@ def minhash_source_overlap(
     it. Diagonal cells are within-source duplication mass.
 
     Same plan skeleton as the pair generator (map-only band keys → one
-    shuffle on (band, band_hash) → within-bucket join), then a tiny
-    source-label join and a ≤|sources|²-row aggregate — the expensive
-    kernel is shared, the output is a fixed-size matrix at any corpus
-    scale.
+    shuffle on (band, band_hash) → within-bucket join), then a
+    ≤|sources|²-row aggregate — the expensive kernel is shared, the
+    output is a fixed-size matrix at any corpus scale.
+
+    The source label RIDES the banded table (r12, guide §2.4: remove
+    shuffles outright): ``src`` is functional on the doc id, so carrying
+    it through the band explode and the bucket self-join replaces the
+    two corpus-wide label joins the first version paid AFTER pair
+    distinct-ing. Cost: one short string per banded row through the one
+    bucket shuffle; the distinct on (id_a, id_b, src_a, src_b) equals
+    the distinct on (id_a, id_b) exactly because src is per-id constant.
     """
-    banded = minhash_band_keys(df, text_col, id_col, num_hashes, bands)
-    banded = banded.localCheckpoint(eager=True)
+    banded = minhash_band_keys(
+        df, text_col, id_col, num_hashes, bands,
+        carry_cols={"src": F.col(source_col)},
+    ).localCheckpoint(eager=True)
     left, right = banded.alias("l"), banded.alias("r")
-    cand = (
+    labeled = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    src = df.select(F.col(id_col).alias("id"), F.col(source_col).alias("src"))
-    a, b = src.alias("sa"), src.alias("sb")
-    labeled = (
-        cand.join(a, F.col("id_a") == F.col("sa.id"))
-        .join(b, F.col("id_b") == F.col("sb.id"))
         .select(
-            F.least(F.col("sa.src"), F.col("sb.src")).alias("source_a"),
-            F.greatest(F.col("sa.src"), F.col("sb.src")).alias("source_b"),
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.least(F.col("l.src"), F.col("r.src")).alias("source_a"),
+            F.greatest(F.col("l.src"), F.col("r.src")).alias("source_b"),
         )
+        .dropDuplicates(["id_a", "id_b"])
     )
     return labeled.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")

@@ -735,14 +735,31 @@ def pretrain_corpus_build(
     shuffles are the two keyed joins, both on compact keys.
 
     The gated+hashed projection is EAGERLY materialized
-    (``localCheckpoint``) before fan-out: four downstream consumers
-    (keeper agg, survivor semi-join, decontamination gram explode, the
-    final select) would each re-evaluate the quality-feature expression
-    tree — ~10 substring scans per document — turning one corpus pass
-    into four (measured 13s -> ~6s at sf0.1). At cluster scale the same
+    (``localCheckpoint``) before fan-out: the downstream consumers
+    (dedup window, decontamination gram explode, the final select)
+    would each re-evaluate the quality-feature expression tree — ~10
+    substring scans per document — turning one corpus pass into
+    several (measured 13s -> ~6s at sf0.1). At cluster scale the same
     cut point is a persist(DISK_ONLY) or an intermediate table write;
     either way the gate runs exactly once.
+
+    Two r12 restructurings (results identical, oracle unchanged):
+
+    - keep-min dedup is ONE window on the content hash (row_number over
+      (ch) ordered by doc_id, keep rn=1) instead of a groupBy(ch) +
+      semi-join back on doc_id — the keeper table is corpus-sized
+      (most docs are unique), so that join was a second and third full
+      exchange; the window form is a single hash-partition shuffle on
+      the 16-byte digest (guide §2.4: remove shuffles outright).
+    - mixture sampling runs BEFORE decontamination: both are
+      independent per-document predicates (sampling keys on doc_id/
+      lang, decontamination on the doc's own 5-grams vs the eval set),
+      so they commute — and sampling first shrinks the 5-gram explode,
+      the pipeline's heaviest remaining stage, by the sampled-away
+      fraction (guide §1.2: don't compute things you throw away).
     """
+    from pyspark.sql.window import Window
+
     from .dedup import normalized_text
     from .textops import hash_sample, quality_filter
 
@@ -759,19 +776,19 @@ def pretrain_corpus_build(
         )
         .localCheckpoint(eager=True)
     )
-    keepers = (
-        base.groupBy("ch")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    w_ch = Window.partitionBy("ch").orderBy("doc_id")
+    surv = (
+        base.withColumn("_rn", F.row_number().over(w_ch))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    surv = base.join(keepers, "doc_id", "left_semi")
-    clean = decontaminate(surv, ev, ngram=5)
     sampled = hash_sample(
-        clean,
+        surv,
         rates=rates if rates is not None else {"en": 0.5},
         default_rate=default_rate,
         stratum_col="lang",
     )
+    clean = decontaminate(sampled, ev, ngram=5)
     shard = (
         F.conv(
             F.substring(
@@ -789,7 +806,7 @@ def pretrain_corpus_build(
         ).cast("bigint")
         % n_shards
     ).cast("int")
-    return sampled.select(
+    return clean.select(
         "doc_id",
         "lang",
         "source",

@@ -341,6 +341,7 @@ def unigram_logprob(
     id_col: str = "doc_id",
     buckets: int = 4096,
     scale: int = 1_000_000,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document corpus unigram log-probability (perplexity proxy).
 
@@ -360,9 +361,25 @@ def unigram_logprob(
     Scale shape: identical to DSIR scoring — map-side explode, one
     ≤``buckets``-row aggregation, broadcast join of the log-prob table
     back onto the token stream, one per-doc sum with map-side partials.
+    The token stream is deliberately evaluated TWICE (once for the LM
+    table, once for the per-doc sum) rather than materialized once: an
+    (id, bucket) pre-aggregation behind an eager localCheckpoint was
+    measured SLOWER interleaved at sf0.1 (0.97 -> 1.66s,
+    scripts/opt_ab_r12.py — the blocking materialization job plus the
+    extra (id, bucket) shuffle cost more than the saved map-only
+    tokenize+md5 pass), and both passes stay shuffle-free; at cluster
+    scale the same trade holds as long as tokenization is CPU-cheap —
+    a pipeline with a heavier tokenizer should cut the plan at ``tok``
+    with a persist(DISK_ONLY)/table write instead.
+
+    ``carry_cols`` rides extra per-document columns (functional on
+    ``id_col`` — e.g. the source label) through the per-doc aggregation
+    so callers needing them avoid a corpus-wide join back to ``df``;
+    the extra grouping keys are free (same shuffle, same groups).
     """
     from .dedup import words
 
+    carry = list(carry_cols or [])
     # repartition BEFORE the tokenize explode (r12, guide §2.5 input
     # skew — the classify._tokens / dedup._parallelize_for_compute
     # rationale): a single parquet split otherwise runs both of this
@@ -373,11 +390,13 @@ def unigram_logprob(
         df.repartition(n, F.col(id_col))
         .select(
             F.col(id_col).alias("id"),
+            *carry,
             F.explode(words(F.col(text_col))).alias("w"),
         )
         .filter(F.col("w") != "")
         .select(
             "id",
+            *carry,
             (
                 F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
                 % buckets
@@ -401,7 +420,7 @@ def unigram_logprob(
     )
     return (
         tok.join(F.broadcast(lp_tbl), "b")
-        .groupBy("id")
+        .groupBy("id", *carry)
         .agg(
             F.count(F.lit(1)).alias("n_tokens_lm"),
             F.sum("lp").alias("logprob_x1e6"),

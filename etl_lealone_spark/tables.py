@@ -64,8 +64,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Lazy-relation memo, keyed by (SparkContext application id, dir): one
+# ``spark.read.parquet`` costs ~0.1s of driver-side footer/metadata work
+# even warm, so re-resolving all ten relations on EVERY workload build
+# (~1.0s/call measured, r12) multiplied across an 86-query bench run was
+# ~half the suite wall. The cached object is the UNRESOLVED lazy scan —
+# the session-catalog equivalent of a registered view, not a result or
+# a materialized intermediate: every query still plans, optimizes and
+# executes from the parquet files. Keyed by applicationId so a stopped
+# context's DataFrames are never handed to a new one; per-process only
+# (a fresh bench/verify invocation starts empty).
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _TABLE_CACHE.get(key)
+    if cached is None:
+        cached = {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+        _TABLE_CACHE[key] = cached
+    # shallow copy: callers may pop/insert on the mapping they receive
+    return dict(cached)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

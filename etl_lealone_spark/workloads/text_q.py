@@ -634,10 +634,12 @@ def ccnet_fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textops import unigram_logprob
 
     d = load_tables(spark, sf_dir)["documents"]
-    lp = unigram_logprob(d).select(
-        F.col("id").alias("doc_id"), "n_tokens_lm", "logprob_x1e6"
+    # source rides the per-doc aggregation (functional on doc_id), so
+    # the corpus-wide join back to documents is gone (r12, guide §2.4:
+    # remove shuffles outright — was a full shuffle join on doc_id)
+    joined = unigram_logprob(d, carry_cols=["source"]).select(
+        F.col("id").alias("doc_id"), "source", "n_tokens_lm", "logprob_x1e6"
     )
-    joined = lp.join(d.select("doc_id", "source"), "doc_id")
     w = Window.partitionBy("source").orderBy(
         (
             F.col("logprob_x1e6").cast("double")
