@@ -676,21 +676,32 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q18: big-order IN-subquery via aggregate semi-join.",
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One lineitem pass (r12, guide §1.2/§2.4): the HAVING aggregate IS
+    # the output aggregate — o_orderkey is the orders PK and appears in
+    # the output group key, so every final group is exactly one big
+    # order and its sum_qty equals the per-orderkey decimal sum already
+    # computed for the > 180 gate. The classic shape (semi-join lineitem
+    # against the big keys, re-join, re-aggregate) scans and shuffles
+    # lineitem twice to recompute a value the first aggregate produced;
+    # carrying `q` through instead drops one full lineitem scan + the
+    # probe-side shuffle + the final 5-column aggregate. Value and type
+    # identical: dsum == sum(cast(decimal(18,2))) cast double, over the
+    # same row set (inner joins to orders/customer only drop orphans in
+    # BOTH shapes). Oracle-verified at sf0.001/0.01/0.1.
     t = load_tables(spark, sf_dir)
     big = (
         t["lineitem"]
         .groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
         .filter(F.col("q") > 180)
-        .select(F.col("l_orderkey").alias("big_key"))
     )
     return (
-        t["lineitem"]
-        .join(big, F.col("l_orderkey") == F.col("big_key"), "leftsemi")
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", F.col("q").cast("double").alias("sum_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
