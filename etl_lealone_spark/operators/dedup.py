@@ -337,6 +337,16 @@ def minhash_lsh_pairs(
             ).alias("sh"),
         )
     )
+    # sh is consumed TWICE (sides a and b) and its candidate-doc
+    # scan→semi-join→shingle subtree is therefore planned twice — an
+    # eager localCheckpoint here was MEASURED SLOWER (interleaved A/B at
+    # sf0.1, row-identity asserted: old min 2.47s vs checkpointed
+    # 2.75s): the two duplicate builds run as concurrent independent
+    # query stages and overlap on idle cores, while a checkpoint
+    # serializes materialize-then-join and pays the array write. The
+    # subtree is candidate-bounded either way, so recompute-in-parallel
+    # stays the right call until a profile shows the candidate fraction
+    # large enough that one materialized pass beats two overlapped ones.
     a, b = sh.alias("a"), sh.alias("b")
     paired = (
         cand.join(a, F.col("id_a") == F.col("a.id"))

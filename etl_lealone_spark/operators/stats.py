@@ -336,6 +336,59 @@ def _reg_select(m, group_cols, ok, b0, b1, b2, r2, ss_tot):
     ).orderBy(*group_cols)
 
 
+_REG_MOMENT_COLS = (
+    "n", "sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy",
+)
+
+
+def _reg_stage(m, d, group_cols, det, d0, d1, d2):
+    """Stage the Cramer solve through NAMED projections (r12, guide
+    §1.2-2 per-task work): det and b0/b1/b2 are each referenced by the
+    ok guard, every quantized output, and ss_res — inlined into one
+    projection, the duplicated solve trees made the ridge physical plan
+    ~57 KB of expression text and cost ~0.25s of per-action
+    planning+codegen at ANY data size (measured staged-vs-inline
+    interleaved A/B at sf0.1, rows asserted identical: 2.26 -> 2.01s
+    isolated min). CollapseProject leaves multiply-referenced non-cheap
+    aliases in place (the minhash_signatures mechanism), so the staging
+    survives optimization; each staged column is the SAME double ops in
+    the SAME pinned parenthesization — outputs are bit-identical and
+    the oracle SQL mirrors are untouched.
+
+    Returns ``(staged, D, (b0, b1, b2))``: the staged frame (still
+    carrying decimal ``n`` for the n_rows output and ``det`` for the
+    singular guard), the moment→double-column map, and the coefficient
+    columns."""
+    s1 = m.select(
+        *group_cols,
+        "n",
+        *[d[c].alias(f"{c}_d") for c in _REG_MOMENT_COLS],
+        det.alias("det"),
+        d0.alias("det0"),
+        d1.alias("det1"),
+        d2.alias("det2"),
+    )
+    # try_divide, not `/`: ANSI errors on a zero denominator, and
+    # whole-stage codegen's common-subexpression elimination hoists
+    # shared divisions OUT of the CASE's conditional protection — a
+    # singular group (det = 0) would crash the query instead of
+    # NULLing. try_divide is bit-identical for det != 0 and yields
+    # NULL at 0, which the ok guard absorbs; the oracle's double
+    # division returns Inf/NULL at 0, absorbed by the SAME CASE
+    # predicate.
+    s2 = s1.select(
+        *group_cols,
+        "n",
+        *[f"{c}_d" for c in _REG_MOMENT_COLS],
+        "det",
+        F.try_divide(F.col("det0"), F.col("det")).alias("cb0"),
+        F.try_divide(F.col("det1"), F.col("det")).alias("cb1"),
+        F.try_divide(F.col("det2"), F.col("det")).alias("cb2"),
+    )
+    D = {c: F.col(f"{c}_d") for c in _REG_MOMENT_COLS}
+    return s2, D, (F.col("cb0"), F.col("cb1"), F.col("cb2"))
+
+
 def grouped_ols(
     df: DataFrame,
     y_col: str,
@@ -397,30 +450,23 @@ def grouped_ols(
         - d["sx1"] * (d["sx1"] * d["s2y"] - d["s1y"] * d["sx2"])
         + d["sy"] * (d["sx1"] * d["s12"] - d["s11"] * d["sx2"])
     )
-    # try_divide, not `/`: ANSI errors on a zero denominator, and
-    # whole-stage codegen's common-subexpression elimination hoists
-    # these shared divisions OUT of the CASE's conditional protection —
-    # a singular group (det = 0) would crash the query instead of
-    # NULLing (caught by test_ols_singular_system_yields_nulls when the
-    # r2 bound joined the CASE condition). try_divide is bit-identical
-    # for det != 0 and yields NULL at 0, which the ok guard absorbs;
-    # the oracle's double division returns Inf/NULL at 0, absorbed by
-    # the SAME CASE predicate.
-    b0 = F.try_divide(d0, det)
-    b1 = F.try_divide(d1, det)
-    b2 = F.try_divide(d2, det)
-    ss_tot = d["syy"] - (d["sy"] * d["sy"]) / d["n"]
-    ss_res = d["syy"] - (b0 * d["sy"] + b1 * d["s1y"] + b2 * d["s2y"])
+    # staged solve (see _reg_stage — try_divide rationale lives there;
+    # the divide-by-zero guard was caught by
+    # test_ols_singular_system_yields_nulls when the r2 bound joined
+    # the CASE condition)
+    s, D, (b0, b1, b2) = _reg_stage(m, d, group_cols, det, d0, d1, d2)
+    ss_tot = D["syy"] - (D["sy"] * D["sy"]) / D["n"]
+    ss_res = D["syy"] - (b0 * D["sy"] + b1 * D["s1y"] + b2 * D["s2y"])
     r2 = F.lit(1.0) - F.try_divide(ss_res, ss_tot)
     # singular AND near-singular guard — see _REG_BOUND
     _B = F.lit(_REG_BOUND)
     ok = (
-        (det != F.lit(0.0))
+        (F.col("det") != F.lit(0.0))
         & (F.abs(b0) < _B)
         & (F.abs(b1) < _B)
         & (F.abs(b2) < _B)
     )
-    return _reg_select(m, group_cols, ok, b0, b1, b2, r2, ss_tot)
+    return _reg_select(s, group_cols, ok, b0, b1, b2, r2, ss_tot)
 
 
 def grouped_ridge(
@@ -502,31 +548,30 @@ def grouped_ridge(
         - d["sx1"] * (d["sx1"] * d["s2y"] - d["s1y"] * d["sx2"])
         + d["sy"] * (d["sx1"] * d["s12"] - t11 * d["sx2"])
     )
-    # try_divide for the same CSE-under-ANSI reason as grouped_ols
-    b0 = F.try_divide(d0, det)
-    b1 = F.try_divide(d1, det)
-    b2 = F.try_divide(d2, det)
-    ss_tot = d["syy"] - (d["sy"] * d["sy"]) / d["n"]
+    # staged solve (see _reg_stage — same CSE-under-ANSI try_divide
+    # rationale as grouped_ols)
+    s, D, (b0, b1, b2) = _reg_stage(m, d, group_cols, det, d0, d1, d2)
+    ss_tot = D["syy"] - (D["sy"] * D["sy"]) / D["n"]
     # full quadratic form with the RAW moments (see docstring)
     bxxb = (
-        b0 * b0 * d["n"]
-        + b1 * b1 * d["s11"]
-        + b2 * b2 * d["s22"]
-        + F.lit(2.0) * b0 * b1 * d["sx1"]
-        + F.lit(2.0) * b0 * b2 * d["sx2"]
-        + F.lit(2.0) * b1 * b2 * d["s12"]
+        b0 * b0 * D["n"]
+        + b1 * b1 * D["s11"]
+        + b2 * b2 * D["s22"]
+        + F.lit(2.0) * b0 * b1 * D["sx1"]
+        + F.lit(2.0) * b0 * b2 * D["sx2"]
+        + F.lit(2.0) * b1 * b2 * D["s12"]
     )
     ss_res = (
-        d["syy"]
-        - F.lit(2.0) * (b0 * d["sy"] + b1 * d["s1y"] + b2 * d["s2y"])
+        D["syy"]
+        - F.lit(2.0) * (b0 * D["sy"] + b1 * D["s1y"] + b2 * D["s2y"])
         + bxxb
     )
     r2 = F.lit(1.0) - F.try_divide(ss_res, ss_tot)
     _B = F.lit(_REG_BOUND)
     ok = (
-        (det != F.lit(0.0))
+        (F.col("det") != F.lit(0.0))
         & (F.abs(b0) < _B)
         & (F.abs(b1) < _B)
         & (F.abs(b2) < _B)
     )
-    return _reg_select(m, group_cols, ok, b0, b1, b2, r2, ss_tot)
+    return _reg_select(s, group_cols, ok, b0, b1, b2, r2, ss_tot)
