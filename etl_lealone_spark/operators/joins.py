@@ -324,6 +324,21 @@ def bloom_bitmap(
     """
     from .xhash import hconsts, md5_hash60, mix60
 
+    # r12 advisor: the DENSE word array always materializes m_bits/8
+    # bytes regardless of build cardinality — a near-empty filter with a
+    # huge m_bits would broadcast megabytes per probe task. Bound it at
+    # 2^27 bits (16 MB — the top of the "few hundred MB broadcast is
+    # fine" envelope with headroom); past that, shard the build side or
+    # add a sparse representation. Multiple-of-64 keeps size(bloom_words)
+    # * 64 == m_bits exactly, which is what lets probes validate
+    # build/probe agreement (bloom_m_bits below).
+    if m_bits <= 0 or m_bits % 64 != 0:
+        raise ValueError(f"bloom m_bits must be a positive multiple of 64, got {m_bits}")
+    if m_bits > (1 << 27):
+        raise ValueError(
+            f"bloom m_bits={m_bits} exceeds the dense-bitmap bound 2^27 "
+            "(16 MB broadcast); shard the build side or lower m_bits"
+        )
     n_words = (m_bits + 63) // 64
     keys = build.select(F.col(key_col).cast("string").alias("_bk")).distinct()
     h = md5_hash60(F.col("_bk"))
@@ -370,6 +385,11 @@ def bloom_bitmap(
                 ),
             ).alias("bloom_words"),
             "bloom_bits_set",
+            # carried build parameter: probes assert agreement on it
+            # (r12 advisor — a probe with a different m_bits would
+            # compute positions under a different modulus and be
+            # silently wrong; bloom_pass_flag raises instead)
+            F.lit(int(m_bits)).alias("bloom_m_bits"),
         )
         .crossJoin(F.broadcast(n_keys))
     )
@@ -379,9 +399,15 @@ def bloom_pass_flag(
     key, m_bits: int = 8192, k: int = 3, tag: str = "bloom"
 ):
     """Membership predicate column for a probe row already cross-joined
-    with the :func:`bloom_bitmap` row (``bloom_words`` in scope). True iff
-    ALL k bit positions of the key are set — may include false positives,
-    never false negatives."""
+    with the :func:`bloom_bitmap` row (``bloom_words`` + ``bloom_m_bits``
+    in scope). True iff ALL k bit positions of the key are set — may
+    include false positives, never false negatives.
+
+    Build/probe parameter agreement is ENFORCED (r12 advisor): a probe
+    whose ``m_bits`` differs from the bitmap's computes bit positions
+    under a different modulus — silently wrong membership (false
+    negatives possible). The bitmap row carries ``bloom_m_bits``; a
+    mismatch raises at evaluation instead of returning garbage."""
     from .xhash import hconsts, md5_hash60, mix60
 
     h = md5_hash60(key.cast("string"))
@@ -389,7 +415,7 @@ def bloom_pass_flag(
     for i in range(k):
         pos = (mix60(h, *hconsts(f"bloom:{tag}", i)) % m_bits).cast("int")
         # dense-array bitmap: O(1) 1-based index (pos < m_bits by
-        # construction, so the slot always exists)
+        # construction once m_bits agreement holds, so the slot exists)
         word = F.element_at(F.col("bloom_words"), (pos / 64).cast("int") + 1)
         flag = flag & (
             word.bitwiseAND(
@@ -399,7 +425,15 @@ def bloom_pass_flag(
             )
             != 0
         )
-    return flag
+    return F.when(F.col("bloom_m_bits") == F.lit(int(m_bits)), flag).otherwise(
+        F.raise_error(
+            F.format_string(
+                "bloom build/probe m_bits mismatch: bitmap built with %s, "
+                f"probed with {int(m_bits)}",
+                F.col("bloom_m_bits"),
+            )
+        ).cast("boolean")
+    )
 
 
 def bloom_semi_join(
@@ -421,5 +455,5 @@ def bloom_semi_join(
     return (
         probe.crossJoin(F.broadcast(bitmap))
         .filter(bloom_pass_flag(F.col(probe_key), m_bits, k, tag))
-        .drop("bloom_words", "bloom_bits_set", "bloom_n_keys")
+        .drop("bloom_words", "bloom_bits_set", "bloom_n_keys", "bloom_m_bits")
     )

@@ -25,7 +25,11 @@ from etl_lealone_spark.plans import count_exchanges, explain_str  # noqa: E402
 from etl_lealone_spark.session import build_spark, default_parallelism  # noqa: E402
 from etl_lealone_spark.workloads import all_workloads  # noqa: E402
 
-PLAN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+PLAN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("OPT_ROUND", "r13"),
+)
 
 
 def main() -> None:

@@ -175,6 +175,34 @@ def test_bloom_bitmap_saturation_caps_size(spark):
     assert row["bloom_n_keys"] == 50_000
 
 
+def test_bloom_m_bits_guards(spark):
+    """r12 advisor items: (1) the dense bitmap bounds m_bits at build
+    time (a near-empty filter with a huge m_bits would broadcast MBs per
+    probe task), (2) build/probe m_bits disagreement RAISES instead of
+    returning silently-wrong membership."""
+    import pytest
+
+    from etl_lealone_spark.operators.joins import (
+        bloom_bitmap,
+        bloom_pass_flag,
+    )
+    from pyspark.sql import functions as F
+
+    build = spark.range(0, 10).selectExpr("id AS k")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_bitmap(build, "k", m_bits=1000)
+    with pytest.raises(ValueError, match="dense-bitmap bound"):
+        bloom_bitmap(build, "k", m_bits=1 << 28)
+    bitmap = bloom_bitmap(build, "k", m_bits=8192)
+    probe = spark.range(0, 5).selectExpr("id AS k").crossJoin(F.broadcast(bitmap))
+    # agreeing probe: every true member passes
+    ok = probe.filter(bloom_pass_flag(F.col("k"), m_bits=8192)).count()
+    assert ok == 5
+    # disagreeing probe: typed failure, not wrong-but-quiet membership
+    with pytest.raises(Exception, match="m_bits mismatch"):
+        probe.filter(bloom_pass_flag(F.col("k"), m_bits=16384)).count()
+
+
 def test_bloom_empty_build_side_passes_nothing(spark):
     from etl_lealone_spark.operators.joins import bloom_semi_join
 
